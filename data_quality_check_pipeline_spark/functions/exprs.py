@@ -1,0 +1,151 @@
+"""Shared Column-expression helpers and regex constants.
+
+These encode the semantic core shared by three consumers:
+
+* the Spark operators (Column expressions here),
+* the pure-Python oracle (`oracle.py`, via ``re`` on the same patterns),
+* the DuckDB oracle SQL in ``__spark_entry__.py``.
+
+All regexes are written in the common subset of Java regex (Spark) and
+RE2 (DuckDB): no backreferences, no lookaround.
+
+Reference-parity notes (capability, not code, from /root/reference):
+* "missing" means NaN ∪ trimmed-empty ∪ literal "nan"
+  (src/profiler.py:51-54, src/cleaner.py:199-204, src/validator.py:91-94).
+* masking transforms mirror src/masker.py:49-103 semantics.
+* PII regexes generalize src/config.py:299-311 (email/phone/ssn patterns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Domain constants (graft: audio clip + transcript pairs)
+# ---------------------------------------------------------------------------
+
+ALLOWED_SR_HZ = [8000, 16000, 22050, 44100, 48000]
+ALLOWED_CODECS = ["pcm_s16le", "flac", "opus", "mp3"]
+
+# PII patterns — common Java-regex/RE2 subset. Fixed scrub order:
+# email -> phone -> ssn -> toxicity lexicon (mirrors the reference's
+# fixed per-column masking order, src/masker.py:113-146).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\(\d{3}\)[ ]?\d{3}[-.]?\d{4}|\d{3}[-.]\d{3}[-.]\d{4}|\b\d{10}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# Synthetic toxicity lexicon — placeholder tokens only (this sandbox must not
+# embed a real slur list); the mechanism (word-boundary, case-insensitive,
+# fixed order) is what is being built.
+TOX_WORDS = ["frak", "blorgit", "smegrot", "zarking", "grotpox"]
+TOX_RE = r"(?i)\b(" + "|".join(TOX_WORDS) + r")\b"
+
+EMAIL_TOKEN = "[EMAIL]"
+PHONE_TOKEN = "[PHONE]"
+SSN_TOKEN = "[SSN]"
+TOX_TOKEN = "[TOX]"
+
+# ---------------------------------------------------------------------------
+# Null semantics
+# ---------------------------------------------------------------------------
+
+
+def null_or_empty(c: Column | str) -> Column:
+    """True when the value is missing under the reference's null semantics:
+    SQL NULL, empty-after-trim, or the literal string "nan"/"NaN"."""
+    col = F.col(c) if isinstance(c, str) else c
+    s = F.trim(col.cast("string"))
+    return col.isNull() | (s == "") | (F.lower(s) == "nan")
+
+
+def norm_text(c: Column | str) -> Column:
+    """Canonical transcript normalization: trim + collapse internal
+    whitespace runs to single spaces. Pure Column expr — one codegen pass."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# Scrub chain (transcript PII / toxicity)
+# ---------------------------------------------------------------------------
+
+
+def scrub_expr(c: Column | str) -> Column:
+    """Fixed-order scrub: email -> phone -> ssn -> toxicity lexicon.
+
+    A single nested regexp_replace chain: Catalyst collapses this into one
+    projection; the Java Patterns are compiled once per task, and the whole
+    chain runs inside whole-stage codegen (no Python).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
+    out = F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+    out = F.regexp_replace(out, SSN_RE, SSN_TOKEN)
+    out = F.regexp_replace(out, TOX_RE, TOX_TOKEN)
+    return out
+
+
+def pii_hits_expr(c: Column | str) -> Column:
+    """Total PII/toxicity match count prior to scrubbing (cell-level counter,
+    mirroring the reference's per-cell masking stats, src/masker.py:115-146).
+
+    Counted in the same fixed order as the scrub chain so a phone inside an
+    already-scrubbed email is not double counted.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    after_email = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
+    after_phone = F.regexp_replace(after_email, PHONE_RE, PHONE_TOKEN)
+    after_ssn = F.regexp_replace(after_phone, SSN_RE, SSN_TOKEN)
+    return (
+        F.regexp_count(col, F.lit(EMAIL_RE))
+        + F.regexp_count(after_email, F.lit(PHONE_RE))
+        + F.regexp_count(after_phone, F.lit(SSN_RE))
+        + F.regexp_count(after_ssn, F.lit(TOX_RE))
+    ).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Field-level masks (reference parity: src/masker.py:49-103)
+# ---------------------------------------------------------------------------
+
+
+def _guard(col: Column, masked: Column) -> Column:
+    """Passthrough for missing values, like the reference's non-str/[UNKNOWN]
+    guards (src/masker.py:51-52)."""
+    return F.when(null_or_empty(col), col).otherwise(masked)
+
+
+def mask_name(c: Column | str) -> Column:
+    """'John' -> 'J***' (src/masker.py:49-57)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _guard(col, F.concat(F.substring(col, 1, 1), F.lit("***")))
+
+
+def mask_email(c: Column | str) -> Column:
+    """'john@gmail.com' -> 'j***@gmail.com'; no-@ passthrough
+    (src/masker.py:59-72)."""
+    col = F.col(c) if isinstance(c, str) else c
+    masked = F.concat(
+        F.substring(col, 1, 1), F.lit("***@"), F.substring_index(col, "@", -1)
+    )
+    return _guard(col, F.when(col.contains("@"), masked).otherwise(col))
+
+
+def mask_phone(c: Column | str) -> Column:
+    """Keep last 4 digits: '555-123-4567' -> '***-***-4567'
+    (src/masker.py:74-83)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _guard(col, F.concat(F.lit("***-***-"), F.substring(col, -4, 4)))
+
+
+def mask_address(c: Column | str) -> Column:
+    """Whole value -> '[MASKED ADDRESS]' (src/masker.py:85-93)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _guard(col, F.lit("[MASKED ADDRESS]"))
+
+
+def mask_dob(c: Column | str) -> Column:
+    """Keep year: '1985-03-15' -> '1985-**-**' (src/masker.py:95-103)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _guard(col, F.concat(F.substring(col, 1, 4), F.lit("-**-**")))

@@ -1,0 +1,334 @@
+"""End-to-end clip-quality pipeline: ONE lazy DataFrame DAG per shard.
+
+Rebuilds the reference's 17-stage sequential pandas pipeline
+(/root/reference/src/pipeline.py:800-913) as a Spark-first plan:
+
+    scan -> clean (one projection) -> UDF scores (langid / perplexity /
+    audio_stats, three Arrow stages) -> rule flags (one projection) ->
+    duplicate flag (one shuffle) -> [cache] -> threshold gate (tiny agg) ->
+    keep branch: scrub -> salted repartition -> clips_clean snapshot
+    drop branch: quarantine snapshot
+    metrics: lang/reason histograms + completeness aggregates -> lineage row
+
+Scale design:
+* The flagged DataFrame is computed ONCE and cached; both branches and the
+  metric aggregates reuse it (the reference re-validates up to 4x).
+* The only full-table shuffles are the duplicate-id aggregate and the final
+  salted repartition before the partitioned write.
+* Writes are partitioned by ``lang`` with an explicit salt derived from
+  ``clip_id`` so the Zipf-skewed language buckets spread across tasks
+  (north rule: explicit skew handling, on top of AQE).
+* Resume: the corpus is processed in ``n_shards`` deterministic shards
+  (pmod(xxhash64(clip_id), n)); every committed shard appends a lineage row;
+  a rerun anti-joins pending shards (reference analogue: whole-run checksum
+  skip, rollback_manager.py:142-163 — ours is finer grained).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .control import (
+    DISCARD,
+    HALT,
+    GateResult,
+    StageLog,
+    Thresholds,
+    threshold_gate,
+)
+from .metrics import save_metrics
+from .operators.clean import clean_clips
+from .operators.profile import completeness, keep_stats
+from .operators.scrub import scrub_transcripts
+from .operators.validate import (
+    heuristic_rules,
+    merge_duplicate_reason,
+    model_rules,
+    with_duplicate_flag,
+    with_flags,
+)
+from .sources.tables import TableStore
+from .udfs.audio import with_audio_stats
+from .udfs.langid import with_langid
+from .udfs.perplexity import with_perplexity
+
+CLEAN_TABLE = "clips_clean"
+QUARANTINE_TABLE = "clips_quarantine"
+LINEAGE_TABLE = "lineage"
+
+
+@dataclass
+class RunConfig:
+    out_root: str
+    run_id: str = ""
+    n_shards: int = 1
+    salt_buckets: int = 16
+    thresholds: Thresholds = field(default_factory=Thresholds)
+    non_interactive: bool = True
+    review_decision_file: str | None = None
+    force: bool = False
+    source_fingerprint: str = ""
+    with_audio: bool = True
+    cache_flagged: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.run_id:
+            self.run_id = uuid.uuid4().hex[:12]
+
+
+def score_clips(df: DataFrame, with_audio: bool = True) -> DataFrame:
+    """clean + the three vectorized scorers. Lazy — no action triggered."""
+    out = clean_clips(df)
+    out = with_langid(out)
+    out = with_perplexity(out)
+    if with_audio:
+        out = with_audio_stats(out)
+    return out
+
+
+def flag_clips(scored: DataFrame, with_audio: bool = True) -> DataFrame:
+    """Attach reasons/keep/severity (all rules in one projection) + the
+    duplicate-id flag (the one required shuffle)."""
+    rules = heuristic_rules() + [
+        r
+        for r in model_rules()
+        if with_audio or r.name not in ("clipped_audio", "truncated_audio")
+    ]
+    flagged = with_flags(scored, rules)
+    flagged = with_duplicate_flag(flagged, "clip_id")
+    return merge_duplicate_reason(flagged)
+
+
+def salted_repartition(
+    df: DataFrame, buckets: int, lang: str = "lang", key: str = "clip_id"
+) -> DataFrame:
+    """Spread skewed language buckets: partition by (lang, salt) where
+    salt = pmod(xxhash64(key), buckets). Deterministic (no rand()) so
+    retried tasks and resumed runs produce identical layouts."""
+    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)).alias("_salt")
+    n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return df.repartition(int(n), F.col(lang), salt)
+
+
+def _shard_expr(key: str, n_shards: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source: DataFrame | str,
+    cfg: RunConfig,
+) -> dict:
+    """Execute the pipeline; returns the metrics document."""
+    t_run = time.time()
+    log = StageLog()
+    store = TableStore(spark, cfg.out_root)
+
+    # -- LOAD ---------------------------------------------------------------
+    t0 = time.time()
+    df = spark.read.parquet(source) if isinstance(source, str) else source
+    log.record("load", "ok", t0)
+
+    # -- IDEMPOTENCY (parity: rollback_manager.py:142-163) -------------------
+    if (
+        not cfg.force
+        and cfg.source_fingerprint
+        and store.is_unchanged(CLEAN_TABLE, cfg.source_fingerprint)
+    ):
+        done = _completed_shards(spark, store, cfg)
+        if len(done) >= cfg.n_shards:
+            return {
+                "run_id": cfg.run_id,
+                "skipped": True,
+                "reason": "source unchanged; all shards committed",
+            }
+
+    done_shards = _completed_shards(spark, store, cfg)
+    totals = {"total": 0, "kept": 0, "dropped": 0, "pii_rows": 0}
+    gate_overall: GateResult | None = None
+
+    for shard in range(cfg.n_shards):
+        if shard in done_shards:
+            continue
+        shard_df = (
+            df
+            if cfg.n_shards == 1
+            else df.filter(_shard_expr("clip_id", cfg.n_shards) == shard)
+        )
+        gate, stats = _run_shard(spark, shard_df, shard, cfg, store, log)
+        gate_overall = gate
+        for k in totals:
+            totals[k] += stats.get(k, 0)
+        if gate.decision == HALT:
+            break
+
+    wall = time.time() - t_run
+    metrics = {
+        "run_id": cfg.run_id,
+        "stages": log.stages,
+        "quality": {
+            **totals,
+            "keep_pct": (
+                100.0 * totals["kept"] / totals["total"]
+                if totals["total"]
+                else 100.0
+            ),
+        },
+        "gate": (
+            {
+                "decision": gate_overall.decision,
+                "failure_pct": gate_overall.failure_pct,
+            }
+            if gate_overall
+            else None
+        ),
+        "performance": {
+            "wall_seconds": wall,
+            "clips_per_sec": totals["total"] / wall if wall else 0.0,
+        },
+    }
+    save_metrics(metrics, f"{cfg.out_root}/metrics", cfg.run_id)
+    return metrics
+
+
+def _run_shard(
+    spark: SparkSession,
+    df: DataFrame,
+    shard: int,
+    cfg: RunConfig,
+    store: TableStore,
+    log: StageLog,
+) -> tuple[GateResult, dict]:
+    # -- CLEAN + SCORE + VALIDATE (one lazy DAG) -----------------------------
+    t0 = time.time()
+    flagged = flag_clips(score_clips(df, cfg.with_audio), cfg.with_audio)
+    if cfg.cache_flagged:
+        flagged = flagged.cache()
+
+    stats = keep_stats(flagged)  # triggers the single evaluation
+    log.record("validate", "ok", t0, **stats)
+
+    # -- THRESHOLD GATE (parity: pipeline.py:302-369) ------------------------
+    gate = threshold_gate(
+        stats["total"],
+        stats["dropped"],
+        cfg.thresholds,
+        cfg.review_decision_file,
+        cfg.non_interactive,
+    )
+    if gate.decision == HALT:
+        log.record("gate", "halt", t0)
+        if cfg.cache_flagged:
+            flagged.unpersist()
+        return gate, stats
+
+    # -- KEEP BRANCH: scrub -> salted partitioned write ----------------------
+    t0 = time.time()
+    kept = flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")
+    kept = scrub_transcripts(kept)
+    kept = salted_repartition(kept, cfg.salt_buckets)
+    pii_rows = 0
+    clean_sid = store.write(
+        CLEAN_TABLE,
+        kept,
+        mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
+        partition_by=["lang"],
+        properties={
+            "run_id": cfg.run_id,
+            "shard": shard,
+            "source_fingerprint": cfg.source_fingerprint,
+        },
+    )
+    log.record("clean_write", "ok", t0, snapshot=clean_sid)
+
+    # -- DROP BRANCH: quarantine/DLQ (parity: dead_letter_queue.py) ----------
+    t0 = time.time()
+    quarantined = (
+        flagged.filter(~F.col("keep") & (F.lit(gate.decision) != DISCARD))
+        .select(
+            "clip_id",
+            "reasons",
+            "severity",
+            F.lit("validate").alias("stage"),
+            F.lit(cfg.run_id).alias("run_id"),
+            F.current_timestamp().alias("ts"),
+            F.lit(0).alias("retry_count"),
+        )
+    )
+    if gate.decision != DISCARD:
+        q_sid = store.write(
+            QUARANTINE_TABLE,
+            quarantined,
+            mode="append" if store.exists(QUARANTINE_TABLE) else "overwrite",
+            properties={"run_id": cfg.run_id, "shard": shard},
+        )
+        log.record("quarantine", "ok", t0, snapshot=q_sid)
+    else:
+        log.record("quarantine", "skipped_discard", t0)
+
+    # -- PII stats on the kept branch ----------------------------------------
+    t0 = time.time()
+    pii_row = kept.agg(
+        F.sum((F.col("pii_hits") > 0).cast("long")).alias("p")
+    ).collect()[0]
+    pii_rows = int(pii_row["p"] or 0)
+    log.record("pii", "ok", t0, rows_with_pii=pii_rows)
+
+    # -- LINEAGE (enables resume) ---------------------------------------------
+    t0 = time.time()
+    comp = completeness(df, ["clip_id", "transcript", "codec"])
+    lineage_row = spark.createDataFrame(
+        [
+            (
+                cfg.run_id,
+                cfg.source_fingerprint,
+                shard,
+                cfg.n_shards,
+                "complete",
+                stats["total"],
+                stats["kept"],
+                stats["dropped"],
+                pii_rows,
+                float(comp["columns"]["transcript"]["completeness_pct"]),
+                clean_sid,
+            )
+        ],
+        "run_id string, source_fingerprint string, shard int, n_shards int, "
+        "status string, total long, kept long, dropped long, pii_rows long, "
+        "transcript_completeness double, clean_snapshot string",
+    )
+    store.write(
+        LINEAGE_TABLE,
+        lineage_row,
+        mode="append" if store.exists(LINEAGE_TABLE) else "overwrite",
+    )
+    log.record("lineage", "ok", t0, shard=shard)
+
+    if cfg.cache_flagged:
+        flagged.unpersist()
+    stats["pii_rows"] = pii_rows
+    return gate, stats
+
+
+def _completed_shards(
+    spark: SparkSession, store: TableStore, cfg: RunConfig
+) -> set[int]:
+    if not store.exists(LINEAGE_TABLE):
+        return set()
+    rows = (
+        store.read(LINEAGE_TABLE)
+        .filter(
+            (F.col("source_fingerprint") == cfg.source_fingerprint)
+            & (F.col("n_shards") == cfg.n_shards)
+            & (F.col("status") == "complete")
+        )
+        .select("shard")
+        .distinct()
+        .collect()
+    )
+    return {r["shard"] for r in rows}

@@ -1,0 +1,237 @@
+"""Versioned table store: Iceberg when a catalog is configured, otherwise a
+parquet + snapshot-manifest fallback with the same semantics.
+
+Capability parity with the reference's version/rollback machinery
+(/root/reference/src/rollback_manager.py):
+
+* create_version (rollback_manager.py:48-94)   -> every write = a snapshot
+* rollback (rollback_manager.py:96-132)        -> rollback(name, snapshot_id)
+* keep-newest-5 GC (rollback_manager.py:165-184)-> expire_snapshots(keep_last)
+* checksum idempotency (rollback_manager.py:142-163)
+                                               -> source fingerprint recorded
+                                                  per snapshot; skip when equal
+
+With a real Iceberg catalog (``spark.sql.catalog.<name>`` configured with the
+iceberg runtime on the classpath) these map 1:1 onto Iceberg snapshots,
+``CALL rollback_to_snapshot`` and ``expire_snapshots`` — see IcebergStore.
+The parquet fallback reproduces snapshot lineage in a ``manifest.json``: each
+snapshot owns its files; an *append* snapshot's read set = parent read set +
+own files; *overwrite* starts a new chain. Readers never see partial writes
+(manifest is updated only after the parquet write succeeds, and is written
+atomically via rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    """Parquet-backed versioned tables under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "manifest.json")
+
+    def _load_manifest(self, name: str) -> dict:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return {"current": None, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_manifest(self, name: str, m: dict) -> None:
+        p = self._manifest_path(name)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, p)  # atomic on POSIX
+
+    def _snapshot(self, m: dict, snapshot_id: str | None) -> dict | None:
+        snaps = m["snapshots"]
+        if snapshot_id is None:
+            sid = m["current"]
+            if sid is None:
+                return None
+            snapshot_id = sid
+        for s in snaps:
+            if s["id"] == snapshot_id:
+                return s
+        raise KeyError(f"unknown snapshot {snapshot_id}")
+
+    # -- public API ----------------------------------------------------------
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> str:
+        """Write df as a new snapshot; returns the snapshot id."""
+        assert mode in ("overwrite", "append")
+        m = self._load_manifest(name)
+        sid = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._dir(name), f"snap_{sid}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+
+        if mode == "append" and m["current"] is not None:
+            parent = self._snapshot(m, None)
+            read_set = parent["read_set"] + [f"snap_{sid}"]
+        else:
+            read_set = [f"snap_{sid}"]
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "ts": time.time(),
+                "mode": mode,
+                "parent": m["current"],
+                "read_set": read_set,
+                "partition_by": partition_by or [],
+                "properties": properties or {},
+            }
+        )
+        m["current"] = sid
+        self._save_manifest(name, m)
+        return sid
+
+    def read(self, name: str, snapshot_id: str | None = None) -> DataFrame:
+        """Read the current (or a time-travel) snapshot."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        paths = [os.path.join(self._dir(name), d) for d in snap["read_set"]]
+        # each snapshot dir is its own partition-discovery root (they may be
+        # partitioned); union them by name
+        df = self.spark.read.parquet(paths[0])
+        from functools import reduce
+
+        return reduce(
+            lambda a, p: a.unionByName(self.spark.read.parquet(p)),
+            paths[1:],
+            df,
+        )
+
+    def exists(self, name: str) -> bool:
+        return self._load_manifest(name)["current"] is not None
+
+    def snapshots(self, name: str) -> list[dict]:
+        return self._load_manifest(name)["snapshots"]
+
+    def current_snapshot(self, name: str) -> dict | None:
+        m = self._load_manifest(name)
+        return self._snapshot(m, None)
+
+    def rollback(self, name: str, snapshot_id: str) -> None:
+        """Point 'current' back at an older snapshot (Iceberg:
+        CALL rollback_to_snapshot)."""
+        m = self._load_manifest(name)
+        self._snapshot(m, snapshot_id)  # validate
+        m["current"] = snapshot_id
+        self._save_manifest(name, m)
+
+    def expire_snapshots(self, name: str, keep_last: int = 5) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots and delete files
+        no surviving snapshot references (reference keeps newest 5,
+        rollback_manager.py:165-184)."""
+        import shutil
+
+        m = self._load_manifest(name)
+        snaps = m["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        keep = snaps[-keep_last:]
+        if m["current"] is not None and not any(
+            s["id"] == m["current"] for s in keep
+        ):
+            keep = [self._snapshot(m, m["current"])] + keep
+        live_dirs = {d for s in keep for d in s["read_set"]}
+        expired = [s["id"] for s in snaps if s not in keep]
+        for s in snaps:
+            if s in keep:
+                continue
+            own = f"snap_{s['id']}"
+            if own not in live_dirs:
+                shutil.rmtree(
+                    os.path.join(self._dir(name), own), ignore_errors=True
+                )
+        m["snapshots"] = keep
+        self._save_manifest(name, m)
+        return expired
+
+    # -- idempotency (parity: rollback_manager.py:142-163) --------------------
+
+    def last_source_fingerprint(self, name: str) -> str | None:
+        snap = (
+            self.current_snapshot(name) if self.exists(name) else None
+        )
+        return (snap or {}).get("properties", {}).get("source_fingerprint")
+
+    def is_unchanged(self, name: str, fingerprint: str) -> bool:
+        return self.last_source_fingerprint(name) == fingerprint
+
+
+class IcebergStore:
+    """Same interface over a real Iceberg catalog. Requires the
+    iceberg-spark-runtime jar + a configured catalog; not available in this
+    sandbox, so methods are thin wrappers kept for cluster deployments."""
+
+    def __init__(self, spark: SparkSession, catalog: str, db: str) -> None:
+        self.spark = spark
+        self.prefix = f"{catalog}.{db}"
+
+    def write(self, name, df, mode="overwrite", partition_by=None,
+              properties=None):
+        full = f"{self.prefix}.{name}"
+        writer = df.writeTo(full)
+        for c in partition_by or []:
+            writer = writer.partitionedBy(c)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {full}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(row[0][0])
+
+    def read(self, name, snapshot_id=None):
+        full = f"{self.prefix}.{name}"
+        r = self.spark.read
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", snapshot_id)
+        return r.table(full)
+
+    def rollback(self, name, snapshot_id):
+        cat = self.prefix.split(".")[0]
+        self.spark.sql(
+            f"CALL {cat}.system.rollback_to_snapshot"
+            f"('{self.prefix}.{name}', {snapshot_id})"
+        )
+
+    def expire_snapshots(self, name, keep_last=5):
+        cat = self.prefix.split(".")[0]
+        self.spark.sql(
+            f"CALL {cat}.system.expire_snapshots"
+            f"(table => '{self.prefix}.{name}', retain_last => {keep_last})"
+        )
