@@ -1,0 +1,288 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's exact duplicate check (validator.py:76-82 on the id
+column), this module implements the standard near-dup stack, all Spark-first:
+
+* exact dedup           — hash groupBy, deterministic survivor
+* MinHash + LSH         — shingle -> n minhashes -> banded bucket join
+* SimHash               — 64-bit token-hash sign aggregate + chunk banding
+* n-gram Jaccard        — inverted-index self-join (exact verify)
+
+Scale notes: every candidate-pair generator works through an equi-join on a
+bucket key (banded signatures / shared n-gram), never a cross join. Exact
+verification only touches candidate pairs. All hashing is xxhash64 JVM-side;
+no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exprs import norm_text
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dups(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Groups of rows with identical (normalized) text: returns
+    (text_hash, n, ids) for groups with n > 1."""
+    t = norm_text(F.lower(F.col(text_col))) if normalized else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.xxhash64(t).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per exact text group.
+    Implemented as a min-id aggregate + semi-join — no window sort over the
+    full corpus."""
+    t = norm_text(F.lower(F.col(text_col)))
+    survivors = (
+        df.select(F.col(id_col).alias("_id"), F.xxhash64(t).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("_id").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash/LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_expr(text_col: str, k: int):
+    """Distinct word k-shingles as an array column (JVM-side)."""
+    toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
+    n = F.array_size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(toks[0])))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int = 32, shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — n_hashes minima over xxhash64(shingle, i).
+
+    One explode + one groupBy with n_hashes min-aggregates: partial (map-
+    side) mins shrink the shuffle to n_hashes longs per doc.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(_shingle_expr(text_col, shingle_k)).alias("_sh"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+    min_est_jaccard: float = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, scored by signature
+    agreement (unbiased Jaccard estimate). Returns (id_a, id_b, est_jaccard)
+    with id_a < id_b.
+
+    Pair generation is an equi-join on (band index, band hash) — never a
+    cross join; a >1000-doc bucket would indicate degenerate text and can be
+    salted upstream.
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows + r].cast("string")
+                                for r in range(rows)
+                            ],
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash: bigint): sign-sum of token hashes per bit position.
+
+    One explode + one groupBy with ``bits`` sum-aggregates (map-side
+    combine); bit extraction via shiftright/&1 stays JVM-side.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(norm_text(F.lower(F.col(text_col))), " "))
+        ).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    sums = [
+        F.sum(
+            (F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(bit.cast("long"), b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    max_hamming: int = 3, chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banding on ``chunks`` 16-bit chunks
+    (any pair within hamming distance < chunks shares >= 1 exact chunk),
+    then exact hamming verify via bit_count(xor)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "chunk_idx", "chunk_val",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    shingle_k: int = 3, min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word k-shingles for pairs sharing >= 1 shingle.
+
+    Classic inverted-index self-join: explode distinct shingles, join on the
+    shingle, count intersections, then |A∩B| / (|A|+|B|-|A∩B|). Shuffle is
+    bounded by the posting lists; ubiquitous shingles should be prefiltered
+    at scale (stop-shingle removal) — see minhash_lsh_pairs for the
+    approximate path.
+    """
+    sh = df.select(
+        F.col(id_col),
+        _shingle_expr(text_col, shingle_k).alias("_shs"),
+    ).withColumn("_n", F.array_size("_shs"))
+    posting = sh.select(
+        F.col(id_col), F.col("_n"), F.explode("_shs").alias("_sh")
+    )
+    a = posting.select(
+        F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "_sh"
+    )
+    b = posting.select(
+        F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "_sh"
+    )
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

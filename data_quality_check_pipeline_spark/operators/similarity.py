@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale playbook:
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small) query
+  set, JVM-side dot products via zip_with/aggregate, per-query top-k without
+  a global sort.
+* hyperplane-LSH bucketed ANN — the scale path: sign-pattern bucket key from
+  D deterministic random hyperplanes; candidates meet through an equi-join
+  on the bucket, exact cosine re-rank inside buckets only.
+
+Embedding near-dup detection reuses the same machinery with a cosine
+threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows per query row.
+
+    The query side is broadcast (it is small by construction); the corpus
+    streams through map-side only — no corpus shuffle. Top-k per query via a
+    window over the (tiny) query partitioning of the scored pairs.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding",
+    dim: int | None = None, n_planes: int = 8, seed: int = 7,
+    out: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-pattern bucket id from deterministic random hyperplanes. The
+    planes are literal arrays folded into the plan (a few KB) — no join."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn(out, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane-LSH bucket; exact
+    cosine re-rank inside buckets. Recall grows with fewer planes (bigger
+    buckets) — n_planes trades cost for recall."""
+    c = with_lsh_bucket(corpus, vec_col, dim, n_planes)
+    q = with_lsh_bucket(queries, vec_col, dim, n_planes).select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        "lsh_bucket",
+    )
+    scored = c.join(F.broadcast(q), "lsh_bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-bucketed: only pairs in
+    the same bucket are scored (misses across-bucket pairs near the planes —
+    run with 2 seeds and union for higher recall)."""
+    b = with_lsh_bucket(df, vec_col, dim, n_planes)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        "lsh_bucket",
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        "lsh_bucket",
+    )
+    return (
+        left.join(right, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine_expr(F.col("v_a"), F.col("v_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

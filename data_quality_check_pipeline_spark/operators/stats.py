@@ -1,0 +1,76 @@
+"""Statistical outlier detection: IQR and z-score row flags.
+
+Capability parity with /root/reference/src/statistical_validator.py
+(:35-75 IQR bounds + :51-61 row flags; :80-108 z-scores; :113-171 date
+distribution checks). Two-pass pattern: a tiny aggregate computes the
+bounds, which are folded into the row predicate as LITERALS (no join, no
+broadcast needed — the bounds travel in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .profile import numeric_summary
+
+
+def with_iqr_outliers(
+    df: DataFrame, col: str, out: str = "is_outlier",
+    severity_out: str | None = "outlier_severity",
+    relative_error: float = 1e-4,
+) -> tuple[DataFrame, dict]:
+    """Flag rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR]; severity HIGH when
+    more than 3*IQR from the median (statistical_validator.py:51-61)."""
+    s = numeric_summary(df, col, relative_error)
+    c = F.col(col).cast("double")
+    flag = c.isNotNull() & ~c.between(s["lower"], s["upper"])
+    res = df.withColumn(out, flag)
+    if severity_out:
+        far = F.abs(c - F.lit(s["median"])) > F.lit(3.0 * s["iqr"])
+        res = res.withColumn(
+            severity_out,
+            F.when(flag & far, "HIGH").when(flag, "MEDIUM"),
+        )
+    return res, s
+
+
+def with_zscore_outliers(
+    df: DataFrame, col: str, threshold: float = 3.0, out: str = "is_outlier"
+) -> tuple[DataFrame, dict]:
+    """|x - mean| / std > threshold (statistical_validator.py:80-108,
+    threshold from config.py:172)."""
+    row = df.agg(
+        F.mean(F.col(col)).alias("mean"), F.stddev(F.col(col)).alias("std")
+    ).collect()[0]
+    mean, std = float(row["mean"]), float(row["std"] or 0.0)
+    c = F.col(col).cast("double")
+    flag = (
+        c.isNotNull() & (F.lit(std) > 0)
+        & (F.abs(c - F.lit(mean)) / F.lit(std) > threshold)
+    )
+    return df.withColumn(out, flag), {"mean": mean, "std": std}
+
+
+def value_clustering(
+    df: DataFrame, col: str, max_share: float = 0.5
+) -> dict:
+    """Detect a single value holding more than ``max_share`` of rows
+    (statistical_validator.py:157-161 month-clustering; graft: language-
+    bucket skew detection that drives the salting policy)."""
+    top = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(1)
+        .collect()
+    )
+    total = df.count()
+    if not top or not total:
+        return {"skewed": False, "top_value": None, "share": 0.0}
+    share = top[0]["n"] / total
+    return {
+        "skewed": share > max_share,
+        "top_value": top[0][col],
+        "share": share,
+    }

@@ -1,0 +1,139 @@
+"""Structured Streaming variant of the clip-quality filter.
+
+The reference is batch-only (Airflow daily, dags/data_quality_dag.py:509);
+this module exists because a 10^12-clip corpus is usually *fed* by a stream.
+The batch operators are reused verbatim — clean/score/flag are stateless
+projections, so the same functions build the streaming DAG:
+
+    readStream (file source) -> clean -> UDF scores -> rule flags
+      -> dropDuplicates within watermark (streaming analogue of the
+         duplicate-id rule)
+      -> foreachBatch: split keep/quarantine and append via TableStore
+         (exactly-once per micro-batch through the store's snapshot commit)
+
+Windowed keep-rate monitoring demonstrates watermark + windowed aggregation
+for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import CLEAN_TABLE, QUARANTINE_TABLE, flag_clips, score_clips
+from ..operators.scrub import scrub_transcripts
+from ..sources.tables import TableStore
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+    "codec string, transcript string"
+)
+
+
+def read_clip_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def build_streaming_flags(
+    stream: DataFrame, with_audio: bool = True, dedup_watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateless clean+score+flag; duplicate-id handling becomes
+    dropDuplicates within a watermark (global history is unbounded in a
+    stream — batch reconciliation owns cross-window dups)."""
+    scored = score_clips(stream, with_audio=with_audio)
+    scored = scored.withColumn("ingest_ts", F.current_timestamp())
+    deduped = scored.withWatermark("ingest_ts", dedup_watermark).dropDuplicates(
+        ["clip_id"]
+    )
+    # rule flags, minus the (stateful) duplicate rule handled above
+    from ..operators.validate import heuristic_rules, model_rules, with_flags
+
+    rules = heuristic_rules() + (
+        [
+            r
+            for r in model_rules()
+            if with_audio or r.name not in ("clipped_audio", "truncated_audio")
+        ]
+    )
+    return with_flags(deduped, rules)
+
+
+def start_quality_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_root: str,
+    checkpoint_dir: str,
+    with_audio: bool = True,
+    available_now: bool = True,
+):
+    """Start (or drain, with availableNow) the streaming pipeline."""
+    store = TableStore(spark, out_root)
+    flagged = build_streaming_flags(
+        read_clip_stream(spark, source_path), with_audio
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            kept = scrub_transcripts(
+                batch_df.filter(F.col("keep")).drop(
+                    "reasons", "severity", "keep"
+                )
+            )
+            store.write(
+                CLEAN_TABLE,
+                kept,
+                mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
+                partition_by=["lang"],
+                properties={"stream_batch": batch_id},
+            )
+            quarantined = batch_df.filter(~F.col("keep")).select(
+                "clip_id", "reasons", "severity",
+                F.lit("stream_validate").alias("stage"),
+                F.lit(f"batch_{batch_id}").alias("run_id"),
+                F.current_timestamp().alias("ts"),
+                F.lit(0).alias("retry_count"),
+            )
+            store.write(
+                QUARANTINE_TABLE,
+                quarantined,
+                mode="append"
+                if store.exists(QUARANTINE_TABLE)
+                else "overwrite",
+                properties={"stream_batch": batch_id},
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        flagged.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_keep_rate(
+    flagged_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Watermarked windowed keep-rate aggregation (late data demo)."""
+    return (
+        flagged_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        )
+        .withColumn("keep_rate", F.col("kept") / F.col("total"))
+    )

@@ -40,6 +40,7 @@ FAKE_MAGIC = {
     "mp3": b"FAKEmp3_",
 }
 _FFT_N = 2048
+_PEAK_BAND = 3  # bins summed around the spectral peak as "signal"
 _CLIP_THRESHOLD = 32700
 
 AUDIO_STATS_SCHEMA = StructType(
@@ -130,12 +131,19 @@ def stats_batch(payloads, codecs) -> pd.DataFrame:
         idx = starts[fft_rows][:, None] + offs[None, :]
         mask = offs[None, :] < take[:, None]
         mat = np.where(mask, x[np.where(mask, idx, 0)], 0.0)
+        # Hann window bounds spectral leakage so a non-bin-centered tone
+        # concentrates in a few bins around the peak
+        mat = mat * np.hanning(_FFT_N)[None, :]
         spec = np.abs(np.fft.rfft(mat, axis=1)) ** 2
         spec[:, 0] = 0.0  # ignore DC
-        peak = spec.max(axis=1)
+        peak_bin = spec.argmax(axis=1)
+        # signal = power within +-_PEAK_BAND bins of the peak
+        band = np.arange(-_PEAK_BAND, _PEAK_BAND + 1)
+        cols = np.clip(peak_bin[:, None] + band[None, :], 0, spec.shape[1] - 1)
+        sig = np.take_along_axis(spec, cols, axis=1).sum(axis=1)
         total = spec.sum(axis=1)
-        noise = np.maximum(total - peak, 1e-12)
-        snr_db[fft_rows] = 10.0 * np.log10(np.maximum(peak, 1e-12) / noise)
+        noise = np.maximum(total - sig, 1e-12)
+        snr_db[fft_rows] = 10.0 * np.log10(np.maximum(sig, 1e-12) / noise)
 
     return pd.DataFrame(
         {

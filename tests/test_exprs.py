@@ -1,0 +1,146 @@
+"""Unit tests for shared expressions: null semantics, masks, cleaners,
+scrub chain — exact-value asserts mirroring the reference's unit style
+(/root/reference/tests/test_pipeline.py:305-334 masking golden values)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.functions.exprs import (
+    mask_address,
+    mask_dob,
+    mask_email,
+    mask_name,
+    mask_phone,
+    null_or_empty,
+    pii_hits_expr,
+    scrub_expr,
+)
+from data_quality_check_pipeline_spark.operators.clean import (
+    clean_date,
+    clean_email,
+    clean_name,
+    clean_phone,
+    fill_missing,
+)
+
+
+def one(spark, value, expr):
+    df = spark.createDataFrame([Row(c=value)], "c string")
+    return df.select(expr.alias("out")).collect()[0]["out"]
+
+
+class TestNullSemantics:
+    @pytest.mark.parametrize(
+        "value,expected",
+        [
+            (None, True),
+            ("", True),
+            ("   ", True),
+            ("nan", True),
+            ("NaN", True),
+            ("x", False),
+            ("0", False),
+        ],
+    )
+    def test_null_or_empty(self, spark, value, expected):
+        assert one(spark, value, null_or_empty(F.col("c"))) is expected
+
+
+class TestMasks:
+    def test_mask_name(self, spark):
+        assert one(spark, "John", mask_name("c")) == "J***"
+
+    def test_mask_email(self, spark):
+        assert one(spark, "john@gmail.com", mask_email("c")) == "j***@gmail.com"
+
+    def test_mask_email_no_at_passthrough(self, spark):
+        assert one(spark, "not-an-email", mask_email("c")) == "not-an-email"
+
+    def test_mask_phone(self, spark):
+        assert one(spark, "555-123-4567", mask_phone("c")) == "***-***-4567"
+
+    def test_mask_address(self, spark):
+        assert (
+            one(spark, "123 Main St New York NY 10001", mask_address("c"))
+            == "[MASKED ADDRESS]"
+        )
+
+    def test_mask_dob(self, spark):
+        assert one(spark, "1985-03-15", mask_dob("c")) == "1985-**-**"
+
+    def test_masks_passthrough_missing(self, spark):
+        for m in (mask_name, mask_email, mask_phone, mask_address, mask_dob):
+            assert one(spark, None, m("c")) is None
+
+
+class TestCleaners:
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("555-123-4567", "555-123-4567"),
+            ("(555) 234-5678", "555-234-5678"),
+            ("5551234567", "555-123-4567"),
+            ("1-555-123-4567", "555-123-4567"),
+            ("555.987.6543", "555-987-6543"),
+            ("12345", "12345"),  # unparseable passthrough
+        ],
+    )
+    def test_clean_phone(self, spark, raw, expected):
+        assert one(spark, raw, clean_phone("c")) == expected
+
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("1985-03-15", "1985-03-15"),
+            ("1990/07/22", "1990-07-22"),
+            ("01/15/2024", "2024-01-15"),
+            ("invalid_date", None),
+            (None, None),
+        ],
+    )
+    def test_clean_date(self, spark, raw, expected):
+        assert one(spark, raw, clean_date("c")) == expected
+
+    def test_clean_name_email(self, spark):
+        assert one(spark, "john doe", clean_name("c")) == "John Doe"
+        assert one(spark, "JANE@WORK.COM", clean_email("c")) == "jane@work.com"
+
+    def test_fill_missing(self, spark):
+        df = spark.createDataFrame(
+            [Row(a="", b=None), Row(a="x", b=5.0)],
+            "a string, b double",
+        )
+        got = {
+            (r["a"], r["b"])
+            for r in fill_missing(df, {"a": "[UNKNOWN]", "b": 0.0}).collect()
+        }
+        assert got == {("[UNKNOWN]", 0.0), ("x", 5.0)}
+
+
+class TestScrub:
+    def test_scrub_order_and_tokens(self, spark):
+        raw = (
+            "mail a@b.com or call 555-123-4567 ssn 123-45-6789 you FRAK"
+        )
+        out = one(spark, raw, scrub_expr("c"))
+        assert out == "mail [EMAIL] or call [PHONE] ssn [SSN] you [TOX]"
+        assert one(spark, raw, pii_hits_expr("c")) == 4
+
+    def test_scrub_phone_variants(self, spark):
+        for raw, expected in [
+            ("call (555) 234-5678 now", "call [PHONE] now"),
+            ("call 555.987.6543 now", "call [PHONE] now"),
+            ("call 5551234567 now", "call [PHONE] now"),
+        ]:
+            assert one(spark, raw, scrub_expr("c")) == expected
+
+    def test_email_digits_not_phone(self, spark):
+        # an email containing 10 digits must be scrubbed as EMAIL only
+        raw = "x 5551234567a@b.com y"
+        assert one(spark, raw, scrub_expr("c")) == "x [EMAIL] y"
+
+    def test_no_pii_passthrough(self, spark):
+        raw = "perfectly clean transcript"
+        assert one(spark, raw, scrub_expr("c")) == raw
+        assert one(spark, raw, pii_hits_expr("c")) == 0

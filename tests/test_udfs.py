@@ -1,0 +1,163 @@
+"""UDF scorer tests: correctness, determinism, batch-size invariance,
+and the audio decode invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.udfs.audio import (
+    FAKE_MAGIC,
+    decode_payload,
+    stats_batch,
+    with_audio_stats,
+)
+from data_quality_check_pipeline_spark.udfs.langid import classify, with_langid
+from data_quality_check_pipeline_spark.udfs.lexicon import LANGS
+from data_quality_check_pipeline_spark.udfs.perplexity import (
+    score_texts,
+    with_perplexity,
+)
+
+SENTENCES = {
+    "en": "the people of this place know that they would like more time",
+    "fr": "le monde est dans la ville avec les enfants et le temps",
+    "de": "der mann und die frau sind in der stadt mit dem kind",
+    "es": "el hombre y la mujer estan en la casa con el agua",
+    "it": "il mondo e la vita sono nella casa con il tempo",
+}
+
+
+class TestLangId:
+    def test_classifies_each_language(self):
+        out = classify(list(SENTENCES.values()))
+        assert list(out["lang"]) == list(SENTENCES.keys())
+        assert (out["lang_conf"] > 0.5).all()
+
+    def test_empty_and_null(self):
+        out = classify([None, "", "ab"])
+        assert out["lang"].isna().all()
+        assert (out["lang_conf"] == 0.0).all()
+
+    def test_batch_invariance(self):
+        texts = list(SENTENCES.values()) * 3
+        whole = classify(texts)
+        parts = pd.concat(
+            [classify(texts[i : i + 2]) for i in range(0, len(texts), 2)],
+            ignore_index=True,
+        )
+        assert list(whole["lang"]) == list(parts["lang"])
+        np.testing.assert_array_equal(
+            whole["lang_conf"].to_numpy(), parts["lang_conf"].to_numpy()
+        )
+
+    def test_spark_matches_local(self, spark):
+        texts = list(SENTENCES.values())
+        df = spark.createDataFrame(
+            [(t,) for t in texts], "transcript string"
+        ).repartition(4)
+        got = {
+            r["transcript"]: (r["lang"], r["lang_conf"])
+            for r in with_langid(df).collect()
+        }
+        local = classify(texts)
+        for t, lang, conf in zip(
+            texts, local["lang"], local["lang_conf"]
+        ):
+            assert got[t][0] == lang
+            assert got[t][1] == pytest.approx(float(conf), abs=0)
+
+
+class TestPerplexity:
+    def test_natural_below_gibberish(self):
+        natural = list(SENTENCES.values())
+        gibberish = ["qxzjv kwfbg hyqxz jvkwf", "zzzzqqqqxxxx jjjj"]
+        s_nat = score_texts(natural)
+        s_gib = score_texts(gibberish)
+        assert s_nat.max() < 9.0 < s_gib.min()
+
+    def test_empty_is_worst_case(self):
+        s = score_texts([None, ""])
+        assert (s > 12.0).all()
+
+    def test_batch_invariance(self):
+        texts = list(SENTENCES.values()) * 5
+        whole = score_texts(texts)
+        parts = np.concatenate(
+            [score_texts(texts[i : i + 3]) for i in range(0, len(texts), 3)]
+        )
+        np.testing.assert_array_equal(whole, parts)
+
+    def test_spark_matches_local(self, spark):
+        texts = list(SENTENCES.values())
+        df = spark.createDataFrame([(t,) for t in texts], "transcript string")
+        got = {
+            r["transcript"]: r["ppl"] for r in with_perplexity(df).collect()
+        }
+        local = score_texts(texts)
+        for t, p in zip(texts, local):
+            assert got[t] == pytest.approx(float(p), abs=0)
+
+
+def sine_pcm(n=8000, sr=8000, freq=440.0, amp=9000.0, noise=0.0, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / sr
+    x = amp * np.sin(2 * np.pi * freq * t) + rng.normal(0, noise, n)
+    return np.clip(x, -32768, 32767).astype("<i2")
+
+
+class TestAudio:
+    def test_decode_pcm_roundtrip_exact(self):
+        x = sine_pcm()
+        decoded = decode_payload(x.tobytes(), "pcm_s16le")
+        np.testing.assert_array_equal(decoded, x)  # allclose -> SNR = inf
+
+    def test_decode_fake_containers(self):
+        x = sine_pcm(n=1000)
+        for codec, magic in FAKE_MAGIC.items():
+            decoded = decode_payload(magic + x.tobytes(), codec)
+            np.testing.assert_array_equal(decoded, x)
+
+    def test_real_compressed_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x00" * 100, "flac")
+
+    def test_stats_values(self):
+        x = sine_pcm(amp=9000.0, noise=90.0)  # ~40 dB true SNR
+        out = stats_batch([x.tobytes()], ["pcm_s16le"])
+        assert out["n_samples"][0] == 8000
+        assert out["rms"][0] == pytest.approx(9000 / np.sqrt(2), rel=0.02)
+        assert out["clip_frac"][0] == 0.0
+        assert out["snr_db"][0] > 30.0
+
+    def test_clipping_detected(self):
+        x = sine_pcm(amp=60000.0)
+        out = stats_batch([x.tobytes()], ["pcm_s16le"])
+        assert out["clip_frac"][0] > 0.2
+
+    def test_empty_rows_mixed_batch(self):
+        x = sine_pcm(n=512)
+        out = stats_batch(
+            [None, x.tobytes(), b"", x.tobytes()],
+            ["pcm_s16le"] * 4,
+        )
+        assert list(out["n_samples"]) == [0, 512, 0, 512]
+        assert out["rms"][1] == out["rms"][3]
+
+    def test_spark_matches_local(self, spark):
+        rows = [
+            ("a", sine_pcm(seed=1).tobytes(), "pcm_s16le"),
+            ("b", FAKE_MAGIC["flac"] + sine_pcm(seed=2).tobytes(), "flac"),
+            ("c", None, "mp3"),
+        ]
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, codec string"
+        )
+        got = {
+            r["clip_id"]: (r["n_samples"], r["rms"], r["snr_db"])
+            for r in with_audio_stats(df).collect()
+        }
+        local = stats_batch([r[1] for r in rows], [r[2] for r in rows])
+        for i, cid in enumerate(["a", "b", "c"]):
+            assert got[cid][0] == int(local["n_samples"][i])
+            assert got[cid][1] == pytest.approx(float(local["rms"][i]), abs=0)
