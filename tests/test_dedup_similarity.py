@@ -1,0 +1,188 @@
+"""Dedup stack + embedding similarity tests."""
+
+import numpy as np
+import pytest
+
+from data_quality_check_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    exact_dups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from data_quality_check_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_topk,
+    with_lsh_bucket,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the morning sun"
+)
+NEAR = BASE.replace("morning", "evening")
+FAR = (
+    "completely different content about database engines and distributed "
+    "query processing with columnar storage formats"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),              # exact dup of 1
+        (3, "  " + BASE.upper() + "  "),  # normalized dup of 1
+        (4, NEAR),              # near dup of 1
+        (5, FAR),
+        (6, "tiny text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        groups = exact_dups(docs, "doc_id", "text").collect()
+        assert len(groups) == 1
+        assert groups[0]["ids"] == [1, 2, 3]
+
+    def test_survivor_deterministic(self, docs):
+        kept = sorted(
+            r["doc_id"] for r in dedup_exact(docs, "doc_id", "text").collect()
+        )
+        assert kept == [1, 4, 5, 6]
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, docs):
+        sigs = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signatures(docs, "doc_id", "text").collect()
+        }
+        assert len(sigs[1]) == 32
+        assert sigs[1] == sigs[2]  # identical text -> identical signature
+
+    def test_lsh_finds_near_dups_not_far(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", min_est_jaccard=0.5
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 4) in pairs  # near dup caught
+        assert not any(5 in p for p in pairs)  # far doc not paired
+
+
+class TestSimHash:
+    def test_identical_signatures(self, docs):
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, "doc_id", "text").collect()
+        }
+        assert sigs[1] == sigs[2] == sigs[3]
+
+    def test_pairs_by_hamming(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(
+                docs, "doc_id", "text", max_hamming=8
+            ).collect()
+        }
+        assert pairs.get((1, 2)) == 0
+        assert (1, 4) in pairs
+        assert not any(5 in p for p in pairs)
+
+
+class TestNgramJaccard:
+    def test_exact_jaccard(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", min_jaccard=0.5
+            ).collect()
+        }
+        assert pairs[(1, 2)] == pytest.approx(1.0)
+        assert 0.5 <= pairs[(1, 4)] < 1.0
+        assert (1, 5) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(0)
+    centers = rng.normal(size=(3, 16))
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        v = c + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v]))
+    # a true near-dup pair: 100/101 almost identical
+    v = centers[0] + rng.normal(scale=0.01, size=16)
+    rows.append((100, [float(x) for x in v]))
+    rows.append((101, [float(x) for x in v + 1e-4]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark, embeddings):
+        pdf = embeddings.toPandas()
+        mat = np.array(pdf["embedding"].tolist())
+        ids = pdf["vec_id"].to_numpy()
+        q = embeddings.limit(2).selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = brute_force_topk(embeddings, q, k=5).collect()
+        qpdf = q.toPandas()
+        for qid, qv in zip(qpdf["query_id"], qpdf["embedding"]):
+            qv = np.array(qv)
+            cos = (mat @ qv) / (
+                np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)
+            )
+            want = ids[np.argsort(-cos)[:5]]
+            have = [
+                r["vec_id"]
+                for r in sorted(
+                    (r for r in got if r["query_id"] == qid),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert set(have) == set(want.tolist())
+
+    def test_lsh_bucket_deterministic(self, embeddings):
+        b1 = {
+            r["vec_id"]: r["lsh_bucket"]
+            for r in with_lsh_bucket(embeddings).collect()
+        }
+        b2 = {
+            r["vec_id"]: r["lsh_bucket"]
+            for r in with_lsh_bucket(embeddings).collect()
+        }
+        assert b1 == b2
+
+    def test_lsh_topk_recall_on_clusters(self, embeddings):
+        q = embeddings.limit(3).selectExpr("vec_id as query_id", "embedding")
+        exact = brute_force_topk(embeddings, q, k=5).collect()
+        approx = lsh_topk(embeddings, q, k=5, n_planes=4).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(exact_sets[q_] & approx_sets.get(q_, set())) / 5
+            for q_ in exact_sets
+        ]
+        assert sum(recalls) / len(recalls) >= 0.6
+
+    def test_embedding_near_dups(self, embeddings):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(
+                embeddings, min_cosine=0.9999
+            ).collect()
+        }
+        assert (100, 101) in pairs

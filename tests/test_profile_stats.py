@@ -1,0 +1,161 @@
+"""Profiling + statistical operator tests, including the reference-style
+100-row income fixture with planted outliers [500000, -5000]
+(/root/reference/tests/test_pipeline.py:93-112)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.operators.expectations import (
+    Expectation,
+    clips_suite,
+    evaluate_suite,
+)
+from data_quality_check_pipeline_spark.operators.profile import (
+    completeness,
+    freshness,
+    histogram,
+    numeric_summary,
+    uniqueness,
+)
+from data_quality_check_pipeline_spark.operators.stats import (
+    value_clustering,
+    with_iqr_outliers,
+    with_zscore_outliers,
+)
+
+
+@pytest.fixture(scope="module")
+def income_df(spark):
+    rng = np.random.RandomState(42)
+    incomes = list(rng.normal(70000, 15000, 98)) + [500000.0, -5000.0]
+    rows = [(i + 1, float(v)) for i, v in enumerate(incomes)]
+    return spark.createDataFrame(rows, "id int, income double")
+
+
+class TestStats:
+    def test_iqr_outliers_planted(self, income_df):
+        flagged, bounds = with_iqr_outliers(income_df, "income")
+        out = {r["id"]: r for r in flagged.collect() if r["is_outlier"]}
+        assert 99 in out and 100 in out  # the planted outliers
+        assert out[99]["outlier_severity"] == "HIGH"
+        assert bounds["lower"] < 70000 < bounds["upper"]
+
+    def test_zscore_outliers_planted(self, income_df):
+        flagged, stats = with_zscore_outliers(income_df, "income")
+        ids = {r["id"] for r in flagged.collect() if r["is_outlier"]}
+        assert 99 in ids
+        assert stats["std"] > 0
+
+    def test_numeric_summary_matches_numpy(self, income_df):
+        s = numeric_summary(income_df, "income")
+        vals = np.array([r["income"] for r in income_df.collect()])
+        assert s["median"] == pytest.approx(
+            float(np.percentile(vals, 50)), rel=0.01
+        )
+        assert s["mean"] == pytest.approx(float(vals.mean()), rel=1e-9)
+
+    def test_value_clustering_detects_skew(self, spark):
+        df = spark.createDataFrame(
+            [("en",)] * 80 + [("fr",)] * 20, "lang string"
+        )
+        r = value_clustering(df, "lang", max_share=0.5)
+        assert r["skewed"] and r["top_value"] == "en"
+        assert r["share"] == pytest.approx(0.8)
+
+
+class TestProfile:
+    def test_completeness_null_semantics(self, spark):
+        df = spark.createDataFrame(
+            [("a",), (None,), ("",), ("nan",), ("  ",)], "c string"
+        )
+        got = completeness(df, ["c"])
+        assert got["columns"]["c"]["missing"] == 4
+
+    def test_uniqueness(self, spark):
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",), (None,)], "k string"
+        )
+        u = uniqueness(df, "k")
+        assert u == {
+            "non_null": 3, "distinct": 2, "duplicates": 1,
+            "dup_pct": pytest.approx(100 / 3),
+        }
+
+    def test_histogram_lower(self, spark):
+        df = spark.createDataFrame(
+            [("FLAC",), ("flac",), ("mp3",)], "codec string"
+        )
+        h = {r["codec"]: r["n"] for r in histogram(df, "codec", lower=True).collect()}
+        assert h == {"flac": 2, "mp3": 1}
+
+    def test_freshness(self, spark):
+        df = spark.sql("select current_timestamp() - interval 1 hour as ts")
+        assert freshness(df, "ts", max_age_hours=24)["fresh"]
+        df_old = spark.sql("select timestamp'2000-01-01' as ts")
+        assert not freshness(df_old, "ts", max_age_hours=24)["fresh"]
+
+
+class TestExpectations:
+    def test_mostly_semantics(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 95 + [(None,)] * 5, "c string"
+        )
+        suite = [
+            Expectation("not_be_null", "c", mostly=0.9),
+            Expectation("not_be_null", "c", mostly=0.99),
+        ]
+        r = evaluate_suite(df, suite)
+        assert r[0]["success"] and not r[1]["success"]
+        assert r[0]["pass_rate"] == pytest.approx(0.95)
+
+    def test_kinds(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abc", "x@y.com", 5.0, "ACTIVE")] * 9
+            + [(1, "a", "nope", 99.0, "weird")],
+            "id int, s string, email string, v double, status string",
+        )
+        suite = [
+            Expectation("exist", "id"),
+            Expectation("exist", "missing_col"),
+            Expectation("of_type", "v", {"type": "double"}),
+            Expectation("be_unique", "id"),
+            Expectation("value_lengths_between", "s", {"min": 2, "max": 5},
+                        mostly=0.9),
+            Expectation("match_regex", "email",
+                        {"regex": r"^[^@]+@[^@]+\.[a-z]+$"}, mostly=0.9),
+            Expectation("be_between", "v", {"min": 0, "max": 10},
+                        mostly=0.9),
+            Expectation("be_in_set", "status",
+                        {"values": ["active", "inactive"]}, mostly=0.9),
+        ]
+        by_name = {r["name"]: r for r in evaluate_suite(df, suite)}
+        assert by_name["exist:id"]["success"]
+        assert not by_name["exist:missing_col"]["success"]
+        assert by_name["of_type:v"]["success"]
+        assert not by_name["be_unique:id"]["success"]
+        assert by_name["value_lengths_between:s"]["success"]
+        assert by_name["match_regex:email"]["success"]
+        assert by_name["be_between:v"]["success"]
+        assert by_name["be_in_set:status"]["success"]
+
+    def test_clips_suite_passes_on_clean_output(
+        self, spark, corpus, out_root
+    ):
+        from data_quality_check_pipeline_spark.pipeline import (
+            CLEAN_TABLE,
+            RunConfig,
+            run_pipeline,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import TableStore
+
+        _, _, path = corpus
+        run_pipeline(
+            spark, path,
+            RunConfig(out_root=out_root, run_id="exp",
+                      source_fingerprint="e"),
+        )
+        clean = TableStore(spark, out_root).read(CLEAN_TABLE)
+        results = evaluate_suite(clean, clips_suite())
+        failures = [r for r in results if not r["success"]]
+        assert not failures, failures

@@ -1,0 +1,93 @@
+"""Structured Streaming drain test + physical-plan assertions."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.pipeline import (
+    CLEAN_TABLE,
+    QUARANTINE_TABLE,
+)
+from data_quality_check_pipeline_spark.plans.assertions import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_has_pushed_filters,
+    assert_wholestage_codegen,
+    scan_read_schema,
+)
+from data_quality_check_pipeline_spark.sources.tables import TableStore
+from data_quality_check_pipeline_spark.streaming.stream import (
+    start_quality_stream,
+)
+
+
+class TestStreaming:
+    def test_available_now_drain_matches_batch(
+        self, spark, corpus, oracle_df, tmp_path
+    ):
+        _, _, path = corpus
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        os.symlink(path, os.path.join(src, "clips.parquet"))
+        out = str(tmp_path / "out")
+        q = start_quality_stream(
+            spark, src, out, str(tmp_path / "ckpt"), available_now=True
+        )
+        q.awaitTermination(timeout=600)
+        store = TableStore(spark, out)
+        kept = store.read(CLEAN_TABLE).count()
+        quarantined = store.read(QUARANTINE_TABLE).count()
+        assert kept + quarantined == len(oracle_df)
+        # the streaming dedup drops one copy of each dup pair instead of
+        # both (watermark semantics) — so kept may exceed batch by the
+        # number of planted dup pairs, never less
+        batch_kept = int(oracle_df["keep"].sum())
+        assert batch_kept <= kept <= batch_kept + 10
+
+
+class TestPlans:
+    def test_bytes_pruned_for_text_only_query(self, spark, corpus):
+        """A text-only profiling query must not read the audio payload."""
+        _, _, path = corpus
+        df = spark.read.parquet(path)
+        q = df.groupBy("codec").agg(F.count(F.lit(1)).alias("n"))
+        assert_column_pruned(q, "bytes")
+        assert "codec" in scan_read_schema(q)
+
+    def test_filter_pushdown_reaches_scan(self, spark, corpus):
+        _, _, path = corpus
+        df = spark.read.parquet(path)
+        q = df.filter(F.col("sr_hz") == 16000).select("clip_id")
+        assert_has_pushed_filters(q)
+        assert_column_pruned(q, "bytes")
+
+    def test_small_dim_join_broadcasts(self, spark):
+        lineitem = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        )
+        supplier = spark.read.parquet(
+            "/root/testdata/sf0.001/supplier.parquet"
+        )
+        q = lineitem.join(
+            supplier, lineitem.l_suppkey == supplier.s_suppkey
+        ).groupBy("s_name").count()
+        assert_broadcast_join(q)
+
+    def test_validation_is_single_codegen_projection(self, spark, corpus):
+        """All heuristic rules must collapse into whole-stage codegen (no
+        extra exchanges, no Python)."""
+        from data_quality_check_pipeline_spark.operators.validate import (
+            heuristic_rules,
+            with_flags,
+        )
+
+        _, _, path = corpus
+        df = spark.read.parquet(path)
+        q = with_flags(df.drop("bytes"), heuristic_rules()[2:])  # text rules
+        assert_wholestage_codegen(q)
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan  # pure projection: no shuffle
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -1,0 +1,102 @@
+"""Text-analysis bundle + multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.operators.multimodal import (
+    fake_image_payload,
+    frame_sample_stub,
+    with_image_meta,
+)
+from data_quality_check_pipeline_spark.operators.text import (
+    bpe_token_count,
+    doc_fingerprint,
+    lang_guess_expr,
+    quality_score_expr,
+    whitespace_token_count,
+    with_text_stats,
+)
+
+
+def one(spark, value, expr):
+    df = spark.createDataFrame([(value,)], "c string")
+    return df.select(expr.alias("out")).collect()[0]["out"]
+
+
+class TestTokens:
+    def test_whitespace_tokens(self, spark):
+        assert one(spark, "a  b   c", whitespace_token_count("c")) == 3
+        assert one(spark, "", whitespace_token_count("c")) == 0
+
+    def test_bpe_tokens(self, spark):
+        # words + numbers + symbols counted separately
+        assert one(spark, "hello world 123 !?", bpe_token_count("c")) == 5
+        assert one(spark, "don't", bpe_token_count("c")) == 3  # don ' t
+
+
+class TestQualityScore:
+    def test_bounds_and_ordering(self, spark):
+        good = "this is a perfectly reasonable sentence with normal words"
+        bad = "@#$% ^&*! ~~ ||"
+        s_good = one(spark, good, quality_score_expr("c"))
+        s_bad = one(spark, bad, quality_score_expr("c"))
+        assert 0.0 <= s_bad < s_good <= 1.0
+        assert one(spark, "", quality_score_expr("c")) == 0.0
+
+
+class TestLangGuess:
+    @pytest.mark.parametrize(
+        "text,lang",
+        [
+            ("the cat and the dog were in that house", "en"),
+            ("le chat et le chien dans la maison", "fr"),
+            ("der hund und die katze in das haus", "de"),
+        ],
+    )
+    def test_guesses(self, spark, text, lang):
+        assert one(spark, text, lang_guess_expr("c")) == lang
+
+    def test_no_hits_null(self, spark):
+        assert one(spark, "zzz qqq xxx", lang_guess_expr("c")) is None
+
+
+class TestFingerprint:
+    def test_normalization_invariance(self, spark):
+        a = one(spark, "  Hello   World ", doc_fingerprint("c"))
+        b = one(spark, "hello world", doc_fingerprint("c"))
+        c = one(spark, "hello worlds", doc_fingerprint("c"))
+        assert a == b != c
+
+    def test_bundle_on_documents_table(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = with_text_stats(df, "text")
+        row = out.filter(F.col("text").isNotNull()).first()
+        assert row["ws_tokens"] >= 1
+        assert row["bpe_tokens"] >= row["ws_tokens"] - 1
+        assert 0.0 <= row["quality_score"] <= 1.0
+
+
+class TestMultimodal:
+    def test_image_meta_plumbing(self, spark):
+        rows = [
+            ("a", fake_image_payload(4, 3, seed=1)),
+            ("b", fake_image_payload(8, 2, seed=2)),
+            ("c", None),
+        ]
+        df = spark.createDataFrame(rows, "id string, bytes binary")
+        got = {r["id"]: r for r in with_image_meta(df).collect()}
+        assert (got["a"]["img_width"], got["a"]["img_height"]) == (4, 3)
+        assert (got["b"]["img_width"], got["b"]["img_height"]) == (8, 2)
+        assert 0 <= got["a"]["img_mean_luma"] <= 255
+        assert got["c"]["img_width"] == 0
+
+    def test_real_decode_stubbed(self, spark):
+        df = spark.createDataFrame(
+            [("x", b"\xff\xd8\xff\xe0notajpeg")], "id string, bytes binary"
+        )
+        with pytest.raises(Exception):  # NotImplementedError inside the task
+            with_image_meta(df).collect()
+
+    def test_frame_sample_stub(self):
+        with pytest.raises(NotImplementedError):
+            frame_sample_stub()
