@@ -1,38 +1,1088 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship documents quality-filter query on
+sf0.001. ``queries()`` exposes one callable per implemented operator family
+from SURVEY.md §2 (+ the training-data additions: dedup, similarity, text
+analysis); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query. Non-SQL-expressible ops (xxhash64-based signatures,
+UDF scorers over the synthetic clips corpus) are present without oracle
+entries -> rows-only checks.
+
+Semantic-equality discipline: the Spark Column expressions and the SQL share
+the same regex constants (imported from the package), the same expression
+structure (for bit-identical double arithmetic), BIGINT/DOUBLE output types,
+and explicit rounding on aggregates.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.functions.exprs import (
+    EMAIL_RE,
+    PHONE_RE,
+    SSN_RE,
+    TOX_RE,
+    null_or_empty,
+    scrub_expr,
+)
+from data_quality_check_pipeline_spark.operators.text import (
+    TOKEN_RE,
+    lang_guess_expr,
+    quality_score_expr,
+    _GUESS_WORDS,
+)
+from data_quality_check_pipeline_spark.udfs.lexicon import LANGS
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+# DuckDB null-or-empty (mirrors functions.exprs.null_or_empty)
+def _sql_missing(col: str) -> str:
+    return (
+        f"({col} IS NULL OR trim(CAST({col} AS VARCHAR)) = '' "
+        f"OR lower(trim(CAST({col} AS VARCHAR))) = 'nan')"
+    )
+
+
+_SQL_NORM = "regexp_replace(trim({c}), '\\s+', ' ', 'g')"
+
+
+def _sql_scrub(col: str) -> str:
+    s = f"regexp_replace({col}, '{EMAIL_RE}', '[EMAIL]', 'g')"
+    s = f"regexp_replace({s}, '{PHONE_RE}', '[PHONE]', 'g')"
+    s = f"regexp_replace({s}, '{SSN_RE}', '[SSN]', 'g')"
+    s = f"regexp_replace({s}, '{TOX_RE}', '[TOX]', 'g')"
+    return s
+
+
+def _sql_count(col: str, pat: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: documents quality filter (validate -> filter -> scrub -> score)
+# ---------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    norm = F.regexp_replace(F.trim(t), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n_toks = F.array_size(toks)
+    rep = F.lit(1.0) - F.array_size(F.array_distinct(toks)).cast(
+        "double"
+    ) / n_toks.cast("double")
+    n = F.length(norm)
+    sym = F.length(F.regexp_replace(norm, r"[A-Za-z0-9 ]", ""))
+    keep = (
+        ~null_or_empty(t)
+        & (n_toks >= 3)
+        & (rep <= 0.6)
+        & (sym.cast("double") / n.cast("double") <= 0.3)
+    )
+    return (
+        df.filter(keep)
+        .select(
+            "doc_id",
+            scrub_expr(norm).alias("text_scrubbed"),
+            F.regexp_count(norm, F.lit(TOKEN_RE)).cast("long").alias(
+                "bpe_tokens"
+            ),
+            lang_guess_expr(norm).alias("lang_guess"),
+            quality_score_expr(t).alias("quality_score"),
+        )
+    )
+
+
+_NORM = _SQL_NORM.format(c="text")
+_FLAGSHIP_SQL = f"""
+WITH normed AS (
+  SELECT doc_id, text, {_NORM} AS norm,
+         string_split({_NORM}, ' ') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, norm,
+         len(toks) AS n_toks,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS rep,
+         CAST(length(regexp_replace(norm, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             / CAST(length(norm) AS DOUBLE) AS symd
+  FROM normed
+)
+SELECT doc_id,
+       {_sql_scrub('norm')} AS text_scrubbed,
+       CAST({_sql_count('norm', TOKEN_RE)} AS BIGINT) AS bpe_tokens,
+       __LANG_GUESS__ AS lang_guess,
+       __QUALITY__ AS quality_score
+FROM scored
+WHERE NOT {_sql_missing('text')} AND n_toks >= 3 AND rep <= 0.6
+  AND symd <= 0.3
+"""
+
+
+def _sql_lang_guess(col: str) -> str:
+    hits = {
+        lang: f"CAST(len(regexp_extract_all(lower({col}), "
+        f"'\\b({'|'.join(ws)})\\b')) AS DOUBLE)"
+        for lang, ws in _GUESS_WORDS.items()
+    }
+    best = "greatest(" + ", ".join(hits[lang] for lang in LANGS) + ")"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = best THEN '{lang}'" for lang in LANGS
+    )
+    return (
+        f"(SELECT CASE WHEN best <= 0 THEN NULL {whens} END FROM "
+        f"(SELECT {best} AS best) _b)"
+    )
+
+
+def _sql_quality(col: str) -> str:
+    """Mirror of operators.text.quality_score_expr, same expression shape."""
+    norm = _SQL_NORM.format(c=col)
+    return f"""(
+      SELECT CASE WHEN n = 0.0 THEN 0.0 ELSE round(
+        least(n / 200.0, 1.0) * 0.25
+        + (alpha / greatest(n, 1.0)) * 0.35
+        + (1.0 - least(sym / greatest(n, 1.0) * 3.0, 1.0)) * 0.25
+        + (CASE WHEN ((n - words + 1.0) / words) BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.3 END) * 0.15, 6) END
+      FROM (SELECT
+        CAST(length({norm}) AS DOUBLE) AS n,
+        CAST(length(regexp_replace({norm}, '[^A-Za-z ]', '', 'g'))
+             AS DOUBLE) AS alpha,
+        CAST(length(regexp_replace({norm}, '[A-Za-z0-9 ]', '', 'g'))
+             AS DOUBLE) AS sym,
+        CAST(len(string_split({norm}, ' ')) AS DOUBLE) AS words) _q
+    )"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q["flagship_doc_quality_filter"] = _flagship
+
+    # ---- profiling / completeness (A1, A5, A7, A10, A11) -------------------
+    def doc_completeness(spark, sf):
+        df = _load(spark, sf, "documents")
+        return df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(null_or_empty("text").cast("long")).alias("missing_text"),
+            F.sum(null_or_empty("lang").cast("long")).alias("missing_lang"),
+        )
+
+    q["doc_completeness"] = doc_completeness
+
+    def doc_lang_histogram(spark, sf):
+        return (
+            _load(spark, sf, "documents")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["doc_lang_histogram"] = doc_lang_histogram
+
+    def doc_dup_stats(spark, sf):
+        df = _load(spark, sf, "documents")
+        return df.agg(
+            F.count("doc_id").alias("non_null"),
+            F.count_distinct(F.col("doc_id")).alias("n_distinct"),
+        )
+
+    q["doc_dup_stats"] = doc_dup_stats
+
+    # ---- dedup family ------------------------------------------------------
+    def doc_exact_dup_groups(spark, sf):
+        df = _load(spark, sf, "documents")
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        return (
+            df.select(norm.alias("text_norm"), "doc_id")
+            .groupBy("text_norm")
+            .agg(
+                F.count(F.lit(1)).alias("n_dups"),
+                F.min("doc_id").alias("min_doc_id"),
+            )
+            .filter(F.col("n_dups") > 1)
+        )
+
+    q["doc_exact_dup_groups"] = doc_exact_dup_groups
+
+    def doc_dedup_survivors(spark, sf):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dedup_exact,
+        )
+
+        df = _load(spark, sf, "documents")
+        return dedup_exact(df, "doc_id", "text").select("doc_id")
+
+    q["doc_dedup_survivors"] = doc_dedup_survivors
+
+    def doc_ngram_jaccard(spark, sf):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 60)
+        pairs = ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_k=1, min_jaccard=0.3
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    q["doc_ngram_jaccard"] = doc_ngram_jaccard
+
+    def doc_minhash_pairs(spark, sf):  # rows-only (xxhash64 not in DuckDB)
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        df = _load(spark, sf, "documents")
+        return minhash_lsh_pairs(
+            df, "doc_id", "text", min_est_jaccard=0.5
+        )
+
+    q["doc_minhash_pairs"] = doc_minhash_pairs
+
+    def doc_simhash_pairs(spark, sf):  # rows-only
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            simhash_pairs,
+        )
+
+        df = _load(spark, sf, "documents")
+        return simhash_pairs(df, "doc_id", "text", max_hamming=3)
+
+    q["doc_simhash_pairs"] = doc_simhash_pairs
+
+    # ---- scrub / masking (M2-M6) -------------------------------------------
+    def doc_scrub(spark, sf):
+        df = _load(spark, sf, "documents")
+        return df.select(
+            "doc_id", scrub_expr(F.col("text")).alias("text_scrubbed")
+        )
+
+    q["doc_scrub"] = doc_scrub
+
+    # ---- text analysis ------------------------------------------------------
+    def doc_token_counts(spark, sf):
+        df = _load(spark, sf, "documents")
+        return df.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(r"\S+"))
+            .cast("long")
+            .alias("ws_tokens"),
+            F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+            .cast("long")
+            .alias("bpe_tokens"),
+        )
+
+    q["doc_token_counts"] = doc_token_counts
+
+    def doc_quality_scores(spark, sf):
+        df = _load(spark, sf, "documents")
+        return df.select(
+            "doc_id", quality_score_expr(F.col("text")).alias("quality_score")
+        )
+
+    q["doc_quality_scores"] = doc_quality_scores
+
+    def doc_lang_guess(spark, sf):
+        df = _load(spark, sf, "documents")
+        return df.select(
+            "doc_id", lang_guess_expr(F.col("text")).alias("lang_guess")
+        )
+
+    q["doc_lang_guess"] = doc_lang_guess
+
+    def doc_validation_flags(spark, sf):
+        df = _load(spark, sf, "documents")
+        norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        toks = F.split(norm, " ")
+        rep = F.lit(1.0) - F.array_size(F.array_distinct(toks)).cast(
+            "double"
+        ) / F.array_size(toks).cast("double")
+        sym = F.length(
+            F.regexp_replace(norm, r"[A-Za-z0-9 ]", "")
+        ).cast("double") / F.length(norm).cast("double")
+        return df.select(
+            "doc_id",
+            null_or_empty("text").alias("is_empty"),
+            (rep > 0.6).alias("is_repetitive"),
+            (sym > 0.3).alias("high_symbol_density"),
+        )
+
+    q["doc_validation_flags"] = doc_validation_flags
+
+    # ---- validation rules / expectations over customer ----------------------
+    def customer_rule_violations(spark, sf):
+        df = _load(spark, sf, "customer")
+        return df.agg(
+            F.sum(null_or_empty("c_name").cast("long")).alias("null_name"),
+            F.sum(
+                (
+                    F.col("c_custkey").isNull() | (F.col("c_custkey") <= 0)
+                ).cast("long")
+            ).alias("nonpos_key"),
+            F.sum(
+                (
+                    ~F.lower(F.trim(F.col("c_mktsegment"))).isin(
+                        "building",
+                        "automobile",
+                        "machinery",
+                        "household",
+                        "furniture",
+                    )
+                ).cast("long")
+            ).alias("bad_segment"),
+            F.sum(
+                (~F.col("c_acctbal").between(-1000.0, 10000.0)).cast("long")
+            ).alias("acctbal_out_of_range"),
+        )
+
+    q["customer_rule_violations"] = customer_rule_violations
+
+    def customer_expectations(spark, sf):
+        df = _load(spark, sf, "customer")
+        return df.agg(
+            F.round(
+                F.avg((~null_or_empty("c_name")).cast("double")), 6
+            ).alias("name_not_null_rate"),
+            F.round(
+                F.count_distinct(F.col("c_custkey")).cast("double")
+                / F.count("c_custkey").cast("double"),
+                6,
+            ).alias("custkey_unique_rate"),
+            F.round(
+                F.avg(
+                    F.col("c_acctbal").between(-1000.0, 10000.0).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("acctbal_between_rate"),
+        )
+
+    q["customer_expectations"] = customer_expectations
+
+    def customer_mask(spark, sf):
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            mask_name,
+        )
+
+        df = _load(spark, sf, "customer")
+        return df.select(
+            "c_custkey", mask_name("c_name").alias("masked_name")
+        )
+
+    q["customer_mask"] = customer_mask
+
+    # ---- histograms / sorts / top-k -----------------------------------------
+    def orders_status_histogram(spark, sf):
+        return (
+            _load(spark, sf, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["orders_status_histogram"] = orders_status_histogram
+
+    def orders_priority_share(spark, sf):
+        df = _load(spark, sf, "orders")
+        total = df.count()
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "share",
+                F.round(F.col("n").cast("double") / F.lit(float(total)), 6),
+            )
+        )
+
+    q["orders_priority_share"] = orders_priority_share
+
+    def orders_freshness(spark, sf):
+        df = _load(spark, sf, "orders")
+        return df.agg(
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_orderdate"
+            )
+        )
+
+    q["orders_freshness"] = orders_freshness
+
+    def events_user_topk(spark, sf):
+        df = _load(spark, sf, "events")
+        counts = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "user_id", "n")
+        )
+
+    q["events_user_topk"] = events_user_topk
+
+    # ---- threshold gate (control plane, SQL-expressible core) ---------------
+    def threshold_gate_sim(spark, sf):
+        df = _load(spark, sf, "orders")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("o_totalprice") > 100000).cast("long")).alias(
+                "failed"
+            ),
+        )
+        pct = (
+            F.col("failed").cast("double")
+            / F.col("total").cast("double")
+            * 100.0
+        )
+        return agg.select(
+            "total",
+            "failed",
+            F.round(pct, 6).alias("failure_pct"),
+            F.when(pct <= 5.0, "continue")
+            .when(100.0 - pct < 80.0, "review")
+            .otherwise("quarantine")
+            .alias("decision"),
+        )
+
+    q["threshold_gate_sim"] = threshold_gate_sim
+
+    # ---- statistics (A13-A15) ------------------------------------------------
+    def lineitem_iqr_bounds(spark, sf):
+        df = _load(spark, sf, "lineitem")
+        return df.agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias(
+                "q1"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias(
+                "q3"
+            ),
+        )
+
+    q["lineitem_iqr_bounds"] = lineitem_iqr_bounds
+
+    def lineitem_iqr_outliers(spark, sf):
+        df = _load(spark, sf, "lineitem")
+        b = df.agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+        ).collect()[0]
+        iqr = b["q3"] - b["q1"]
+        lo, hi = b["q1"] - 1.5 * iqr, b["q3"] + 1.5 * iqr
+        return df.agg(
+            F.sum(
+                (~F.col("l_extendedprice").between(lo, hi)).cast("long")
+            ).alias("n_outliers")
+        )
+
+    q["lineitem_iqr_outliers"] = lineitem_iqr_outliers
+
+    def lineitem_zscore_outliers(spark, sf):
+        df = _load(spark, sf, "lineitem")
+        s = df.agg(
+            F.avg("l_extendedprice").alias("m"),
+            F.stddev("l_extendedprice").alias("s"),
+        ).collect()[0]
+        z = (F.col("l_extendedprice") - F.lit(s["m"])) / F.lit(s["s"])
+        return df.agg(
+            F.sum((F.abs(z) > 3.0).cast("long")).alias("n_outliers")
+        )
+
+    q["lineitem_zscore_outliers"] = lineitem_zscore_outliers
+
+    # ---- aggregation / pricing summary (TPC-H Q1 shape) ----------------------
+    def lineitem_pricing_summary(spark, sf):
+        df = _load(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+        return (
+            df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+                F.sum(
+                    (
+                        dec("l_extendedprice")
+                        * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                    ).cast("decimal(28,8)")
+                ).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["lineitem_pricing_summary"] = lineitem_pricing_summary
+
+    def lineitem_daily_volume(spark, sf):
+        df = _load(spark, sf, "lineitem")
+        return (
+            df.groupBy(
+                F.date_format(
+                    F.date_trunc("day", F.col("l_shipdate")), "yyyy-MM-dd"
+                ).alias("ship_day")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
+                    "total_qty"
+                ),
+            )
+        )
+
+    q["lineitem_daily_volume"] = lineitem_daily_volume
+
+    # ---- joins ----------------------------------------------------------------
+    def orders_by_segment(spark, sf):
+        orders = _load(spark, sf, "orders")
+        customer = _load(spark, sf, "customer")
+        return (
+            orders.join(
+                F.broadcast(customer),
+                orders.o_custkey == customer.c_custkey,
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("total_price"),
+            )
+        )
+
+    q["orders_by_segment"] = orders_by_segment
+
+    def revenue_by_supplier(spark, sf):
+        li = _load(spark, sf, "lineitem")
+        sup = _load(spark, sf, "supplier")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (
+                F.lit(1).cast("decimal(18,4)")
+                - F.col("l_discount").cast("decimal(18,4)")
+            )
+        ).cast("decimal(28,8)")
+        return (
+            li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.sum(rev).alias("revenue"))
+        )
+
+    q["revenue_by_supplier"] = revenue_by_supplier
+
+    def quarantine_anti_join(spark, sf):
+        """left_anti split (C8/P15 drop branch shape on harness tables):
+        orders whose customer fails an acctbal rule."""
+        orders = _load(spark, sf, "orders")
+        bad_cust = (
+            _load(spark, sf, "customer")
+            .filter(F.col("c_acctbal") < 0)
+            .select(F.col("c_custkey").alias("o_custkey"))
+        )
+        return (
+            orders.join(F.broadcast(bad_cust), "o_custkey", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+        )
+
+    q["quarantine_anti_join"] = quarantine_anti_join
+
+    # ---- windows / event streams ------------------------------------------------
+    def events_hourly(spark, sf):
+        df = _load(spark, sf, "events")
+        return (
+            df.groupBy(
+                F.date_format(
+                    F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+                ).alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    q["events_hourly"] = events_hourly
+
+    def events_type_histogram(spark, sf):
+        return (
+            _load(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["events_type_histogram"] = events_type_histogram
+
+    def events_sessionized_gap(spark, sf):
+        """Per-user event gap stats via a lag window (stream-state shape)."""
+        df = _load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = F.unix_millis(F.col("ts").cast("timestamp"))
+        gap = epoch - F.lag(epoch).over(w)
+        return (
+            df.withColumn("gap_ms", gap)
+            .filter(F.col("gap_ms").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_gaps"),
+                F.max("gap_ms").alias("max_gap_ms"),
+            )
+        )
+
+    q["events_sessionized_gap"] = events_sessionized_gap
+
+    # ---- embeddings / similarity ------------------------------------------------
+    def _dvec(c):
+        return F.transform(F.col(c), lambda x: x.cast("double"))
+
+    def embedding_topk(spark, sf):
+        emb = _load(spark, sf, "embeddings").select(
+            "vec_id", _dvec("embedding").alias("embedding")
+        )
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = brute_force_topk(emb, queries_df, k=5)
+        return out.select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 5).alias("cosine"),
+            "rank",
+        )
+
+    q["embedding_topk"] = embedding_topk
+
+    def embedding_near_dup_pairs(spark, sf):
+        emb = (
+            _load(spark, sf, "embeddings")
+            .filter(F.col("vec_id") < 200)
+            .select("vec_id", _dvec("embedding").alias("embedding"))
+        )
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            cosine_expr,
+        )
+
+        a = emb.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        )
+        b = emb.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    cosine_expr(F.col("va"), F.col("vb")), 5
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.8)
+        )
+
+    q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+
+    def embedding_norm_summary(spark, sf):
+        emb = _load(spark, sf, "embeddings").select(
+            "label", _dvec("embedding").alias("e")
+        )
+        norm = F.sqrt(
+            F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        return (
+            emb.groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg(norm), 6).alias("avg_norm"),
+            )
+        )
+
+    q["embedding_norm_summary"] = embedding_norm_summary
+
+    def embedding_lsh_ann(spark, sf):  # rows-only (approx; plan-level op)
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            lsh_topk,
+        )
+
+        emb = _load(spark, sf, "embeddings").select(
+            "vec_id", _dvec("embedding").alias("embedding")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return lsh_topk(emb, queries_df, k=5, n_planes=6, dim=64)
+
+    q["embedding_lsh_ann"] = embedding_lsh_ann
+
+    # ---- clips corpus (UDF scorers; rows-only: not DuckDB-expressible) --------
+    def clips_keep_stats(spark, sf):
+        df = _clips_df(spark)
+        from data_quality_check_pipeline_spark.pipeline import (
+            flag_clips,
+            score_clips,
+        )
+
+        flagged = flag_clips(score_clips(df))
+        return flagged.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        )
+
+    q["clips_keep_stats"] = clips_keep_stats
+
+    def clips_reason_histogram(spark, sf):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            reason_histogram,
+        )
+        from data_quality_check_pipeline_spark.pipeline import (
+            flag_clips,
+            score_clips,
+        )
+
+        return reason_histogram(flag_clips(score_clips(_clips_df(spark))))
+
+    q["clips_reason_histogram"] = clips_reason_histogram
+
+    def clips_langid_distribution(spark, sf):
+        from data_quality_check_pipeline_spark.pipeline import score_clips
+
+        return (
+            score_clips(_clips_df(spark), with_audio=False)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["clips_langid_distribution"] = clips_langid_distribution
+
+    return q
+
+
+_CLIPS_CACHE_DIR = "/tmp/spark_graft_clips_cache"
+_CLIPS_N = 4000
+
+
+def _clips_df(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic clips corpus (cached parquet in /tmp)."""
+    import os
+
+    from data_quality_check_pipeline_spark.synth import write_corpus
+
+    path = os.path.join(_CLIPS_CACHE_DIR, f"n{_CLIPS_N}", "clips.parquet")
+    if not os.path.exists(path):
+        write_corpus(os.path.dirname(path), _CLIPS_N)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_guess = _sql_lang_guess("norm")
+    quality = _sql_quality("text")
+    sql: dict[str, str] = {}
+
+    sql["flagship_doc_quality_filter"] = _FLAGSHIP_SQL.replace(
+        "__LANG_GUESS__", lang_guess
+    ).replace("__QUALITY__", quality)
+
+    sql["doc_completeness"] = f"""
+      SELECT CAST(count(*) AS BIGINT) AS rows,
+             CAST(sum(CASE WHEN {_sql_missing('text')} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS missing_text,
+             CAST(sum(CASE WHEN {_sql_missing('lang')} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS missing_lang
+      FROM documents"""
+
+    sql["doc_lang_histogram"] = (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1"
+    )
+
+    sql["doc_dup_stats"] = """
+      SELECT CAST(count(doc_id) AS BIGINT) AS non_null,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+      FROM documents"""
+
+    norm_lower = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    sql["doc_exact_dup_groups"] = f"""
+      SELECT {norm_lower} AS text_norm,
+             CAST(count(*) AS BIGINT) AS n_dups,
+             min(doc_id) AS min_doc_id
+      FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+    sql["doc_dedup_survivors"] = f"""
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY {norm_lower}"""
+
+    # exact jaccard over distinct 3-word shingles, doc_id < 60 subset
+    sql["doc_ngram_jaccard"] = """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(string_split(regexp_replace(trim(lower(text)),
+                            '\\s+', ' ', 'g'), ' ')) AS shingles
+        FROM documents WHERE doc_id < 60
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles)) AS i,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      )
+      SELECT id_a, id_b,
+             round(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE), 6)
+               AS jaccard
+      FROM pairs
+      WHERE i > 0
+        AND CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.3"""
+
+    sql["doc_scrub"] = (
+        f"SELECT doc_id, {_sql_scrub('text')} AS text_scrubbed FROM documents"
+    )
+
+    ws_count = _sql_count("text", "\\S+")
+    bpe_count = _sql_count("text", TOKEN_RE)
+    sql["doc_token_counts"] = f"""
+      SELECT doc_id,
+             CAST({ws_count} AS BIGINT) AS ws_tokens,
+             CAST({bpe_count} AS BIGINT) AS bpe_tokens
+      FROM documents"""
+
+    sql["doc_quality_scores"] = (
+        f"SELECT doc_id, {quality} AS quality_score FROM documents"
+    )
+
+    sql["doc_lang_guess"] = f"""
+      SELECT doc_id, {_sql_lang_guess('text')} AS lang_guess FROM documents"""
+
+    sql["doc_validation_flags"] = """
+      WITH n AS (
+        SELECT doc_id, text,
+               regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+        FROM documents
+      )
+      SELECT doc_id,
+             (text IS NULL OR trim(CAST(text AS VARCHAR)) = ''
+              OR lower(trim(CAST(text AS VARCHAR))) = 'nan') AS is_empty,
+             (1.0 - CAST(len(list_distinct(string_split(norm, ' ')))
+                   AS DOUBLE)
+                  / CAST(len(string_split(norm, ' ')) AS DOUBLE)) > 0.6
+               AS is_repetitive,
+             (CAST(length(regexp_replace(norm, '[A-Za-z0-9 ]', '', 'g'))
+                   AS DOUBLE)
+              / CAST(length(norm) AS DOUBLE)) > 0.3 AS high_symbol_density
+      FROM n"""
+
+    sql["customer_rule_violations"] = f"""
+      SELECT
+        CAST(sum(CASE WHEN {_sql_missing('c_name')} THEN 1 ELSE 0 END)
+             AS BIGINT) AS null_name,
+        CAST(sum(CASE WHEN c_custkey IS NULL OR c_custkey <= 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_key,
+        CAST(sum(CASE WHEN lower(trim(c_mktsegment)) NOT IN
+                 ('building','automobile','machinery','household','furniture')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS bad_segment,
+        CAST(sum(CASE WHEN c_acctbal NOT BETWEEN -1000.0 AND 10000.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS acctbal_out_of_range
+      FROM customer"""
+
+    sql["customer_expectations"] = f"""
+      SELECT
+        round(avg(CASE WHEN NOT {_sql_missing('c_name')} THEN 1.0
+                  ELSE 0.0 END), 6) AS name_not_null_rate,
+        round(CAST(count(DISTINCT c_custkey) AS DOUBLE)
+              / CAST(count(c_custkey) AS DOUBLE), 6) AS custkey_unique_rate,
+        round(avg(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0 THEN 1.0
+                  ELSE 0.0 END), 6) AS acctbal_between_rate
+      FROM customer"""
+
+    sql["customer_mask"] = f"""
+      SELECT c_custkey,
+             CASE WHEN {_sql_missing('c_name')} THEN c_name
+                  ELSE substring(c_name, 1, 1) || '***' END AS masked_name
+      FROM customer"""
+
+    sql["orders_status_histogram"] = (
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n "
+        "FROM orders GROUP BY 1"
+    )
+
+    sql["orders_priority_share"] = """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(count(*) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM orders) AS DOUBLE), 6)
+               AS share
+      FROM orders GROUP BY 1"""
+
+    sql["orders_freshness"] = (
+      "SELECT strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') "
+      "AS max_orderdate FROM orders"
+    )
+
+    sql["events_user_topk"] = """
+      SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, user_id ASC)
+                  AS INTEGER) AS rank,
+             user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+      ORDER BY count(*) DESC, user_id ASC LIMIT 10"""
+
+    sql["threshold_gate_sim"] = """
+      WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS failed
+        FROM orders
+      )
+      SELECT total, failed,
+             round(CAST(failed AS DOUBLE) / CAST(total AS DOUBLE) * 100.0, 6)
+               AS failure_pct,
+             CASE WHEN CAST(failed AS DOUBLE) / CAST(total AS DOUBLE) * 100.0
+                       <= 5.0 THEN 'continue'
+                  WHEN 100.0 - CAST(failed AS DOUBLE) / CAST(total AS DOUBLE)
+                       * 100.0 < 80.0 THEN 'review'
+                  ELSE 'quarantine' END AS decision
+      FROM a"""
+
+    sql["lineitem_iqr_bounds"] = """
+      SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+      FROM lineitem"""
+
+    sql["lineitem_iqr_outliers"] = """
+      WITH b AS (
+        SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem
+      )
+      SELECT CAST(sum(CASE WHEN l_extendedprice NOT BETWEEN
+                   q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM lineitem, b"""
+
+    sql["lineitem_zscore_outliers"] = """
+      WITH s AS (
+        SELECT avg(l_extendedprice) AS m, stddev(l_extendedprice) AS sd
+        FROM lineitem
+      )
+      SELECT CAST(sum(CASE WHEN abs((l_extendedprice - m) / sd) > 3.0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM lineitem, s"""
+
+    sql["lineitem_pricing_summary"] = """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))
+                 AS DECIMAL(28,8))) AS sum_disc_price,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem GROUP BY 1, 2"""
+
+    sql["lineitem_daily_volume"] = """
+      SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS ship_day,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY 1"""
+
+    sql["orders_by_segment"] = """
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1"""
+
+    sql["revenue_by_supplier"] = """
+      SELECT s_name,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))
+                 AS DECIMAL(28,8))) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1"""
+
+    sql["quarantine_anti_join"] = """
+      SELECT CAST(count(*) AS BIGINT) AS n_kept
+      FROM orders
+      WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM customer WHERE c_acctbal < 0)"""
+
+    sql["events_hourly"] = """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2"""
+
+    sql["events_type_histogram"] = (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1"
+    )
+
+    sql["events_sessionized_gap"] = """
+      WITH g AS (
+        SELECT user_id,
+               epoch_ms(ts) - lag(epoch_ms(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM events
+      )
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             max(gap_ms) AS max_gap_ms
+      FROM g WHERE gap_ms IS NOT NULL GROUP BY 1"""
+
+    cos = (
+        "list_dot_product(a.e, b.e)"
+        " / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    sql["embedding_topk"] = f"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {cos} AS c
+        FROM v a JOIN v b ON a.vec_id < 3
+      ), ranked AS (
+        SELECT query_id, vec_id, c,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored
+      )
+      SELECT query_id, vec_id, round(c, 5) AS cosine, rank
+      FROM ranked WHERE rank <= 5"""
+
+    sql["embedding_near_dup_pairs"] = f"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                 WHERE vec_id < 200)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 5) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round({cos}, 5) >= 0.8"""
+
+    sql["embedding_norm_summary"] = """
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))), 6)
+               AS avg_norm
+      FROM embeddings GROUP BY 1"""
+
+    return sql

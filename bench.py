@@ -1,0 +1,123 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline workload is the clip keep/drop+scrub pipeline (the north-rule
+metric, reported as clips_per_sec) plus representative operator-family
+queries from __spark_entry__ at the chosen SF.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  SPARK_GRAFT_CLIPS_N  synthetic clip count (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clips_path(n: int) -> str:
+    from data_quality_check_pipeline_spark.synth import write_corpus
+
+    path = f"/tmp/spark_graft_clips_cache/n{n}"
+    marker = os.path.join(path, "clips.parquet")
+    if not os.path.exists(marker):
+        write_corpus(path, n)
+    return marker
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_clips = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000"))
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from data_quality_check_pipeline_spark.operators.scrub import (
+        scrub_transcripts,
+    )
+    from data_quality_check_pipeline_spark.pipeline import (
+        flag_clips,
+        score_clips,
+    )
+    from data_quality_check_pipeline_spark.session import get_spark
+
+    clips_parquet = _clips_path(n_clips)
+
+    spark = get_spark(
+        app_name="bench", cores=cpus,
+        extra={"spark.sql.session.timeZone": "UTC"},
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM + python workers once (excluded from timings)
+    spark.read.parquet(clips_parquet).limit(64).count()
+
+    # --- headline: clip keep/drop + scrub end-to-end (count + scrub agg) ---
+    def clips_pipeline():
+        df = spark.read.parquet(clips_parquet)
+        flagged = flag_clips(score_clips(df))
+        kept = scrub_transcripts(
+            flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")
+        )
+        return kept.agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("pii_hits").alias("hits"),
+        ).collect()[0]["kept"]
+
+    kept = timed("clips_keep_drop_scrub", clips_pipeline)
+    clips_per_sec = n_clips / timings["clips_keep_drop_scrub"]
+
+    # --- operator-family queries at the SF dir -----------------------------
+    qs = entrymod.queries()
+    for name in [
+        "flagship_doc_quality_filter",
+        "doc_scrub",
+        "doc_token_counts",
+        "doc_minhash_pairs",
+        "lineitem_pricing_summary",
+        "lineitem_iqr_outliers",
+        "orders_by_segment",
+        "events_hourly",
+        "embedding_topk",
+    ]:
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "clips_n": n_clips,
+                "clips_kept": int(kept),
+                "clips_per_sec": round(clips_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

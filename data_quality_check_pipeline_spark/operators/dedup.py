@@ -205,9 +205,14 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str,
     max_hamming: int = 3, chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: banding on ``chunks`` 16-bit chunks
-    (any pair within hamming distance < chunks shares >= 1 exact chunk),
-    then exact hamming verify via bit_count(xor)."""
+    """Near-dup pairs by SimHash: banding on ``chunks`` equal bit-chunks
+    (pigeonhole: any pair with hamming < chunks shares >= 1 exact chunk),
+    then exact hamming verify via bit_count(xor).
+
+    Tradeoff: more chunks -> stronger recall guarantee (hamming <= chunks-1)
+    but shorter chunk keys -> bigger candidate buckets. chunks must divide
+    64; 4 (16-bit keys) suits dedup at scale, 8 (8-bit keys) only for small
+    corpora or as a second LSH pass."""
     sigs = simhash_signatures(df, id_col, text_col)
     width = 64 // chunks
     mask = (1 << width) - 1

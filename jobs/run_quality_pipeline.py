@@ -1,0 +1,101 @@
+"""spark-submit entry point for the clip-quality pipeline.
+
+Cluster usage (north rule: spark-submit --py-files on multi-executor
+clusters):
+
+    zip -r pkg.zip data_quality_check_pipeline_spark
+    spark-submit --py-files pkg.zip jobs/run_quality_pipeline.py \
+        --input /data/clips_parquet --out /data/quality_out \
+        --shards 64 --fingerprint <source-snapshot-id>
+
+Local smoke:
+
+    python jobs/run_quality_pipeline.py --synthetic 5000 --out /tmp/q_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def source_fingerprint(path: str) -> str:
+    """Content fingerprint of the input (parity: SHA-256 idempotency check,
+    reference rollback_manager.py:142-163) from file names+sizes+mtimes —
+    no data read."""
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        names = sorted(os.listdir(path))
+    else:
+        names = [os.path.basename(path)]
+        path = os.path.dirname(path) or "."
+    for n in names:
+        st = os.stat(os.path.join(path, n))
+        h.update(f"{n}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="clips parquet path (or Iceberg table)")
+    ap.add_argument("--out", required=True, help="output table root")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic clips instead of --input")
+    ap.add_argument("--shards", type=int, default=1)
+    ap.add_argument("--run-id", default="")
+    ap.add_argument("--fingerprint", default="")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--no-review", action="store_true")
+    ap.add_argument("--review-file", default=None)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from data_quality_check_pipeline_spark.pipeline import (
+        RunConfig,
+        run_pipeline,
+    )
+    from data_quality_check_pipeline_spark.report import (
+        render_run_report,
+        save_run_report,
+    )
+    from data_quality_check_pipeline_spark.session import get_spark
+    from data_quality_check_pipeline_spark.synth import write_corpus
+
+    if args.synthetic:
+        corpus = os.path.join(args.out, "_synthetic_input")
+        input_path = os.path.join(corpus, "clips.parquet")
+        if not os.path.exists(input_path):
+            write_corpus(corpus, args.synthetic)
+    elif args.input:
+        input_path = args.input
+    else:
+        ap.error("one of --input / --synthetic is required")
+
+    fp = args.fingerprint or source_fingerprint(input_path)
+    spark = get_spark(app_name="clip-quality-pipeline", cores=args.cores)
+    cfg = RunConfig(
+        out_root=args.out,
+        run_id=args.run_id,
+        n_shards=args.shards,
+        source_fingerprint=fp,
+        force=args.force,
+        non_interactive=args.no_review or True,
+        review_decision_file=args.review_file,
+    )
+    metrics = run_pipeline(spark, input_path, cfg)
+    if not metrics.get("skipped"):
+        save_run_report(metrics, os.path.join(args.out, "reports"))
+        print(render_run_report(metrics))
+    else:
+        print(f"skipped: {metrics['reason']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,10 +86,11 @@ class TestSimHash:
         assert sigs[1] == sigs[2] == sigs[3]
 
     def test_pairs_by_hamming(self, docs):
+        # chunks=8 -> pigeonhole guarantees candidates for hamming <= 7
         pairs = {
             (r["id_a"], r["id_b"]): r["hamming"]
             for r in simhash_pairs(
-                docs, "doc_id", "text", max_hamming=8
+                docs, "doc_id", "text", max_hamming=7, chunks=8
             ).collect()
         }
         assert pairs.get((1, 2)) == 0

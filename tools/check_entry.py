@@ -1,0 +1,129 @@
+"""Local mimic of the driver's correctness harness: runs every queries()
+entry at a given SF and compares it against oracle_sql() via DuckDB
+(row count + column names + order-insensitive value comparison).
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(v, decimal.Decimal):
+        return f"{v:.8f}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    return v
+
+
+def canon(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r))
+        out.append(tuple(norm_cell(d[c]) for c in sorted(cols)))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from data_quality_check_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="check_entry", cores=8, shuffle_partitions=8,
+                      extra={"spark.sql.session.timeZone": "UTC"})
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(
+                f"rows  {name}: {len(s_rows)} rows, cols={s_cols} "
+                f"({time.time()-t0:.1f}s) [rows-only]"
+            )
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if len(s_rows) != len(d_rows):
+            ok = False
+            msgs.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            ok = False
+            msgs.append(f"cols spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if ok:
+            cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+            if cs != cd:
+                ok = False
+                diffs = [
+                    (a, b) for a, b in zip(cs, cd) if a != b
+                ][:3]
+                msgs.append(f"values differ, first diffs: {diffs}")
+        status = "ok   " if ok else "FAIL "
+        if not ok:
+            n_fail += 1
+        print(
+            f"{status} {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)"
+            + ("  " + "; ".join(msgs) if msgs else "")
+        )
+
+    # smoke the entry() contract
+    if not only:
+        edf = entrymod.entry(spark)
+        n = edf.count()
+        print(f"entry(): {n} rows, schema={edf.columns}")
+        assert n >= 0
+    spark.stop()
+    print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
