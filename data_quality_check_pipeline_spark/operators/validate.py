@@ -223,22 +223,31 @@ def with_flags(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
 
 def with_duplicate_flag(
-    df: DataFrame, key: str = "clip_id", out: str = "is_dup"
+    df: DataFrame,
+    key: str = "clip_id",
+    out: str = "is_dup",
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Flag ALL copies of duplicated keys (parity: pandas
     duplicated(keep=False), validator.py:76-82).
 
     groupBy + join rather than a window: partial (map-side) aggregation
-    shrinks the shuffle, and AQE broadcasts the (usually tiny) duplicate key
-    set; a window over the key would force a full-table sort shuffle with no
-    partial-agg benefit.
+    shrinks the shuffle (the agg subtree is column-pruned down to the key),
+    and the duplicate key set is explicitly broadcast by default — a
+    sort-merge join here would shuffle the FULL row payload (audio bytes)
+    just to attach a boolean. Set broadcast_dups=False only when the dup-key
+    set itself is too large to broadcast (then AQE decides, and upstream
+    should dedup in a key-only pre-pass instead).
     """
     dups = (
-        df.groupBy(key)
+        df.select(key)
+        .groupBy(key)
         .agg(F.count(F.lit(1)).alias("_dup_n"))
         .filter(F.col("_dup_n") > 1)
         .select(key, F.lit(True).alias(out))
     )
+    if broadcast_dups:
+        dups = F.broadcast(dups)
     return (
         df.join(dups, on=key, how="left")
         .withColumn(out, F.coalesce(F.col(out), F.lit(False)))

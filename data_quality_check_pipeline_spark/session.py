@@ -35,12 +35,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow: audio payloads are tens of KB per row — bound batch memory
+        # (512 rows * ~30k samples * 4B ≈ 60 MB working set per worker)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # parquet scans: keep split sizes reasonable for wide binary rows
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # parquet scans: small splits so wide binary rows fan out across all
+        # cores (the Arrow UDF stage pipelines on top of the scan tasks)
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # the vectorized reader's default 4096-row batch is ~225 MB for
+        # ~55 KB binary audio rows — at 32 concurrent tasks that is multi-GB
+        # of on-heap churn per batch and GC dominates. 512 rows ≈ 28 MB.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory",
                 driver_memory or os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

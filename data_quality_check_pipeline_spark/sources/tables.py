@@ -92,6 +92,14 @@ class TableStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
+        # an empty write leaves no data files; remember the schema so reads
+        # of empty tables/snapshots still resolve
+        schema_json = df.schema.json()
+        has_data = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(data_dir)
+            for f in files
+        )
 
         if mode == "append" and m["current"] is not None:
             parent = self._snapshot(m, None)
@@ -107,6 +115,8 @@ class TableStore:
                 "read_set": read_set,
                 "partition_by": partition_by or [],
                 "properties": properties or {},
+                "schema": schema_json,
+                "has_data": has_data,
             }
         )
         m["current"] = sid
@@ -119,7 +129,24 @@ class TableStore:
         snap = self._snapshot(m, snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
-        paths = [os.path.join(self._dir(name), d) for d in snap["read_set"]]
+        # skip snapshot dirs that hold no data files (empty writes)
+        empties = {
+            f"snap_{s['id']}"
+            for s in m["snapshots"]
+            if s.get("has_data") is False
+        }
+        paths = [
+            os.path.join(self._dir(name), d)
+            for d in snap["read_set"]
+            if d not in empties
+        ]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(__import__("json").loads(
+                snap["schema"]
+            )) if snap.get("schema") else StructType([])
+            return self.spark.createDataFrame([], schema)
         # each snapshot dir is its own partition-discovery root (they may be
         # partitioned); union them by name
         df = self.spark.read.parquet(paths[0])

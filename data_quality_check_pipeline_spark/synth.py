@@ -294,8 +294,15 @@ def write_corpus(
     seed: int = SEED,
     audio_max_samples: int = 64_000,
     sr_choices: list[int] | None = None,
+    row_group_size: int = 1024,
 ) -> dict:
-    """Write the corpus as parquet + sidecar JSON (deterministic given args)."""
+    """Write the corpus as parquet + sidecar JSON (deterministic given args).
+
+    ``row_group_size`` matters for Spark parallelism: parquet scans split at
+    row-group boundaries, so ~1k rows (~64 MB of audio payload) per group
+    keeps a 32-core scan busy; one giant row group would serialize the whole
+    UDF pipeline behind a single task.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -305,7 +312,11 @@ def write_corpus(
         sr_choices=sr_choices,
     )
     table = pa.Table.from_pandas(df, preserve_index=False)
-    pq.write_table(table, os.path.join(out_dir, "clips.parquet"))
+    pq.write_table(
+        table,
+        os.path.join(out_dir, "clips.parquet"),
+        row_group_size=row_group_size,
+    )
     with open(os.path.join(out_dir, "counts.json"), "w") as f:
         json.dump(counts, f, indent=2)
     return counts

@@ -93,10 +93,15 @@ def _decode_batch(payloads, codecs) -> tuple[np.ndarray, np.ndarray]:
 
 
 def stats_batch(payloads, codecs) -> pd.DataFrame:
-    """Batched audio stats. Shared by the Spark UDF and the oracle."""
+    """Batched audio stats. Shared by the Spark UDF and the oracle.
+
+    Memory discipline: Arrow batches of wide audio rows decode to tens of
+    millions of samples; everything here stays float32 with in-place
+    squaring (a float64 pipeline at 32 concurrent workers would churn tens
+    of GB of temporaries and collapse scaling)."""
     samples, lengths = _decode_batch(payloads, codecs)
     n_rows = len(lengths)
-    x = samples.astype(np.float64)
+    x = samples.astype(np.float32)
 
     starts = np.zeros(n_rows, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
@@ -104,14 +109,30 @@ def stats_batch(payloads, codecs) -> pd.DataFrame:
     rms = np.zeros(n_rows, dtype=np.float64)
     clip_frac = np.zeros(n_rows, dtype=np.float64)
     nonzero = lengths > 0
+
+    # Spectral SNR window must be gathered BEFORE squaring x in place.
+    fft_rows = np.flatnonzero(lengths >= 64)
+    mat = None
+    if fft_rows.size:
+        take = np.minimum(lengths[fft_rows], _FFT_N)
+        offs = np.arange(_FFT_N, dtype=np.int64)
+        idx = starts[fft_rows][:, None] + offs[None, :]
+        mask = offs[None, :] < take[:, None]
+        mat = np.where(mask, x[np.where(mask, idx, 0)], np.float32(0.0))
+        mat = mat.astype(np.float64)
+
     if samples.size:
+        # clip mask on int16 directly (no abs: avoids -32768 overflow)
+        clip_mask = (
+            (samples >= _CLIP_THRESHOLD) | (samples <= -_CLIP_THRESHOLD)
+        ).astype(np.float32)
+        np.square(x, out=x)  # in place; x is now sample^2
         # reduceat needs strictly valid start offsets; collapse empty rows
         nz_starts = starts[nonzero]
         order_starts = np.unique(np.concatenate(([0], nz_starts)))
-        sq_sums = np.add.reduceat(x * x, order_starts)
-        clip_sums = np.add.reduceat(
-            (np.abs(samples) >= _CLIP_THRESHOLD).astype(np.float64),
-            order_starts,
+        sq_sums = np.add.reduceat(x, order_starts).astype(np.float64)
+        clip_sums = np.add.reduceat(clip_mask, order_starts).astype(
+            np.float64
         )
         # map segment sums back to rows (segments between consecutive starts)
         seg_of_row = np.searchsorted(order_starts, starts[nonzero], "right") - 1
@@ -124,13 +145,7 @@ def stats_batch(payloads, codecs) -> pd.DataFrame:
 
     # Spectral SNR over the first _FFT_N samples, one batched rFFT.
     snr_db = np.zeros(n_rows, dtype=np.float64)
-    fft_rows = np.flatnonzero(lengths >= 64)
-    if fft_rows.size:
-        take = np.minimum(lengths[fft_rows], _FFT_N)
-        offs = np.arange(_FFT_N, dtype=np.int64)
-        idx = starts[fft_rows][:, None] + offs[None, :]
-        mask = offs[None, :] < take[:, None]
-        mat = np.where(mask, x[np.where(mask, idx, 0)], 0.0)
+    if mat is not None:
         # Hann window bounds spectral leakage so a non-bin-centered tone
         # concentrates in a few bins around the peak
         mat = mat * np.hanning(_FFT_N)[None, :]

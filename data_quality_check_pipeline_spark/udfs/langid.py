@@ -42,6 +42,30 @@ _SMOOTH_K = 0.5
 
 _MODEL: "LangIdModel | None" = None
 
+# Weight cache: in production the trained table ships as a broadcast /
+# --py-files resource; here each executor host builds it once and mmaps it
+# afterwards (version-keyed; includes all build parameters).
+_CACHE = (
+    f"/tmp/spark_graft_models/langid_v2_{_SEED}_{_TRAIN_SENTENCES}_"
+    f"{_SENT_LEN}_{N_BUCKETS}.npy"
+)
+
+
+def _load_or_build(cache: str, build) -> np.ndarray:
+    import os
+
+    if os.path.exists(cache):
+        try:
+            return np.load(cache, mmap_mode="r")
+        except (OSError, ValueError):
+            pass
+    arr = build()
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = f"{cache}.{os.getpid()}.tmp.npy"  # np.save appends .npy otherwise
+    np.save(tmp, arr)
+    os.replace(tmp, cache)
+    return arr
+
 
 def _training_corpus(lang: str, rng: np.random.RandomState) -> list[str]:
     words = WORDS[lang]
@@ -57,6 +81,10 @@ class LangIdModel:
     """log P(bucket | lang) table, shape (N_BUCKETS, n_langs) float32."""
 
     def __init__(self) -> None:
+        self.log_probs = _load_or_build(_CACHE, self._build)
+
+    @staticmethod
+    def _build() -> np.ndarray:
         rng = np.random.RandomState(_SEED)
         table = np.zeros((N_BUCKETS, len(LANGS)), dtype=np.float64)
         for j, lang in enumerate(LANGS):
@@ -68,7 +96,7 @@ class LangIdModel:
                 counts.sum() + _SMOOTH_K * N_BUCKETS
             )
             table[:, j] = np.log(probs)
-        self.log_probs = table.astype(np.float32)
+        return table.astype(np.float32)
 
     def score(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """Return (lang index int64, confidence float32) per row."""

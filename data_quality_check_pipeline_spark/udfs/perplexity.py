@@ -36,6 +36,13 @@ class PerplexityModel:
     """neg log P(bucket) table, shape (N_BUCKETS,) float32."""
 
     def __init__(self) -> None:
+        from .langid import _load_or_build
+
+        cache = f"/tmp/spark_graft_models/ppl_v2_{_SEED}_{N_BUCKETS}.npy"
+        self.neg_log_probs = _load_or_build(cache, self._build)
+
+    @staticmethod
+    def _build() -> np.ndarray:
         rng = np.random.RandomState(_SEED)
         counts = np.zeros(N_BUCKETS, dtype=np.int64)
         for lang in LANGS:
@@ -44,7 +51,7 @@ class PerplexityModel:
             hashes, _ = trigram_hashes(big, lengths)
             counts += np.bincount(hashes, minlength=N_BUCKETS)
         probs = (counts + _SMOOTH_K) / (counts.sum() + _SMOOTH_K * N_BUCKETS)
-        self.neg_log_probs = (-np.log(probs)).astype(np.float32)
+        return (-np.log(probs)).astype(np.float32)
 
     def score(self, texts) -> np.ndarray:
         big, lengths = encode_batch(texts)

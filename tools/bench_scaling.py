@@ -31,24 +31,31 @@ spark = get_spark(app_name=f"scale{{cores}}", cores=cores,
                   shuffle_partitions=cores * 2)
 # warm up JVM/python workers on a slice (excluded from measurement)
 spark.read.parquet(path).limit(64).count()
-t0 = time.time()
-df = spark.read.parquet(path)
-flagged = flag_clips(score_clips(df))
-kept = scrub_transcripts(
-    flagged.filter(F.col("keep")).drop("reasons", "severity", "keep"))
-row = kept.agg(F.count(F.lit(1)).alias("kept"),
-               F.sum("pii_hits").alias("hits")).collect()[0]
-wall = time.time() - t0
-print(json.dumps({{"cores": cores, "wall_s": wall, "kept": row["kept"],
-                   "clips_per_sec": n / wall}}))
+repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+walls = []
+kept_n = None
+for _ in range(repeats):
+    t0 = time.time()
+    df = spark.read.parquet(path)
+    flagged = flag_clips(score_clips(df))
+    kept = scrub_transcripts(
+        flagged.filter(F.col("keep")).drop("reasons", "severity", "keep"))
+    row = kept.agg(F.count(F.lit(1)).alias("kept"),
+                   F.sum("pii_hits").alias("hits")).collect()[0]
+    walls.append(time.time() - t0)
+    kept_n = row["kept"]
+wall = min(walls)  # steady-state capacity (first run pays worker startup)
+print(json.dumps({{"cores": cores, "wall_s": wall, "walls": walls,
+                   "kept": kept_n, "clips_per_sec": n / wall}}))
 spark.stop()
 """
 
 
-def run_once(cores: int, path: str, n: int) -> dict:
+def run_once(cores: int, path: str, n: int, repeats: int = 2) -> dict:
     script = _CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), path, str(n)],
+        [sys.executable, "-c", script, str(cores), path, str(n),
+         str(repeats)],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
