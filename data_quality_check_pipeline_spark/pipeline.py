@@ -315,6 +315,69 @@ def _run_shard(
     return gate, stats
 
 
+def requeue_quarantine(
+    spark: SparkSession,
+    cfg: RunConfig,
+    source: DataFrame | str,
+    max_retries: int = 3,
+) -> dict:
+    """Re-drive quarantined clips (parity: DLQ retry bookkeeping,
+    reference dead_letter_queue.py:118-127): re-run the pipeline on the
+    subset of source rows whose clip_id sits in quarantine with
+    retry_count < max_retries; successes land in clips_clean, failures are
+    re-quarantined with retry_count + 1.
+    """
+    store = TableStore(spark, cfg.out_root)
+    if not store.exists(QUARANTINE_TABLE):
+        return {"requeued": 0}
+    q = store.read(QUARANTINE_TABLE)
+    eligible = (
+        q.filter(F.col("retry_count") < max_retries)
+        .select("clip_id", "retry_count")
+        .groupBy("clip_id")
+        .agg(F.max("retry_count").alias("retry_count"))
+    )
+    df = spark.read.parquet(source) if isinstance(source, str) else source
+    subset = df.join(eligible.select("clip_id"), "clip_id", "left_semi")
+    n = subset.count()
+    if n == 0:
+        return {"requeued": 0}
+
+    flagged = flag_clips(score_clips(subset, cfg.with_audio), cfg.with_audio)
+    flagged = flagged.cache()
+    kept = scrub_transcripts(
+        flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")
+    )
+    store.write(
+        CLEAN_TABLE, salted_repartition(kept, cfg.salt_buckets),
+        mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
+        partition_by=["lang"],
+        properties={"run_id": cfg.run_id, "requeue": True},
+    )
+    still_bad = (
+        flagged.filter(~F.col("keep"))
+        .join(eligible, "clip_id", "left")
+        .select(
+            "clip_id",
+            "reasons",
+            "severity",
+            F.lit("requeue").alias("stage"),
+            F.lit(cfg.run_id).alias("run_id"),
+            F.current_timestamp().alias("ts"),
+            (F.coalesce(F.col("retry_count"), F.lit(0)) + 1).alias(
+                "retry_count"
+            ),
+        )
+    )
+    store.write(
+        QUARANTINE_TABLE, still_bad, mode="append",
+        properties={"run_id": cfg.run_id, "requeue": True},
+    )
+    stats = keep_stats(flagged)
+    flagged.unpersist()
+    return {"requeued": n, **stats}
+
+
 def _completed_shards(
     spark: SparkSession, store: TableStore, cfg: RunConfig
 ) -> set[int]:

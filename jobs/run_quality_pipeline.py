@@ -54,6 +54,12 @@ def main() -> None:
     ap.add_argument("--no-review", action="store_true")
     ap.add_argument("--review-file", default=None)
     ap.add_argument("--cores", default=None)
+    ap.add_argument("--list-versions", action="store_true",
+                    help="list clips_clean snapshots and exit")
+    ap.add_argument("--rollback", default=None, metavar="SNAPSHOT_ID",
+                    help="roll clips_clean back to a snapshot and exit")
+    ap.add_argument("--requeue", action="store_true",
+                    help="re-drive quarantined clips instead of a full run")
     args = ap.parse_args()
 
     from data_quality_check_pipeline_spark.pipeline import (
@@ -66,6 +72,27 @@ def main() -> None:
     )
     from data_quality_check_pipeline_spark.session import get_spark
     from data_quality_check_pipeline_spark.synth import write_corpus
+
+    # version management parity (reference main.py --rollback /
+    # --list-versions; rollback_manager.py:96-132)
+    if args.list_versions or args.rollback:
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        spark = get_spark(app_name="clip-quality-admin", cores=args.cores)
+        store = TableStore(spark, args.out)
+        if args.list_versions:
+            for s in store.snapshots("clips_clean"):
+                print(
+                    f"{s['id']}  mode={s['mode']}  "
+                    f"run={s['properties'].get('run_id')}"
+                )
+        if args.rollback:
+            store.rollback("clips_clean", args.rollback)
+            print(f"rolled back clips_clean to {args.rollback}")
+        spark.stop()
+        return
 
     if args.synthetic:
         corpus = os.path.join(args.out, "_synthetic_input")
@@ -88,6 +115,14 @@ def main() -> None:
         non_interactive=args.no_review or True,
         review_decision_file=args.review_file,
     )
+    if args.requeue:
+        from data_quality_check_pipeline_spark.pipeline import (
+            requeue_quarantine,
+        )
+
+        print(requeue_quarantine(spark, cfg, input_path))
+        spark.stop()
+        return
     metrics = run_pipeline(spark, input_path, cfg)
     if not metrics.get("skipped"):
         save_run_report(metrics, os.path.join(args.out, "reports"))

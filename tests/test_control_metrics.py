@@ -1,0 +1,114 @@
+"""Driver-side utilities: retry, notify routing, metrics/trend, report."""
+
+import json
+import os
+import time
+
+import pytest
+
+from data_quality_check_pipeline_spark.control import StageLog, retry
+from data_quality_check_pipeline_spark.metrics import (
+    prometheus_text,
+    quality_trend_alert,
+    save_metrics,
+)
+from data_quality_check_pipeline_spark.notify import ROUTING, SINKS, notify
+from data_quality_check_pipeline_spark.report import (
+    render_run_report,
+    save_run_report,
+)
+
+METRICS = {
+    "run_id": "r42",
+    "stages": [
+        {"stage": "load", "status": "ok", "duration_s": 0.01},
+        {"stage": "validate", "status": "ok", "duration_s": 1.5,
+         "kept": 90},
+    ],
+    "quality": {"total": 100, "kept": 90, "dropped": 10, "pii_rows": 3,
+                "keep_pct": 90.0},
+    "gate": {"decision": "continue", "failure_pct": 10.0},
+    "performance": {"wall_seconds": 2.0, "clips_per_sec": 50.0},
+}
+
+
+class TestRetry:
+    def test_retries_then_succeeds(self):
+        calls = []
+
+        @retry(max_tries=3, base_delay_s=0.01)
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise OSError("transient")
+            return "done"
+
+        assert flaky() == "done"
+        assert len(calls) == 3
+
+    def test_exhausts(self):
+        @retry(max_tries=2, base_delay_s=0.01)
+        def always_fails():
+            raise ValueError("nope")
+
+        with pytest.raises(ValueError):
+            always_fails()
+
+
+class TestNotify:
+    def test_routing_tiers(self):
+        assert notify("CRITICAL", "x") == ["pagerduty", "slack", "email"]
+        assert notify("LOW", "x") == []
+
+    def test_custom_sink_called(self):
+        seen = []
+        SINKS["slack"] = lambda sev, msg: seen.append((sev, msg))
+        try:
+            notify("MEDIUM", "hello")
+            assert seen == [("MEDIUM", "hello")]
+        finally:
+            del SINKS["slack"]
+
+
+class TestMetrics:
+    def test_prometheus_flatten(self):
+        text = prometheus_text(METRICS)
+        assert "clip_quality_quality_kept 90" in text
+        assert "clip_quality_performance_clips_per_sec 50.0" in text
+
+    def test_trend_alert(self, tmp_path):
+        d = str(tmp_path)
+        for i, pct in enumerate([95.0, 96.0, 94.0]):
+            save_metrics(
+                {"quality": {"keep_pct": pct}}, d, f"h{i}"
+            )
+        ok = quality_trend_alert(d, current_keep_pct=93.0)
+        assert not ok["alert"]
+        bad = quality_trend_alert(d, current_keep_pct=80.0)
+        assert bad["alert"] and bad["runs"] == 3
+
+    def test_save_metrics_roundtrip(self, tmp_path):
+        p = save_metrics(METRICS, str(tmp_path), "r42")
+        with open(p) as f:
+            assert json.load(f)["quality"]["kept"] == 90
+
+
+class TestReport:
+    def test_render_contains_key_figures(self):
+        text = render_run_report(METRICS)
+        assert "keep rate:     90.00%" in text
+        assert "decision:      continue" in text
+        assert "validate" in text
+
+    def test_save(self, tmp_path):
+        p = save_run_report(METRICS, str(tmp_path))
+        assert os.path.exists(p)
+
+
+class TestStageLog:
+    def test_records(self):
+        log = StageLog()
+        t0 = time.time()
+        log.record("load", "ok", t0, rows=5)
+        assert log.stages[0]["stage"] == "load"
+        assert log.stages[0]["rows"] == 5

@@ -64,8 +64,9 @@ def run_once(cores: int, path: str, n: int, repeats: int = 2) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-clips", type=int, default=40000)
+    ap.add_argument("--n-clips", type=int, default=160000)
     ap.add_argument("--base-cores", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=3)
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -77,8 +78,21 @@ def main() -> None:
         print(f"generating {args.n_clips} clips ...", file=sys.stderr)
         write_corpus(path_dir, args.n_clips)
 
-    lo = run_once(args.base_cores, parquet, args.n_clips)
-    hi = run_once(args.base_cores * 4, parquet, args.n_clips)
+    # Interleave configs across rounds and keep per-config minima: the
+    # sandbox host shows multi-second noise epochs, and alternation prevents
+    # one bad epoch from poisoning a single config's measurement.
+    lo = hi = None
+    for _ in range(args.rounds):
+        cur_lo = run_once(args.base_cores, parquet, args.n_clips)
+        cur_hi = run_once(args.base_cores * 4, parquet, args.n_clips)
+        if lo is None or cur_lo["wall_s"] < lo["wall_s"]:
+            lo = cur_lo
+        if hi is None or cur_hi["wall_s"] < hi["wall_s"]:
+            hi = cur_hi
+        print(
+            f"round: lo={cur_lo['wall_s']:.1f}s hi={cur_hi['wall_s']:.1f}s",
+            file=sys.stderr,
+        )
     eff = (lo["wall_s"] / hi["wall_s"]) / 4.0
     result = {
         "n_clips": args.n_clips,
