@@ -520,13 +520,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             df.groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(dec("l_quantity")).alias("sum_qty"),
-                F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-                F.sum(
-                    (
-                        dec("l_extendedprice")
-                        * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
-                    ).cast("decimal(28,8)")
+                F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias(
+                    "sum_qty"
+                ),
+                F.round(
+                    F.sum(dec("l_extendedprice")).cast("double"), 2
+                ).alias("sum_base_price"),
+                F.round(
+                    F.sum(
+                        (
+                            dec("l_extendedprice")
+                            * (
+                                F.lit(1).cast("decimal(18,4)")
+                                - dec("l_discount")
+                            )
+                        ).cast("decimal(28,8)")
+                    ).cast("double"),
+                    2,
                 ).alias("sum_disc_price"),
                 F.count(F.lit(1)).alias("count_order"),
             )
@@ -544,9 +554,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
-                    "total_qty"
-                ),
+                F.round(
+                    F.sum(
+                        F.col("l_quantity").cast("decimal(18,2)")
+                    ).cast("double"),
+                    2,
+                ).alias("total_qty"),
             )
         )
 
@@ -564,8 +577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(
-                    F.col("o_totalprice").cast("decimal(18,2)")
+                F.round(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(18,2)")
+                    ).cast("double"),
+                    2,
                 ).alias("total_price"),
             )
         )
@@ -585,7 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
             .groupBy("s_name")
-            .agg(F.sum(rev).alias("revenue"))
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
         )
 
     q["revenue_by_supplier"] = revenue_by_supplier
@@ -994,33 +1010,37 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lineitem_pricing_summary"] = """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE),
+                   2) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                   AS DOUBLE), 2) AS sum_base_price,
+             round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(18,4))
                     - CAST(l_discount AS DECIMAL(18,4)))
-                 AS DECIMAL(28,8))) AS sum_disc_price,
+                 AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
              CAST(count(*) AS BIGINT) AS count_order
       FROM lineitem GROUP BY 1, 2"""
 
     sql["lineitem_daily_volume"] = """
       SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS ship_day,
              CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                   2) AS total_qty
       FROM lineitem GROUP BY 1"""
 
     sql["orders_by_segment"] = """
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                   2) AS total_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1"""
 
     sql["revenue_by_supplier"] = """
       SELECT s_name,
-             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+             round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(18,4))
                     - CAST(l_discount AS DECIMAL(18,4)))
-                 AS DECIMAL(28,8))) AS revenue
+                 AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY 1"""
 

@@ -331,11 +331,13 @@ def requeue_quarantine(
     if not store.exists(QUARANTINE_TABLE):
         return {"requeued": 0}
     q = store.read(QUARANTINE_TABLE)
+    # a clip is eligible while its HIGHEST attempt is below the cap
+    # (max-then-filter; filter-then-max would keep a clip eligible forever
+    # through its older low-retry rows)
     eligible = (
-        q.filter(F.col("retry_count") < max_retries)
-        .select("clip_id", "retry_count")
-        .groupBy("clip_id")
+        q.groupBy("clip_id")
         .agg(F.max("retry_count").alias("retry_count"))
+        .filter(F.col("retry_count") < max_retries)
     )
     df = spark.read.parquet(source) if isinstance(source, str) else source
     subset = df.join(eligible.select("clip_id"), "clip_id", "left_semi")

@@ -74,4 +74,12 @@ def assert_broadcast_join(df: DataFrame) -> None:
 
 def assert_wholestage_codegen(df: DataFrame) -> None:
     plan = formatted_plan(df)
-    assert "WholeStageCodegen" in plan, f"no codegen span:\n{plan}"
+    # formatted explain marks codegen nodes with a leading '*' and/or a
+    # "[codegen id : N]" annotation (the literal WholeStageCodegen node name
+    # only appears in 'simple' mode)
+    assert (
+        "WholeStageCodegen" in plan
+        or "[codegen id" in plan
+        or "\n* " in plan
+        or plan.startswith("* ")
+    ), f"no codegen span:\n{plan}"

