@@ -66,9 +66,6 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # warm the JVM + python workers once (excluded from timings)
-    spark.read.parquet(clips_parquet).limit(64).count()
-
     # --- headline: clip keep/drop + scrub end-to-end (count + scrub agg) ---
     def clips_pipeline():
         df = spark.read.parquet(clips_parquet)
@@ -80,6 +77,15 @@ def main() -> None:
             F.count(F.lit(1)).alias("kept"),
             F.sum("pii_hits").alias("hits"),
         ).collect()[0]["kept"]
+
+    # Warm-up pass (excluded): pays one-time costs that are not engine
+    # throughput — cold page-cache read of the corpus (this sandbox's disk
+    # has multi-second noise epochs, see DESIGN.md), python-worker spawn,
+    # and per-host model build/mmap. The timed pass below measures
+    # steady-state capacity, same methodology as tools/bench_scaling.py.
+    t0 = time.time()
+    clips_pipeline()
+    cold_s = round(time.time() - t0, 3)
 
     kept = timed("clips_keep_drop_scrub", clips_pipeline)
     clips_per_sec = n_clips / timings["clips_keep_drop_scrub"]
@@ -112,6 +118,7 @@ def main() -> None:
                 "clips_n": n_clips,
                 "clips_kept": int(kept),
                 "clips_per_sec": round(clips_per_sec, 1),
+                "clips_cold_first_run_sec": cold_s,
                 "cpus": cpus,
             }
         )
