@@ -767,6 +767,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_lsh_ann"] = embedding_lsh_ann
 
+    def embedding_ivf_ann(spark, sf):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        emb = _load(spark, sf, "embeddings").select(
+            "vec_id", _dvec("embedding").alias("embedding")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_topk(
+            emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=0
+        )
+        return out.select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 5).alias("cosine"),
+            "rank",
+        )
+
+    q["embedding_ivf_ann"] = embedding_ivf_ann
+
     # ---- clips corpus (UDF scorers; rows-only: not DuckDB-expressible) --------
     def clips_keep_stats(spark, sf):
         df = _clips_df(spark)
@@ -1109,6 +1132,47 @@ def oracle_sql() -> dict[str, str]:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 5) AS cosine
       FROM v a JOIN v b ON a.vec_id < b.vec_id
       WHERE round({cos}, 5) >= 0.8"""
+
+    # IVF ANN: centroids = 8 smallest ids (iters=0), cell = argmax cosine
+    # (ties -> lowest ord), each query probes its 3 best cells, exact
+    # re-rank inside probed cells only — mirrors similarity.ivf_topk.
+    sql["embedding_ivf_ann"] = f"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS ord, e
+        FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+      ),
+      asgn AS (
+        SELECT vec_id, e, ord AS cell FROM (
+          SELECT a.vec_id, a.e, b.ord,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {cos} DESC, b.ord ASC) AS rn
+          FROM v a CROSS JOIN cent b
+        ) WHERE rn = 1
+      ),
+      probes AS (
+        SELECT query_id, qe, ord AS cell FROM (
+          SELECT a.vec_id AS query_id, a.e AS qe, b.ord,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {cos} DESC, b.ord ASC) AS rn
+          FROM v a CROSS JOIN cent b WHERE a.vec_id < 3
+        ) WHERE rn <= 3
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, c,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM (
+          SELECT p.query_id, a.vec_id,
+                 list_dot_product(p.qe, a.e)
+                   / (sqrt(list_dot_product(p.qe, p.qe))
+                      * sqrt(list_dot_product(a.e, a.e))) AS c
+          FROM probes p JOIN asgn a ON p.cell = a.cell
+        )
+      )
+      SELECT query_id, vec_id, round(c, 5) AS cosine, rank
+      FROM ranked WHERE rank <= 5"""
 
     sql["embedding_norm_summary"] = """
       SELECT label, CAST(count(*) AS BIGINT) AS n,

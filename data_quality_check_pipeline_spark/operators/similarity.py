@@ -131,6 +131,139 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 0,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: seeds are the ``n_centroids`` smallest
+    ids (reproducible across runs/retries — no rand()), optionally refined
+    by ``iters`` Lloyd steps run as Spark aggregations.
+
+    One Lloyd step = assign (argmax cosine against the broadcast-literal
+    codebook, map-side only) -> posexplode vectors -> groupBy(cell, pos)
+    avg -> collect the (n_centroids x dim) means. The shuffle is keyed on
+    (cell, pos): n_centroids*dim groups regardless of corpus size, with
+    map-side partial aggregation — scale-safe at 10^12 rows.
+    """
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(map(float, r[vec_col])) for r in seeds]
+    for _ in range(iters):
+        assigned = with_ivf_cell(corpus, cents, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["ivf_cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cell[c][p] for p in sorted(by_cell[c])]
+            if c in by_cell
+            else cents[c]  # empty cell keeps its old centroid
+            for c in range(n_centroids)
+        ]
+    return cents
+
+
+def _cents_lit(cents: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+) -> DataFrame:
+    """0-based nearest-centroid id by cosine; ties break to the lowest
+    cell (array_position finds the first maximum). The codebook is a plan
+    literal — no join, map-side only."""
+    sims = F.transform(
+        _cents_lit(cents),
+        lambda c: _dot(F.col(vec_col), c) / (_norm(F.col(vec_col)) * _norm(c)),
+    )
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return df.withColumn(out, cell)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 0,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are inverted-listed by nearest
+    centroid; each query probes its ``n_probe`` nearest cells and re-ranks
+    exact cosine inside them only.
+
+    Scale shape: the codebook is a literal (KBs); cell assignment is a
+    map-side projection on both sides; candidates meet through an equi-join
+    on ivf_cell (never a cross join); per-query top-k via a window over the
+    small scored candidate set. Recall/cost dial = n_probe/n_centroids.
+    """
+    if cents is None:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, iters)
+    c = with_ivf_cell(corpus, cents, vec_col)
+    sims = F.transform(
+        _cents_lit(cents),
+        lambda cc: _dot(F.col(vec_col), cc)
+        / (_norm(F.col(vec_col)) * _norm(cc)),
+    )
+    # each query row -> n_probe rows keyed by probed cell; sort key is
+    # struct(-sim, cell) so ascending order = sim desc, ties -> lowest cell
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.zip_with(
+                sims,
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda s, i: F.struct((-s).alias("s"), i.alias("i")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.transform(ranked_cells, lambda x: x["i"])).alias(
+            "ivf_cell"
+        ),
+    )
+    scored = c.join(F.broadcast(q), "ivf_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -15,7 +15,10 @@ from data_quality_check_pipeline_spark.operators.dedup import (
 from data_quality_check_pipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dups,
+    ivf_centroids,
+    ivf_topk,
     lsh_topk,
+    with_ivf_cell,
     with_lsh_bucket,
 )
 
@@ -178,6 +181,53 @@ class TestSimilarity:
             for q_ in exact_sets
         ]
         assert sum(recalls) / len(recalls) >= 0.6
+
+    def test_ivf_cells_partition_corpus(self, embeddings):
+        cents = ivf_centroids(embeddings, n_centroids=4)
+        assert len(cents) == 4 and len(cents[0]) == 16
+        cells = with_ivf_cell(embeddings, cents).collect()
+        assert all(0 <= r["ivf_cell"] < 4 for r in cells)
+        # determinism across runs
+        again = with_ivf_cell(embeddings, cents).collect()
+        assert {r["vec_id"]: r["ivf_cell"] for r in cells} == {
+            r["vec_id"]: r["ivf_cell"] for r in again
+        }
+
+    def test_ivf_lloyd_reduces_distortion(self, embeddings):
+        import numpy as np
+
+        pdf = embeddings.toPandas()
+        mat = np.array(pdf["embedding"].tolist())
+
+        def distortion(cents):
+            c = np.array(cents)
+            sims = (mat @ c.T) / (
+                np.linalg.norm(mat, axis=1)[:, None]
+                * np.linalg.norm(c, axis=1)[None, :]
+            )
+            return float((1 - sims.max(axis=1)).mean())
+
+        c0 = ivf_centroids(embeddings, n_centroids=3, iters=0)
+        c2 = ivf_centroids(embeddings, n_centroids=3, iters=2)
+        assert distortion(c2) <= distortion(c0) + 1e-9
+
+    def test_ivf_topk_recall(self, embeddings):
+        q = embeddings.limit(3).selectExpr("vec_id as query_id", "embedding")
+        exact = brute_force_topk(embeddings, q, k=5).collect()
+        approx = ivf_topk(
+            embeddings, q, k=5, n_centroids=4, n_probe=2, iters=1
+        ).collect()
+        exact_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        approx_sets: dict = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(exact_sets[q_] & approx_sets.get(q_, set())) / 5
+            for q_ in exact_sets
+        ]
+        assert sum(recalls) / len(recalls) >= 0.8
 
     def test_embedding_near_dups(self, embeddings):
         pairs = {
