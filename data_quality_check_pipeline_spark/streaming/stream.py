@@ -121,6 +121,67 @@ def start_quality_stream(
     return writer.start()
 
 
+def stateful_lang_keep_rate(
+    flagged_stream: DataFrame, degrade_drop: float = 0.10
+) -> DataFrame:
+    """Per-language RUNNING keep-rate as a custom stateful operator
+    (applyInPandasWithState) — the streaming form of the reference's
+    quality-degradation trend alert (metrics_collector.py:220-273): alert
+    when a language's cumulative keep-rate falls more than ``degrade_drop``
+    below its value at the previous micro-batch.
+
+    State per language = (total, kept, prev_rate): three scalars, bounded
+    by the language cardinality (~200 keys), not the stream length — safe
+    for an unbounded 10^12-clip stream. A windowed agg cannot express this
+    (the comparison is against the *previous emission*, not a time window).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "lang string, total long, kept long, keep_rate double, "
+        "prev_rate double, degraded boolean"
+    )
+    state_schema = "total long, kept long, prev_rate double"
+
+    def update(key, pdfs, state):
+        lang = key[0]
+        if state.exists:
+            total, kept, prev = state.get
+        else:
+            total, kept, prev = 0, 0, -1.0
+        for pdf in pdfs:
+            total += len(pdf)
+            kept += int(pdf["keep"].sum())
+        rate = (kept / total) if total else 0.0
+        degraded = prev >= 0.0 and rate < prev - degrade_drop
+        state.update((total, kept, float(rate)))
+        yield pd.DataFrame(
+            [
+                {
+                    "lang": lang,
+                    "total": total,
+                    "kept": kept,
+                    "keep_rate": rate,
+                    "prev_rate": prev if prev >= 0.0 else None,
+                    "degraded": bool(degraded),
+                }
+            ]
+        )
+
+    return (
+        flagged_stream.select("lang", "keep")
+        .groupBy("lang")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_keep_rate(
     flagged_stream: DataFrame,
     window: str = "1 minute",

@@ -52,6 +52,63 @@ class TestStreaming:
         assert batch_kept <= kept <= batch_kept + n_dups
 
 
+class TestStatefulKeepRate:
+    def test_state_carries_across_microbatches(self, spark, tmp_path):
+        """Two files -> two micro-batches (maxFilesPerTrigger=1); the
+        second emission per language must be CUMULATIVE (state persisted)
+        and the degraded flag must fire when a language's rate collapses."""
+        import pandas as pd
+
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            stateful_lang_keep_rate,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # batch 1: en 4/4 kept, fr 2/2 kept; batch 2: en 0/4 kept, fr 2/2
+        pd.DataFrame(
+            {"lang": ["en"] * 4 + ["fr"] * 2, "keep": [True] * 6}
+        ).to_parquet(os.path.join(src, "a_batch1.parquet"))
+        pd.DataFrame(
+            {"lang": ["en"] * 4 + ["fr"] * 2,
+             "keep": [False] * 4 + [True] * 2}
+        ).to_parquet(os.path.join(src, "b_batch2.parquet"))
+        # file source orders by mtime: force batch1 strictly older
+        import time as _time
+
+        now = _time.time()
+        os.utime(os.path.join(src, "a_batch1.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(src, "b_batch2.parquet"), (now, now))
+
+        stream = (
+            spark.readStream.schema("lang string, keep boolean")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_lang_keep_rate(stream, degrade_drop=0.10)
+            .writeStream.format("memory")
+            .queryName("keeprate")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=600)
+        rows = spark.sql("select * from keeprate").collect()
+        by_lang: dict = {}
+        for r in rows:  # keep the emission with the largest total per lang
+            cur = by_lang.get(r["lang"])
+            if cur is None or r["total"] > cur["total"]:
+                by_lang[r["lang"]] = r
+        en, fr = by_lang["en"], by_lang["fr"]
+        assert en["total"] == 8 and en["kept"] == 4  # cumulative, not 4/0
+        assert en["keep_rate"] == pytest.approx(0.5)
+        assert en["prev_rate"] == pytest.approx(1.0)
+        assert bool(en["degraded"])  # 0.5 < 1.0 - 0.10
+        assert fr["total"] == 4 and fr["kept"] == 4
+        assert not bool(fr["degraded"])
+
+
 class TestPlans:
     def test_bytes_pruned_for_text_only_query(self, spark, corpus):
         """A text-only profiling query must not read the audio payload."""
