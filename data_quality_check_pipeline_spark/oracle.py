@@ -47,10 +47,14 @@ from .udfs.audio import stats_batch
 from .udfs.langid import classify
 from .udfs.perplexity import score_texts
 
-_EMAIL = re.compile(EMAIL_RE)
-_PHONE = re.compile(PHONE_RE)
-_SSN = re.compile(SSN_RE)
-_TOX = re.compile(TOX_RE)
+# re.ASCII: Java regex (the engine) treats \d, \w and \b as ASCII by
+# default while Python re is unicode-aware — without this flag the oracle
+# would scrub e.g. an Arabic-Indic digit run as a phone number and diverge
+# from the engine (found by hypothesis, tests/test_property.py).
+_EMAIL = re.compile(EMAIL_RE, re.ASCII)
+_PHONE = re.compile(PHONE_RE, re.ASCII)
+_SSN = re.compile(SSN_RE, re.ASCII)
+_TOX = re.compile(TOX_RE, re.ASCII)
 
 _RULE_SEVERITY = {
     "null_clip_id": "CRITICAL",

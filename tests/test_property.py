@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): Spark Column expressions vs the
+pure-Python oracle on generated adversarial text.
+
+Alphabet is printable ASCII on purpose: Java regex \\b is ASCII-word by
+default while Python re is unicode-aware, so unicode text would test
+engine divergence, not our code. The PII patterns themselves are ASCII.
+
+Each hypothesis example builds ONE small DataFrame and runs ONE Spark job
+(max_examples kept low; deadline disabled — Spark latency is not the
+property under test).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.functions.exprs import (
+    TOX_WORDS,
+    mask_email,
+    mask_name,
+    mask_phone,
+    pii_hits_expr,
+    scrub_expr,
+)
+from data_quality_check_pipeline_spark.oracle import scrub_text
+
+_WORD = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, blacklist_characters="'\\"
+    ),
+    min_size=1,
+    max_size=12,
+)
+_EMAIL = st.builds(
+    lambda a, b, c: f"{a}@{b}.{c}",
+    st.from_regex(r"[A-Za-z0-9._%+-]{1,10}", fullmatch=True),
+    st.from_regex(r"[A-Za-z0-9.-]{1,8}", fullmatch=True),
+    st.from_regex(r"[A-Za-z]{2,4}", fullmatch=True),
+)
+_PHONE = st.one_of(
+    st.from_regex(r"\(\d{3}\)\d{3}-\d{4}", fullmatch=True),
+    st.from_regex(r"\d{3}-\d{3}-\d{4}", fullmatch=True),
+    st.from_regex(r"\d{3}\.\d{3}\.\d{4}", fullmatch=True),
+    st.from_regex(r"\d{10}", fullmatch=True),
+)
+_SSN = st.from_regex(r"\d{3}-\d{2}-\d{4}", fullmatch=True)
+_TOX = st.sampled_from(TOX_WORDS + [w.upper() for w in TOX_WORDS])
+
+_FRAGMENT = st.one_of(_WORD, _EMAIL, _PHONE, _SSN, _TOX)
+_TEXT = st.lists(_FRAGMENT, min_size=0, max_size=8).map(" ".join)
+_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+class TestScrubProperties:
+    @_SETTINGS
+    @given(texts=st.lists(_TEXT, min_size=1, max_size=24))
+    def test_scrub_and_hits_match_python_oracle(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        got = {
+            r["id"]: (r["s"], r["h"])
+            for r in df.select(
+                "id",
+                scrub_expr("text").alias("s"),
+                pii_hits_expr("text").alias("h"),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            want_s, want_h = scrub_text(t)
+            assert got[i] == (want_s, want_h), repr(t)
+
+    @_SETTINGS
+    @given(texts=st.lists(_TEXT, min_size=1, max_size=24))
+    def test_scrub_idempotent(self, spark, texts):
+        """Scrubbing already-scrubbed text is a no-op (tokens contain no
+        PII-shaped substrings)."""
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = df.select(
+            scrub_expr("text").alias("once"),
+            scrub_expr(scrub_expr("text")).alias("twice"),
+        ).collect()
+        for r in rows:
+            assert r["once"] == r["twice"]
+
+
+class TestMaskProperties:
+    @_SETTINGS
+    @given(names=st.lists(_WORD, min_size=1, max_size=24))
+    def test_mask_name(self, spark, names):
+        df = spark.createDataFrame([(n,) for n in names], "v string")
+        rows = df.select("v", mask_name("v").alias("m")).collect()
+        for r in rows:
+            v = r["v"]
+            if v.strip() == "" or v == "[UNKNOWN]":
+                continue  # guard passthrough
+            assert r["m"] == v[0] + "***"
+
+    @_SETTINGS
+    @given(emails=st.lists(_EMAIL, min_size=1, max_size=24))
+    def test_mask_email_keeps_domain(self, spark, emails):
+        df = spark.createDataFrame([(e,) for e in emails], "v string")
+        rows = df.select("v", mask_email("v").alias("m")).collect()
+        for r in rows:
+            local, domain = r["v"].split("@", 1)
+            assert r["m"] == f"{local[0]}***@{domain}"
+
+    @_SETTINGS
+    @given(phones=st.lists(_PHONE, min_size=1, max_size=24))
+    def test_mask_phone_keeps_last4(self, spark, phones):
+        df = spark.createDataFrame([(p,) for p in phones], "v string")
+        rows = df.select("v", mask_phone("v").alias("m")).collect()
+        for r in rows:
+            assert r["m"] == "***-***-" + r["v"][-4:]
+
+
+class TestTokenCountProperty:
+    @_SETTINGS
+    @given(texts=st.lists(_TEXT, min_size=1, max_size=24))
+    def test_whitespace_token_count(self, spark, texts):
+        from data_quality_check_pipeline_spark.operators.text import (
+            whitespace_token_count,
+        )
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = df.select(
+            "text", whitespace_token_count("text").alias("n")
+        ).collect()
+        for r in rows:
+            assert r["n"] == len(r["text"].split()), repr(r["text"])
