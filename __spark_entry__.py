@@ -407,6 +407,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customer_mask"] = customer_mask
 
+    def customer_clean(spark, sf):
+        """C1/C2/C4/C5 cleaning chain (cleaner.py:233-242 parity): dirty
+        phone/name/email strings are DERIVED deterministically from
+        c_custkey (the table has no such columns), then cleaned — the
+        oracle builds byte-identical raw strings and applies the declared
+        cleaning semantics in SQL."""
+        from data_quality_check_pipeline_spark.operators.clean import (
+            clean_email,
+            clean_name,
+            clean_phone,
+        )
+
+        df = _load(spark, sf, "customer")
+        k = F.col("c_custkey")
+        a = F.lpad(((k % 900) + 100).cast("string"), 3, "0")
+        b = F.lpad((((k * 7) % 900) + 100).cast("string"), 3, "0")
+        c = F.lpad(((k * 13) % 10000).cast("string"), 4, "0")
+        raw_phone = (
+            F.when(k % 7 == 0, F.format_string("(%s) %s-%s", a, b, c))
+            .when(k % 7 == 1, F.format_string("%s.%s.%s", a, b, c))
+            .when(k % 7 == 2, F.concat(a, b, c))
+            .when(k % 7 == 3, F.format_string("1-%s-%s-%s", a, b, c))
+            .when(k % 7 == 4, F.format_string("+44 %s %s %s", a, b, c))
+            .when(k % 7 == 5, F.lit("nan"))
+            .otherwise(F.lit(""))
+        )
+        raw_name = (
+            F.when(k % 3 == 0, F.concat(F.lit("  "), F.lower("c_name")))
+            .when(k % 3 == 1, F.concat(F.upper("c_name"), F.lit(" ")))
+            .otherwise(F.lit("nan"))
+        )
+        raw_email = F.format_string(
+            "USER%d@ExAmPle.COM ", k.cast("long")
+        )
+        return df.select(
+            "c_custkey",
+            clean_phone(raw_phone).alias("phone"),
+            clean_name(raw_name).alias("name"),
+            clean_email(raw_email).alias("email"),
+        )
+
+    q["customer_clean"] = customer_clean
+
+    def orders_clean_dates(spark, sf):
+        """C3 date normalization: alternate-format/invalid date strings
+        derived from o_orderdate, parsed back to ISO via the
+        try_to_timestamp cascade."""
+        from data_quality_check_pipeline_spark.operators.clean import (
+            clean_date,
+        )
+
+        df = _load(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        d = F.col("o_orderdate")
+        raw = (
+            F.when(k % 5 == 0, F.date_format(d, "yyyy-MM-dd"))
+            .when(k % 5 == 1, F.date_format(d, "yyyy/MM/dd"))
+            .when(k % 5 == 2, F.date_format(d, "MM/dd/yyyy"))
+            .when(k % 5 == 3, F.lit("invalid_date"))
+            .otherwise(F.lit("nan"))
+        )
+        return df.select(
+            "o_orderkey", clean_date(raw).alias("clean_date")
+        )
+
+    q["orders_clean_dates"] = orders_clean_dates
+
     # ---- histograms / sorts / top-k -----------------------------------------
     def orders_status_histogram(spark, sf):
         return (
@@ -975,6 +1042,56 @@ def oracle_sql() -> dict[str, str]:
              CASE WHEN {_sql_missing('c_name')} THEN c_name
                   ELSE substring(c_name, 1, 1) || '***' END AS masked_name
       FROM customer"""
+
+    sql["customer_clean"] = f"""
+      WITH g AS (
+        SELECT c_custkey, c_name,
+          lpad(CAST((c_custkey % 900) + 100 AS VARCHAR), 3, '0') AS a,
+          lpad(CAST(((c_custkey * 7) % 900) + 100 AS VARCHAR), 3, '0') AS b,
+          lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') AS c
+        FROM customer
+      ), raw AS (
+        SELECT c_custkey, c_name,
+          CASE c_custkey % 7
+            WHEN 0 THEN '(' || a || ') ' || b || '-' || c
+            WHEN 1 THEN a || '.' || b || '.' || c
+            WHEN 2 THEN a || b || c
+            WHEN 3 THEN '1-' || a || '-' || b || '-' || c
+            WHEN 4 THEN '+44 ' || a || ' ' || b || ' ' || c
+            WHEN 5 THEN 'nan' ELSE '' END AS raw_phone,
+          CASE c_custkey % 3
+            WHEN 0 THEN '  ' || lower(c_name)
+            WHEN 1 THEN upper(c_name) || ' '
+            ELSE 'nan' END AS raw_name,
+          'USER' || CAST(c_custkey AS VARCHAR) || '@ExAmPle.COM '
+            AS raw_email
+        FROM g
+      ), d AS (
+        SELECT *, regexp_replace(raw_phone, '[^0-9]', '', 'g') AS dg
+        FROM raw
+      ), d10 AS (
+        SELECT *, CASE WHEN length(dg) = 11 AND dg LIKE '1%'
+                       THEN substring(dg, 2, 10) ELSE dg END AS dgx
+        FROM d
+      )
+      SELECT c_custkey,
+        CASE WHEN {_sql_missing('raw_phone')} THEN raw_phone
+             WHEN length(dgx) = 10 THEN substring(dgx, 1, 3) || '-'
+                  || substring(dgx, 4, 3) || '-' || substring(dgx, 7, 4)
+             ELSE raw_phone END AS phone,
+        CASE WHEN {_sql_missing('raw_name')} THEN raw_name
+             ELSE upper(substring(trim(raw_name), 1, 1))
+                  || lower(substring(trim(raw_name), 2)) END AS name,
+        CASE WHEN {_sql_missing('raw_email')} THEN raw_email
+             ELSE lower(trim(raw_email)) END AS email
+      FROM d10"""
+
+    sql["orders_clean_dates"] = """
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 IN (0, 1, 2)
+                  THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE NULL END AS clean_date
+      FROM orders"""
 
     sql["orders_status_histogram"] = (
         "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n "
