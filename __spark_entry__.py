@@ -275,6 +275,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_minhash_pairs"] = doc_minhash_pairs
 
+    def doc_dup_components(spark, sf):
+        """Transitive dedup groups: connected components over the exact
+        n-gram-Jaccard candidate pairs (iterative min-label propagation)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 60)
+        pairs = ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_k=1, min_jaccard=0.3
+        )
+        return connected_components(pairs).select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("component")
+        )
+
+    q["doc_dup_components"] = doc_dup_components
+
     def doc_simhash_pairs(spark, sf):  # rows-only
         from data_quality_check_pipeline_spark.operators.dedup import (
             simhash_pairs,
@@ -976,6 +996,34 @@ def oracle_sql() -> dict[str, str]:
       FROM pairs
       WHERE i > 0
         AND CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.3"""
+
+    # component = min reachable doc_id over the undirected jaccard>=0.3
+    # pair graph (same edge derivation as doc_ngram_jaccard)
+    sql["doc_dup_components"] = """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(string_split(regexp_replace(trim(lower(text)),
+                            '\\s+', ' ', 'g'), ' ')) AS shingles
+        FROM documents WHERE doc_id < 60
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles)) AS i,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ), e AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        WHERE i > 0
+          AND CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.3
+        UNION
+        SELECT id_b, id_a FROM pairs
+        WHERE i > 0
+          AND CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.3
+      ), reach(n, m) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.v, reach.m FROM e JOIN reach ON e.u = reach.n
+      )
+      SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n"""
 
     sql["doc_scrub"] = (
         f"SELECT doc_id, {_sql_scrub('text')} AS text_scrubbed FROM documents"

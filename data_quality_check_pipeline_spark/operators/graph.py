@@ -1,0 +1,89 @@
+"""Connected components over candidate-pair edges — dedup GROUP closure.
+
+The pairwise dedup operators (minhash_lsh_pairs, simhash_pairs,
+ngram_jaccard_pairs, embedding_near_dups) emit edges; production dedup
+keeps one survivor per *transitively connected* group, which needs the
+components of that graph. The reference has no analogue (its duplicate
+notion is exact-key only, validator.py:76-82); this is the standard
+training-data-pipeline extension.
+
+Algorithm: iterative min-label propagation expressed as DataFrame joins
+(the classic Spark CC shape; see also "large-star/small-star", Kiveris et
+al.). Each iteration every node takes the min component id among itself
+and its neighbors; converges in O(graph diameter) rounds — near-dup
+clusters are shallow (diameter ~ a few), so 3-6 rounds in practice.
+
+Scale shape per iteration: one shuffle join (edges x labels, keyed on the
+node id) + one groupBy min. Edges are the SMALL candidate-pair set (LSH
+output), not the corpus. Convergence check is a count() action per round
+(cheap: labels are (id, long) pairs). max_iter bounds pathological chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component
+    = min node id reachable through the undirected edge set."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("comp").alias("vcomp")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("vcomp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_survivors_by_component(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Keep one deterministic survivor (the min-id == component id) per
+    near-dup group; rows not in any component survive untouched."""
+    dupes = components.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dupes, id_col, "left_anti")

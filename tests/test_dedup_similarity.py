@@ -114,6 +114,44 @@ class TestNgramJaccard:
         assert (1, 5) not in pairs
 
 
+class TestConnectedComponents:
+    def test_two_components_and_chain(self, spark):
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)],
+            "id_a long, id_b long",
+        )
+        comps = {
+            r["node"]: r["comp"]
+            for r in connected_components(edges).collect()
+        }
+        assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    def test_survivors(self, spark):
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+            dedup_survivors_by_component,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+        )
+        comps = connected_components(edges)
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_survivors_by_component(
+                df, comps, "doc_id"
+            ).collect()
+        )
+        assert kept == [1, 9]  # 2,3 fold into component 1; 9 untouched
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     rng = np.random.RandomState(0)
