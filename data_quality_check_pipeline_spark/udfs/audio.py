@@ -85,8 +85,18 @@ def _decode_batch(payloads, codecs) -> tuple[np.ndarray, np.ndarray]:
             continue
         c = (c or "").lower().strip()
         magic = FAKE_MAGIC.get(c)
-        if magic is not None and bytes(p[: len(magic)]) == magic:
-            p = p[len(magic):]
+        if magic is not None:
+            if bytes(p[: len(magic)]) == magic:
+                p = p[len(magic):]
+            else:
+                # Real compressed audio (no sandbox decoder — see
+                # decode_payload's NotImplementedError hook). Treating the
+                # frames as raw PCM would yield garbage stats; mark the row
+                # undecodable instead: n_samples=0 routes it to quarantine
+                # via the truncated_audio rule (validate.py) rather than
+                # killing the whole Arrow batch with an exception.
+                chunks.append(b"")
+                continue
         usable = len(p) - (len(p) % 2)
         chunks.append(bytes(p[:usable]))
         lengths[i] = usable // 2

@@ -122,6 +122,17 @@ class TestAudio:
         with pytest.raises(NotImplementedError):
             decode_payload(b"\x00" * 100, "flac")
 
+    def test_real_compressed_batch_marks_undecodable(self):
+        """Batch path must not interpret real compressed frames as PCM —
+        it marks the row n_samples=0 (-> truncated_audio quarantine) and
+        leaves the rest of the batch intact."""
+        x = sine_pcm(n=512)
+        out = stats_batch(
+            [b"\x00\x01\x02\x03" * 100, x.tobytes()], ["flac", "pcm_s16le"]
+        )
+        assert list(out["n_samples"]) == [0, 512]
+        assert out["rms"][0] == 0.0 and out["snr_db"][0] == 0.0
+
     def test_stats_values(self):
         x = sine_pcm(amp=9000.0, noise=90.0)  # ~40 dB true SNR
         out = stats_batch([x.tobytes()], ["pcm_s16le"])
