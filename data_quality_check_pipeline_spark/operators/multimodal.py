@@ -85,10 +85,110 @@ def with_image_meta(
     return df.mapInPandas(extract, schema)
 
 
-def frame_sample_stub(*_args, **_kwargs):
-    """Video frame sampling requires ffmpeg bindings — not available here.
-    The Spark-side shape would mirror with_image_meta (mapInPandas over the
-    binary column, exploding sampled frames into rows)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg (not installed in this sandbox)"
+def resize_image(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    bytes_col: str = "bytes",
+    out_col: str = "bytes_resized",
+) -> DataFrame:
+    """Nearest-neighbor resize over the opaque image column (mapInPandas).
+
+    The resize math (index-gather on the luma plane) is REAL and runs on
+    the fake container; a production build swaps `_decode_image`'s raise
+    for Pillow and re-encodes — the Spark plumbing (iterator batches,
+    binary in/binary out, schema append) is exactly this.
+    """
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + f", {out_col} binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[bytes_col]:
+                if p is None:
+                    out.append(None)
+                    continue
+                w, h, _c, _ = _decode_image(bytes(p))
+                plane = np.frombuffer(
+                    bytes(p)[16 : 16 + w * h], dtype=np.uint8
+                ).reshape(h, w)
+                ys = np.arange(target_h) * h // target_h
+                xs = np.arange(target_w) * w // target_w
+                resized = plane[ys[:, None], xs[None, :]]
+                head = _FAKE_IMG_MAGIC + np.array(
+                    [target_w, target_h], dtype="<i4"
+                ).tobytes()
+                out.append(head + resized.tobytes())
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(resize, schema)
+
+
+# -- video: fake container + frame sampling ---------------------------------
+
+_FAKE_VID_MAGIC = b"FAKEvid_"
+
+
+def fake_video_payload(
+    width: int, height: int, n_frames: int, seed: int = 0
+) -> bytes:
+    """magic + dims + frame count + n_frames u8 luma planes."""
+    rng = np.random.RandomState(seed)
+    head = _FAKE_VID_MAGIC + np.array(
+        [width, height, n_frames], dtype="<i4"
+    ).tobytes()
+    frames = rng.randint(
+        0, 256, size=n_frames * width * height, dtype=np.uint8
     )
+    return head + frames.tobytes()
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Frame sampling over an opaque video column: mapInPandas EXPLODES
+    every ``every_n``-th frame into its own row carrying a fake-image
+    payload (so downstream image operators compose). Output rows:
+    (id, frame_idx, frame_bytes).
+
+    Real ffmpeg decode would replace the container parse; the row-exploding
+    Arrow plumbing — one input row yielding many output rows with bounded
+    batch memory — is the production shape.
+    """
+    schema = f"{id_col} string, frame_idx int, frame_bytes binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, p in zip(pdf[id_col], pdf[bytes_col]):
+                if p is None:
+                    continue
+                p = bytes(p)
+                if p[: len(_FAKE_VID_MAGIC)] != _FAKE_VID_MAGIC:
+                    # real video decode would go through ffmpeg here
+                    raise NotImplementedError(
+                        "real video decode requires ffmpeg "
+                        "(not installed in this sandbox)"
+                    )
+                w, h, n = np.frombuffer(p[8:20], dtype="<i4")
+                plane_sz = int(w) * int(h)
+                head = _FAKE_IMG_MAGIC + np.array(
+                    [w, h], dtype="<i4"
+                ).tobytes()
+                for f_idx in range(0, int(n), every_n):
+                    start = 20 + f_idx * plane_sz
+                    rows.append(
+                        (rid, f_idx, head + p[start : start + plane_sz])
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "frame_bytes"]
+            )
+
+    return df.mapInPandas(sample, schema)

@@ -5,7 +5,9 @@ from pyspark.sql import functions as F
 
 from data_quality_check_pipeline_spark.operators.multimodal import (
     fake_image_payload,
-    frame_sample_stub,
+    fake_video_payload,
+    resize_image,
+    sample_video_frames,
     with_image_meta,
 )
 from data_quality_check_pipeline_spark.operators.text import (
@@ -97,6 +99,45 @@ class TestMultimodal:
         with pytest.raises(Exception):  # NotImplementedError inside the task
             with_image_meta(df).collect()
 
-    def test_frame_sample_stub(self):
-        with pytest.raises(NotImplementedError):
-            frame_sample_stub()
+    def test_resize_image(self, spark):
+        rows = [("a", fake_image_payload(8, 6, seed=3)), ("n", None)]
+        df = spark.createDataFrame(rows, "id string, bytes binary")
+        out = {
+            r["id"]: r
+            for r in resize_image(df, target_w=4, target_h=2).collect()
+        }
+        meta = with_image_meta(
+            spark.createDataFrame(
+                [("a", out["a"]["bytes_resized"])], "id string, bytes binary"
+            )
+        ).collect()[0]
+        assert (meta["img_width"], meta["img_height"]) == (4, 2)
+        assert out["n"]["bytes_resized"] is None
+
+    def test_video_frame_sampling(self, spark):
+        rows = [
+            ("v1", fake_video_payload(4, 2, n_frames=10, seed=5)),
+            ("v2", None),
+        ]
+        df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+        frames = sample_video_frames(df, every_n=4).collect()
+        assert [(r["clip_id"], r["frame_idx"]) for r in frames] == [
+            ("v1", 0), ("v1", 4), ("v1", 8)
+        ]
+        # sampled frames are valid image payloads (composable downstream)
+        meta = with_image_meta(
+            spark.createDataFrame(
+                [(r["frame_idx"], r["frame_bytes"]) for r in frames],
+                "frame_idx int, bytes binary",
+            )
+        ).collect()
+        assert all(
+            (m["img_width"], m["img_height"]) == (4, 2) for m in meta
+        )
+
+    def test_real_video_decode_stubbed(self, spark):
+        df = spark.createDataFrame(
+            [("x", b"\x00\x00\x01\xba-mpeg-ps")], "clip_id string, bytes binary"
+        )
+        with pytest.raises(Exception):  # NotImplementedError inside task
+            sample_video_frames(df).collect()
