@@ -97,11 +97,15 @@ def main() -> None:
         "doc_scrub",
         "doc_token_counts",
         "doc_minhash_pairs",
+        "doc_simhash_pairs",
+        "doc_dup_components",
+        "customer_clean",
         "lineitem_pricing_summary",
         "lineitem_iqr_outliers",
         "orders_by_segment",
         "events_hourly",
         "embedding_topk",
+        "embedding_ivf_ann",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).count())

@@ -104,95 +104,106 @@ def _decode_batch(payloads, codecs) -> tuple[np.ndarray, np.ndarray]:
     return samples, lengths
 
 
-def stats_batch(payloads, codecs) -> pd.DataFrame:
-    """Batched audio stats. Shared by the Spark UDF and the oracle.
+def _window_take_starts(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (take, w_starts) in SAMPLE domain, integer-exact.
 
-    Memory discipline: Arrow batches of wide audio rows decode to tens of
-    millions of samples; everything here stays float32 with in-place
-    squaring (a float64 pipeline at 32 concurrent workers would churn tens
-    of GB of temporaries and collapse scaling)."""
-    samples, lengths = _decode_batch(payloads, codecs)
-    n_rows = len(lengths)
-    x = samples.astype(np.float32)
+    Integer arithmetic ((span*i)//(W-1)) matches Spark's
+    floor(span*i/(W-1)) bit-for-bit (double division is exact at these
+    magnitudes) — the JVM window extractor and this gather MUST agree."""
+    take = np.minimum(lengths, _FFT_N)
+    span = np.maximum(lengths - take, 0)
+    idx = np.arange(_N_WINDOWS, dtype=np.int64)
+    w_start = (span[:, None] * idx[None, :]) // max(_N_WINDOWS - 1, 1)
+    return take, w_start
 
-    starts = np.zeros(n_rows, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
 
+def _reduce_windows(
+    raw: np.ndarray, take: np.ndarray, rows: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared reductions over the gathered (R, W, _FFT_N) int16-valued
+    window tensor (float32 storage; positions >= take are zero):
+    rms / clip_frac over window samples, Welch spectral SNR.
+
+    All statistics are WINDOW estimates — at 10^12-clip scale the full
+    payload never crosses to Python (the JVM ships only these windows,
+    ~16 KB/clip instead of the whole clip), so the estimates are the
+    statistics. Deterministic: same windows on engine and oracle sides."""
     rms = np.zeros(n_rows, dtype=np.float64)
     clip_frac = np.zeros(n_rows, dtype=np.float64)
-    nonzero = lengths > 0
-
-    # Spectral SNR windows must be gathered BEFORE squaring x in place.
-    # Welch-style: _N_WINDOWS windows of _FFT_N samples, evenly spaced
-    # across each clip (deterministic offsets from n_samples), PSDs
-    # averaged per row — a far more stable tone/noise estimate than a
-    # single leading window, at ~_N_WINDOWS x the FFT cost.
-    fft_rows = np.flatnonzero(lengths >= 64)
-    mat = None
-    if fft_rows.size:
-        L = lengths[fft_rows]
-        take = np.minimum(L, _FFT_N)
-        span = np.maximum(L - take, 0)
-        # window start offsets within each row: k/(W-1) of the span
-        frac = (
-            np.arange(_N_WINDOWS, dtype=np.float64) / max(_N_WINDOWS - 1, 1)
-        )
-        w_start = (span[:, None] * frac[None, :]).astype(np.int64)
-        offs = np.arange(_FFT_N, dtype=np.int64)
-        idx = (
-            starts[fft_rows][:, None, None]
-            + w_start[:, :, None]
-            + offs[None, None, :]
-        )
-        mask = offs[None, None, :] < take[:, None, None]
-        mat = np.where(mask, x[np.where(mask, idx, 0)], np.float32(0.0))
-        # stays float32: pocketfft runs single-precision natively and the
-        # SNR is a ratio of band powers (precision ample); float64 here
-        # doubles allocation churn across all concurrent workers
-
-    if samples.size:
-        # clip mask on int16 directly (no abs: avoids -32768 overflow)
-        clip_mask = (
-            (samples >= _CLIP_THRESHOLD) | (samples <= -_CLIP_THRESHOLD)
-        ).astype(np.float32)
-        np.square(x, out=x)  # in place; x is now sample^2
-        # reduceat needs strictly valid start offsets; collapse empty rows
-        nz_starts = starts[nonzero]
-        order_starts = np.unique(np.concatenate(([0], nz_starts)))
-        sq_sums = np.add.reduceat(x, order_starts).astype(np.float64)
-        clip_sums = np.add.reduceat(clip_mask, order_starts).astype(
-            np.float64
-        )
-        # map segment sums back to rows (segments between consecutive starts)
-        seg_of_row = np.searchsorted(order_starts, starts[nonzero], "right") - 1
-        rms[nonzero] = np.sqrt(
-            sq_sums[seg_of_row] / np.maximum(lengths[nonzero], 1)
-        )
-        clip_frac[nonzero] = clip_sums[seg_of_row] / np.maximum(
-            lengths[nonzero], 1
-        )
-
-    # Spectral SNR over the first _FFT_N samples, one batched rFFT.
     snr_db = np.zeros(n_rows, dtype=np.float64)
-    if mat is not None:
+    if raw.size == 0:
+        return rms, clip_frac, snr_db
+
+    offs = np.arange(_FFT_N, dtype=np.int64)
+    mask = offs[None, None, :] < take[:, None, None]
+    valid = (take * _N_WINDOWS).astype(np.float64)
+
+    clip_mask = (raw >= _CLIP_THRESHOLD) | (raw <= -_CLIP_THRESHOLD)
+    clip_frac[rows] = clip_mask.sum(axis=(1, 2)) / np.maximum(valid, 1.0)
+    rms[rows] = np.sqrt(
+        np.square(raw).sum(axis=(1, 2), dtype=np.float64)
+        / np.maximum(valid, 1.0)
+    )
+
+    fft_ok = take >= 64
+    if fft_ok.any():
         # Hann window bounds spectral leakage so a non-bin-centered tone
-        # concentrates in a few bins around the peak
-        mat = mat * np.hanning(_FFT_N)[None, None, :].astype(np.float32)
+        # concentrates in a few bins around the peak. float32 throughout:
+        # pocketfft runs single-precision natively and the SNR is a ratio
+        # of band powers; float64 doubles allocation churn per worker.
+        m = raw[fft_ok] * np.hanning(_FFT_N)[None, None, :].astype(
+            np.float32
+        )
+        m *= mask[fft_ok]
         spec = (
-            (np.abs(np.fft.rfft(mat, axis=2)) ** 2)
+            (np.abs(np.fft.rfft(m, axis=2)) ** 2)
             .mean(axis=1)
             .astype(np.float64)
         )
         spec[:, 0] = 0.0  # ignore DC
         peak_bin = spec.argmax(axis=1)
-        # signal = power within +-_PEAK_BAND bins of the peak
         band = np.arange(-_PEAK_BAND, _PEAK_BAND + 1)
-        cols = np.clip(peak_bin[:, None] + band[None, :], 0, spec.shape[1] - 1)
+        cols = np.clip(
+            peak_bin[:, None] + band[None, :], 0, spec.shape[1] - 1
+        )
         sig = np.take_along_axis(spec, cols, axis=1).sum(axis=1)
         total = spec.sum(axis=1)
         noise = np.maximum(total - sig, 1e-12)
-        snr_db[fft_rows] = 10.0 * np.log10(np.maximum(sig, 1e-12) / noise)
+        snr_db[rows[fft_ok]] = 10.0 * np.log10(
+            np.maximum(sig, 1e-12) / noise
+        )
+    return rms, clip_frac, snr_db
 
+
+def stats_batch(payloads, codecs) -> pd.DataFrame:
+    """Batched audio stats from FULL payloads (oracle/test path): decode,
+    gather the same Welch windows the JVM extractor ships, reduce. The
+    Spark UDF path (audio_stats_windows_udf) receives pre-gathered window
+    bytes and runs the identical `_reduce_windows` — equal by construction.
+    """
+    samples, lengths = _decode_batch(payloads, codecs)
+    n_rows = len(lengths)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+
+    rows = np.flatnonzero(lengths > 0)
+    raw = np.zeros((0, _N_WINDOWS, _FFT_N), dtype=np.float32)
+    take = np.zeros(0, dtype=np.int64)
+    if rows.size:
+        take, w_start = _window_take_starts(lengths[rows])
+        offs = np.arange(_FFT_N, dtype=np.int64)
+        idx = (
+            starts[rows][:, None, None]
+            + w_start[:, :, None]
+            + offs[None, None, :]
+        )
+        mask = offs[None, None, :] < take[:, None, None]
+        raw = np.where(
+            mask,
+            samples[np.where(mask, idx, 0)].astype(np.float32),
+            np.float32(0.0),
+        )
+    rms, clip_frac, snr_db = _reduce_windows(raw, take, rows, n_rows)
     return pd.DataFrame(
         {
             "n_samples": lengths.astype(np.int32),
@@ -203,24 +214,119 @@ def stats_batch(payloads, codecs) -> pd.DataFrame:
     )
 
 
+WINDOW_STATS_SCHEMA = StructType(
+    [
+        StructField("rms", FloatType()),
+        StructField("clip_frac", FloatType()),
+        StructField("snr_db", FloatType()),
+    ]
+)
+
+
+@pandas_udf(WINDOW_STATS_SCHEMA)
+def audio_stats_windows_udf(
+    win_bytes: pd.Series, n_samples: pd.Series
+) -> pd.DataFrame:
+    """Window-bytes UDF: input is the JVM-extracted _N_WINDOWS equal
+    chunks per row (audio_window_exprs). Parses chunks, rebuilds the
+    (R, W, _FFT_N) tensor, runs the shared reductions."""
+    n = len(win_bytes)
+    ns = n_samples.to_numpy()
+    rows = np.flatnonzero(
+        (ns > 0) & win_bytes.notna().to_numpy()
+    )
+    raw = np.zeros((rows.size, _N_WINDOWS, _FFT_N), dtype=np.float32)
+    take = np.zeros(rows.size, dtype=np.int64)
+    for k, r in enumerate(rows):
+        blob = bytes(win_bytes.iloc[r])
+        chunk = len(blob) // _N_WINDOWS
+        t = min(chunk // 2, _FFT_N)
+        take[k] = t
+        for w in range(_N_WINDOWS):
+            raw[k, w, :t] = np.frombuffer(
+                blob, dtype="<i2", count=t, offset=w * chunk
+            )
+    rms, clip_frac, snr_db = _reduce_windows(raw, take, rows, n)
+    return pd.DataFrame(
+        {
+            "rms": rms.astype(np.float32),
+            "clip_frac": clip_frac.astype(np.float32),
+            "snr_db": snr_db.astype(np.float32),
+        }
+    )
+
+
+# legacy full-payload UDF (kept for parity testing of the two paths)
 @pandas_udf(AUDIO_STATS_SCHEMA)
 def audio_stats_udf(payload: pd.Series, codec: pd.Series) -> pd.DataFrame:
     return stats_batch(payload.tolist(), codec.tolist())
 
 
+def audio_window_exprs(bytes_col: str = "bytes", codec: str = "codec"):
+    """JVM-side window extraction: returns (win_bytes, n_samples) Columns.
+
+    The point at 100 TB: the audio payload NEVER crosses the JVM→Python
+    boundary — only _N_WINDOWS x _FFT_N-sample windows (~16 KB/clip vs up
+    to MBs) are Arrow-serialized. n_samples is exact, from length(bytes)
+    (header-stripped, odd trailing byte dropped), so the truncated_audio
+    rule stays precise. Fake-container magic is verified JVM-side via a
+    binary-literal substring compare; a compressed codec without the
+    magic is undecodable -> n_samples=0 (quarantine via truncated_audio).
+
+    Window starts: floor(span_bytes*i/(W-1)) forced even == 2*floor(
+    span_samples*i/(W-1)) — bit-identical to the oracle's sample-domain
+    gather (_window_take_starts). All four substrings return equal length
+    (min(usable, _FFT_N*2)), so the Python side can split the blob evenly.
+    """
+    b = F.col(bytes_col)
+    c = F.lower(F.trim(F.col(codec)))
+    blen = F.length(b).cast("long")
+    hdr = F.lit(0).cast("long")
+    undecodable = F.lit(False)
+    for name, magic in FAKE_MAGIC.items():
+        is_c = c == name
+        match = F.substring(b, 1, len(magic)) == F.lit(magic)
+        hdr = F.when(is_c & match, F.lit(8).cast("long")).otherwise(hdr)
+        undecodable = undecodable | (is_c & ~match)
+    data_len = F.greatest(blen - hdr, F.lit(0).cast("long"))
+    usable = data_len - data_len % 2
+    usable = F.when(
+        b.isNull() | undecodable, F.lit(0).cast("long")
+    ).otherwise(usable)
+    n_samples = (usable / 2).cast("int")
+    win_b = _FFT_N * 2
+    take = F.least(usable, F.lit(win_b).cast("long"))
+    span = usable - take
+    wins = []
+    for i in range(_N_WINDOWS):
+        start = F.floor(span * i / (_N_WINDOWS - 1)).cast("long")
+        start = start - start % 2
+        wins.append(
+            F.substring(b, (hdr + start + 1).cast("int"), win_b)
+        )
+    win_bytes = F.when(usable > 0, F.concat(*wins))
+    return win_bytes, n_samples
+
+
 def with_audio_stats(df, bytes_col: str = "bytes", codec: str = "codec"):
-    """Attach n_samples/rms/clip_frac/snr_db. One Arrow round-trip; the
-    ``bytes`` column is only read here (column pruning keeps it out of every
-    other stage's scan)."""
+    """Attach n_samples/rms/clip_frac/snr_db. n_samples is computed
+    JVM-side; only the Welch windows cross to Python (one Arrow
+    round-trip of ~16 KB/clip). The ``bytes`` column is only read here —
+    column pruning keeps it out of every other stage's scan."""
+    win_bytes, n_samples = audio_window_exprs(bytes_col, codec)
     return (
-        df.withColumn("_ast", audio_stats_udf(F.col(bytes_col), F.col(codec)))
+        df.withColumns(
+            {"_win": win_bytes, "n_samples": n_samples}
+        )
+        .withColumn(
+            "_ast", audio_stats_windows_udf(F.col("_win"), F.col("n_samples"))
+        )
         .withColumns(
             {
-                "n_samples": F.col("_ast.n_samples"),
                 "rms": F.col("_ast.rms"),
                 "clip_frac": F.col("_ast.clip_frac"),
                 "snr_db": F.col("_ast.snr_db"),
             }
         )
-        .drop("_ast")
+        .drop("_ast", "_win")
     )
