@@ -118,9 +118,9 @@ def main() -> None:
     )
     md = f"""# BENCH — measured scaling evidence (north rule)
 
-Same clip keep/drop+scrub job (clean -> langid/perplexity/audio_stats UDFs
-(Welch multi-window spectral SNR) -> rule flags -> duplicate check -> scrub
--> count+agg) on the IDENTICAL deterministic synthetic corpus
+Same clip keep/drop+scrub job (clean -> langid/perplexity UDFs +
+JVM-extracted Welch-window audio stats (bytes never cross to Python)
+-> rule flags -> duplicate check -> scrub -> count+agg) on the IDENTICAL deterministic synthetic corpus
 ({args.n_clips} clips, seed=42), at multiple parallelism levels in fresh
 JVMs, configs interleaved across {args.rounds} rounds, per-config minimum
 (steady-state; the sandbox host has multi-second noise epochs and a hard
