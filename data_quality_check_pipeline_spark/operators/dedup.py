@@ -215,28 +215,28 @@ def simhash_signatures(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str,
+def hamming_band_pairs(
+    sigs: DataFrame, id_col: str, sig_col: str,
     max_hamming: int = 3, chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: banding on ``chunks`` equal bit-chunks
-    (pigeonhole: any pair with hamming < chunks shares >= 1 exact chunk),
-    then exact hamming verify via bit_count(xor).
+    """Near-dup pairs over any 64-bit signature column: banding on
+    ``chunks`` equal bit-chunks (pigeonhole: any pair with hamming <
+    chunks shares >= 1 exact chunk), then exact hamming verify via
+    bit_count(xor). Shared by text SimHash and the audio fingerprint.
 
-    Tradeoff: more chunks -> stronger recall guarantee (hamming <= chunks-1)
-    but shorter chunk keys -> bigger candidate buckets. chunks must divide
-    64; 4 (16-bit keys) suits dedup at scale, 8 (8-bit keys) only for small
-    corpora or as a second LSH pass."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    Tradeoff: more chunks -> stronger recall guarantee (hamming <=
+    chunks-1) but shorter chunk keys -> bigger candidate buckets. chunks
+    must divide 64; 4 (16-bit keys) suits dedup at scale, 8 (8-bit keys)
+    only for small corpora or as a second LSH pass."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sigs.select(
         F.col(id_col),
-        "simhash",
+        F.col(sig_col).alias("_sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * width)
+                    F.shiftright(F.col(sig_col), i * width)
                     .bitwiseAND(F.lit(mask))
                     for i in range(chunks)
                 ]
@@ -244,11 +244,11 @@ def simhash_pairs(
         ).alias("chunk_idx", "chunk_val"),
     )
     a = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        F.col(id_col).alias("id_a"), F.col("_sig").alias("sh_a"),
         "chunk_idx", "chunk_val",
     )
     b = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        F.col(id_col).alias("id_b"), F.col("_sig").alias("sh_b"),
         "chunk_idx", "chunk_val",
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -260,6 +260,35 @@ def simhash_pairs(
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    max_hamming: int = 3, chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by text SimHash (see hamming_band_pairs)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    return hamming_band_pairs(
+        sigs, id_col, "simhash", max_hamming, chunks
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame, id_col: str = "clip_id",
+    max_hamming: int = 6, chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs via the 64-bit spectral fingerprint
+    (udfs/audio.py:audio_fingerprint_udf — computed from the JVM-extracted
+    Welch windows; payload bytes never cross to Python). fp=0 rows
+    (silent/undecodable) are excluded: they are not evidence of shared
+    content and would otherwise bucket together."""
+    from ..udfs.audio import with_audio_fingerprint
+
+    sigs = with_audio_fingerprint(df).filter(F.col("audio_fp") != 0)
+    return hamming_band_pairs(
+        sigs.select(id_col, "audio_fp"), id_col, "audio_fp",
+        max_hamming, chunks,
     )
 
 

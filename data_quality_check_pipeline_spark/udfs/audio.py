@@ -31,6 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     FloatType,
     IntegerType,
+    LongType,
     StructField,
     StructType,
 )
@@ -231,21 +232,7 @@ def audio_stats_windows_udf(
     chunks per row (audio_window_exprs). Parses chunks, rebuilds the
     (R, W, _FFT_N) tensor, runs the shared reductions."""
     n = len(win_bytes)
-    ns = n_samples.to_numpy()
-    rows = np.flatnonzero(
-        (ns > 0) & win_bytes.notna().to_numpy()
-    )
-    raw = np.zeros((rows.size, _N_WINDOWS, _FFT_N), dtype=np.float32)
-    take = np.zeros(rows.size, dtype=np.int64)
-    for k, r in enumerate(rows):
-        blob = bytes(win_bytes.iloc[r])
-        chunk = len(blob) // _N_WINDOWS
-        t = min(chunk // 2, _FFT_N)
-        take[k] = t
-        for w in range(_N_WINDOWS):
-            raw[k, w, :t] = np.frombuffer(
-                blob, dtype="<i2", count=t, offset=w * chunk
-            )
+    raw, take, rows = _parse_window_blobs(win_bytes, n_samples.to_numpy())
     rms, clip_frac, snr_db = _reduce_windows(raw, take, rows, n)
     return pd.DataFrame(
         {
@@ -260,6 +247,80 @@ def audio_stats_windows_udf(
 @pandas_udf(AUDIO_STATS_SCHEMA)
 def audio_stats_udf(payload: pd.Series, codec: pd.Series) -> pd.DataFrame:
     return stats_batch(payload.tolist(), codec.tolist())
+
+
+# -- audio content fingerprint (near-dup detection on the AUDIO side) -------
+
+_FP_BANDS = 64  # one sign bit per log-power band -> 64-bit fingerprint
+
+
+def _parse_window_blobs(win_bytes: pd.Series, n_samples) -> tuple:
+    """(raw tensor, take, row indices) from JVM-extracted window blobs —
+    shared by the stats and fingerprint UDFs."""
+    ns = np.asarray(n_samples)
+    rows = np.flatnonzero((ns > 0) & win_bytes.notna().to_numpy())
+    raw = np.zeros((rows.size, _N_WINDOWS, _FFT_N), dtype=np.float32)
+    take = np.zeros(rows.size, dtype=np.int64)
+    for k, r in enumerate(rows):
+        blob = bytes(win_bytes.iloc[r])
+        chunk = len(blob) // _N_WINDOWS
+        t = min(chunk // 2, _FFT_N)
+        take[k] = t
+        for w in range(_N_WINDOWS):
+            raw[k, w, :t] = np.frombuffer(
+                blob, dtype="<i2", count=t, offset=w * chunk
+            )
+    return raw, take, rows
+
+
+@pandas_udf(LongType())
+def audio_fingerprint_udf(
+    win_bytes: pd.Series, n_samples: pd.Series
+) -> pd.Series:
+    """64-bit spectral fingerprint: Welch-averaged power spectrum over the
+    SAME JVM-extracted windows as audio_stats (no extra byte transfer),
+    binned into _FP_BANDS equal bands; bit b = band b holds an
+    above-average share of the row's total power (LINEAR mean threshold:
+    for any spectrally concentrated content the hot bands clear the mean
+    by orders of magnitude while noise-floor bands sit stably below it —
+    a median/log threshold instead quantizes noise-floor jitter and
+    flips ~half the bits between takes). Undecodable/empty/silent rows
+    -> 0."""
+    n = len(win_bytes)
+    raw, take, rows = _parse_window_blobs(win_bytes, n_samples.to_numpy())
+    out = np.zeros(n, dtype=np.int64)
+    if rows.size:
+        m = raw * np.hanning(_FFT_N)[None, None, :].astype(np.float32)
+        spec = (
+            (np.abs(np.fft.rfft(m, axis=2)) ** 2)
+            .mean(axis=1)
+            .astype(np.float64)
+        )
+        spec = spec[:, 1 : 1 + (_FFT_N // 2 // _FP_BANDS) * _FP_BANDS]
+        bands = spec.reshape(spec.shape[0], _FP_BANDS, -1).sum(axis=2)
+        bits = bands > np.mean(bands, axis=1, keepdims=True)
+        weights = (1 << np.arange(_FP_BANDS, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        out[rows] = (
+            (bits.astype(np.uint64) * weights[None, :])
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+    return pd.Series(out)
+
+
+def with_audio_fingerprint(
+    df, bytes_col: str = "bytes", codec: str = "codec",
+    out: str = "audio_fp",
+):
+    """Attach the 64-bit spectral fingerprint; windows extracted JVM-side
+    (same discipline as with_audio_stats: payload never crosses to
+    Python)."""
+    win_bytes, n_samples = audio_window_exprs(bytes_col, codec)
+    return df.withColumn(
+        out, audio_fingerprint_udf(win_bytes, n_samples)
+    )
 
 
 def audio_window_exprs(bytes_col: str = "bytes", codec: str = "codec"):

@@ -122,6 +122,50 @@ class TestAudio:
         with pytest.raises(NotImplementedError):
             decode_payload(b"\x00" * 100, "flac")
 
+    def test_audio_fingerprint_near_dup(self, spark):
+        """Identical audio -> identical fingerprint; same tone with fresh
+        low noise -> small hamming; different tone -> large hamming."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            audio_near_dup_pairs,
+        )
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            with_audio_fingerprint,
+        )
+
+        base = sine_pcm(n=8000, amp=9000.0, noise=60.0, seed=1)
+        near = sine_pcm(n=8000, amp=9000.0, noise=60.0, seed=2)
+        far = sine_pcm(n=8000, amp=9000.0, noise=60.0, seed=3, freq=1800.0)
+        rows = [
+            ("a", base.tobytes(), "pcm_s16le"),
+            ("a2", base.tobytes(), "pcm_s16le"),
+            ("b", near.tobytes(), "pcm_s16le"),
+            ("c", far.tobytes(), "pcm_s16le"),
+            ("z", None, "pcm_s16le"),
+        ]
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, codec string"
+        )
+        fp = {
+            r["clip_id"]: r["audio_fp"]
+            for r in with_audio_fingerprint(df).collect()
+        }
+        assert fp["a"] == fp["a2"]
+        assert fp["z"] == 0
+
+        def ham(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+        assert ham(fp["a"], fp["b"]) <= 1
+        assert ham(fp["a"], fp["c"]) >= 2
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in audio_near_dup_pairs(df, max_hamming=1).collect()
+        }
+        assert ("a", "a2") in pairs and pairs[("a", "a2")] == 0
+        assert ("a", "b") in pairs
+        assert ("a", "c") not in pairs
+
     def test_real_compressed_batch_marks_undecodable(self):
         """Batch path must not interpret real compressed frames as PCM —
         it marks the row n_samples=0 (-> truncated_audio quarantine) and
