@@ -87,7 +87,14 @@ def main() -> None:
     clips_pipeline()
     cold_s = round(time.time() - t0, 3)
 
+    # min of 2 timed passes: this host's high-thread timings are bimodal
+    # (same job 4.7s vs 11.7s within one JVM) — report capacity, not the
+    # scheduler's coin flip. Same methodology as tools/bench_scaling.py.
     kept = timed("clips_keep_drop_scrub", clips_pipeline)
+    first = timings["clips_keep_drop_scrub"]
+    kept = timed("clips_keep_drop_scrub", clips_pipeline)
+    timings["clips_keep_drop_scrub"] = min(first,
+                                           timings["clips_keep_drop_scrub"])
     clips_per_sec = n_clips / timings["clips_keep_drop_scrub"]
 
     # --- operator-family queries at the SF dir -----------------------------
