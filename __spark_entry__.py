@@ -345,6 +345,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lang_guess"] = doc_lang_guess
 
+    def doc_stopword_ratio(spark, sf):
+        from data_quality_check_pipeline_spark.operators.text import (
+            stopword_ratio_expr,
+        )
+
+        df = _load(spark, sf, "documents")
+        return df.select(
+            "doc_id", stopword_ratio_expr("text").alias("stopword_ratio")
+        )
+
+    q["doc_stopword_ratio"] = doc_stopword_ratio
+
     def doc_validation_flags(spark, sf):
         df = _load(spark, sf, "documents")
         norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
@@ -568,7 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- statistics (A13-A15) ------------------------------------------------
     def lineitem_iqr_bounds(spark, sf):
-        df = _load(spark, sf, "lineitem")
+        df = _load(spark, sf, "lineitem", rebalance=True)
         return df.agg(
             F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias(
                 "q1"
@@ -584,7 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lineitem_iqr_bounds"] = lineitem_iqr_bounds
 
     def lineitem_iqr_outliers(spark, sf):
-        df = _load(spark, sf, "lineitem")
+        df = _load(spark, sf, "lineitem", rebalance=True)
         b = df.agg(
             F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
             F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
@@ -600,7 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lineitem_iqr_outliers"] = lineitem_iqr_outliers
 
     def lineitem_zscore_outliers(spark, sf):
-        df = _load(spark, sf, "lineitem")
+        df = _load(spark, sf, "lineitem", rebalance=True)
         s = df.agg(
             F.avg("l_extendedprice").alias("m"),
             F.stddev("l_extendedprice").alias("s"),
@@ -1043,6 +1055,19 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_lang_guess"] = f"""
       SELECT doc_id, {_sql_lang_guess('text')} AS lang_guess FROM documents"""
+
+    from data_quality_check_pipeline_spark.operators.text import STOPWORD_RE
+
+    _norm_low = _SQL_NORM.format(c="lower(text)")
+    sql["doc_stopword_ratio"] = f"""
+      SELECT doc_id,
+        CASE WHEN {_sql_missing('text')}
+                  OR len(string_split({_norm_low}, ' ')) <= 0 THEN 0.0
+             ELSE round(
+               CAST({_sql_count(_norm_low, STOPWORD_RE)} AS DOUBLE)
+               / CAST(len(string_split({_norm_low}, ' ')) AS DOUBLE), 6)
+        END AS stopword_ratio
+      FROM documents"""
 
     sql["doc_validation_flags"] = """
       WITH n AS (

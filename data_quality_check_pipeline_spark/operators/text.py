@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exprs import norm_text
+from ..functions.exprs import norm_text, null_or_empty
 from ..udfs.lexicon import LANGS, WORDS
 
 # BPE-ish word-piece pattern: words / numbers / single non-space symbols —
@@ -81,6 +81,24 @@ def lang_guess_expr(c: Column | str) -> Column:
     return F.when(best <= 0, F.lit(None).cast("string")).otherwise(expr)
 
 
+STOPWORDS = sorted({w for ws in _GUESS_WORDS.values() for w in ws})
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def stopword_ratio_expr(c: Column | str) -> Column:
+    """Fraction of tokens that are (any-language) stopwords — the classic
+    fluency signal: natural prose sits around 0.3-0.6, keyword spam and
+    gibberish near 0. One regexp_count pass, shared pattern with the SQL
+    oracle."""
+    col = F.col(c) if isinstance(c, str) else c
+    norm = norm_text(F.lower(col))
+    hits = F.regexp_count(norm, F.lit(STOPWORD_RE)).cast("double")
+    toks = F.array_size(F.split(norm, " ")).cast("double")
+    return F.when(
+        null_or_empty(col) | (toks <= 0), F.lit(0.0)
+    ).otherwise(F.round(hits / toks, 6))
+
+
 def doc_fingerprint(c: Column | str) -> Column:
     """Deterministic 64-bit content fingerprint of the normalized text
     (rolling-hash family; xxhash64 JVM-side)."""
@@ -99,6 +117,7 @@ def with_text_stats(
             "bpe_tokens": bpe_token_count(c),
             "quality_score": quality_score_expr(c),
             "lang_guess": lang_guess_expr(c),
+            "stopword_ratio": stopword_ratio_expr(c),
             "fingerprint": doc_fingerprint(c),
         }
     )

@@ -62,6 +62,24 @@ class TestLangGuess:
         assert one(spark, "zzz qqq xxx", lang_guess_expr("c")) is None
 
 
+class TestStopwordRatio:
+    def test_prose_vs_gibberish(self, spark):
+        from data_quality_check_pipeline_spark.operators.text import (
+            stopword_ratio_expr,
+        )
+
+        prose = one(
+            spark, "the cat and the dog are in the house",
+            stopword_ratio_expr("c"),
+        )
+        gibberish = one(
+            spark, "qwfp zxcv mlkj hgfd", stopword_ratio_expr("c")
+        )
+        assert prose > 0.4
+        assert gibberish == 0.0
+        assert one(spark, None, stopword_ratio_expr("c")) == 0.0
+
+
 class TestFingerprint:
     def test_normalization_invariance(self, spark):
         a = one(spark, "  Hello   World ", doc_fingerprint("c"))
