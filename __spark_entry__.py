@@ -717,6 +717,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["revenue_by_supplier"] = revenue_by_supplier
 
+    def top_unshipped_orders(spark, sf):
+        """TPC-H Q3 shape: 3-table join (broadcastable dim -> fact ->
+        fact), filter on both sides of the date, group, top-10. AQE picks
+        broadcast for customer; revenue aggregated with map-side partials."""
+        cust = _load(spark, sf, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = _load(spark, sf, "orders").filter(
+            F.col("o_orderdate") < "1995-03-15"
+        )
+        li = _load(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") > "1995-03-15"
+        )
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        )
+        rev = F.sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        )
+        return (
+            joined.groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(rev, 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+            .select(
+                "l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                    "o_orderdate"
+                ),
+                "revenue",
+            )
+        )
+
+    q["top_unshipped_orders"] = top_unshipped_orders
+
     def quarantine_anti_join(spark, sf):
         """left_anti split (C8/P15 drop branch shape on harness tables):
         orders whose customer fails an acctbal rule."""
@@ -1115,6 +1151,19 @@ def oracle_sql() -> dict[str, str]:
              CASE WHEN {_sql_missing('c_name')} THEN c_name
                   ELSE substring(c_name, 1, 1) || '***' END AS masked_name
       FROM customer"""
+
+    sql["top_unshipped_orders"] = """
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10"""
 
     sql["customer_clean"] = f"""
       WITH g AS (
