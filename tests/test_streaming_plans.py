@@ -118,6 +118,30 @@ class TestPlans:
         assert_column_pruned(q, "bytes")
         assert "codec" in scan_read_schema(q)
 
+    def test_audio_bytes_never_cross_to_python(self, spark, corpus):
+        """The scoring plan must contain exactly ONE fused ArrowEvalPython
+        node, and the audio UDF's argument must be the JVM window
+        extraction (substring exprs) — never the bare `bytes` column
+        (DESIGN.md finding 9: only expression RESULTS cross to Python)."""
+        import re
+
+        from data_quality_check_pipeline_spark.pipeline import score_clips
+
+        _, _, path = corpus
+        df = spark.read.parquet(path)
+        scored = score_clips(df).select("clip_id", "lang", "snr_db")
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        arrow_lines = [
+            ln for ln in plan.splitlines() if "ArrowEvalPython" in ln
+        ]
+        assert len(arrow_lines) == 1, plan
+        node = arrow_lines[0]
+        assert "audio_stats_windows_udf" in node
+        # window extraction happens JVM-side, inside the UDF's arg expr
+        assert "substring(bytes" in node, node[:400]
+        # the raw column itself must never be a UDF argument
+        assert not re.search(r"audio_stats_windows_udf\(bytes#\d+", node)
+
     def test_filter_pushdown_reaches_scan(self, spark, corpus):
         _, _, path = corpus
         df = spark.read.parquet(path)
