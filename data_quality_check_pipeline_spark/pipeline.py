@@ -271,6 +271,22 @@ def _run_shard(
     else:
         log.record("quarantine", "skipped_discard", t0)
 
+    # -- GE VALIDATE: post-filter assertion suite on the kept branch
+    # (parity: reference stage 10, expectations.py:39-72 — one agg pass) ----
+    t0 = time.time()
+    from .operators.expectations import clips_suite, evaluate_suite
+
+    ge = evaluate_suite(kept, clips_suite())
+    ge_failed = [r["name"] for r in ge if not r["success"]]
+    log.record(
+        "ge_validate",
+        "ok" if not ge_failed else "violations",
+        t0,
+        checks=len(ge),
+        failed=len(ge_failed),
+        **({"failing": ge_failed[:5]} if ge_failed else {}),
+    )
+
     # -- PII stats on the kept branch ----------------------------------------
     t0 = time.time()
     pii_row = kept.agg(
