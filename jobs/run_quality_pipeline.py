@@ -60,6 +60,10 @@ def main() -> None:
                     help="roll clips_clean back to a snapshot and exit")
     ap.add_argument("--requeue", action="store_true",
                     help="re-drive quarantined clips instead of a full run")
+    ap.add_argument("--stream", action="store_true",
+                    help="drain --input as a Structured Stream "
+                         "(availableNow micro-batches) instead of a batch "
+                         "run; checkpoint under <out>/_stream_ckpt")
     args = ap.parse_args()
 
     from data_quality_check_pipeline_spark.pipeline import (
@@ -103,6 +107,36 @@ def main() -> None:
         input_path = args.input
     else:
         ap.error("one of --input / --synthetic is required")
+
+    if args.stream:
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            start_quality_stream,
+        )
+
+        spark = get_spark(app_name="clip-quality-stream", cores=args.cores)
+        # glob only parquet: corpus dirs may hold sidecar files (counts.json)
+        src_dir = (
+            os.path.join(os.path.dirname(input_path), "*.parquet")
+            if input_path.endswith(".parquet")
+            else os.path.join(input_path, "*.parquet")
+        )
+        q = start_quality_stream(
+            spark, src_dir, args.out,
+            os.path.join(args.out, "_stream_ckpt"), available_now=True,
+        )
+        q.awaitTermination()
+        store = TableStore(spark, args.out)
+        kept = store.read("clips_clean").count()
+        quarantined = (
+            store.read("clips_quarantine").count()
+            if store.exists("clips_quarantine") else 0
+        )
+        print(f"stream drained: clean={kept} quarantine={quarantined}")
+        spark.stop()
+        return
 
     fp = args.fingerprint or source_fingerprint(input_path)
     spark = get_spark(app_name="clip-quality-pipeline", cores=args.cores)
