@@ -1092,15 +1092,17 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_lang_guess"] = f"""
       SELECT doc_id, {_sql_lang_guess('text')} AS lang_guess FROM documents"""
 
-    from data_quality_check_pipeline_spark.operators.text import STOPWORD_RE
+    from data_quality_check_pipeline_spark.operators.text import STOPWORDS
 
     _norm_low = _SQL_NORM.format(c="lower(text)")
+    _sw_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
     sql["doc_stopword_ratio"] = f"""
       SELECT doc_id,
         CASE WHEN {_sql_missing('text')}
                   OR len(string_split({_norm_low}, ' ')) <= 0 THEN 0.0
              ELSE round(
-               CAST({_sql_count(_norm_low, STOPWORD_RE)} AS DOUBLE)
+               CAST(len(list_filter(string_split({_norm_low}, ' '),
+                         t -> list_contains({_sw_list}, t))) AS DOUBLE)
                / CAST(len(string_split({_norm_low}, ' ')) AS DOUBLE), 6)
         END AS stopword_ratio
       FROM documents"""

@@ -29,10 +29,17 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
-    = min node id reachable through the undirected edge set."""
+    = min node id reachable through the undirected edge set.
+
+    Raises RuntimeError if labels have not converged after ``max_iter``
+    rounds (a component with diameter > max_iter, e.g. a near-dup CHAIN
+    of templated documents): returning intermediate labels would silently
+    split one true group into several and leave extra "survivors" behind.
+    Convergence stops early, so a generous cap costs nothing on the
+    shallow graphs near-dup candidates produce."""
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -43,6 +50,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             und.join(
@@ -73,6 +81,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — a component "
+            f"diameter exceeds max_iter; raise max_iter"
+        )
     return labels.select("node", "comp")
 
 

@@ -155,6 +155,8 @@ def ivf_centroids(
         .collect()
     )
     cents = [list(map(float, r[vec_col])) for r in seeds]
+    # corpus smaller than the requested codebook: shrink, don't crash
+    n_centroids = len(cents)
     for _ in range(iters):
         assigned = with_ivf_cell(corpus, cents, vec_col=vec_col)
         means = (

@@ -82,21 +82,24 @@ def lang_guess_expr(c: Column | str) -> Column:
 
 
 STOPWORDS = sorted({w for ws in _GUESS_WORDS.values() for w in ws})
-STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 
 def stopword_ratio_expr(c: Column | str) -> Column:
-    """Fraction of tokens that are (any-language) stopwords — the classic
+    """Fraction of tokens that ARE (any-language) stopwords — the classic
     fluency signal: natural prose sits around 0.3-0.6, keyword spam and
-    gibberish near 0. One regexp_count pass, shared pattern with the SQL
-    oracle."""
+    gibberish near 0. Token MEMBERSHIP, not substring regex hits: a regex
+    count over the raw text can exceed the token count ("and/or" is one
+    token with two stopword matches), pushing the "fraction" above 1.0
+    and breaking any threshold built on it."""
     col = F.col(c) if isinstance(c, str) else c
-    norm = norm_text(F.lower(col))
-    hits = F.regexp_count(norm, F.lit(STOPWORD_RE)).cast("double")
-    toks = F.array_size(F.split(norm, " ")).cast("double")
+    toks = F.split(norm_text(F.lower(col)), " ")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("double")
+    n = F.array_size(toks).cast("double")
     return F.when(
-        null_or_empty(col) | (toks <= 0), F.lit(0.0)
-    ).otherwise(F.round(hits / toks, 6))
+        null_or_empty(col) | (n <= 0), F.lit(0.0)
+    ).otherwise(F.round(hits / n, 6))
 
 
 def doc_fingerprint(c: Column | str) -> Column:

@@ -256,20 +256,40 @@ _FP_BANDS = 64  # one sign bit per log-power band -> 64-bit fingerprint
 
 def _parse_window_blobs(win_bytes: pd.Series, n_samples) -> tuple:
     """(raw tensor, take, row indices) from JVM-extracted window blobs —
-    shared by the stats and fingerprint UDFs."""
+    shared by the stats and fingerprint UDFs.
+
+    Vectorized by blob length: full-length clips dominate any real batch
+    (every blob is _N_WINDOWS equal chunks; long clips all produce
+    _N_WINDOWS*_FFT_N*2 bytes), so typically ONE frombuffer+reshape
+    decodes the whole batch instead of rows x windows Python calls."""
     ns = np.asarray(n_samples)
     rows = np.flatnonzero((ns > 0) & win_bytes.notna().to_numpy())
     raw = np.zeros((rows.size, _N_WINDOWS, _FFT_N), dtype=np.float32)
     take = np.zeros(rows.size, dtype=np.int64)
-    for k, r in enumerate(rows):
-        blob = bytes(win_bytes.iloc[r])
-        chunk = len(blob) // _N_WINDOWS
+    if rows.size == 0:
+        return raw, take, rows
+    blobs = [bytes(win_bytes.iloc[r]) for r in rows]
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    for blob_len in np.unique(lens):
+        idx = np.flatnonzero(lens == blob_len)
+        chunk = int(blob_len) // _N_WINDOWS
         t = min(chunk // 2, _FFT_N)
-        take[k] = t
-        for w in range(_N_WINDOWS):
-            raw[k, w, :t] = np.frombuffer(
-                blob, dtype="<i2", count=t, offset=w * chunk
-            )
+        take[idx] = t
+        if t == 0:
+            continue
+        joined = b"".join(blobs[i] for i in idx)
+        arr = np.frombuffer(joined, dtype=np.uint8).reshape(
+            idx.size, blob_len
+        )
+        # N_WINDOWS equal chunks; first 2t bytes of each are the samples
+        # (a possible odd trailing byte per chunk is dropped, matching the
+        # JVM's even-usable-length semantics)
+        wins = np.ascontiguousarray(
+            arr[:, : _N_WINDOWS * chunk].reshape(
+                idx.size, _N_WINDOWS, chunk
+            )[:, :, : 2 * t]
+        )
+        raw[idx, :, :t] = wins.view("<i2").astype(np.float32)
     return raw, take, rows
 
 

@@ -130,6 +130,25 @@ class TestConnectedComponents:
         }
         assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
+    def test_nonconvergence_raises(self, spark):
+        """A chain longer than max_iter hops must raise, not silently
+        return split components."""
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iter=2)
+        # ample cap: the same chain folds into one component
+        comps = {
+            r["comp"]
+            for r in connected_components(chain, max_iter=20).collect()
+        }
+        assert comps == {1}
+
     def test_survivors(self, spark):
         from data_quality_check_pipeline_spark.operators.graph import (
             connected_components,
@@ -230,6 +249,14 @@ class TestSimilarity:
         assert {r["vec_id"]: r["ivf_cell"] for r in cells} == {
             r["vec_id"]: r["ivf_cell"] for r in again
         }
+
+    def test_ivf_codebook_shrinks_to_small_corpus(self, spark):
+        small = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(3)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = ivf_centroids(small, n_centroids=16, iters=1)
+        assert len(cents) == 3  # shrinks instead of IndexError
 
     def test_ivf_lloyd_reduces_distortion(self, embeddings):
         import numpy as np

@@ -79,6 +79,17 @@ class TestStopwordRatio:
         assert gibberish == 0.0
         assert one(spark, None, stopword_ratio_expr("c")) == 0.0
 
+    def test_ratio_bounded_by_one(self, spark):
+        """Token membership, not substring hits: 'and/or' is ONE token
+        (and not itself a stopword), so the ratio must stay in [0,1]."""
+        from data_quality_check_pipeline_spark.operators.text import (
+            stopword_ratio_expr,
+        )
+
+        v = one(spark, "and/or the the the", stopword_ratio_expr("c"))
+        assert 0.0 <= v <= 1.0
+        assert v == pytest.approx(0.75)  # 3 of 4 tokens are stopwords
+
 
 class TestFingerprint:
     def test_normalization_invariance(self, spark):
