@@ -1,0 +1,109 @@
+"""Airflow DAG mirroring the reference orchestration — gated import.
+
+Parity target: /root/reference/dags/data_quality_dag.py (674 lines): a
+daily schedule (``0 2 * * *``, :509), straight-line quality stages, and a
+BranchPythonOperator threshold gate routing to run_cleaning /
+human_review_gate / halt_pipeline (:200-210, :518-570), where halt raises
+and the review gate auto-quarantines on timeout (:213-250).
+
+Our engine is one lazy Spark DAG (pipeline.run_pipeline), so the Airflow
+task graph is thin: each task is a driver-side phase, and the branch is
+the same threshold decision `control.threshold_gate` makes in-process.
+Airflow is NOT installed in this sandbox, so the DAG is declared as a
+plain task/edge SPEC (testable without airflow) plus a ``build_dag()``
+that materializes real operators when airflow is importable.
+"""
+
+from __future__ import annotations
+
+SCHEDULE = "0 2 * * *"  # reference parity: dags/data_quality_dag.py:509
+
+# task -> downstream tasks; "branch:" prefix marks the BranchPythonOperator
+TASK_GRAPH: dict[str, list[str]] = {
+    "load_and_profile": ["validate"],
+    "validate": ["branch:check_failure_threshold"],
+    "branch:check_failure_threshold": [
+        "run_cleaning",          # fail_pct <= hard threshold
+        "human_review_gate",     # pass_rate below review threshold
+        "halt_pipeline",         # critical contract violation
+    ],
+    "human_review_gate": ["run_cleaning"],  # timeout -> quarantine path
+    "run_cleaning": ["quarantine_failed", "ge_validate"],
+    "quarantine_failed": ["export_metrics"],
+    "ge_validate": ["export_metrics"],
+    "export_metrics": ["notify"],
+    "halt_pipeline": [],
+    "notify": [],
+}
+
+
+def branch_decision(total: int, failed: int, thresholds=None) -> str:
+    """The branch callable: DELEGATES to the same in-process gate
+    (control.threshold_gate; reference pipeline.py:302-369) — the DAG and
+    the CLI can never disagree on routing."""
+    from data_quality_check_pipeline_spark.control import (
+        HALT,
+        threshold_gate,
+    )
+
+    g = threshold_gate(total, failed, thresholds, non_interactive=True)
+    if g.decision == HALT:
+        return "halt_pipeline"
+    if g.reviewed:
+        return "human_review_gate"
+    return "run_cleaning"
+
+
+def build_dag(input_path: str, out_root: str):
+    """Materialize a real Airflow DAG when airflow is importable; raises
+    ImportError otherwise (this sandbox has no airflow — the TASK_GRAPH
+    spec above is the tested artifact)."""
+    from airflow import DAG  # noqa: F401  (gated; absent in sandbox)
+    from airflow.operators.python import (
+        BranchPythonOperator,
+        PythonOperator,
+    )
+
+    import pendulum
+
+    dag = DAG(
+        "clip_quality_pipeline",
+        schedule_interval=SCHEDULE,
+        start_date=pendulum.yesterday(),
+        catchup=False,
+    )
+    ops: dict[str, object] = {}
+
+    def run_stage(stage: str):
+        def _run(**ctx):
+            # each task shells into the same spark-submit unit the CLI
+            # exposes; XCom carries only the tiny metrics dict
+            from jobs.run_quality_pipeline import main as run_cli  # noqa
+
+            raise NotImplementedError(
+                "wire to run_quality_pipeline stages in a deployment"
+            )
+
+        return _run
+
+    for name, downstream in TASK_GRAPH.items():
+        bare = name.removeprefix("branch:")
+        if name.startswith("branch:"):
+            ops[bare] = BranchPythonOperator(
+                task_id=bare,
+                python_callable=lambda **c: branch_decision(
+                    c["ti"].xcom_pull(key="total"),
+                    c["ti"].xcom_pull(key="failed"),
+                ),
+                dag=dag,
+            )
+        else:
+            ops[bare] = PythonOperator(
+                task_id=bare, python_callable=run_stage(bare), dag=dag
+            )
+    for name, downstream in TASK_GRAPH.items():
+        for d in downstream:
+            ops[name.removeprefix("branch:")] >> ops[
+                d.removeprefix("branch:")
+            ]
+    return dag

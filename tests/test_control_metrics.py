@@ -93,6 +93,39 @@ class TestMetrics:
             assert json.load(f)["quality"]["kept"] == 90
 
 
+class TestDagSpec:
+    def test_graph_is_closed_and_branch_targets_valid(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from jobs.quality_dag import TASK_GRAPH, branch_decision
+
+        names = {k.removeprefix("branch:") for k in TASK_GRAPH}
+        for k, downstream in TASK_GRAPH.items():
+            for d in downstream:
+                assert d.removeprefix("branch:") in names, (k, d)
+        branch_targets = set(TASK_GRAPH["branch:check_failure_threshold"])
+        # routing delegates to the SAME in-process threshold gate
+        assert branch_decision(1000, 10) == "run_cleaning"  # 1% <= hard
+        assert branch_decision(1000, 100) == "run_cleaning"  # quarantine+go
+        assert (
+            branch_decision(1000, 300) == "human_review_gate"
+        )  # pass 70 < 80
+        for total, failed in [(1000, 10), (1000, 100), (1000, 300)]:
+            assert branch_decision(total, failed) in branch_targets
+
+    def test_build_dag_gated_without_airflow(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import pytest as _pytest
+
+        from jobs.quality_dag import build_dag
+
+        with _pytest.raises(ImportError):
+            build_dag("/in", "/out")
+
+
 class TestReport:
     def test_render_contains_key_figures(self):
         text = render_run_report(METRICS)
