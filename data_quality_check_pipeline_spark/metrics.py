@@ -29,6 +29,10 @@ def prometheus_text(metrics: dict, prefix: str = "clip_quality") -> str:
         if isinstance(obj, dict):
             for k, v in obj.items():
                 walk(v, path + [str(k)])
+        elif isinstance(obj, list):
+            # per-stage metrics live in a list of dicts
+            for i, v in enumerate(obj):
+                walk(v, path + [str(i)])
         elif isinstance(obj, bool):
             lines.append(f"{prefix}_{'_'.join(path)} {int(obj)}")
         elif isinstance(obj, (int, float)):
@@ -47,7 +51,13 @@ def quality_trend_alert(
     average of the last ``window`` runs."""
     history: list[float] = []
     if os.path.isdir(metrics_dir):
-        for fname in sorted(os.listdir(metrics_dir)):
+        # chronological = file mtime: run_ids are random hex, so a
+        # lexicographic sort would pick an arbitrary 'trailing' window
+        names = sorted(
+            os.listdir(metrics_dir),
+            key=lambda n: os.path.getmtime(os.path.join(metrics_dir, n)),
+        )
+        for fname in names:
             if fname.startswith("metrics_") and fname.endswith(".json"):
                 try:
                     with open(os.path.join(metrics_dir, fname)) as f:

@@ -70,10 +70,16 @@ def _agg_expr(e: Expectation) -> Column | None:
 
 
 def evaluate_suite(
-    df: DataFrame, suite: list[Expectation]
-) -> list[dict]:
+    df: DataFrame,
+    suite: list[Expectation],
+    extra_aggs: dict[str, Column] | None = None,
+) -> list[dict] | tuple[list[dict], dict]:
     """Evaluate all expectations; ONE aggregate job for the data-dependent
-    ones. Returns [{name, success, pass_rate, mostly}, ...]."""
+    ones. Returns [{name, success, pass_rate, mostly}, ...].
+
+    ``extra_aggs`` piggybacks arbitrary aggregate Columns onto the same
+    single pass (e.g. the pipeline's PII row count) — the return becomes
+    (results, {name: value}) so callers avoid a second full-table job."""
     results: list[dict] = []
     agg_cols: list[Column] = []
     agg_items: list[Expectation] = []
@@ -97,8 +103,13 @@ def evaluate_suite(
             agg_cols.append(expr.alias(f"e{len(agg_items)}"))
             agg_items.append(e)
 
-    if agg_items:
+    extras: dict = {}
+    if agg_items or extra_aggs:
+        for k, c in (extra_aggs or {}).items():
+            agg_cols.append(c.alias(f"x_{k}"))
         row = df.agg(*agg_cols).collect()[0]
+        for k in (extra_aggs or {}):
+            extras[k] = row[f"x_{k}"]
         for i, e in enumerate(agg_items):
             rate = row[f"e{i}"]
             rate = float(rate) if rate is not None else 0.0
@@ -110,6 +121,8 @@ def evaluate_suite(
                     "mostly": e.mostly,
                 }
             )
+    if extra_aggs is not None:
+        return results, extras
     return results
 
 

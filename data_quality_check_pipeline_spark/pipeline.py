@@ -162,10 +162,13 @@ def run_pipeline(
         )
         gate, stats = _run_shard(spark, shard_df, shard, cfg, store, log)
         gate_overall = gate
+        if gate.decision == HALT:
+            # nothing was written for this shard — counting its stats
+            # would report clips as kept that never landed, and a resumed
+            # run would double-count them
+            break
         for k in totals:
             totals[k] += stats.get(k, 0)
-        if gate.decision == HALT:
-            break
 
     wall = time.time() - t_run
     metrics = {
@@ -229,9 +232,13 @@ def _run_shard(
 
     # -- KEEP BRANCH: scrub -> salted partitioned write ----------------------
     t0 = time.time()
-    kept = flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")
-    kept = scrub_transcripts(kept)
-    kept = salted_repartition(kept, cfg.salt_buckets)
+    kept_pre = scrub_transcripts(
+        flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")
+    )
+    # aggregates below run on kept_pre (pre-repartition): the salted
+    # shuffle exists only for the write's file layout, and paying it
+    # again for two scalar aggs would re-shuffle the audio bytes twice
+    kept = salted_repartition(kept_pre, cfg.salt_buckets)
     pii_rows = 0
     clean_sid = store.write(
         CLEAN_TABLE,
@@ -249,7 +256,7 @@ def _run_shard(
     # -- DROP BRANCH: quarantine/DLQ (parity: dead_letter_queue.py) ----------
     t0 = time.time()
     quarantined = (
-        flagged.filter(~F.col("keep") & (F.lit(gate.decision) != DISCARD))
+        flagged.filter(~F.col("keep"))
         .select(
             "clip_id",
             "reasons",
@@ -271,12 +278,19 @@ def _run_shard(
     else:
         log.record("quarantine", "skipped_discard", t0)
 
-    # -- GE VALIDATE: post-filter assertion suite on the kept branch
-    # (parity: reference stage 10, expectations.py:39-72 — one agg pass) ----
+    # -- GE VALIDATE + PII (parity: reference stages 10-11) ------------------
+    # one aggregate pass over the cached kept branch: the expectation
+    # suite and the PII row count share a single df.agg (extra_aggs)
     t0 = time.time()
     from .operators.expectations import clips_suite, evaluate_suite
 
-    ge = evaluate_suite(kept, clips_suite())
+    ge, extras = evaluate_suite(
+        kept_pre,
+        clips_suite(),
+        extra_aggs={
+            "pii_rows": F.sum((F.col("pii_hits") > 0).cast("long"))
+        },
+    )
     ge_failed = [r["name"] for r in ge if not r["success"]]
     log.record(
         "ge_validate",
@@ -286,13 +300,7 @@ def _run_shard(
         failed=len(ge_failed),
         **({"failing": ge_failed[:5]} if ge_failed else {}),
     )
-
-    # -- PII stats on the kept branch ----------------------------------------
-    t0 = time.time()
-    pii_row = kept.agg(
-        F.sum((F.col("pii_hits") > 0).cast("long")).alias("p")
-    ).collect()[0]
-    pii_rows = int(pii_row["p"] or 0)
+    pii_rows = int(extras["pii_rows"] or 0)
     log.record("pii", "ok", t0, rows_with_pii=pii_rows)
 
     # -- LINEAGE (enables resume) ---------------------------------------------
@@ -340,7 +348,9 @@ def requeue_quarantine(
     """Re-drive quarantined clips (parity: DLQ retry bookkeeping,
     reference dead_letter_queue.py:118-127): re-run the pipeline on the
     subset of source rows whose clip_id sits in quarantine with
-    retry_count < max_retries; successes land in clips_clean, failures are
+    retry_count < max_retries; successes land in clips_clean AND get a
+    resolution marker (stage=requeue_resolved, retry_count=max_retries)
+    so later requeue runs never re-append them; failures are
     re-quarantined with retry_count + 1.
     """
     store = TableStore(spark, cfg.out_root)
@@ -387,8 +397,20 @@ def requeue_quarantine(
             ),
         )
     )
+    # resolution markers: a recovered clip's max retry_count jumps to the
+    # cap, so the eligibility filter (max < max_retries) retires it — a
+    # third requeue run cannot append it to clips_clean a second time
+    recovered = flagged.filter(F.col("keep")).select(
+        "clip_id",
+        F.array().cast("array<string>").alias("reasons"),
+        F.lit("RESOLVED").alias("severity"),
+        F.lit("requeue_resolved").alias("stage"),
+        F.lit(cfg.run_id).alias("run_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit(max_retries).alias("retry_count"),
+    )
     store.write(
-        QUARANTINE_TABLE, still_bad, mode="append",
+        QUARANTINE_TABLE, still_bad.unionByName(recovered), mode="append",
         properties={"run_id": cfg.run_id, "requeue": True},
     )
     stats = keep_stats(flagged)

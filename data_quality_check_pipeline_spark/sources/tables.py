@@ -129,17 +129,22 @@ class TableStore:
         snap = self._snapshot(m, snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
-        # skip snapshot dirs that hold no data files (empty writes)
-        empties = {
-            f"snap_{s['id']}"
-            for s in m["snapshots"]
-            if s.get("has_data") is False
-        }
+        # skip snapshot dirs that hold no data files (empty writes). The
+        # check is against the FILESYSTEM, not surviving manifest entries:
+        # expire_snapshots drops expired entries from the manifest while a
+        # kept snapshot's read_set may still reference their dirs, so a
+        # manifest-derived empties set would let a data-less dir through
+        # and crash the parquet reader ("Unable to infer schema").
+        def _dir_has_parquet(p: str) -> bool:
+            for _r, _d, files in os.walk(p):
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
+
         paths = [
-            os.path.join(self._dir(name), d)
-            for d in snap["read_set"]
-            if d not in empties
+            os.path.join(self._dir(name), d) for d in snap["read_set"]
         ]
+        paths = [p for p in paths if os.path.isdir(p) and _dir_has_parquet(p)]
         if not paths:
             from pyspark.sql.types import StructType
 
@@ -230,8 +235,13 @@ class IcebergStore:
               properties=None):
         full = f"{self.prefix}.{name}"
         writer = df.writeTo(full)
-        for c in partition_by or []:
-            writer = writer.partitionedBy(c)
+        if partition_by:
+            # one call: successive partitionedBy calls REPLACE the spec,
+            # silently keeping only the last column
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in partition_by]
+            writer = writer.partitionedBy(cols[0], *cols[1:])
         if mode == "overwrite":
             writer.createOrReplace()
         else:

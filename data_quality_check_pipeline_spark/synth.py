@@ -17,10 +17,14 @@ Consistency invariants (so only *planted* rows violate rules):
   from [20, 45] — safely inside the [2, 60] length-ratio gate even after the
   350 ms minimum clamp.
 * sr_hz is chosen per row from the allowed set, stepping DOWN to a smaller
-  allowed rate whenever sr*dur would exceed ``audio_max_samples`` — metadata
-  always matches the payload (the truncated_audio rule only fires on the
-  planted truncation class). ``audio_max_samples`` must be >= 64000 so the
-  8 kHz fallback always fits the longest possible clip (~7.5 s).
+  allowed rate whenever sr*dur would exceed ``audio_max_samples``.
+  Caveat: the metadata-vs-payload match holds for clean rows, but bad_dur
+  odd rows (45 s metadata over a 7.5 s payload) and bad_sr odd rows
+  (3 MHz metadata over a 16 kHz payload) ALSO trip truncated_audio on
+  top of their own rule — those rows drop either way, but the
+  truncated_audio reason-histogram count exceeds counts['defect_trunc'].
+  ``audio_max_samples`` must be >= 64000 so the 8 kHz fallback always
+  fits the longest possible clip (~7.5 s).
 
 Language assignment is Zipfian over the 5 supported languages — this skew is
 intentional: it drives the salting/skew-handling tests (north rule).
@@ -211,7 +215,13 @@ def generate_clips(
         if d == DEFECT_BAD_DUR:
             dur_ms = 80 if k % 2 == 0 else 45000
         elif d == DEFECT_LENGTH_RATIO:
-            # effective cps >= 120 — unambiguously above the 60 gate
+            # target cps 120 (above the 60 gate). Caveat: the 300 ms floor
+            # caps effective cps at n_chars/0.3, so rows whose transcript
+            # drew <= 18 chars land back inside the gate and are KEPT —
+            # counts['defect_length_ratio'] is an upper bound on actual
+            # drops, not an exact count (engine and oracle agree on every
+            # row either way; fixing this means regenerating every cached
+            # corpus + recorded bench goldens, deferred to a corpus bump)
             dur_ms = max(300, int(round(n_chars / 120.0 * 1000.0)))
 
         # sr: prefer the row's cycled choice, stepping down so the payload

@@ -87,6 +87,32 @@ class TestMetrics:
         bad = quality_trend_alert(d, current_keep_pct=80.0)
         assert bad["alert"] and bad["runs"] == 3
 
+    def test_prometheus_exports_stage_list(self):
+        """stages is a LIST of dicts — its numeric leaves must export."""
+        text = prometheus_text(
+            {"stages": [{"duration_s": 1.5, "kept": 7}], "total": 9}
+        )
+        assert "clip_quality_stages_0_duration_s 1.5" in text
+        assert "clip_quality_stages_0_kept 7" in text
+
+    def test_trend_uses_mtime_not_filename_order(self, tmp_path):
+        """run_ids are random hex: history must be mtime-ordered, so the
+        trailing window is the RECENT runs even when filenames sort the
+        other way."""
+        import os
+        import time as _t
+
+        d = str(tmp_path)
+        # filename order ('aaa' < 'zzz') OPPOSES chronological order
+        p_new = save_metrics({"quality": {"keep_pct": 50.0}}, d, "aaa")
+        p_old = save_metrics({"quality": {"keep_pct": 99.0}}, d, "zzz")
+        now = _t.time()
+        os.utime(p_old, (now - 100, now - 100))  # zzz is the OLD run
+        os.utime(p_new, (now, now))              # aaa is the NEW run
+        r = quality_trend_alert(d, current_keep_pct=60.0, window=1)
+        # window of 1 = most recent by mtime = aaa (50%) -> no alert at 60
+        assert r["trailing_avg"] == 50.0 and not r["alert"]
+
     def test_save_metrics_roundtrip(self, tmp_path):
         p = save_metrics(METRICS, str(tmp_path), "r42")
         with open(p) as f:

@@ -155,6 +155,31 @@ class TestTableStore:
         assert store.read("t").count() == 5
         assert {s["id"] for s in store.snapshots("t")} == {s1, s2}
 
+    def test_read_survives_expired_empty_snapshot_in_read_set(
+        self, spark, out_root
+    ):
+        """An EMPTY partitioned snapshot referenced by kept snapshots'
+        read_sets must stay skippable after its manifest entry expires
+        (the skip is filesystem-derived, not manifest-derived)."""
+        store = TableStore(spark, out_root)
+        df = spark.range(3).selectExpr("id as v", "'en' as lang")
+        store.write("t", df, mode="overwrite", partition_by=["lang"])
+        # empty write: partitionBy writes no data files at all
+        store.write(
+            "t", df.filter("v < 0"), mode="append", partition_by=["lang"]
+        )
+        for i in range(6):  # push the empty snapshot past keep_last
+            store.write(
+                "t",
+                spark.range(10 + i, 11 + i).selectExpr(
+                    "id as v", "'fr' as lang"
+                ),
+                mode="append",
+                partition_by=["lang"],
+            )
+        store.expire_snapshots("t", keep_last=3)
+        assert store.read("t").count() == 9  # 3 + 6 appends, no crash
+
     def test_expire_snapshots(self, spark, out_root):
         store = TableStore(spark, out_root)
         sids = [

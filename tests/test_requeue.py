@@ -36,3 +36,57 @@ def test_requeue_increments_retry_and_appends(
         requeue_quarantine(spark, cfg, path, max_retries=3)
     final = requeue_quarantine(spark, cfg, path, max_retries=3)
     assert final["requeued"] == 0
+
+
+def test_recovered_clip_not_reappended(
+    spark, corpus, oracle_df, out_root, tmp_path
+):
+    """A clip that PASSES on requeue lands in clips_clean ONCE and gets a
+    resolution marker — a further requeue must not append it again."""
+    import pandas as pd
+
+    _, _, path = corpus
+    out = str(tmp_path / "rq2")
+    store = TableStore(spark, out)
+
+    # seed clips_clean + a quarantine entry for one clip that is VALID in
+    # the source (simulates a fixed upstream / changed rule outcome);
+    # pick a clip the oracle labels keep=True so the requeue passes it
+    good_id = oracle_df[oracle_df["keep"]]["clip_id"].iloc[0]
+    q_row = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "clip_id": good_id,
+                    "reasons": ["stale_reason"],
+                    "severity": "HIGH",
+                    "stage": "validate",
+                    "run_id": "old",
+                    "retry_count": 0,
+                }
+            ]
+        )
+    ).withColumn("ts", F.current_timestamp()).select(
+        "clip_id", "reasons", "severity", "stage", "run_id", "ts",
+        "retry_count",
+    )
+    store.write(QUARANTINE_TABLE, q_row)
+
+    cfg = RunConfig(out_root=out, run_id="rq2", source_fingerprint="f2")
+    first = requeue_quarantine(spark, cfg, path, max_retries=3)
+    assert first["requeued"] == 1 and first["kept"] == 1
+    assert (
+        store.read(CLEAN_TABLE)
+        .filter(F.col("clip_id") == good_id)
+        .count()
+        == 1
+    )
+    # resolution marker retires the clip: nothing eligible anymore
+    second = requeue_quarantine(spark, cfg, path, max_retries=3)
+    assert second["requeued"] == 0
+    assert (
+        store.read(CLEAN_TABLE)
+        .filter(F.col("clip_id") == good_id)
+        .count()
+        == 1  # still exactly once
+    )
