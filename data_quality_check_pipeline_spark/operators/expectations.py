@@ -73,13 +73,14 @@ def evaluate_suite(
     df: DataFrame,
     suite: list[Expectation],
     extra_aggs: dict[str, Column] | None = None,
-) -> list[dict] | tuple[list[dict], dict]:
+) -> tuple[list[dict], dict]:
     """Evaluate all expectations; ONE aggregate job for the data-dependent
-    ones. Returns [{name, success, pass_rate, mostly}, ...].
+    ones. Returns ([{name, success, pass_rate, mostly}, ...], extras).
 
     ``extra_aggs`` piggybacks arbitrary aggregate Columns onto the same
-    single pass (e.g. the pipeline's PII row count) — the return becomes
-    (results, {name: value}) so callers avoid a second full-table job."""
+    single pass (e.g. the pipeline's PII row count); their values land in
+    ``extras`` (empty dict when no extra_aggs) so callers avoid a second
+    full-table job. The return shape is always a 2-tuple."""
     results: list[dict] = []
     agg_cols: list[Column] = []
     agg_items: list[Expectation] = []
@@ -121,9 +122,7 @@ def evaluate_suite(
                     "mostly": e.mostly,
                 }
             )
-    if extra_aggs is not None:
-        return results, extras
-    return results
+    return results, extras
 
 
 def clips_suite() -> list[Expectation]:

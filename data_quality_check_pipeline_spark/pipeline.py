@@ -339,6 +339,16 @@ def _run_shard(
     return gate, stats
 
 
+def active_quarantine(df: DataFrame) -> DataFrame:
+    """Quarantine rows representing clips that are still UNRESOLVED.
+
+    ``requeue_quarantine`` appends resolution markers
+    (stage='requeue_resolved', severity='RESOLVED') purely as retry-cap
+    bookkeeping; any consumer that counts or lists quarantined clips must
+    filter them out or recovered clips read as still quarantined."""
+    return df.filter(F.col("stage") != "requeue_resolved")
+
+
 def requeue_quarantine(
     spark: SparkSession,
     cfg: RunConfig,

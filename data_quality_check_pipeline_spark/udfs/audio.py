@@ -367,7 +367,12 @@ def audio_window_exprs(bytes_col: str = "bytes", codec: str = "codec"):
     for name, magic in FAKE_MAGIC.items():
         is_c = c == name
         match = F.substring(b, 1, len(magic)) == F.lit(magic)
-        hdr = F.when(is_c & match, F.lit(8).cast("long")).otherwise(hdr)
+        # header length tracks len(magic) so a future codec with a
+        # different-length magic cannot desync the JVM extraction from
+        # the Python decode path (which strips len(magic) bytes)
+        hdr = F.when(is_c & match, F.lit(len(magic)).cast("long")).otherwise(
+            hdr
+        )
         undecodable = undecodable | (is_c & ~match)
     data_len = F.greatest(blen - hdr, F.lit(0).cast("long"))
     usable = data_len - data_len % 2

@@ -36,6 +36,19 @@ TASK_GRAPH: dict[str, list[str]] = {
     "notify": [],
 }
 
+# Non-default Airflow trigger rules (reference data_quality_dag.py:585,628
+# 'none_failed_min_one_success', :643 'all_done'). run_cleaning has two
+# upstreams (the branch edge and human_review_gate): when the branch routes
+# straight to run_cleaning, human_review_gate is SKIPPED and the default
+# all_success rule would propagate that skip through the whole cleaning
+# path. Fan-in tasks (export_metrics) inherit the same hazard; notify must
+# fire even when an upstream failed (it reports the failure).
+TRIGGER_RULES: dict[str, str] = {
+    "run_cleaning": "none_failed_min_one_success",
+    "export_metrics": "none_failed_min_one_success",
+    "notify": "all_done",
+}
+
 
 def branch_decision(total: int, failed: int, thresholds=None) -> str:
     """The branch callable: DELEGATES to the same in-process gate
@@ -68,7 +81,7 @@ def build_dag(input_path: str, out_root: str):
 
     dag = DAG(
         "clip_quality_pipeline",
-        schedule_interval=SCHEDULE,
+        schedule=SCHEDULE,  # Airflow 3.x: schedule_interval is removed
         start_date=pendulum.yesterday(),
         catchup=False,
     )
@@ -98,8 +111,14 @@ def build_dag(input_path: str, out_root: str):
                 dag=dag,
             )
         else:
+            extra = (
+                {"trigger_rule": TRIGGER_RULES[bare]}
+                if bare in TRIGGER_RULES
+                else {}
+            )
             ops[bare] = PythonOperator(
-                task_id=bare, python_callable=run_stage(bare), dag=dag
+                task_id=bare, python_callable=run_stage(bare), dag=dag,
+                **extra,
             )
     for name, downstream in TASK_GRAPH.items():
         for d in downstream:

@@ -117,9 +117,12 @@ def main() -> None:
         )
 
         spark = get_spark(app_name="clip-quality-stream", cores=args.cores)
-        # glob only parquet: corpus dirs may hold sidecar files (counts.json)
+        # stream exactly the given path: a named .parquet file/dir streams
+        # itself (never sibling tables in the same parent directory); a
+        # plain directory globs *.parquet inside it only, so corpus sidecar
+        # files (counts.json) are skipped
         src_dir = (
-            os.path.join(os.path.dirname(input_path), "*.parquet")
+            input_path
             if input_path.endswith(".parquet")
             else os.path.join(input_path, "*.parquet")
         )
@@ -128,10 +131,14 @@ def main() -> None:
             os.path.join(args.out, "_stream_ckpt"), available_now=True,
         )
         q.awaitTermination()
+        from data_quality_check_pipeline_spark.pipeline import (
+            active_quarantine,
+        )
+
         store = TableStore(spark, args.out)
         kept = store.read("clips_clean").count()
         quarantined = (
-            store.read("clips_quarantine").count()
+            active_quarantine(store.read("clips_quarantine")).count()
             if store.exists("clips_quarantine") else 0
         )
         print(f"stream drained: clean={kept} quarantine={quarantined}")

@@ -140,6 +140,29 @@ class TestDagSpec:
         for total, failed in [(1000, 10), (1000, 100), (1000, 300)]:
             assert branch_decision(total, failed) in branch_targets
 
+    def test_trigger_rules_cover_multi_upstream_tasks(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from jobs.quality_dag import TASK_GRAPH, TRIGGER_RULES
+
+        # every task reachable from the branch that ALSO has a second
+        # upstream (the skip-propagation hazard) must carry a non-default
+        # trigger rule, mirroring the reference DAG
+        upstreams: dict[str, int] = {}
+        for k, downstream in TASK_GRAPH.items():
+            for d in downstream:
+                d = d.removeprefix("branch:")
+                upstreams[d] = upstreams.get(d, 0) + 1
+        for task, n_up in upstreams.items():
+            if n_up > 1 and task != "halt_pipeline":
+                assert task in TRIGGER_RULES, task
+        assert TRIGGER_RULES["run_cleaning"] == "none_failed_min_one_success"
+        assert TRIGGER_RULES["notify"] == "all_done"
+        assert set(TRIGGER_RULES) <= {
+            k.removeprefix("branch:") for k in TASK_GRAPH
+        }
+
     def test_build_dag_gated_without_airflow(self):
         import sys
 

@@ -105,7 +105,8 @@ class TestExpectations:
             Expectation("not_be_null", "c", mostly=0.9),
             Expectation("not_be_null", "c", mostly=0.99),
         ]
-        r = evaluate_suite(df, suite)
+        r, extras = evaluate_suite(df, suite)
+        assert extras == {}
         assert r[0]["success"] and not r[1]["success"]
         assert r[0]["pass_rate"] == pytest.approx(0.95)
 
@@ -129,7 +130,7 @@ class TestExpectations:
             Expectation("be_in_set", "status",
                         {"values": ["active", "inactive"]}, mostly=0.9),
         ]
-        by_name = {r["name"]: r for r in evaluate_suite(df, suite)}
+        by_name = {r["name"]: r for r in evaluate_suite(df, suite)[0]}
         assert by_name["exist:id"]["success"]
         assert not by_name["exist:missing_col"]["success"]
         assert by_name["of_type:v"]["success"]
@@ -156,6 +157,6 @@ class TestExpectations:
                       source_fingerprint="e"),
         )
         clean = TableStore(spark, out_root).read(CLEAN_TABLE)
-        results = evaluate_suite(clean, clips_suite())
+        results, _ = evaluate_suite(clean, clips_suite())
         failures = [r for r in results if not r["success"]]
         assert not failures, failures
