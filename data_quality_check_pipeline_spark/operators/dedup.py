@@ -16,10 +16,60 @@ no Python in any hot path.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exprs import norm_text
+
+_log = logging.getLogger("clip_quality.dedup")
+
+
+def _drop_hot_groups(
+    df: DataFrame,
+    keys: list[str],
+    cap: int | None,
+    what: str,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Bound candidate-bucket size before a self-join: remove every row
+    whose ``keys`` group holds more than ``cap`` rows.
+
+    The 100-TB rationale: a degenerate bucket (a boilerplate shingle, an
+    all-zero band hash over empty-ish docs) turns the downstream equi-self-
+    join quadratic INSIDE that bucket — cap² candidate pairs from one key.
+    Dropping the group loses only pairs whose every shared key is that hot
+    (for LSH, pairs still collide through their other bands), which is the
+    standard stop-shingle / hot-bucket tradeoff.
+
+    Shape: one groupBy over the keys (map-side partial counts; shuffle =
+    distinct keys only) -> the over-cap key set, which is tiny by
+    construction, is cached, COUNTED (drops are logged — no silent
+    truncation; the count also lands in ``stats_out`` when given) and
+    removed with a left_anti join (AQE broadcasts the small side).
+    """
+    if cap is None:
+        return df
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+        .cache()  # tiny (over-cap keys only); reused by count + anti-join
+    )
+    n_hot = hot.count()
+    if stats_out is not None:
+        stats_out[what] = n_hot
+    if n_hot == 0:
+        hot.unpersist()
+        return df
+    _log.warning(
+        "%s: dropping %d group(s) larger than cap=%d from candidate "
+        "generation (recall tradeoff, bounded join)",
+        what, n_hot, cap,
+    )
+    return df.join(hot, keys, "left_anti")
 
 # ---------------------------------------------------------------------------
 # exact
@@ -115,14 +165,22 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str,
     n_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
     min_est_jaccard: float = 0.7,
+    max_bucket: int | None = 10_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by signature
     agreement (unbiased Jaccard estimate). Returns (id_a, id_b, est_jaccard)
     with id_a < id_b.
 
     Pair generation is an equi-join on (band index, band hash) — never a
-    cross join; a >1000-doc bucket would indicate degenerate text and can be
-    salted upstream.
+    cross join. Degenerate band buckets (near-identical boilerplate /
+    empty-ish docs hashing to one band value) are BOUNDED: any
+    (band, band_hash) bucket holding more than ``max_bucket`` docs is
+    dropped from candidate generation before the self-join, with the drop
+    count logged and reported via ``stats_out`` (key 'hot_band_buckets') —
+    see _drop_hot_groups. Pairs inside a dropped bucket still surface
+    through their other bands unless degenerate in ALL bands (true spam
+    clusters, which belong to exact dedup). max_bucket=None disables.
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
@@ -146,6 +204,10 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "band_hash"),
+    )
+    banded = _drop_hot_groups(
+        banded, ["band", "band_hash"], max_bucket,
+        "hot_band_buckets", stats_out,
     )
     left = banded.select(
         F.col(id_col).alias("id_a"),
@@ -218,6 +280,8 @@ def simhash_signatures(
 def hamming_band_pairs(
     sigs: DataFrame, id_col: str, sig_col: str,
     max_hamming: int = 3, chunks: int = 4,
+    max_bucket: int | None = 10_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs over any 64-bit signature column: banding on
     ``chunks`` equal bit-chunks (pigeonhole: any pair with hamming <
@@ -227,7 +291,16 @@ def hamming_band_pairs(
     Tradeoff: more chunks -> stronger recall guarantee (hamming <=
     chunks-1) but shorter chunk keys -> bigger candidate buckets. chunks
     must divide 64; 4 (16-bit keys) suits dedup at scale, 8 (8-bit keys)
-    only for small corpora or as a second LSH pass."""
+    only for small corpora or as a second LSH pass.
+
+    Any (chunk_idx, chunk_val) bucket with more than ``max_bucket``
+    signatures is dropped before the self-join (drop count logged +
+    reported via ``stats_out`` key 'hot_chunk_buckets'; see
+    _drop_hot_groups) — a degenerate chunk value (e.g. a common all-zero
+    16-bit span) would otherwise make the join quadratic in that bucket.
+    Pairs in a dropped bucket still pair through their other chunks when
+    hamming < chunks-1 holds over the remaining spans. max_bucket=None
+    disables."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sigs.select(
@@ -242,6 +315,10 @@ def hamming_band_pairs(
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
+    )
+    chunked = _drop_hot_groups(
+        chunked, ["chunk_idx", "chunk_val"], max_bucket,
+        "hot_chunk_buckets", stats_out,
     )
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("_sig").alias("sh_a"),
@@ -266,17 +343,21 @@ def hamming_band_pairs(
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str,
     max_hamming: int = 3, chunks: int = 4,
+    max_bucket: int | None = 10_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by text SimHash (see hamming_band_pairs)."""
     sigs = simhash_signatures(df, id_col, text_col)
     return hamming_band_pairs(
-        sigs, id_col, "simhash", max_hamming, chunks
+        sigs, id_col, "simhash", max_hamming, chunks, max_bucket, stats_out
     )
 
 
 def audio_near_dup_pairs(
     df: DataFrame, id_col: str = "clip_id",
     max_hamming: int = 6, chunks: int = 4,
+    max_bucket: int | None = 10_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs via the 64-bit spectral fingerprint
     (udfs/audio.py:audio_fingerprint_udf — computed from the JVM-extracted
@@ -288,7 +369,7 @@ def audio_near_dup_pairs(
     sigs = with_audio_fingerprint(df).filter(F.col("audio_fp") != 0)
     return hamming_band_pairs(
         sigs.select(id_col, "audio_fp"), id_col, "audio_fp",
-        max_hamming, chunks,
+        max_hamming, chunks, max_bucket, stats_out,
     )
 
 
@@ -300,14 +381,23 @@ def audio_near_dup_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     shingle_k: int = 3, min_jaccard: float = 0.8,
+    max_doc_freq: int | None = 10_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles for pairs sharing >= 1 shingle.
 
     Classic inverted-index self-join: explode distinct shingles, join on the
-    shingle, count intersections, then |A∩B| / (|A|+|B|-|A∩B|). Shuffle is
-    bounded by the posting lists; ubiquitous shingles should be prefiltered
-    at scale (stop-shingle removal) — see minhash_lsh_pairs for the
-    approximate path.
+    shingle, count intersections, then |A∩B| / (|A|+|B|-|A∩B|). The shuffle
+    is bounded by the posting lists — and the posting lists are themselves
+    BOUNDED by a stop-shingle cutoff: any shingle appearing in more than
+    ``max_doc_freq`` documents (boilerplate, templates) is removed from the
+    inverted index before the self-join (drop count logged + reported via
+    ``stats_out`` key 'stop_shingles'; see _drop_hot_groups), since one such
+    shingle alone contributes df² candidate pairs. |A| and |B| are counted
+    BEFORE the cutoff, so the reported jaccard of a surviving pair is exact
+    when none of its shared shingles were dropped and a lower bound
+    otherwise — the filter only MISSES pairs whose overlap is purely
+    boilerplate, it never inflates a score. max_doc_freq=None disables.
     """
     sh = df.select(
         F.col(id_col),
@@ -315,6 +405,9 @@ def ngram_jaccard_pairs(
     ).withColumn("_n", F.array_size("_shs"))
     posting = sh.select(
         F.col(id_col), F.col("_n"), F.explode("_shs").alias("_sh")
+    )
+    posting = _drop_hot_groups(
+        posting, ["_sh"], max_doc_freq, "stop_shingles", stats_out
     )
     a = posting.select(
         F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "_sh"

@@ -80,6 +80,101 @@ class TestMinHash:
         assert not any(5 in p for p in pairs)  # far doc not paired
 
 
+class TestHotBucketGuards:
+    """Planted pathological corpora: the candidate generators must BOUND
+    degenerate buckets (the only quadratic blowup risk at 100 TB) and
+    report the drops — never silently truncate."""
+
+    @pytest.fixture(scope="class")
+    def hot_shingle_docs(self, spark):
+        # every doc shares the word "boilerplate"; docs 0/1 additionally
+        # share real content (a true near-dup pair)
+        rows = [(0, "boilerplate alpha beta gamma delta"),
+                (1, "boilerplate alpha beta gamma epsilon")]
+        rows += [
+            (i, f"boilerplate unique{i}a unique{i}b unique{i}c")
+            for i in range(2, 42)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stop_shingle_cutoff_bounds_candidates(self, hot_shingle_docs):
+        stats: dict = {}
+        pairs = ngram_jaccard_pairs(
+            hot_shingle_docs, "doc_id", "text", shingle_k=1,
+            min_jaccard=0.01, max_doc_freq=10, stats_out=stats,
+        ).collect()
+        # "boilerplate" (df=42 > 10) is dropped and accounted for
+        assert stats["stop_shingles"] == 1
+        # without the cutoff every pair of the 42 docs is a candidate
+        # (861 pairs); with it only the true near-dup pair survives
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+        # jaccard is a lower bound: intersection lost "boilerplate" but
+        # |A|,|B| still count it -> 3/(5+5-3) instead of 4/(5+5-4)
+        assert pairs[0]["jaccard"] == pytest.approx(3 / 7)
+
+    def test_no_cutoff_reproduces_unbounded_behavior(self, hot_shingle_docs):
+        stats: dict = {}
+        pairs = ngram_jaccard_pairs(
+            hot_shingle_docs, "doc_id", "text", shingle_k=1,
+            min_jaccard=0.01, max_doc_freq=None, stats_out=stats,
+        ).collect()
+        assert stats == {}  # guard disabled -> nothing counted
+        assert len(pairs) == 42 * 41 // 2
+
+    def test_cap_above_df_changes_nothing(self, hot_shingle_docs):
+        capped = ngram_jaccard_pairs(
+            hot_shingle_docs, "doc_id", "text", shingle_k=1,
+            min_jaccard=0.01, max_doc_freq=100,
+        ).collect()
+        uncapped = ngram_jaccard_pairs(
+            hot_shingle_docs, "doc_id", "text", shingle_k=1,
+            min_jaccard=0.01, max_doc_freq=None,
+        ).collect()
+        assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+    def test_minhash_hot_band_bucket_dropped(self, spark):
+        # 30 identical docs -> every band bucket holds all 30; one distinct
+        # pair of near-dups must still surface through its own buckets
+        rows = [(i, "spam spam lorem ipsum dolor sit amet") for i in range(30)]
+        rows += [(100, "an actual sentence about spark shuffles and joins"),
+                 (101, "an actual sentence about spark shuffles and join")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats: dict = {}
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", min_est_jaccard=0.3,
+                max_bucket=10, stats_out=stats,
+            ).collect()
+        }
+        assert stats["hot_band_buckets"] >= 8  # all 8 spam bands over cap
+        assert all(a >= 100 for a, _ in pairs)  # spam cluster suppressed
+        assert (100, 101) in pairs              # true pair kept
+
+    def test_hamming_hot_chunk_bucket_dropped(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+
+        # 25 sigs identical in chunk 0 (low 16 bits = 0xAAAA) but far apart
+        # overall; plus one genuine near pair (hamming 1) away from the herd
+        rows = [(i, (i << 16) | 0xAAAA) for i in range(25)]
+        rows += [(100, 0x7777000055550000), (101, 0x7777000055550001)]
+        sigs = spark.createDataFrame(rows, "id long, sig long")
+        stats: dict = {}
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in hamming_band_pairs(
+                sigs, "id", "sig", max_hamming=3, chunks=4,
+                max_bucket=10, stats_out=stats,
+            ).collect()
+        }
+        # 3 hot buckets: the planted (chunk0, 0xAAAA) plus the herd's
+        # shared all-zero high chunks (chunk2, 0) and (chunk3, 0)
+        assert stats["hot_chunk_buckets"] == 3
+        assert pairs == {(100, 101)}
+
+
 class TestSimHash:
     def test_identical_signatures(self, docs):
         sigs = {
