@@ -314,6 +314,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_scrub"] = doc_scrub
 
+    def doc_pii_type_counts(spark, sf):
+        """Per-PII-type detection counts (reference pii_detector.py:168-176
+        parity): emails/phones/ssns/tox counted in fixed scrub order."""
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            pii_type_counts_exprs,
+        )
+
+        df = _load(spark, sf, "documents")
+        counts = pii_type_counts_exprs(F.col("text"))
+        return df.select(
+            "doc_id",
+            counts["emails"].alias("n_emails"),
+            counts["phones"].alias("n_phones"),
+            counts["ssns"].alias("n_ssns"),
+            counts["tox"].alias("n_tox"),
+        )
+
+    q["doc_pii_type_counts"] = doc_pii_type_counts
+
     # ---- text analysis ------------------------------------------------------
     def doc_token_counts(spark, sf):
         df = _load(spark, sf, "documents")
@@ -1076,6 +1095,22 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_scrub"] = (
         f"SELECT doc_id, {_sql_scrub('text')} AS text_scrubbed FROM documents"
     )
+
+    _after_email = f"regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g')"
+    _after_phone = (
+        f"regexp_replace({_after_email}, '{PHONE_RE}', '[PHONE]', 'g')"
+    )
+    sql["doc_pii_type_counts"] = f"""
+      SELECT doc_id,
+             CAST({_sql_count('text', EMAIL_RE)} AS INTEGER) AS n_emails,
+             CAST({_sql_count(_after_email, PHONE_RE)} AS INTEGER)
+               AS n_phones,
+             CAST({_sql_count(_after_phone, SSN_RE)} AS INTEGER) AS n_ssns,
+             CAST({_sql_count(
+                 f"regexp_replace({_after_phone}, '{SSN_RE}', '[SSN]', 'g')",
+                 TOX_RE,
+             )} AS INTEGER) AS n_tox
+      FROM documents"""
 
     ws_count = _sql_count("text", "\\S+")
     bpe_count = _sql_count("text", TOKEN_RE)

@@ -86,6 +86,27 @@ def scrub_expr(c: Column | str) -> Column:
     return out
 
 
+def pii_type_counts_exprs(c: Column | str) -> dict[str, Column]:
+    """Per-PII-type match counts prior to scrubbing, as one Column per type
+    (parity: reference pii_detector.py:168-176 reports emails / phones /
+    SSNs separately per column; ours adds the toxicity lexicon).
+
+    Counted in the fixed scrub order (email -> phone -> ssn -> tox), each
+    type over the text with the PRECEDING types already replaced — so a
+    digit run inside a scrubbed email never double-counts as a phone, and
+    the four counts always sum to pii_hits_expr exactly."""
+    col = F.col(c) if isinstance(c, str) else c
+    after_email = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
+    after_phone = F.regexp_replace(after_email, PHONE_RE, PHONE_TOKEN)
+    after_ssn = F.regexp_replace(after_phone, SSN_RE, SSN_TOKEN)
+    return {
+        "emails": F.regexp_count(col, F.lit(EMAIL_RE)).cast("int"),
+        "phones": F.regexp_count(after_email, F.lit(PHONE_RE)).cast("int"),
+        "ssns": F.regexp_count(after_phone, F.lit(SSN_RE)).cast("int"),
+        "tox": F.regexp_count(after_ssn, F.lit(TOX_RE)).cast("int"),
+    }
+
+
 def pii_hits_expr(c: Column | str) -> Column:
     """Total PII/toxicity match count prior to scrubbing (cell-level counter,
     mirroring the reference's per-cell masking stats, src/masker.py:115-146).

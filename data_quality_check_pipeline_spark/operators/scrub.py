@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exprs import pii_hits_expr, scrub_expr
+from ..functions.exprs import (
+    pii_hits_expr,
+    pii_type_counts_exprs,
+    scrub_expr,
+)
 
 
 def scrub_transcripts(
@@ -29,16 +33,39 @@ def scrub_transcripts(
     )
 
 
-def scrub_stats(df: DataFrame, hits: str = "pii_hits") -> dict[str, int]:
+def pii_type_agg_cols(transcript: str = "transcript") -> dict:
+    """Per-PII-type corpus totals as aggregate Columns (parity: reference
+    pii_detector.py:168-176 per-type detection counts). Designed to
+    piggyback on an existing single-pass df.agg (e.g. evaluate_suite
+    extra_aggs) — 'how many of WHAT was scrubbed' without a new job."""
+    return {
+        f"pii_{k}": F.sum(c.cast("long"))
+        for k, c in pii_type_counts_exprs(transcript).items()
+    }
+
+
+def scrub_stats(
+    df: DataFrame, hits: str = "pii_hits",
+    transcript: str | None = None,
+) -> dict[str, int]:
     """Corpus-level scrub counters (parity: masker stats dict,
-    src/masker.py:129-149) in one aggregate pass."""
-    row = df.agg(
+    src/masker.py:129-149) in one aggregate pass. When ``transcript`` is
+    given (the PRE-scrub text column), the same pass also breaks hits down
+    by PII type (emails/phones/ssns/tox)."""
+    aggs = [
         F.count(F.lit(1)).alias("rows"),
         F.sum((F.col(hits) > 0).cast("long")).alias("rows_with_pii"),
         F.sum(F.col(hits)).alias("total_hits"),
-    ).collect()[0]
-    return {
+    ]
+    if transcript is not None:
+        aggs += [c.alias(k) for k, c in pii_type_agg_cols(transcript).items()]
+    row = df.agg(*aggs).collect()[0]
+    out = {
         "rows": int(row["rows"]),
         "rows_with_pii": int(row["rows_with_pii"] or 0),
         "total_hits": int(row["total_hits"] or 0),
     }
+    if transcript is not None:
+        for k in ("pii_emails", "pii_phones", "pii_ssns", "pii_tox"):
+            out[k] = int(row[k] or 0)
+    return out

@@ -149,7 +149,10 @@ def run_pipeline(
             }
 
     done_shards = _completed_shards(spark, store, cfg)
-    totals = {"total": 0, "kept": 0, "dropped": 0, "pii_rows": 0}
+    totals = {
+        "total": 0, "kept": 0, "dropped": 0, "pii_rows": 0,
+        "pii_emails": 0, "pii_phones": 0, "pii_ssns": 0, "pii_tox": 0,
+    }
     gate_overall: GateResult | None = None
 
     for shard in range(cfg.n_shards):
@@ -283,12 +286,16 @@ def _run_shard(
     # suite and the PII row count share a single df.agg (extra_aggs)
     t0 = time.time()
     from .operators.expectations import clips_suite, evaluate_suite
+    from .operators.scrub import pii_type_agg_cols
 
     ge, extras = evaluate_suite(
         kept_pre,
         clips_suite(),
         extra_aggs={
-            "pii_rows": F.sum((F.col("pii_hits") > 0).cast("long"))
+            "pii_rows": F.sum((F.col("pii_hits") > 0).cast("long")),
+            # per-type scrub counters share the same single pass
+            # (parity: reference pii_detector.py:168-176)
+            **pii_type_agg_cols("transcript"),
         },
     )
     ge_failed = [r["name"] for r in ge if not r["success"]]
@@ -301,7 +308,11 @@ def _run_shard(
         **({"failing": ge_failed[:5]} if ge_failed else {}),
     )
     pii_rows = int(extras["pii_rows"] or 0)
-    log.record("pii", "ok", t0, rows_with_pii=pii_rows)
+    pii_types = {
+        k: int(extras[k] or 0)
+        for k in ("pii_emails", "pii_phones", "pii_ssns", "pii_tox")
+    }
+    log.record("pii", "ok", t0, rows_with_pii=pii_rows, **pii_types)
 
     # -- LINEAGE (enables resume) ---------------------------------------------
     t0 = time.time()
@@ -336,6 +347,7 @@ def _run_shard(
     if cfg.cache_flagged:
         flagged.unpersist()
     stats["pii_rows"] = pii_rows
+    stats.update(pii_types)
     return gate, stats
 
 

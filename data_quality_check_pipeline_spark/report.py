@@ -24,6 +24,11 @@ def render_run_report(metrics: dict) -> str:
         f"  dropped:       {q.get('dropped', 0):,}",
         f"  keep rate:     {q.get('keep_pct', 100.0):.2f}%",
         f"  rows with PII: {q.get('pii_rows', 0):,}",
+        "  PII scrubbed:  "
+        f"emails={q.get('pii_emails', 0):,} "
+        f"phones={q.get('pii_phones', 0):,} "
+        f"ssns={q.get('pii_ssns', 0):,} "
+        f"tox={q.get('pii_tox', 0):,}",
         "",
         "GATE",
         f"  decision:      {gate.get('decision', 'n/a')}",

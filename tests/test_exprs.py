@@ -144,3 +144,44 @@ class TestScrub:
         raw = "perfectly clean transcript"
         assert one(spark, raw, scrub_expr("c")) == raw
         assert one(spark, raw, pii_hits_expr("c")) == 0
+
+    def test_pii_type_counts_breakdown(self, spark):
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            pii_type_counts_exprs,
+        )
+
+        raw = (
+            "a@b.com c@d.org call 555-123-4567 ssn 123-45-6789 FRAK blorgit"
+        )
+        counts = pii_type_counts_exprs("c")
+        got = {k: one(spark, raw, v) for k, v in counts.items()}
+        assert got == {"emails": 2, "phones": 1, "ssns": 1, "tox": 2}
+        assert sum(got.values()) == one(spark, raw, pii_hits_expr("c"))
+
+    def test_pii_type_counts_sequential_order(self, spark):
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            pii_type_counts_exprs,
+        )
+
+        # the digits of an email must NOT re-count as a phone once the
+        # email is replaced (fixed-order semantics)
+        raw = "x 5551234567a@b.com y"
+        counts = pii_type_counts_exprs("c")
+        got = {k: one(spark, raw, v) for k, v in counts.items()}
+        assert got == {"emails": 1, "phones": 0, "ssns": 0, "tox": 0}
+
+    def test_scrub_stats_with_types(self, spark):
+        from data_quality_check_pipeline_spark.operators.scrub import (
+            scrub_stats,
+            scrub_transcripts,
+        )
+
+        df = spark.createDataFrame(
+            [("a@b.com and 555-123-4567",), ("clean",), ("FRAK",)],
+            "transcript string",
+        )
+        s = scrub_stats(scrub_transcripts(df), transcript="transcript")
+        assert s["rows"] == 3 and s["rows_with_pii"] == 2
+        assert s["total_hits"] == 3
+        assert (s["pii_emails"], s["pii_phones"], s["pii_ssns"],
+                s["pii_tox"]) == (1, 1, 0, 1)
