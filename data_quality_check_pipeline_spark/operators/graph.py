@@ -30,6 +30,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     = min node id reachable through the undirected edge set.
@@ -39,7 +40,22 @@ def connected_components(
     of templated documents): returning intermediate labels would silently
     split one true group into several and leave extra "survivors" behind.
     Convergence stops early, so a generous cap costs nothing on the
-    shallow graphs near-dup candidates produce."""
+    shallow graphs near-dup candidates produce.
+
+    Per-round lineage truncation (iterative joins otherwise stack an
+    exponentially re-evaluated plan):
+
+    * ``checkpoint_dir=None`` (default): ``localCheckpoint`` — blocks live
+      on executors. Right for local/single-JVM runs, but on a real cluster
+      an executor loss mid-iteration makes the truncated lineage
+      unrecoverable and kills the job.
+    * ``checkpoint_dir=<fault-tolerant path>``: each round's labels —
+      (id, long) pairs, tiny relative to the corpus — are written to
+      ``<dir>/cc_round_<i>`` parquet and read back, so the iteration
+      survives executor loss and can even be resumed by a new driver from
+      the last round's files. This is the 100-TB configuration; point it
+      at the job's durable storage (e.g. the TableStore root).
+    """
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -50,8 +66,9 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    spark = edges.sparkSession
     changed = -1
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             und.join(
                 labels.select(
@@ -71,7 +88,12 @@ def connected_components(
                 ).alias("comp"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        if checkpoint_dir is None:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            path = f"{checkpoint_dir}/cc_round_{it}"
+            new_labels.write.mode("overwrite").parquet(path)
+            new_labels = spark.read.parquet(path)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

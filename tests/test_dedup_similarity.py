@@ -225,6 +225,37 @@ class TestConnectedComponents:
         }
         assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        """Table-backed per-round persistence (the cluster-safe mode) must
+        produce identical components AND leave resumable round files."""
+        import os
+
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)],
+            "id_a long, id_b long",
+        )
+        ckpt = str(tmp_path / "cc")
+        comps = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                edges, checkpoint_dir=ckpt
+            ).collect()
+        }
+        assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+        rounds = [d for d in os.listdir(ckpt) if d.startswith("cc_round_")]
+        assert rounds  # durable per-round label snapshots exist
+        # the last round's file alone reproduces the final labels
+        last = max(rounds, key=lambda d: int(d.rsplit("_", 1)[1]))
+        persisted = {
+            r["node"]: r["comp"]
+            for r in spark.read.parquet(f"{ckpt}/{last}").collect()
+        }
+        assert persisted == comps
+
     def test_nonconvergence_raises(self, spark):
         """A chain longer than max_iter hops must raise, not silently
         return split components."""
