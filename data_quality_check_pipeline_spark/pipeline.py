@@ -75,6 +75,7 @@ class RunConfig:
     source_fingerprint: str = ""
     with_audio: bool = True
     cache_flagged: bool = True
+    module_reports: bool = True
 
     def __post_init__(self) -> None:
         if not self.run_id:
@@ -154,6 +155,12 @@ def run_pipeline(
         "pii_emails": 0, "pii_phones": 0, "pii_ssns": 0, "pii_tox": 0,
     }
     gate_overall: GateResult | None = None
+    # per-module report inputs, accumulated across shards (histogram
+    # counts merge; ge/completeness/stats keep the latest shard's view;
+    # bounded samples keep the first ones seen)
+    report_data: dict = {"reason_histogram": [], "mask_samples": [],
+                         "dlq_sample": []}
+    reason_totals: dict[str, int] = {}
 
     for shard in range(cfg.n_shards):
         if shard in done_shards:
@@ -163,7 +170,9 @@ def run_pipeline(
             if cfg.n_shards == 1
             else df.filter(_shard_expr("clip_id", cfg.n_shards) == shard)
         )
-        gate, stats = _run_shard(spark, shard_df, shard, cfg, store, log)
+        gate, stats, shard_report = _run_shard(
+            spark, shard_df, shard, cfg, store, log
+        )
         gate_overall = gate
         if gate.decision == HALT:
             # nothing was written for this shard — counting its stats
@@ -172,6 +181,14 @@ def run_pipeline(
             break
         for k in totals:
             totals[k] += stats.get(k, 0)
+        for key in ("ge", "completeness", "stats"):
+            if key in shard_report:
+                report_data[key] = shard_report[key]
+        for reason, n in shard_report.get("reason_histogram", []):
+            reason_totals[reason] = reason_totals.get(reason, 0) + n
+        for key in ("mask_samples", "dlq_sample"):
+            if not report_data[key]:
+                report_data[key] = shard_report.get(key, [])
 
     wall = time.time() - t_run
     metrics = {
@@ -199,6 +216,16 @@ def run_pipeline(
         },
     }
     save_metrics(metrics, f"{cfg.out_root}/metrics", cfg.run_id)
+    if cfg.module_reports and totals["total"]:
+        from .report import save_module_reports
+
+        report_data["quality"] = metrics["quality"]
+        report_data["reason_histogram"] = sorted(
+            reason_totals.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        save_module_reports(
+            report_data, f"{cfg.out_root}/reports", cfg.run_id
+        )
     return metrics
 
 
@@ -209,7 +236,7 @@ def _run_shard(
     cfg: RunConfig,
     store: TableStore,
     log: StageLog,
-) -> tuple[GateResult, dict]:
+) -> tuple[GateResult, dict, dict]:
     # -- CLEAN + SCORE + VALIDATE (one lazy DAG) -----------------------------
     t0 = time.time()
     flagged = flag_clips(score_clips(df, cfg.with_audio), cfg.with_audio)
@@ -231,7 +258,7 @@ def _run_shard(
         log.record("gate", "halt", t0)
         if cfg.cache_flagged:
             flagged.unpersist()
-        return gate, stats
+        return gate, stats, {}
 
     # -- KEEP BRANCH: scrub -> salted partitioned write ----------------------
     t0 = time.time()
@@ -288,6 +315,18 @@ def _run_shard(
     from .operators.expectations import clips_suite, evaluate_suite
     from .operators.scrub import pii_type_agg_cols
 
+    # distribution stats for the statistical report piggyback on the same
+    # single pass (statistical_validator.py:249-253 parity)
+    stat_aggs = {
+        "dur_ms_avg": F.avg("dur_ms"),
+        "dur_ms_min": F.min("dur_ms").cast("double"),
+        "dur_ms_max": F.max("dur_ms").cast("double"),
+        "ppl_avg": F.avg("ppl"),
+        "lang_conf_avg": F.avg("lang_conf"),
+    }
+    if cfg.with_audio:
+        stat_aggs["snr_db_avg"] = F.avg("snr_db")
+        stat_aggs["rms_avg"] = F.avg("rms")
     ge, extras = evaluate_suite(
         kept_pre,
         clips_suite(),
@@ -296,6 +335,7 @@ def _run_shard(
             # per-type scrub counters share the same single pass
             # (parity: reference pii_detector.py:168-176)
             **pii_type_agg_cols("transcript"),
+            **stat_aggs,
         },
     )
     ge_failed = [r["name"] for r in ge if not r["success"]]
@@ -344,11 +384,39 @@ def _run_shard(
     )
     log.record("lineage", "ok", t0, shard=shard)
 
+    # -- MODULE-REPORT SAMPLES (bounded collects on the CACHED df only) ------
+    shard_report: dict = {"ge": ge, "completeness": comp}
+    if cfg.module_reports:
+        from .operators.profile import reason_histogram
+
+        shard_report["stats"] = {
+            k: (float(extras[k]) if extras[k] is not None else None)
+            for k in stat_aggs
+        }
+        shard_report["reason_histogram"] = [
+            (r["reason"], int(r["n"]))
+            for r in reason_histogram(flagged).limit(50).collect()
+        ]
+        shard_report["mask_samples"] = [
+            {"clip_id": r["clip_id"], "before": r["transcript"],
+             "after": r["transcript_scrubbed"]}
+            for r in kept_pre.filter(F.col("pii_hits") > 0)
+            .select("clip_id", "transcript", "transcript_scrubbed")
+            .limit(2).collect()
+        ]
+        shard_report["dlq_sample"] = [
+            {"clip_id": r["clip_id"], "reasons": list(r["reasons"]),
+             "severity": r["severity"]}
+            for r in quarantined
+            .select("clip_id", "reasons", "severity")
+            .limit(20).collect()
+        ]
+
     if cfg.cache_flagged:
         flagged.unpersist()
     stats["pii_rows"] = pii_rows
     stats.update(pii_types)
-    return gate, stats
+    return gate, stats, shard_report
 
 
 def active_quarantine(df: DataFrame) -> DataFrame:

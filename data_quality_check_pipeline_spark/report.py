@@ -64,3 +64,137 @@ def save_run_report(metrics: dict, out_dir: str) -> str:
     with open(path, "w") as f:
         f.write(render_run_report(metrics))
     return path
+
+
+# ---------------------------------------------------------------------------
+# Per-module reports (reference parity: the 12 reports/*.txt —
+# validator/profiler/masker/DLQ/statistical generate_report functions).
+# Every renderer consumes ONLY driver-side dicts/rows already collected
+# during the run: no renderer triggers a Spark job.
+# ---------------------------------------------------------------------------
+
+
+def _hdr(title: str) -> list[str]:
+    return ["=" * 64, title, "=" * 64]
+
+
+def render_validation_report(data: dict) -> str:
+    """Rule outcomes + drop-reason histogram (reference validator
+    generate_report, src/validator.py:309-321 + profiler severity tally)."""
+    q = data.get("quality", {})
+    lines = _hdr("VALIDATION REPORT")
+    lines += [
+        f"total clips:  {q.get('total', 0):,}",
+        f"kept:         {q.get('kept', 0):,}",
+        f"dropped:      {q.get('dropped', 0):,}",
+        f"keep rate:    {q.get('keep_pct', 100.0):.2f}%",
+        "",
+        "DROP REASONS",
+    ]
+    for reason, n in data.get("reason_histogram", []):
+        lines.append(f"  {reason:<22} {n:>10,}")
+    if not data.get("reason_histogram"):
+        lines.append("  (none)")
+    return "\n".join(lines)
+
+
+def render_expectations_report(data: dict) -> str:
+    """Expectation-suite outcomes (reference expectations report)."""
+    lines = _hdr("EXPECTATION SUITE REPORT")
+    for r in data.get("ge", []):
+        status = "PASS" if r["success"] else "FAIL"
+        lines.append(
+            f"  [{status}] {r['name']:<40} "
+            f"pass_rate={r['pass_rate']:.4f} mostly={r['mostly']}"
+        )
+    if not data.get("ge"):
+        lines.append("  (no expectations evaluated)")
+    return "\n".join(lines)
+
+
+def render_profile_report(data: dict) -> str:
+    """Per-column completeness (reference profiler.py:347-421 report)."""
+    comp = data.get("completeness", {})
+    lines = _hdr("PROFILE REPORT")
+    lines.append(f"rows: {comp.get('rows', 0):,}")
+    lines.append("")
+    lines.append(f"{'column':<24}{'missing':>10}{'complete %':>12}")
+    for col, c in comp.get("columns", {}).items():
+        lines.append(
+            f"{col:<24}{c['missing']:>10,}{c['completeness_pct']:>11.2f}%"
+        )
+    return "\n".join(lines)
+
+
+def render_statistical_report(data: dict) -> str:
+    """Distribution summary of the kept corpus (reference
+    statistical_validator.py:249-253 report)."""
+    stats = data.get("stats", {})
+    lines = _hdr("STATISTICAL REPORT (kept clips)")
+    if not stats:
+        lines.append("  (no numeric stats collected)")
+    for name, v in stats.items():
+        if v is None:
+            continue
+        lines.append(f"  {name:<22} {v:>14.4f}")
+    return "\n".join(lines)
+
+
+def render_mask_sample_report(data: dict) -> str:
+    """Before/after scrub sample, limit 2 (reference masker.py:176-198) +
+    per-PII-type counters (pii_detector.py:168-176)."""
+    q = data.get("quality", {})
+    lines = _hdr("MASKING / SCRUB REPORT")
+    lines += [
+        f"rows with PII: {q.get('pii_rows', 0):,}",
+        f"emails={q.get('pii_emails', 0):,}  "
+        f"phones={q.get('pii_phones', 0):,}  "
+        f"ssns={q.get('pii_ssns', 0):,}  tox={q.get('pii_tox', 0):,}",
+        "",
+        "SAMPLE (before -> after, limit 2)",
+    ]
+    for s in data.get("mask_samples", []):
+        lines.append(f"  clip {s['clip_id']}:")
+        lines.append(f"    before: {s['before']}")
+        lines.append(f"    after:  {s['after']}")
+    if not data.get("mask_samples"):
+        lines.append("  (no scrubbed rows)")
+    return "\n".join(lines)
+
+
+def render_dlq_report(data: dict) -> str:
+    """First 20 quarantined clips (reference
+    dead_letter_queue.py:152-158)."""
+    lines = _hdr("DEAD LETTER QUEUE REPORT")
+    rows = data.get("dlq_sample", [])
+    lines.append(f"showing {len(rows)} quarantined clip(s), limit 20")
+    for r in rows:
+        lines.append(
+            f"  {r['clip_id']}  [{r['severity']}]  "
+            f"{', '.join(r['reasons'])}"
+        )
+    return "\n".join(lines)
+
+
+MODULE_RENDERERS = {
+    "validation": render_validation_report,
+    "expectations": render_expectations_report,
+    "profile": render_profile_report,
+    "statistical": render_statistical_report,
+    "mask_sample": render_mask_sample_report,
+    "dlq": render_dlq_report,
+}
+
+
+def save_module_reports(data: dict, out_dir: str, run_id: str) -> list[str]:
+    """Write every per-module report; returns the paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for name, render in MODULE_RENDERERS.items():
+        p = os.path.join(out_dir, f"{name}_report_{run_id}.txt")
+        with open(p, "w") as f:
+            f.write(render(data) + "\n")
+        paths.append(p)
+    return paths

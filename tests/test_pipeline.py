@@ -73,6 +73,23 @@ class TestRunPipeline:
         assert os.path.exists(
             os.path.join(out_root, "metrics", "metrics_t1.json")
         )
+        # per-PII-type counters surface in the metrics quality block
+        # (the synthetic corpus plants email/phone/tox PII)
+        assert m["quality"]["pii_emails"] + m["quality"]["pii_phones"] > 0
+        # per-module reports written (reference reports/*.txt parity)
+        rep = os.path.join(out_root, "reports")
+        for name in ("validation", "expectations", "profile",
+                     "statistical", "mask_sample", "dlq"):
+            p = os.path.join(rep, f"{name}_report_t1.txt")
+            assert os.path.exists(p), p
+        with open(os.path.join(rep, "validation_report_t1.txt")) as f:
+            vtxt = f.read()
+        assert "DROP REASONS" in vtxt and "keep rate" in vtxt
+        with open(os.path.join(rep, "dlq_report_t1.txt")) as f:
+            assert "quarantined clip(s), limit 20" in f.read()
+        with open(os.path.join(rep, "mask_sample_report_t1.txt")) as f:
+            mtxt = f.read()
+        assert "before:" in mtxt and "emails=" in mtxt
 
     def test_resume_completes_pending_shards(
         self, spark, corpus, oracle_df, out_root
