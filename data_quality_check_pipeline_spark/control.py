@@ -85,23 +85,48 @@ def poll_review_decision(
     timeout_s: float,
     default: str,
     poll_interval_s: float = 1.0,
+    audit_log: str | None = None,
 ) -> str:
     """File-based human-in-the-loop channel (parity:
     human_review.py:240-301). The decision file contains
-    {"decision": "continue|discard|quarantine|halt"}."""
+    {"decision": "continue|discard|quarantine|halt"}.
+
+    Every consumed decision (including a timeout default) appends one JSONL
+    row to ``audit_log`` when given — or, when the decision file is set, to
+    ``<decision_file>.audit.jsonl`` next to it — mirroring the reference's
+    review audit trail (human_review.py:306-310)."""
     deadline = time.time() + timeout_s
+    decision, source = None, "timeout_default"
     while True:
         if decision_file and os.path.exists(decision_file):
             try:
                 with open(decision_file) as f:
                     d = json.load(f).get("decision", "").lower()
                 if d in (CONTINUE, DISCARD, QUARANTINE, HALT):
-                    return d
+                    decision, source = d, "decision_file"
+                    break
             except (json.JSONDecodeError, OSError):
                 pass
         if time.time() >= deadline:
-            return default
+            decision = default
+            break
         time.sleep(min(poll_interval_s, max(deadline - time.time(), 0)))
+
+    path = audit_log or (
+        f"{decision_file}.audit.jsonl" if decision_file else None
+    )
+    if path:
+        try:
+            with open(path, "a") as f:
+                f.write(json.dumps({
+                    "ts": time.time(),
+                    "decision": decision,
+                    "source": source,
+                    "decision_file": decision_file,
+                }) + "\n")
+        except OSError:
+            pass  # the audit trail must never block the gate itself
+    return decision
 
 
 def retry(

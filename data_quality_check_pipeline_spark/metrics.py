@@ -42,6 +42,61 @@ def prometheus_text(metrics: dict, prefix: str = "clip_quality") -> str:
     return "\n".join(lines) + "\n"
 
 
+def push_to_gateway(
+    metrics: dict,
+    gateway_url: str,
+    job: str = "clip_quality",
+    transport=None,
+    prefix: str = "clip_quality",
+) -> tuple[str, bytes]:
+    """Push the run's metrics to a Prometheus pushgateway (parity:
+    reference metrics_collector.py:278-334).
+
+    ``transport(url, data, headers)`` is injectable (SINKS-style hook —
+    tests and airgapped runs pass a recorder); the default is a plain
+    urllib PUT to ``<gateway>/metrics/job/<job>``. Returns (url, payload)
+    so callers can log exactly what was exported."""
+    url = f"{gateway_url.rstrip('/')}/metrics/job/{job}"
+    payload = prometheus_text(metrics, prefix).encode()
+    headers = {"Content-Type": "text/plain; version=0.0.4"}
+    if transport is None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=payload, headers=headers, method="PUT"
+        )
+        urllib.request.urlopen(req, timeout=10)
+    else:
+        transport(url, payload, headers)
+    return url, payload
+
+
+def alert_quality_trend(
+    metrics_dir: str,
+    current_keep_pct: float,
+    window: int = 5,
+    degradation_pts: float = 10.0,
+    notifier=None,
+) -> dict:
+    """Evaluate the run-over-run trend AND route a degradation through the
+    severity-routed notify channel (reference wires its trend check into
+    alerting, metrics_collector.py:220-273 + prometheus/alerts.yml; round-1
+    left quality_trend_alert unrouted)."""
+    res = quality_trend_alert(
+        metrics_dir, current_keep_pct, window, degradation_pts
+    )
+    if res["alert"]:
+        from .notify import notify
+
+        res["notified"] = (notifier or notify)(
+            "HIGH",
+            f"quality degradation: keep rate {current_keep_pct:.2f}% is "
+            f">{degradation_pts:g} pts below the trailing avg "
+            f"{res['trailing_avg']:.2f}% over {res['runs']} run(s)",
+        )
+    return res
+
+
 def quality_trend_alert(
     metrics_dir: str, current_keep_pct: float, window: int = 5,
     degradation_pts: float = 10.0,

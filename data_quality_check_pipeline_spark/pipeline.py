@@ -76,6 +76,8 @@ class RunConfig:
     with_audio: bool = True
     cache_flagged: bool = True
     module_reports: bool = True
+    pushgateway_url: str | None = None
+    push_transport: object = None  # injectable (url, data, headers) hook
 
     def __post_init__(self) -> None:
         if not self.run_id:
@@ -215,7 +217,20 @@ def run_pipeline(
             "clips_per_sec": totals["total"] / wall if wall else 0.0,
         },
     }
+    # trend check runs BEFORE save_metrics so the trailing window never
+    # includes the current run; a degradation routes through notify
+    from .metrics import alert_quality_trend
+
+    metrics["trend"] = alert_quality_trend(
+        f"{cfg.out_root}/metrics", metrics["quality"]["keep_pct"]
+    )
     save_metrics(metrics, f"{cfg.out_root}/metrics", cfg.run_id)
+    if cfg.pushgateway_url:
+        from .metrics import push_to_gateway
+
+        push_to_gateway(
+            metrics, cfg.pushgateway_url, transport=cfg.push_transport
+        )
     if cfg.module_reports and totals["total"]:
         from .report import save_module_reports
 

@@ -87,6 +87,72 @@ class TestMetrics:
         bad = quality_trend_alert(d, current_keep_pct=80.0)
         assert bad["alert"] and bad["runs"] == 3
 
+    def test_push_to_gateway_payload_and_url(self):
+        from data_quality_check_pipeline_spark.metrics import (
+            push_to_gateway,
+        )
+
+        seen = {}
+
+        def fake_transport(url, data, headers):
+            seen.update(url=url, data=data, headers=headers)
+
+        url, payload = push_to_gateway(
+            METRICS, "http://gw:9091/", job="clips",
+            transport=fake_transport,
+        )
+        assert url == "http://gw:9091/metrics/job/clips"
+        assert seen["url"] == url and seen["data"] == payload
+        assert b"clip_quality_quality_kept 90" in payload
+        assert seen["headers"]["Content-Type"].startswith("text/plain")
+
+    def test_trend_alert_routes_through_notify(self, tmp_path):
+        from data_quality_check_pipeline_spark.metrics import (
+            alert_quality_trend,
+        )
+
+        d = str(tmp_path)
+        for i, pct in enumerate([95.0, 96.0, 94.0]):
+            save_metrics({"quality": {"keep_pct": pct}}, d, f"h{i}")
+        calls = []
+        res = alert_quality_trend(
+            d, 80.0, notifier=lambda sev, msg: calls.append((sev, msg)),
+        )
+        assert res["alert"] and len(calls) == 1
+        assert calls[0][0] == "HIGH" and "80.00%" in calls[0][1]
+        # no degradation -> no notification
+        ok = alert_quality_trend(
+            d, 94.0, notifier=lambda *a: calls.append(a)
+        )
+        assert not ok["alert"] and len(calls) == 1
+
+    def test_review_decision_audit_log(self, tmp_path):
+        from data_quality_check_pipeline_spark.control import (
+            poll_review_decision,
+        )
+
+        f = tmp_path / "decision.json"
+        f.write_text(json.dumps({"decision": "halt"}))
+        d = poll_review_decision(str(f), timeout_s=0.0, default="quarantine")
+        assert d == "halt"
+        # timeout path audits the default too
+        missing = tmp_path / "absent.json"
+        d2 = poll_review_decision(
+            str(missing), timeout_s=0.0, default="quarantine"
+        )
+        assert d2 == "quarantine"
+        rows = [
+            json.loads(line)
+            for line in open(f"{f}.audit.jsonl").read().splitlines()
+        ]
+        assert rows[0]["decision"] == "halt"
+        assert rows[0]["source"] == "decision_file"
+        rows2 = [
+            json.loads(line)
+            for line in open(f"{missing}.audit.jsonl").read().splitlines()
+        ]
+        assert rows2[0]["source"] == "timeout_default"
+
     def test_prometheus_exports_stage_list(self):
         """stages is a LIST of dicts — its numeric leaves must export."""
         text = prometheus_text(
