@@ -525,6 +525,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_clean_dates"] = orders_clean_dates
 
+    def orders_date_bounds(spark, sf):
+        """Timestamp-sanity rule (statistical_validator.py:113-150 parity):
+        per-row out-of-range flag + corpus tallies. Bounds are set inside
+        the table's 1992-1998 span so both outcomes occur."""
+        from data_quality_check_pipeline_spark.operators.stats import (
+            with_date_bounds_flag,
+        )
+
+        df = _load(spark, sf, "orders")
+        flagged = with_date_bounds_flag(
+            df, "o_orderdate", min_year=1993, max_year=1997
+        )
+        return flagged.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("date_out_of_bounds").cast("long")).alias(
+                "n_out_of_bounds"
+            ),
+            F.min(F.year("o_orderdate")).alias("min_year"),
+            F.max(F.year("o_orderdate")).alias("max_year"),
+        )
+
+    q["orders_date_bounds"] = orders_date_bounds
+
     # ---- histograms / sorts / top-k -----------------------------------------
     def orders_status_histogram(spark, sf):
         return (
@@ -1250,6 +1273,16 @@ def oracle_sql() -> dict[str, str]:
              CASE WHEN o_orderkey % 5 IN (0, 1, 2)
                   THEN strftime(o_orderdate, '%Y-%m-%d')
                   ELSE NULL END AS clean_date
+      FROM orders"""
+
+    sql["orders_date_bounds"] = """
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN o_orderdate IS NULL
+                           OR year(o_orderdate) < 1993
+                           OR year(o_orderdate) > 1997
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_bounds,
+             CAST(min(year(o_orderdate)) AS INTEGER) AS min_year,
+             CAST(max(year(o_orderdate)) AS INTEGER) AS max_year
       FROM orders"""
 
     sql["orders_status_histogram"] = (

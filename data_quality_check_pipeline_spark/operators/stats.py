@@ -52,6 +52,24 @@ def with_zscore_outliers(
     return df.withColumn(out, flag), {"mean": mean, "std": std}
 
 
+def with_date_bounds_flag(
+    df: DataFrame,
+    col: str,
+    min_year: int = 1920,
+    max_year: int = 2026,
+    out: str = "date_out_of_bounds",
+) -> DataFrame:
+    """Per-row timestamp-sanity flag: year outside [min_year, max_year]
+    (parity: reference statistical_validator.py:113-150, which flags
+    year<1920 / year>2026 rows). NULL dates flag true — an unparseable or
+    missing timestamp is exactly the corruption this rule exists to catch.
+    Pure Column expr; no shuffle."""
+    y = F.year(F.col(col))
+    return df.withColumn(
+        out, y.isNull() | (y < min_year) | (y > max_year)
+    )
+
+
 def value_clustering(
     df: DataFrame, col: str, max_share: float = 0.5
 ) -> dict:

@@ -55,6 +55,24 @@ class TestStats:
         )
         assert s["mean"] == pytest.approx(float(vals.mean()), rel=1e-9)
 
+    def test_date_bounds_flag(self, spark):
+        from data_quality_check_pipeline_spark.operators.stats import (
+            with_date_bounds_flag,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "1919-12-31"), (2, "1920-01-01"), (3, "2000-06-15"),
+             (4, "2026-12-31"), (5, "2027-01-01"), (6, None)],
+            "id int, d string",
+        ).withColumn("d", F.to_date("d"))
+        flags = {
+            r["id"]: r["date_out_of_bounds"]
+            for r in with_date_bounds_flag(df, "d").collect()
+        }
+        # bounds inclusive; NULL (unparseable) flags true
+        assert flags == {1: True, 2: False, 3: False, 4: False,
+                         5: True, 6: True}
+
     def test_value_clustering_detects_skew(self, spark):
         df = spark.createDataFrame(
             [("en",)] * 80 + [("fr",)] * 20, "lang string"
