@@ -85,9 +85,17 @@ def with_lsh_bucket(
     out: str = "lsh_bucket",
 ) -> DataFrame:
     """Sign-pattern bucket id from deterministic random hyperplanes. The
-    planes are literal arrays folded into the plan (a few KB) — no join."""
+    planes are literal arrays folded into the plan (a few KB) — no join.
+
+    ``dim`` is required: an array<T> schema does not carry its length, and
+    inferring it with a ``.first()`` would hide a driver-side Spark job
+    inside what is otherwise a pure plan transformation."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "with_lsh_bucket requires dim (the embedding length): the "
+            "array column's schema does not carry it, and inferring it "
+            "would trigger a hidden driver-side job per call"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):

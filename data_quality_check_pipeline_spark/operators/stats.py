@@ -76,19 +76,27 @@ def value_clustering(
     """Detect a single value holding more than ``max_share`` of rows
     (statistical_validator.py:157-161 month-clustering; graft: language-
     bucket skew detection that drives the salting policy)."""
-    top = (
+    # ONE pass: groupBy counts (map-side combine), then the total and the
+    # winning group reduce from the tiny grouped result — no second scan.
+    # max(struct(n, value)) picks the top count with a deterministic
+    # max-value tie-break.
+    row = (
         df.groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"))
-        .limit(1)
-        .collect()
+        .agg(
+            F.sum("n").alias("total"),
+            F.max(
+                F.struct(F.col("n"), F.col(col).alias("v"))
+            ).alias("top"),
+        )
+        .collect()[0]
     )
-    total = df.count()
-    if not top or not total:
+    total = int(row["total"] or 0)
+    if not total:
         return {"skewed": False, "top_value": None, "share": 0.0}
-    share = top[0]["n"] / total
+    share = row["top"]["n"] / total
     return {
         "skewed": share > max_share,
-        "top_value": top[0][col],
+        "top_value": row["top"]["v"],
         "share": share,
     }

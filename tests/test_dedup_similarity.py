@@ -341,18 +341,22 @@ class TestSimilarity:
     def test_lsh_bucket_deterministic(self, embeddings):
         b1 = {
             r["vec_id"]: r["lsh_bucket"]
-            for r in with_lsh_bucket(embeddings).collect()
+            for r in with_lsh_bucket(embeddings, dim=16).collect()
         }
         b2 = {
             r["vec_id"]: r["lsh_bucket"]
-            for r in with_lsh_bucket(embeddings).collect()
+            for r in with_lsh_bucket(embeddings, dim=16).collect()
         }
         assert b1 == b2
+
+    def test_lsh_bucket_requires_dim(self, embeddings):
+        with pytest.raises(ValueError, match="requires dim"):
+            with_lsh_bucket(embeddings)
 
     def test_lsh_topk_recall_on_clusters(self, embeddings):
         q = embeddings.limit(3).selectExpr("vec_id as query_id", "embedding")
         exact = brute_force_topk(embeddings, q, k=5).collect()
-        approx = lsh_topk(embeddings, q, k=5, n_planes=4).collect()
+        approx = lsh_topk(embeddings, q, k=5, n_planes=4, dim=16).collect()
         exact_sets = {}
         for r in exact:
             exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
@@ -424,7 +428,7 @@ class TestSimilarity:
         pairs = {
             (r["id_a"], r["id_b"])
             for r in embedding_near_dups(
-                embeddings, min_cosine=0.9999
+                embeddings, min_cosine=0.9999, dim=16
             ).collect()
         }
         assert (100, 101) in pairs
