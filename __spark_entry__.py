@@ -937,7 +937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_norm_summary"] = embedding_norm_summary
 
-    def embedding_lsh_ann(spark, sf):  # rows-only (approx; plan-level op)
+    def embedding_lsh_ann(spark, sf):
+        """Multi-table multiprobe LSH ANN. Deterministic (plan-literal
+        hyperplanes), so the oracle reproduces the same buckets, probes
+        and re-rank in SQL."""
         from data_quality_check_pipeline_spark.operators.similarity import (
             lsh_topk,
         )
@@ -948,7 +951,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return lsh_topk(emb, queries_df, k=5, n_planes=6, dim=64)
+        out = lsh_topk(
+            emb, queries_df, k=5, n_planes=6, dim=64,
+            n_tables=4, multiprobe=1,
+        )
+        return out.select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 5).alias("cosine"),
+            "rank",
+        )
 
     q["embedding_lsh_ann"] = embedding_lsh_ann
 
@@ -974,6 +986,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_ivf_ann"] = embedding_ivf_ann
+
+    def ann_recall(spark, sf):
+        """recall@5 of the approximate ANN paths (LSH, IVF) against the
+        exact brute-force top-k, per method, averaged over queries. Both
+        approximate methods are deterministic (literal hyperplanes / iters=0
+        min-id codebook), so the oracle reproduces them exactly in SQL."""
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            lsh_topk,
+        )
+
+        emb = _load(spark, sf, "embeddings").select(
+            "vec_id", _dvec("embedding").alias("embedding")
+        )
+        qdf = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = brute_force_topk(emb, qdf, k=5).select(
+            "query_id", "vec_id"
+        )
+        qids = exact.select("query_id").distinct()
+
+        def rec(approx: DataFrame, method: str) -> DataFrame:
+            hits = (
+                approx.select("query_id", "vec_id")
+                .join(exact, ["query_id", "vec_id"], "left_semi")
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("h"))
+            )
+            per_q = qids.join(hits, "query_id", "left")
+            return per_q.agg(
+                F.round(
+                    F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.lit(5.0)), 6
+                ).alias("recall")
+            ).select(F.lit(method).alias("method"), "recall")
+
+        lsh = lsh_topk(
+            emb, qdf, k=5, n_planes=6, dim=64, n_tables=4, multiprobe=1
+        )
+        ivf = ivf_topk(
+            emb, qdf, k=5, n_centroids=8, n_probe=3, iters=0
+        )
+        return rec(lsh, "lsh").unionByName(rec(ivf, "ivf"))
+
+    q["ann_recall"] = ann_recall
 
     # ---- clips corpus (UDF scorers; rows-only: not DuckDB-expressible) --------
     def clips_keep_stats(spark, sf):
@@ -1490,6 +1548,149 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT query_id, vec_id, round(c, 5) AS cosine, rank
       FROM ranked WHERE rank <= 5"""
+
+    # ann_recall: reproduce BOTH approximate paths exactly in SQL — the
+    # LSH hyperplanes are the same deterministic literals the Spark plan
+    # folds in (similarity._hyperplanes, seed 7), and the IVF path reuses
+    # the embedding_ivf_ann derivation — then measure top-5 overlap vs the
+    # exact ranking.
+    from data_quality_check_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    def _sql_lsh_bucket(col: str, seed: int) -> str:
+        terms = []
+        for i, p in enumerate(_hyperplanes(64, 6, seed)):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    # 4 hash tables (seeds 7..10), multiprobe radius 1 over 6 planes —
+    # mirrors lsh_topk(n_planes=6, n_tables=4, multiprobe=1)
+    _cor_tables = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {_sql_lsh_bucket('e', 7 + t)} AS bkt"
+        " FROM v"
+        for t in range(4)
+    )
+    _probe_flips = ", ".join(["0"] + [str(1 << i) for i in range(6)])
+    sql["embedding_lsh_ann"] = f"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      cor AS ({_cor_tables}),
+      qb0 AS (SELECT vec_id AS query_id, e AS qe, tbl, bkt
+              FROM cor WHERE vec_id < 3),
+      qb AS (SELECT query_id, qe, tbl, xor(bkt, f.flip) AS bkt
+             FROM qb0, (SELECT unnest([{_probe_flips}]) AS flip) f),
+      cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id
+        FROM qb q JOIN cor c ON q.tbl = c.tbl AND q.bkt = c.bkt
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, c,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM (
+          SELECT cand.query_id, cand.vec_id,
+                 list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))) AS c
+          FROM cand
+          JOIN v a ON a.vec_id = cand.query_id
+          JOIN v b ON b.vec_id = cand.vec_id
+        )
+      )
+      SELECT query_id, vec_id, round(c, 5) AS cosine, rank
+      FROM ranked WHERE rank <= 5"""
+
+    sql["ann_recall"] = f"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      exact AS (
+        SELECT query_id, vec_id FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos}
+                   DESC, b.vec_id ASC) AS rank
+          FROM v a JOIN v b ON a.vec_id < 3
+        ) WHERE rank <= 5
+      ),
+      cor AS ({_cor_tables}),
+      qb0 AS (SELECT vec_id AS query_id, e AS qe, tbl, bkt
+              FROM cor WHERE vec_id < 3),
+      qb AS (SELECT query_id, qe, tbl, xor(bkt, f.flip) AS bkt
+             FROM qb0, (SELECT unnest([{_probe_flips}]) AS flip) f),
+      cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id
+        FROM qb q JOIN cor c ON q.tbl = c.tbl AND q.bkt = c.bkt
+      ),
+      lsh AS (
+        SELECT query_id, vec_id FROM (
+          SELECT cand.query_id, cand.vec_id,
+                 row_number() OVER (PARTITION BY cand.query_id
+                   ORDER BY list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e)))
+                   DESC, cand.vec_id ASC) AS rn
+          FROM cand
+          JOIN v a ON a.vec_id = cand.query_id
+          JOIN v b ON b.vec_id = cand.vec_id
+        ) WHERE rn <= 5
+      ),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS ord, e
+        FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+      ),
+      asgn AS (
+        SELECT vec_id, e, ord AS cell FROM (
+          SELECT a.vec_id, a.e, b.ord,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {cos} DESC, b.ord ASC) AS rn
+          FROM v a CROSS JOIN cent b
+        ) WHERE rn = 1
+      ),
+      probes AS (
+        SELECT query_id, qe, ord AS cell FROM (
+          SELECT a.vec_id AS query_id, a.e AS qe, b.ord,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {cos} DESC, b.ord ASC) AS rn
+          FROM v a CROSS JOIN cent b WHERE a.vec_id < 3
+        ) WHERE rn <= 3
+      ),
+      ivf AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY c DESC, vec_id ASC) AS rank
+          FROM (
+            SELECT p.query_id, a.vec_id,
+                   list_dot_product(p.qe, a.e)
+                     / (sqrt(list_dot_product(p.qe, p.qe))
+                        * sqrt(list_dot_product(a.e, a.e))) AS c
+            FROM probes p JOIN asgn a ON p.cell = a.cell
+          )
+        ) WHERE rank <= 5
+      ),
+      qids AS (SELECT DISTINCT query_id FROM exact),
+      h_lsh AS (
+        SELECT a.query_id, count(*) AS h
+        FROM lsh a JOIN exact x
+          ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        GROUP BY 1
+      ),
+      h_ivf AS (
+        SELECT a.query_id, count(*) AS h
+        FROM ivf a JOIN exact x
+          ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        GROUP BY 1
+      )
+      SELECT 'lsh' AS method,
+             round(avg(coalesce(h, 0) / 5.0), 6) AS recall
+      FROM qids LEFT JOIN h_lsh USING (query_id)
+      UNION ALL
+      SELECT 'ivf' AS method,
+             round(avg(coalesce(h, 0) / 5.0), 6) AS recall
+      FROM qids LEFT JOIN h_ivf USING (query_id)"""
 
     sql["embedding_norm_summary"] = """
       SELECT label, CAST(count(*) AS BIGINT) AS n,

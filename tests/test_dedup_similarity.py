@@ -369,6 +369,39 @@ class TestSimilarity:
         ]
         assert sum(recalls) / len(recalls) >= 0.6
 
+    def test_lsh_multitable_multiprobe_improves_recall(self, embeddings):
+        q = embeddings.limit(3).selectExpr("vec_id as query_id", "embedding")
+        exact = brute_force_topk(embeddings, q, k=5).collect()
+        exact_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        def recall(rows):
+            sets: dict = {}
+            for r in rows:
+                sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return sum(
+                len(exact_sets[q_] & sets.get(q_, set())) / 5
+                for q_ in exact_sets
+            ) / len(exact_sets)
+
+        single = recall(
+            lsh_topk(embeddings, q, k=5, n_planes=6, dim=16).collect()
+        )
+        multi = recall(
+            lsh_topk(
+                embeddings, q, k=5, n_planes=6, dim=16,
+                n_tables=4, multiprobe=1,
+            ).collect()
+        )
+        assert multi >= single
+        assert multi >= 0.8
+
+    def test_lsh_multiprobe_radius_validated(self, embeddings):
+        q = embeddings.limit(1).selectExpr("vec_id as query_id", "embedding")
+        with pytest.raises(ValueError, match="radius 0 or 1"):
+            lsh_topk(embeddings, q, dim=16, multiprobe=2)
+
     def test_ivf_cells_partition_corpus(self, embeddings):
         cents = ivf_centroids(embeddings, n_centroids=4)
         assert len(cents) == 4 and len(cents[0]) == 16
