@@ -263,7 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_ngram_jaccard"] = doc_ngram_jaccard
 
-    def doc_minhash_pairs(spark, sf):  # rows-only (xxhash64 not in DuckDB)
+    def doc_minhash_pairs(spark, sf):  # oracle: committed golden (pure-Python XXH64 re-derivation)
         from data_quality_check_pipeline_spark.operators.dedup import (
             minhash_lsh_pairs,
         )
@@ -295,7 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dup_components"] = doc_dup_components
 
-    def doc_simhash_pairs(spark, sf):  # rows-only
+    def doc_simhash_pairs(spark, sf):  # oracle: committed golden (pure-Python XXH64 re-derivation)
         from data_quality_check_pipeline_spark.operators.dedup import (
             simhash_pairs,
         )
@@ -1097,10 +1097,66 @@ def _clips_df(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _golden_sql(name: str, types: dict[str, str]) -> str | None:
+    """Inline a committed golden table (tools/goldens_sf001.json) as a
+    DuckDB VALUES relation. The goldens are computed by an INDEPENDENT
+    pure-Python re-derivation (tools/make_goldens.py: oracle_hash XXH64 +
+    the pandas pipeline oracle) — they give the xxhash64-signature and
+    UDF-scored queries a real cross-check even though DuckDB cannot
+    compute xxhash64 or run the scorers. Valid at the driver's correctness
+    SF (0.01) and the fixed synthetic clips corpus."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tools", "goldens_sf001.json",
+    )
+    if not _os.path.exists(path):
+        return None  # degrade to a rows-only check rather than a red oracle
+    with open(path) as f:
+        g = _json.load(f).get(name)
+    if not g or not g["rows"]:
+        return None
+    cols = g["columns"]
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in g["rows"]
+    )
+    casts = ", ".join(f"CAST({c} AS {types[c]}) AS {c}" for c in cols)
+    return (
+        f"SELECT {casts} FROM (VALUES {vals}) AS t({', '.join(cols)})"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     lang_guess = _sql_lang_guess("norm")
     quality = _sql_quality("text")
     sql: dict[str, str] = {}
+
+    for _name, _types in [
+        ("doc_minhash_pairs",
+         {"id_a": "BIGINT", "id_b": "BIGINT", "est_jaccard": "DOUBLE"}),
+        ("doc_simhash_pairs",
+         {"id_a": "BIGINT", "id_b": "BIGINT", "hamming": "INTEGER"}),
+        ("clips_keep_stats", {"total": "BIGINT", "kept": "BIGINT"}),
+        ("clips_reason_histogram",
+         {"reason": "VARCHAR", "n": "BIGINT"}),
+        ("clips_langid_distribution",
+         {"lang": "VARCHAR", "n": "BIGINT"}),
+    ]:
+        _g = _golden_sql(_name, _types)
+        if _g is not None:
+            sql[_name] = _g
 
     sql["flagship_doc_quality_filter"] = _FLAGSHIP_SQL.replace(
         "__LANG_GUESS__", lang_guess

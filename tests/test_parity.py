@@ -176,3 +176,54 @@ class TestPlantedCounts:
         )
         uni = uniqueness(flagged, "clip_id")
         assert uni["duplicates"] == counts["defect_dup_id"]
+
+
+class TestXxhash64Parity:
+    """The pure-Python XXH64 (oracle_hash) underwrites the committed
+    goldens for the signature queries — its parity with F.xxhash64 must
+    hold for every type/shape the engine hashes."""
+
+    def test_matches_spark_for_all_hashed_shapes(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_quality_check_pipeline_spark.oracle_hash import (
+            Int32,
+            spark_xxhash64,
+        )
+
+        rows = [
+            (1, "hello world", ["a", "bb", "ccc"], 7),
+            (2, "", [""], 0),
+            (3, "a" * 100, ["lorem", "ipsum", "dolor"], -5),
+            (4, "unicode ñ 北京 🎵", ["北京", "ñ"], 1 << 40),
+            (5, "exactly-32-bytes-string-abcdefgh", ["x"], -(1 << 62)),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, s string, arr array<string>, n long"
+        )
+        got = df.select(
+            "id",
+            F.xxhash64("s").alias("hs"),
+            F.xxhash64("arr").alias("ha"),
+            F.xxhash64("n").alias("hn"),
+            F.xxhash64(F.col("n"), F.lit(3)).alias("hni"),
+            F.xxhash64("s", "n").alias("hsn"),
+        ).collect()
+        for r in got:
+            _, s, arr, n = rows[r["id"] - 1]
+            assert r["hs"] == spark_xxhash64(s)
+            assert r["ha"] == spark_xxhash64(arr)
+            assert r["hn"] == spark_xxhash64(n)
+            assert r["hni"] == spark_xxhash64(n, Int32(3))
+            assert r["hsn"] == spark_xxhash64(s, n)
+
+    def test_null_leaves_seed(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_quality_check_pipeline_spark.oracle_hash import (
+            spark_xxhash64,
+        )
+
+        df = spark.createDataFrame([(None,)], "s string")
+        assert df.select(F.xxhash64("s")).collect()[0][0] == 42
+        assert spark_xxhash64(None) == 42

@@ -1,0 +1,242 @@
+"""Generate committed golden tables for the harness queries DuckDB cannot
+express (xxhash64 signatures; UDF-scored clips corpus).
+
+The goldens are computed by INDEPENDENT pure-Python implementations:
+
+* doc_minhash_pairs / doc_simhash_pairs — pandas + oracle_hash.spark_xxhash64
+  (the pure-Python XXH64 whose parity with F.xxhash64 is pytest-asserted),
+  re-deriving the minhash/simhash semantics from scratch (no Spark).
+* clips_keep_stats / clips_reason_histogram / clips_langid_distribution —
+  oracle.run_oracle, the pure-pandas pipeline reimplementation.
+
+As a guard the tool ALSO runs the Spark harness queries and refuses to
+write a golden that disagrees — a mismatch means one side has a bug and
+must be fixed, not frozen.
+
+Usage: python tools/make_goldens.py   (writes tools/goldens_sf001.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+
+from data_quality_check_pipeline_spark.oracle_hash import (  # noqa: E402
+    Int32,
+    spark_xxhash64,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "goldens_sf001.json")
+
+_WS = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII
+_M64 = (1 << 64) - 1
+
+
+def _norm_lower(t) -> str | None:
+    if t is None or (isinstance(t, float) and pd.isna(t)):
+        return None
+    return _WS.sub(" ", str(t).lower().strip())
+
+
+def minhash_pairs_py(
+    docs: pd.DataFrame, n_hashes=32, bands=8, shingle_k=3, min_est=0.5
+) -> list[tuple]:
+    """Re-derivation of operators.dedup.minhash_lsh_pairs semantics."""
+    rows_per_band = n_hashes // bands
+    sigs: dict[int, list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        norm = _norm_lower(text)
+        if norm is None:
+            # Spark: split(null)=null -> otherwise-branch array(xxhash64(null))
+            # and xxhash64(NULL) leaves the seed untouched -> [42]
+            sh = {42}
+        else:
+            toks = norm.split(" ")
+            if len(toks) >= shingle_k:
+                sh = {
+                    spark_xxhash64(toks[i:i + shingle_k])
+                    for i in range(len(toks) - shingle_k + 1)
+                }
+            else:
+                sh = {spark_xxhash64(toks)}
+        sig = [
+            min(spark_xxhash64(h, Int32(i)) for h in sh)
+            for i in range(n_hashes)
+        ]
+        sigs[int(doc_id)] = sig
+    # banded buckets
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = ",".join(
+                str(sig[b * rows_per_band + r]) for r in range(rows_per_band)
+            )
+            bh = spark_xxhash64(key, Int32(b))
+            buckets.setdefault((b, bh), []).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(pairs):
+        est = sum(
+            1 for x, y in zip(sigs[a], sigs[b]) if x == y
+        ) / float(n_hashes)
+        if est >= min_est:
+            out.append((a, b, est))
+    return out
+
+
+def simhash_pairs_py(
+    docs: pd.DataFrame, max_hamming=3, chunks=4
+) -> list[tuple]:
+    """Re-derivation of operators.dedup.simhash_pairs semantics."""
+    sigs: dict[int, int] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        norm = _norm_lower(text)
+        toks = [] if norm is None else list(dict.fromkeys(norm.split(" ")))
+        if not toks:
+            continue  # explode of empty/null array emits no rows -> no group
+        sums = [0] * 64
+        for t in toks:
+            h = spark_xxhash64(t)  # signed; >> is arithmetic in both langs
+            for b in range(64):
+                sums[b] += ((h >> b) & 1) * 2 - 1
+        sig = 0
+        for b in range(64):
+            if sums[b] > 0:
+                sig |= 1 << b
+        if sig >= 1 << 63:
+            sig -= 1 << 64  # Java long wrap (shiftleft into the sign bit)
+        sigs[int(doc_id)] = sig
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for i in range(chunks):
+            buckets.setdefault(
+                (i, (sig >> (i * width)) & mask), []
+            ).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(pairs):
+        ham = bin((sigs[a] ^ sigs[b]) & _M64).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out
+
+
+def clips_goldens_py() -> dict:
+    """clips_* goldens from the pure-pandas oracle over the same synthetic
+    corpus the harness queries use."""
+    import __spark_entry__ as entry
+    from data_quality_check_pipeline_spark.oracle import run_oracle
+    from data_quality_check_pipeline_spark.synth import write_corpus
+
+    path = os.path.join(
+        entry._CLIPS_CACHE_DIR, f"n{entry._CLIPS_N}", "clips.parquet"
+    )
+    if not os.path.exists(path):
+        write_corpus(os.path.dirname(path), entry._CLIPS_N)
+    pdf = pd.read_parquet(path)
+    orc = run_oracle(pdf)
+    keep_stats = [[int(len(orc)), int(orc["keep"].sum())]]
+    reasons: dict[str, int] = {}
+    for rs in orc["drop_reasons"]:
+        for r in rs:
+            reasons[r] = reasons.get(r, 0) + 1
+    reason_rows = [[r, n] for r, n in sorted(reasons.items())]
+    langs = orc["lang"].value_counts(dropna=False)
+    lang_rows = [
+        [None if pd.isna(k) else str(k), int(v)] for k, v in langs.items()
+    ]
+    return {
+        "clips_keep_stats": {"columns": ["total", "kept"],
+                             "rows": keep_stats},
+        "clips_reason_histogram": {"columns": ["reason", "n"],
+                                   "rows": reason_rows},
+        "clips_langid_distribution": {"columns": ["lang", "n"],
+                                      "rows": lang_rows},
+    }
+
+
+def main() -> int:
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    goldens = {
+        "doc_minhash_pairs": {
+            "columns": ["id_a", "id_b", "est_jaccard"],
+            "rows": [list(r) for r in minhash_pairs_py(docs)],
+        },
+        "doc_simhash_pairs": {
+            "columns": ["id_a", "id_b", "hamming"],
+            "rows": [list(r) for r in simhash_pairs_py(docs)],
+        },
+        **clips_goldens_py(),
+    }
+
+    # guard: the Spark harness queries must agree EXACTLY before we commit
+    import __spark_entry__ as entry
+    from data_quality_check_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="make-goldens", cores=8,
+                      shuffle_partitions=8)
+    qs = entry.queries()
+    ok = True
+    for name, g in goldens.items():
+        sdf = qs[name](spark, SF_DIR)
+        key = lambda t: tuple(str(x) for x in t)  # noqa: E731 (None-safe)
+        srows = sorted(
+            (tuple(r) for r in sdf.select(*g["columns"]).collect()), key=key
+        )
+        grows = sorted((tuple(r) for r in g["rows"]), key=key)
+        if [tuple(map(_canon, r)) for r in srows] != [
+            tuple(map(_canon, r)) for r in grows
+        ]:
+            ok = False
+            print(f"MISMATCH {name}: spark={len(srows)} golden={len(grows)}")
+            for s, gg in list(zip(srows, grows))[:5]:
+                if tuple(map(_canon, s)) != tuple(map(_canon, gg)):
+                    print("  spark ", s)
+                    print("  golden", gg)
+        else:
+            print(f"ok {name}: {len(grows)} rows")
+    spark.stop()
+    if not ok:
+        print("NOT WRITING goldens — fix the divergence first")
+        return 1
+    meta = {
+        "sf_dir": SF_DIR,
+        "clips_n": 4000,
+        "source": "pure-Python re-derivation (oracle_hash + oracle.run_oracle)",
+    }
+    with open(OUT, "w") as f:
+        json.dump({"_meta": meta, **goldens}, f, indent=1)
+    print(f"wrote {OUT}")
+    return 0
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return v
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
