@@ -33,11 +33,24 @@ CLIPS_SCHEMA = (
 def read_clip_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
-    return (
-        spark.readStream.schema(CLIPS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    """File-source stream over ``path`` (a directory, glob, or a single
+    parquet file). The file stream source treats a non-glob path as its
+    basePath and requires it to be a DIRECTORY — a plain file path fails
+    (and passing the basePath option explicitly does not override it).
+    Streaming exactly one named file (without pulling sibling tables from
+    the same directory in — see run_quality_pipeline --stream) therefore
+    rewrites the path's last character as a one-char character class:
+    ``.../clips.parquet`` -> ``.../clips.parque[t]``, a glob matching
+    only that file."""
+    import os
+
+    reader = spark.readStream.schema(CLIPS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    base = path.rstrip("/")
+    if not any(ch in base for ch in "*?[") and os.path.isfile(base):
+        path = f"{base[:-1]}[{base[-1]}]"
+    return reader.parquet(path)
 
 
 def build_streaming_flags(

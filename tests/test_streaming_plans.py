@@ -51,6 +51,45 @@ class TestStreaming:
         batch_kept = int(oracle_df["keep"].sum())
         assert batch_kept <= kept <= batch_kept + n_dups
 
+    def test_single_file_path_streams_only_that_file(
+        self, spark, corpus, tmp_path
+    ):
+        """Streaming an exact .parquet FILE path must work (the file
+        source rejects plain file paths as basePath — read_clip_stream
+        rewrites it as a one-char-class glob) and must NOT ingest sibling
+        parquet files in the same directory."""
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            read_clip_stream,
+        )
+
+        _, _, path = corpus
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        os.symlink(path, os.path.join(src, "clips.parquet"))
+        # a sibling table that must be IGNORED
+        spark.createDataFrame(
+            [("sibling_row", b"", 16000, 1000, "flac", "ignore me")],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string",
+        ).write.parquet(os.path.join(src, "other.parquet"))
+        df = read_clip_stream(
+            spark, os.path.join(src, "clips.parquet")
+        )
+        q = (
+            df.writeStream.format("memory").queryName("single_file")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt_single")
+            )
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(timeout=600)
+        got = spark.sql(
+            "SELECT count(*) AS n, "
+            "sum(CASE WHEN clip_id = 'sibling_row' THEN 1 ELSE 0 END) AS s "
+            "FROM single_file"
+        ).collect()[0]
+        assert got["n"] > 0 and got["s"] == 0
+
 
 class TestStatefulKeepRate:
     def test_state_carries_across_microbatches(self, spark, tmp_path):
