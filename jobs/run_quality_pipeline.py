@@ -54,6 +54,9 @@ def main() -> None:
     ap.add_argument("--no-review", action="store_true")
     ap.add_argument("--review-file", default=None)
     ap.add_argument("--cores", default=None)
+    ap.add_argument("--pushgateway", default=None, metavar="URL",
+                    help="Prometheus pushgateway base URL; run metrics "
+                         "are PUT to <URL>/metrics/job/clip_quality")
     ap.add_argument("--list-versions", action="store_true",
                     help="list clips_clean snapshots and exit")
     ap.add_argument("--rollback", default=None, metavar="SNAPSHOT_ID",
@@ -155,6 +158,7 @@ def main() -> None:
         force=args.force,
         non_interactive=args.no_review or True,
         review_decision_file=args.review_file,
+        pushgateway_url=args.pushgateway,
     )
     if args.requeue:
         from data_quality_check_pipeline_spark.pipeline import (

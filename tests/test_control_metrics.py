@@ -253,6 +253,86 @@ class TestReport:
         assert os.path.exists(p)
 
 
+class TestModuleReports:
+    DATA = {
+        "quality": {"total": 100, "kept": 90, "dropped": 10,
+                    "keep_pct": 90.0, "pii_rows": 3, "pii_emails": 2,
+                    "pii_phones": 1, "pii_ssns": 0, "pii_tox": 4},
+        "reason_histogram": [("high_perplexity", 6), ("bad_sr_hz", 4)],
+        "ge": [{"name": "not_be_null:clip_id", "success": True,
+                "pass_rate": 1.0, "mostly": 1.0},
+               {"name": "be_between:dur_ms", "success": False,
+                "pass_rate": 0.97, "mostly": 0.99}],
+        "completeness": {"rows": 100, "columns": {
+            "transcript": {"missing": 2, "completeness_pct": 98.0}}},
+        "stats": {"dur_ms_avg": 4000.25, "snr_db_avg": 38.5},
+        "mask_samples": [{"clip_id": "c1", "before": "x a@b.com",
+                          "after": "x [EMAIL]"}],
+        "dlq_sample": [{"clip_id": "c9", "reasons": ["bad_sr_hz"],
+                        "severity": "HIGH"}],
+    }
+
+    def test_validation_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_validation_report,
+        )
+
+        t = render_validation_report(self.DATA)
+        assert "keep rate:    90.00%" in t
+        assert "high_perplexity" in t and "6" in t
+
+    def test_expectations_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_expectations_report,
+        )
+
+        t = render_expectations_report(self.DATA)
+        assert "[PASS] not_be_null:clip_id" in t
+        assert "[FAIL] be_between:dur_ms" in t and "0.9700" in t
+
+    def test_profile_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_profile_report,
+        )
+
+        t = render_profile_report(self.DATA)
+        assert "transcript" in t and "98.00%" in t
+
+    def test_statistical_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_statistical_report,
+        )
+
+        t = render_statistical_report(self.DATA)
+        assert "dur_ms_avg" in t and "4000.2500" in t
+
+    def test_mask_sample_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_mask_sample_report,
+        )
+
+        t = render_mask_sample_report(self.DATA)
+        assert "before: x a@b.com" in t and "after:  x [EMAIL]" in t
+        assert "emails=2" in t and "tox=4" in t
+
+    def test_dlq_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_dlq_report,
+        )
+
+        t = render_dlq_report(self.DATA)
+        assert "c9" in t and "[HIGH]" in t and "bad_sr_hz" in t
+
+    def test_save_all(self, tmp_path):
+        from data_quality_check_pipeline_spark.report import (
+            save_module_reports,
+        )
+
+        paths = save_module_reports(self.DATA, str(tmp_path), "rX")
+        assert len(paths) == 6
+        assert all(os.path.exists(p) for p in paths)
+
+
 class TestStageLog:
     def test_records(self):
         log = StageLog()

@@ -123,6 +123,21 @@ class TestRunPipeline:
             lin.agg(F.sum("total")).collect()[0][0] == len(oracle_df)
         )
 
+    def test_pushgateway_transport_called(self, spark, corpus, out_root):
+        _, _, path = corpus
+        seen = []
+        cfg = RunConfig(
+            out_root=out_root, run_id="pg", source_fingerprint="pg",
+            with_audio=False, module_reports=False,
+            pushgateway_url="http://gw:9091",
+            push_transport=lambda url, data, hdrs: seen.append((url, data)),
+        )
+        run_pipeline(spark, path, cfg)
+        assert seen
+        url, payload = seen[0]
+        assert url == "http://gw:9091/metrics/job/clip_quality"
+        assert b"clip_quality_quality_kept" in payload
+
     def test_force_reruns(self, spark, corpus, out_root):
         _, _, path = corpus
         cfg = RunConfig(out_root=out_root, run_id="a",
