@@ -295,6 +295,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dup_components"] = doc_dup_components
 
+    def doc_neardup_survivors(spark, sf):
+        """End-to-end near-dup dedup: candidate pairs -> connected
+        components -> one min-id survivor per group (docs outside any
+        group survive untouched)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+            dedup_survivors_by_component,
+        )
+
+        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        pairs = ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_k=1, min_jaccard=0.8
+        )
+        comps = connected_components(pairs)
+        return dedup_survivors_by_component(df, comps, "doc_id").select(
+            "doc_id"
+        )
+
+    q["doc_neardup_survivors"] = doc_neardup_survivors
+
     def doc_simhash_pairs(spark, sf):  # oracle: committed golden (pure-Python XXH64 re-derivation)
         from data_quality_check_pipeline_spark.operators.dedup import (
             simhash_pairs,
@@ -1236,6 +1259,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.v, reach.m FROM e JOIN reach ON e.u = reach.n
       )
       SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n"""
+
+    # survivors = all doc_id<200 minus the non-minimum members of each
+    # connected component over the jaccard>=0.8 edge set (3 components /
+    # 75 survivors at sf0.01 — non-degenerate closure + anti-join check)
+    sql["doc_neardup_survivors"] = """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(string_split(regexp_replace(trim(lower(text)),
+                            '\\s+', ' ', 'g'), ' ')) AS shingles
+        FROM documents WHERE doc_id < 200
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles)) AS i,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ), e AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        WHERE i > 0 AND CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+        UNION
+        SELECT id_b, id_a FROM pairs
+        WHERE i > 0 AND CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+      ), reach(n, m) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.v, reach.m FROM e JOIN reach ON e.u = reach.n
+      )
+      SELECT doc_id FROM documents
+      WHERE doc_id < 200 AND doc_id NOT IN (
+        SELECT n FROM (SELECT n, min(m) AS comp FROM reach GROUP BY n)
+        WHERE n != comp
+      )"""
 
     sql["doc_scrub"] = (
         f"SELECT doc_id, {_sql_scrub('text')} AS text_scrubbed FROM documents"
