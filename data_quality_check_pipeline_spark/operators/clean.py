@@ -19,6 +19,21 @@ from ..functions.exprs import norm_text, null_or_empty
 # ---------------------------------------------------------------------------
 
 
+def clips_cleaning_exprs() -> dict[str, Column]:
+    """column -> cleaned expression for the clips table; shared by the
+    cleaning projection and the cleaning-log counters so the log always
+    counts exactly what the pipeline applied."""
+    t = F.col("transcript")
+    return {
+        "transcript": F.when(null_or_empty(t), F.lit(None)).otherwise(
+            norm_text(t)
+        ),
+        "codec": F.when(
+            null_or_empty("codec"), F.lit(None)
+        ).otherwise(F.lower(F.trim(F.col("codec")))),
+    }
+
+
 def clean_clips(df: DataFrame) -> DataFrame:
     """Normalize a clips DataFrame in one projection:
 
@@ -26,17 +41,7 @@ def clean_clips(df: DataFrame) -> DataFrame:
       (reference C1/C6 null semantics, cleaner.py:199-215)
     * codec: lowercase + trim (reference C3-analog canonicalization)
     """
-    t = F.col("transcript")
-    return df.withColumns(
-        {
-            "transcript": F.when(null_or_empty(t), F.lit(None)).otherwise(
-                norm_text(t)
-            ),
-            "codec": F.when(
-                null_or_empty("codec"), F.lit(None)
-            ).otherwise(F.lower(F.trim(F.col("codec")))),
-        }
-    )
+    return df.withColumns(clips_cleaning_exprs())
 
 
 # ---------------------------------------------------------------------------

@@ -163,6 +163,7 @@ def run_pipeline(
     report_data: dict = {"reason_histogram": [], "mask_samples": [],
                          "dlq_sample": []}
     reason_totals: dict[str, int] = {}
+    cleaning_totals: dict[str, int] = {}
 
     for shard in range(cfg.n_shards):
         if shard in done_shards:
@@ -188,6 +189,8 @@ def run_pipeline(
                 report_data[key] = shard_report[key]
         for reason, n in shard_report.get("reason_histogram", []):
             reason_totals[reason] = reason_totals.get(reason, 0) + n
+        for action, n in shard_report.get("cleaning", {}).items():
+            cleaning_totals[action] = cleaning_totals.get(action, 0) + n
         for key in ("mask_samples", "dlq_sample"):
             if not report_data[key]:
                 report_data[key] = shard_report.get(key, [])
@@ -232,12 +235,32 @@ def run_pipeline(
             metrics, cfg.pushgateway_url, transport=cfg.push_transport
         )
     if cfg.module_reports and totals["total"]:
+        import json as _json
+        import os as _os
+
         from .report import save_module_reports
 
         report_data["quality"] = metrics["quality"]
         report_data["reason_histogram"] = sorted(
             reason_totals.items(), key=lambda kv: (-kv[1], kv[0])
         )
+        report_data["cleaning"] = cleaning_totals
+        review: dict = {
+            "decision": gate_overall.decision if gate_overall else "n/a",
+            "failure_pct": (
+                gate_overall.failure_pct if gate_overall else 0.0
+            ),
+            "audit": [],
+        }
+        if cfg.review_decision_file:
+            audit_path = f"{cfg.review_decision_file}.audit.jsonl"
+            if _os.path.exists(audit_path):
+                with open(audit_path) as f:
+                    rows = [
+                        _json.loads(ln) for ln in f if ln.strip()
+                    ]
+                review["audit"] = rows[-20:]
+        report_data["review"] = review
         save_module_reports(
             report_data, f"{cfg.out_root}/reports", cfg.run_id
         )
@@ -372,6 +395,23 @@ def _run_shard(
     # -- LINEAGE (enables resume) ---------------------------------------------
     t0 = time.time()
     comp = completeness(df, ["clip_id", "transcript", "codec"])
+    # per-shard langid distribution + duplicate tally ride in the lineage
+    # row (north rule: per-partition lineage carries profiling metrics —
+    # null rates, dedup counts, langid distribution). One agg over the
+    # cached flagged df; output bounded by language cardinality, not rows.
+    lang_rows = (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.array_contains("reasons", "duplicate_clip_id")
+                .cast("long")
+            ).alias("dups"),
+        )
+        .collect()
+    )
+    lang_hist = {(r["lang"] or "unknown"): int(r["n"]) for r in lang_rows}
+    dup_count = sum(int(r["dups"] or 0) for r in lang_rows)
     lineage_row = spark.createDataFrame(
         [
             (
@@ -385,12 +425,15 @@ def _run_shard(
                 stats["dropped"],
                 pii_rows,
                 float(comp["columns"]["transcript"]["completeness_pct"]),
+                dup_count,
+                lang_hist,
                 clean_sid,
             )
         ],
         "run_id string, source_fingerprint string, shard int, n_shards int, "
         "status string, total long, kept long, dropped long, pii_rows long, "
-        "transcript_completeness double, clean_snapshot string",
+        "transcript_completeness double, dup_count long, "
+        "lang_hist map<string,long>, clean_snapshot string",
     )
     store.write(
         LINEAGE_TABLE,
@@ -426,6 +469,18 @@ def _run_shard(
             .select("clip_id", "reasons", "severity")
             .limit(20).collect()
         ]
+        # rows-changed-per-action counters for the cleaning log
+        # (reference cleaner.py:71-76): one agg over the RAW shard,
+        # column-pruned to the cleaned text columns (bytes never read)
+        from .operators.clean import cleaning_counts, clips_cleaning_exprs
+
+        shard_report["cleaning"] = cleaning_counts(
+            df,
+            {
+                f"normalize:{c}": e
+                for c, e in clips_cleaning_exprs().items()
+            },
+        )
 
     if cfg.cache_flagged:
         flagged.unpersist()

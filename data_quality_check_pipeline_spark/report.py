@@ -176,6 +176,93 @@ def render_dlq_report(data: dict) -> str:
     return "\n".join(lines)
 
 
+def render_pii_report(data: dict) -> str:
+    """Standalone PII-detection summary (reference
+    pii_detector.py:168-176 generate_report: per-type counts per run)."""
+    q = data.get("quality", {})
+    total = q.get("total", 0)
+    pii_rows = q.get("pii_rows", 0)
+    lines = _hdr("PII DETECTION REPORT")
+    lines += [
+        f"rows scanned:   {total:,}",
+        f"rows with PII:  {pii_rows:,}"
+        + (f"  ({100.0 * pii_rows / total:.2f}%)" if total else ""),
+        "",
+        "DETECTIONS BY TYPE",
+    ]
+    for label, key in (
+        ("emails", "pii_emails"), ("phones", "pii_phones"),
+        ("ssns", "pii_ssns"), ("toxicity", "pii_tox"),
+    ):
+        lines.append(f"  {label:<12} {q.get(key, 0):>10,}")
+    return "\n".join(lines)
+
+
+def render_cleaning_log(data: dict) -> str:
+    """Rows-affected-per-action log (reference cleaner.py:71-76
+    cleaning_log / reports/cleaning_log.txt)."""
+    lines = _hdr("CLEANING LOG")
+    counts = data.get("cleaning", {})
+    if not counts:
+        lines.append("  (no cleaning counters collected)")
+    for action, n in sorted(counts.items()):
+        lines.append(f"  {action:<32} {n:>10,} row(s) changed")
+    return "\n".join(lines)
+
+
+def render_contract_report(data: dict) -> str:
+    """Schema/data contract outcomes (reference data_contract.py +
+    reports/data_contract_report.txt): the schema-level checks
+    (exist / of_type) versus the data-level expectations, with an
+    overall contract verdict."""
+    ge = data.get("ge", [])
+    schema_checks = [r for r in ge if r["name"].split(":")[0]
+                     in ("exist", "of_type")]
+    data_checks = [r for r in ge if r not in schema_checks]
+    ok = all(r["success"] for r in ge) if ge else False
+    lines = _hdr("DATA CONTRACT REPORT")
+    lines.append(f"contract: {'HONORED' if ok else 'VIOLATED'}")
+    lines.append("")
+    lines.append("SCHEMA CHECKS")
+    for r in schema_checks or []:
+        lines.append(
+            f"  [{'PASS' if r['success'] else 'FAIL'}] {r['name']}"
+        )
+    if not schema_checks:
+        lines.append("  (none)")
+    lines.append("")
+    lines.append("DATA CHECKS")
+    for r in data_checks:
+        lines.append(
+            f"  [{'PASS' if r['success'] else 'FAIL'}] {r['name']:<40} "
+            f"pass_rate={r['pass_rate']:.4f}"
+        )
+    if not data_checks:
+        lines.append("  (none)")
+    return "\n".join(lines)
+
+
+def render_review_report(data: dict) -> str:
+    """Gate decision + review audit trail (reference
+    human_review.py:306-310 audit log / reports/human_review_report.txt)."""
+    rv = data.get("review", {})
+    lines = _hdr("HUMAN REVIEW REPORT")
+    lines += [
+        f"gate decision: {rv.get('decision', 'n/a')}",
+        f"failure pct:   {rv.get('failure_pct', 0.0):.2f}%",
+        "",
+        f"AUDIT TRAIL (last {len(rv.get('audit', []))} decision(s))",
+    ]
+    for a in rv.get("audit", []):
+        lines.append(
+            f"  {a.get('ts', '?')}  decision={a.get('decision', '?')}  "
+            f"source={a.get('source', '?')}"
+        )
+    if not rv.get("audit"):
+        lines.append("  (no recorded decisions)")
+    return "\n".join(lines)
+
+
 MODULE_RENDERERS = {
     "validation": render_validation_report,
     "expectations": render_expectations_report,
@@ -183,6 +270,10 @@ MODULE_RENDERERS = {
     "statistical": render_statistical_report,
     "mask_sample": render_mask_sample_report,
     "dlq": render_dlq_report,
+    "pii_detection": render_pii_report,
+    "cleaning_log": render_cleaning_log,
+    "data_contract": render_contract_report,
+    "human_review": render_review_report,
 }
 
 

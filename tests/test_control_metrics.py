@@ -270,6 +270,11 @@ class TestModuleReports:
                           "after": "x [EMAIL]"}],
         "dlq_sample": [{"clip_id": "c9", "reasons": ["bad_sr_hz"],
                         "severity": "HIGH"}],
+        "cleaning": {"normalize:transcript": 12, "normalize:codec": 3},
+        "review": {"decision": "continue", "failure_pct": 10.0,
+                   "audit": [{"ts": "2026-08-16T00:00:00",
+                              "decision": "approved",
+                              "source": "decision_file"}]},
     }
 
     def test_validation_report(self):
@@ -323,13 +328,51 @@ class TestModuleReports:
         t = render_dlq_report(self.DATA)
         assert "c9" in t and "[HIGH]" in t and "bad_sr_hz" in t
 
+    def test_pii_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_pii_report,
+        )
+
+        t = render_pii_report(self.DATA)
+        assert "rows with PII:  3" in t and "(3.00%)" in t
+        assert "emails" in t and "toxicity" in t
+
+    def test_cleaning_log(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_cleaning_log,
+        )
+
+        t = render_cleaning_log(self.DATA)
+        assert "normalize:transcript" in t and "12" in t
+        assert "row(s) changed" in t
+
+    def test_contract_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_contract_report,
+        )
+
+        t = render_contract_report(self.DATA)
+        # one FAIL in ge -> contract violated; data checks show pass_rate
+        assert "contract: VIOLATED" in t
+        assert "[FAIL] be_between:dur_ms" in t and "0.9700" in t
+
+    def test_review_report(self):
+        from data_quality_check_pipeline_spark.report import (
+            render_review_report,
+        )
+
+        t = render_review_report(self.DATA)
+        assert "gate decision: continue" in t
+        assert "decision=approved" in t and "source=decision_file" in t
+
     def test_save_all(self, tmp_path):
         from data_quality_check_pipeline_spark.report import (
+            MODULE_RENDERERS,
             save_module_reports,
         )
 
         paths = save_module_reports(self.DATA, str(tmp_path), "rX")
-        assert len(paths) == 6
+        assert len(paths) == len(MODULE_RENDERERS) == 10
         assert all(os.path.exists(p) for p in paths)
 
 

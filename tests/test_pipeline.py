@@ -122,6 +122,20 @@ class TestRunPipeline:
         assert (
             lin.agg(F.sum("total")).collect()[0][0] == len(oracle_df)
         )
+        # per-shard profiling metrics ride in the lineage rows (north
+        # rule): the langid distribution partitions the corpus exactly,
+        # and the dedup tally matches the oracle's duplicate flags
+        assert (
+            lin.select(F.explode("lang_hist").alias("lang", "n"))
+            .agg(F.sum("n")).collect()[0][0] == len(oracle_df)
+        )
+        exp_dups = int(
+            oracle_df["drop_reasons"]
+            .apply(lambda rs: "duplicate_clip_id" in rs).sum()
+        )
+        assert (
+            lin.agg(F.sum("dup_count")).collect()[0][0] == exp_dups
+        )
 
     def test_pushgateway_transport_called(self, spark, corpus, out_root):
         _, _, path = corpus
