@@ -130,3 +130,78 @@ def quality_trend_alert(
         "runs": len(recent),
         "ts": time.time(),
     }
+
+
+# ---------------------------------------------------------------------------
+# Prometheus alert rules (parity: reference prometheus/alerts.yml — six
+# threshold rules over the exported metric names). Generated from the same
+# prefix prometheus_text() uses, so rule exprs and exported names cannot
+# drift apart; tests assert every expr metric is actually exported.
+# ---------------------------------------------------------------------------
+
+DEFAULT_ALERT_THRESHOLDS = {
+    "low_keep_pct": 90.0,        # warning  (alerts.yml LowPassRate)
+    "critical_keep_pct": 80.0,   # critical (alerts.yml CriticalPassRate)
+    "max_dropped": 10,           # warning  (alerts.yml HighQuarantineRate)
+    "max_pii_rows": 100,         # warning  (alerts.yml ManyOutliers-analog)
+    "max_wall_seconds": 120,     # warning  (alerts.yml SlowPipeline)
+}
+
+
+def render_alert_rules(
+    thresholds: dict | None = None, prefix: str = "clip_quality"
+) -> str:
+    """Prometheus alerting rules over THIS engine's exported metrics."""
+    t = {**DEFAULT_ALERT_THRESHOLDS, **(thresholds or {})}
+
+    def rule(name, expr, severity, summary, wait="5m"):
+        return f"""      - alert: {name}
+        expr: {expr}
+        for: {wait}
+        labels:
+          severity: {severity}
+        annotations:
+          summary: "{summary}"
+          description: "value: {{{{ $value }}}}"
+"""
+
+    rules = [
+        rule("LowKeepRate",
+             f"{prefix}_quality_keep_pct < {t['low_keep_pct']:g}",
+             "warning",
+             f"clip keep rate below {t['low_keep_pct']:g}%"),
+        rule("CriticalKeepRate",
+             f"{prefix}_quality_keep_pct < {t['critical_keep_pct']:g}",
+             "critical",
+             f"CRITICAL: keep rate below {t['critical_keep_pct']:g}% — "
+             "pipeline may need human review", wait="1m"),
+        rule("HighQuarantineCount",
+             f"{prefix}_quality_dropped > {t['max_dropped']:g}",
+             "warning", "high number of quarantined clips"),
+        rule("ManyPiiRows",
+             f"{prefix}_quality_pii_rows > {t['max_pii_rows']:g}",
+             "warning", "unusually many clips carried PII"),
+        rule("SlowPipeline",
+             f"{prefix}_performance_wall_seconds > "
+             f"{t['max_wall_seconds']:g}",
+             "warning", "pipeline run exceeding wall-clock budget"),
+        rule("QualityTrendDegradation",
+             f"{prefix}_trend_alert == 1",
+             "warning",
+             "keep rate dropped vs the trailing run average", wait="1m"),
+    ]
+    return (
+        "groups:\n  - name: clip_quality_alerts\n    rules:\n"
+        + "".join(rules)
+    )
+
+
+def save_alert_rules(
+    out_dir: str, thresholds: dict | None = None,
+    prefix: str = "clip_quality",
+) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "alerts.yml")
+    with open(path, "w") as f:
+        f.write(render_alert_rules(thresholds, prefix))
+    return path

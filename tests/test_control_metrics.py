@@ -184,6 +184,41 @@ class TestMetrics:
         with open(p) as f:
             assert json.load(f)["quality"]["kept"] == 90
 
+    def test_alert_rules_reference_only_exported_metrics(self):
+        """Every metric name an alert expr references must be a name
+        prometheus_text actually exports for a real run-shaped metrics
+        dict — rules and exporter cannot drift apart."""
+        import re
+
+        from data_quality_check_pipeline_spark.metrics import (
+            render_alert_rules,
+        )
+
+        m = dict(METRICS)
+        m["trend"] = {"alert": False, "trailing_avg": 91.0, "runs": 3}
+        exported = {
+            line.split()[0]
+            for line in prometheus_text(m).splitlines()
+            if line
+        }
+        rules = render_alert_rules()
+        exprs = re.findall(r"expr: (\S+)", rules)
+        assert len(exprs) == 6
+        for name in exprs:
+            assert name in exported, name
+
+    def test_alert_rules_thresholds_and_save(self, tmp_path):
+        from data_quality_check_pipeline_spark.metrics import (
+            render_alert_rules,
+            save_alert_rules,
+        )
+
+        t = render_alert_rules({"low_keep_pct": 95.0})
+        assert "clip_quality_quality_keep_pct < 95" in t
+        assert "severity: critical" in t  # CriticalKeepRate retained
+        p = save_alert_rules(str(tmp_path))
+        assert os.path.exists(p) and p.endswith("alerts.yml")
+
 
 class TestDagSpec:
     def test_graph_is_closed_and_branch_targets_valid(self):
