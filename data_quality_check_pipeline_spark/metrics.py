@@ -205,3 +205,88 @@ def save_alert_rules(
     with open(path, "w") as f:
         f.write(render_alert_rules(thresholds, prefix))
     return path
+
+
+# ---------------------------------------------------------------------------
+# Grafana dashboard (parity: reference grafana/dashboards/
+# data_quality_dashboard.json — overview gauges/stats, trend timeseries,
+# PII row, stage-duration bars). Generated from the SAME prefix as
+# prometheus_text, same drift-proof contract as the alert rules.
+# ---------------------------------------------------------------------------
+
+def _dashboard_panels(prefix: str) -> list[tuple[str, str, list[str]]]:
+    """(panel_type, title, exprs) — every expr must be an exported name."""
+    q = f"{prefix}_quality"
+    p = f"{prefix}_performance"
+    return [
+        ("row", "Pipeline Overview", []),
+        ("gauge", "Keep Rate (%)", [f"{q}_keep_pct"]),
+        ("stat", "Total Clips Processed", [f"{q}_total"]),
+        ("stat", "Kept Clips", [f"{q}_kept"]),
+        ("stat", "Dropped Clips (quarantine)", [f"{q}_dropped"]),
+        ("stat", "Pipeline Duration (s)", [f"{p}_wall_seconds"]),
+        ("stat", "Throughput (clips/s)", [f"{p}_clips_per_sec"]),
+        ("row", "Quality Trends", []),
+        ("timeseries", "Keep Rate Over Time", [f"{q}_keep_pct"]),
+        ("timeseries", "Clips Processed Over Time",
+         [f"{q}_total", f"{q}_kept", f"{q}_dropped"]),
+        ("timeseries", "Duration Trend", [f"{p}_wall_seconds"]),
+        ("row", "PII & Scrubbing", []),
+        ("stat", "Rows With PII", [f"{q}_pii_rows"]),
+        ("stat", "Emails Scrubbed", [f"{q}_pii_emails"]),
+        ("stat", "Phones Scrubbed", [f"{q}_pii_phones"]),
+        ("stat", "SSNs Scrubbed", [f"{q}_pii_ssns"]),
+        ("stat", "Toxic Terms Scrubbed", [f"{q}_pii_tox"]),
+    ]
+
+
+def render_dashboard(prefix: str = "clip_quality") -> str:
+    """Grafana dashboard JSON string over this engine's exported metrics."""
+    panels = []
+    x = y = 0
+    for i, (ptype, title, exprs) in enumerate(_dashboard_panels(prefix)):
+        if ptype == "row":
+            y += 8 if panels else 0
+            x = 0
+            panels.append({
+                "id": i + 1, "type": "row", "title": title,
+                "gridPos": {"h": 1, "w": 24, "x": 0, "y": y},
+                "collapsed": False, "panels": [],
+            })
+            y += 1
+            continue
+        if x + 6 > 24:
+            x = 0
+            y += 8
+        panels.append({
+            "id": i + 1, "type": ptype, "title": title,
+            "datasource": {"type": "prometheus", "uid": "prometheus"},
+            "gridPos": {"h": 8, "w": 6, "x": x, "y": y},
+            "targets": [
+                {"expr": e, "refId": chr(ord("A") + j),
+                 "legendFormat": title, "instant": ptype != "timeseries"}
+                for j, e in enumerate(exprs)
+            ],
+        })
+        x += 6
+    doc = {
+        "uid": "clip-quality-dashboard",
+        "title": "Clip Quality Governance Dashboard",
+        "schemaVersion": 39,
+        "version": 1,
+        "editable": True,
+        "timezone": "browser",
+        "time": {"from": "now-24h", "to": "now"},
+        "annotations": {"list": []},
+        "templating": {"list": []},
+        "panels": panels,
+    }
+    return json.dumps(doc, indent=2)
+
+
+def save_dashboard(out_dir: str, prefix: str = "clip_quality") -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "dashboard.json")
+    with open(path, "w") as f:
+        f.write(render_dashboard(prefix))
+    return path

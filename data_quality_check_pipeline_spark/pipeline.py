@@ -228,9 +228,10 @@ def run_pipeline(
         f"{cfg.out_root}/metrics", metrics["quality"]["keep_pct"]
     )
     save_metrics(metrics, f"{cfg.out_root}/metrics", cfg.run_id)
-    from .metrics import save_alert_rules
+    from .metrics import save_alert_rules, save_dashboard
 
     save_alert_rules(f"{cfg.out_root}/monitoring")
+    save_dashboard(f"{cfg.out_root}/monitoring")
     if cfg.pushgateway_url:
         from .metrics import push_to_gateway
 

@@ -219,6 +219,37 @@ class TestMetrics:
         p = save_alert_rules(str(tmp_path))
         assert os.path.exists(p) and p.endswith("alerts.yml")
 
+    def test_dashboard_targets_only_exported_metrics(self, tmp_path):
+        """Same drift-proof contract as the alert rules: every panel
+        target must be a metric name prometheus_text exports for a
+        run-shaped metrics dict (incl. the per-PII-type counters)."""
+        from data_quality_check_pipeline_spark.metrics import (
+            render_dashboard,
+            save_dashboard,
+        )
+
+        m = dict(METRICS)
+        m["quality"] = {**METRICS["quality"], "pii_emails": 2,
+                        "pii_phones": 1, "pii_ssns": 0, "pii_tox": 4}
+        exported = {
+            line.split()[0]
+            for line in prometheus_text(m).splitlines()
+            if line
+        }
+        d = json.loads(render_dashboard())
+        exprs = [
+            t["expr"] for p in d["panels"]
+            for t in p.get("targets", [])
+        ]
+        assert len(exprs) >= 12
+        for e in exprs:
+            assert e in exported, e
+        # grid sanity: no panel exceeds the 24-unit grid width
+        for p in d["panels"]:
+            assert p["gridPos"]["x"] + p["gridPos"]["w"] <= 24
+        path = save_dashboard(str(tmp_path))
+        assert os.path.exists(path)
+
 
 class TestDagSpec:
     def test_graph_is_closed_and_branch_targets_valid(self):
