@@ -206,6 +206,10 @@ class TestMetrics:
         assert len(exprs) == 6
         for name in exprs:
             assert name in exported, name
+        import yaml
+
+        parsed = yaml.safe_load(rules)
+        assert len(parsed["groups"][0]["rules"]) == 6
 
     def test_alert_rules_thresholds_and_save(self, tmp_path):
         from data_quality_check_pipeline_spark.metrics import (
