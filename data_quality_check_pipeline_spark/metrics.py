@@ -139,12 +139,17 @@ def quality_trend_alert(
 # drift apart; tests assert every expr metric is actually exported.
 # ---------------------------------------------------------------------------
 
+# Scale-free defaults: rates and ratios, never absolute per-run counts —
+# the reference's own `dq_quarantined_rows > 10` style rules fire on
+# every healthy large run (a 160k-clip run at the documented 3.5% defect
+# rate quarantines ~5.7k clips), which trains operators to ignore the
+# alerts that matter. PromQL divides gauges, so ratio exprs stay valid.
 DEFAULT_ALERT_THRESHOLDS = {
     "low_keep_pct": 90.0,        # warning  (alerts.yml LowPassRate)
     "critical_keep_pct": 80.0,   # critical (alerts.yml CriticalPassRate)
-    "max_dropped": 10,           # warning  (alerts.yml HighQuarantineRate)
-    "max_pii_rows": 100,         # warning  (alerts.yml ManyOutliers-analog)
-    "max_wall_seconds": 120,     # warning  (alerts.yml SlowPipeline)
+    "max_drop_ratio": 0.15,      # warning  (alerts.yml HighQuarantineRate)
+    "max_pii_ratio": 0.10,       # warning  (alerts.yml ManyOutliers-analog)
+    "min_clips_per_sec": 500.0,  # warning  (alerts.yml SlowPipeline)
 }
 
 
@@ -175,16 +180,18 @@ def render_alert_rules(
              "critical",
              f"CRITICAL: keep rate below {t['critical_keep_pct']:g}% — "
              "pipeline may need human review", wait="1m"),
-        rule("HighQuarantineCount",
-             f"{prefix}_quality_dropped > {t['max_dropped']:g}",
-             "warning", "high number of quarantined clips"),
-        rule("ManyPiiRows",
-             f"{prefix}_quality_pii_rows > {t['max_pii_rows']:g}",
-             "warning", "unusually many clips carried PII"),
+        rule("HighQuarantineRatio",
+             f"{prefix}_quality_dropped / {prefix}_quality_total"
+             f" > {t['max_drop_ratio']:g}",
+             "warning", "quarantined fraction of the run is high"),
+        rule("HighPiiRatio",
+             f"{prefix}_quality_pii_rows / {prefix}_quality_total"
+             f" > {t['max_pii_ratio']:g}",
+             "warning", "unusually large fraction of clips carried PII"),
         rule("SlowPipeline",
-             f"{prefix}_performance_wall_seconds > "
-             f"{t['max_wall_seconds']:g}",
-             "warning", "pipeline run exceeding wall-clock budget"),
+             f"{prefix}_performance_clips_per_sec < "
+             f"{t['min_clips_per_sec']:g}",
+             "warning", "pipeline throughput below budget"),
         rule("QualityTrendDegradation",
              f"{prefix}_trend_alert == 1",
              "warning",

@@ -45,9 +45,14 @@ def _drop_hot_groups(
 
     Shape: one groupBy over the keys (map-side partial counts; shuffle =
     distinct keys only) -> the over-cap key set, which is tiny by
-    construction, is cached, COUNTED (drops are logged — no silent
+    construction, is COUNTED eagerly (drops are logged — no silent
     truncation; the count also lands in ``stats_out`` when given) and
-    removed with a left_anti join (AQE broadcasts the small side).
+    removed with a left_anti join (AQE broadcasts the small side). The
+    key-only aggregate is deliberately NOT cached: the anti-join
+    recomputes it once (cheap — map-side combined, key columns only),
+    which avoids pinning a dataset in executor storage for the lifetime
+    of the session (callers never see ``hot`` and could not unpersist
+    it after their own action).
     """
     if cap is None:
         return df
@@ -56,13 +61,11 @@ def _drop_hot_groups(
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
         .select(*keys)
-        .cache()  # tiny (over-cap keys only); reused by count + anti-join
     )
     n_hot = hot.count()
     if stats_out is not None:
         stats_out[what] = n_hot
     if n_hot == 0:
-        hot.unpersist()
         return df
     _log.warning(
         "%s: dropping %d group(s) larger than cap=%d from candidate "

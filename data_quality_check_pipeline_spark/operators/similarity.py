@@ -81,15 +81,16 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 def with_lsh_bucket(
     df: DataFrame, vec_col: str = "embedding",
-    dim: int | None = None, n_planes: int = 8, seed: int = 7,
+    *, dim: int, n_planes: int = 8, seed: int = 7,
     out: str = "lsh_bucket",
 ) -> DataFrame:
     """Sign-pattern bucket id from deterministic random hyperplanes. The
     planes are literal arrays folded into the plan (a few KB) — no join.
 
-    ``dim`` is required: an array<T> schema does not carry its length, and
-    inferring it with a ``.first()`` would hide a driver-side Spark job
-    inside what is otherwise a pure plan transformation."""
+    ``dim`` is a required keyword (enforced by the signature, so a
+    missing value fails at the call site): an array<T> schema does not
+    carry its length, and inferring it with a ``.first()`` would hide a
+    driver-side Spark job inside a pure plan transformation."""
     return df.withColumn(
         out, _bucket_expr(vec_col, dim, n_planes, seed)
     )
@@ -122,7 +123,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_planes: int = 8,
-    dim: int | None = None,
+    *,
+    dim: int,
     n_tables: int = 1,
     multiprobe: int = 0,
     seed: int = 7,
@@ -330,12 +332,13 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
     n_planes: int = 8,
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, LSH-bucketed: only pairs in
     the same bucket are scored (misses across-bucket pairs near the planes —
     run with 2 seeds and union for higher recall)."""
-    b = with_lsh_bucket(df, vec_col, dim, n_planes)
+    b = with_lsh_bucket(df, vec_col, dim=dim, n_planes=n_planes)
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
         "lsh_bucket",

@@ -26,6 +26,7 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -56,6 +57,8 @@ from .sources.tables import TableStore
 from .udfs.audio import with_audio_stats
 from .udfs.langid import with_langid
 from .udfs.perplexity import with_perplexity
+
+_log = logging.getLogger(__name__)
 
 CLEAN_TABLE = "clips_clean"
 QUARANTINE_TABLE = "clips_quarantine"
@@ -122,6 +125,73 @@ def _shard_expr(key: str, n_shards: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
 
 
+def _merge_shard_report(
+    report_data: dict, shard_report: dict, weight: int
+) -> None:
+    """Fold one shard's report pieces into the run-level ``report_data``
+    so rendered reports describe the WHOLE run: completeness missing
+    counts are summed (then pct recomputed), expectation pass-rates and
+    stat averages are weighted by the shard's kept rows, stat min/max
+    take the extremum. Accumulator state lives under ``_acc`` (popped
+    before rendering)."""
+    acc = report_data.setdefault("_acc", {"ge": {}, "stats": {}})
+    w = max(int(weight), 0)
+
+    comp = shard_report.get("completeness")
+    if comp:
+        tot = report_data.setdefault(
+            "completeness", {"rows": 0, "columns": {}}
+        )
+        tot["rows"] += comp["rows"]
+        for c, d in comp["columns"].items():
+            cd = tot["columns"].setdefault(c, {"missing": 0})
+            cd["missing"] += d["missing"]
+        for cd in tot["columns"].values():
+            cd["completeness_pct"] = (
+                100.0 * (tot["rows"] - cd["missing"]) / tot["rows"]
+                if tot["rows"]
+                else 100.0
+            )
+
+    for e in shard_report.get("ge", []):
+        a = acc["ge"].setdefault(
+            e["name"], {"rw": 0.0, "w": 0, "mostly": e["mostly"]}
+        )
+        a["rw"] += e["pass_rate"] * w
+        a["w"] += w
+    if acc["ge"]:
+        report_data["ge"] = [
+            {
+                "name": name,
+                "pass_rate": rate,
+                "mostly": a["mostly"],
+                "success": rate >= a["mostly"],
+            }
+            for name, a in acc["ge"].items()
+            for rate in [a["rw"] / a["w"] if a["w"] else 1.0]
+        ]
+
+    for k, v in (shard_report.get("stats") or {}).items():
+        if v is None:
+            continue
+        if k.endswith("_min") or k.endswith("_max"):
+            cur = acc["stats"].get(k)
+            pick = min if k.endswith("_min") else max
+            acc["stats"][k] = v if cur is None else pick(cur, v)
+        else:
+            a = acc["stats"].setdefault(k, {"vw": 0.0, "w": 0})
+            a["vw"] += v * w
+            a["w"] += w
+    if acc["stats"]:
+        report_data["stats"] = {
+            k: (
+                a if not isinstance(a, dict)
+                else (a["vw"] / a["w"] if a["w"] else None)
+            )
+            for k, a in acc["stats"].items()
+        }
+
+
 def run_pipeline(
     spark: SparkSession,
     source: DataFrame | str,
@@ -184,9 +254,14 @@ def run_pipeline(
             break
         for k in totals:
             totals[k] += stats.get(k, 0)
-        for key in ("ge", "completeness", "stats"):
-            if key in shard_report:
-                report_data[key] = shard_report[key]
+        # report pieces are merged ACROSS shards (not last-shard-wins):
+        # ge pass-rates and stat averages weighted by the shard's kept
+        # rows, completeness missing-counts summed — so the rendered
+        # reports describe the whole run, consistent with the validation
+        # totals next to them
+        _merge_shard_report(
+            report_data, shard_report, weight=stats.get("kept", 0)
+        )
         for reason, n in shard_report.get("reason_histogram", []):
             reason_totals[reason] = reason_totals.get(reason, 0) + n
         for action, n in shard_report.get("cleaning", {}).items():
@@ -235,15 +310,24 @@ def run_pipeline(
     if cfg.pushgateway_url:
         from .metrics import push_to_gateway
 
-        push_to_gateway(
-            metrics, cfg.pushgateway_url, transport=cfg.push_transport
-        )
+        # monitoring side-channel: a gateway outage must never fail a run
+        # whose data is already committed (same rule as the review audit
+        # log in control.py) — record and continue
+        try:
+            push_to_gateway(
+                metrics, cfg.pushgateway_url, transport=cfg.push_transport
+            )
+        except Exception as exc:  # noqa: BLE001 — any transport failure
+            _log.warning("pushgateway export failed (run continues): %s",
+                         exc)
+            metrics["pushgateway_error"] = str(exc)
     if cfg.module_reports and totals["total"]:
         import json as _json
         import os as _os
 
         from .report import save_module_reports
 
+        report_data.pop("_acc", None)
         report_data["quality"] = metrics["quality"]
         report_data["reason_histogram"] = sorted(
             reason_totals.items(), key=lambda kv: (-kv[1], kv[0])
@@ -497,10 +581,22 @@ def active_quarantine(df: DataFrame) -> DataFrame:
     """Quarantine rows representing clips that are still UNRESOLVED.
 
     ``requeue_quarantine`` appends resolution markers
-    (stage='requeue_resolved', severity='RESOLVED') purely as retry-cap
-    bookkeeping; any consumer that counts or lists quarantined clips must
-    filter them out or recovered clips read as still quarantined."""
-    return df.filter(F.col("stage") != "requeue_resolved")
+    (stage='requeue_resolved', severity='RESOLVED') as retry-cap
+    bookkeeping while the clip's ORIGINAL quarantine rows stay in the
+    table; a recovered clip therefore has both. Consumers that count or
+    list quarantined clips get the marker rows removed AND every row of
+    a clip that carries a marker (anti-join on the key-only resolved
+    set, broadcast by AQE) — otherwise recovered clips read as still
+    quarantined."""
+    resolved = (
+        df.filter(F.col("stage") == "requeue_resolved")
+        .select("clip_id")
+        .distinct()
+    )
+    return (
+        df.filter(F.col("stage") != "requeue_resolved")
+        .join(resolved, "clip_id", "left_anti")
+    )
 
 
 def requeue_quarantine(

@@ -41,14 +41,18 @@ def read_clip_stream(
     the same directory in — see run_quality_pipeline --stream) therefore
     rewrites the path's last character as a one-char character class:
     ``.../clips.parquet`` -> ``.../clips.parque[t]``, a glob matching
-    only that file."""
+    only that file. File-ness is decided by the ``.parquet`` suffix (or
+    a local isfile check), NOT by the local filesystem alone — an
+    ``s3://bucket/clips.parquet`` object needs the same rewrite even
+    though os.path.isfile cannot see it."""
     import os
 
     reader = spark.readStream.schema(CLIPS_SCHEMA).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     base = path.rstrip("/")
-    if not any(ch in base for ch in "*?[") and os.path.isfile(base):
+    looks_like_file = base.endswith(".parquet") or os.path.isfile(base)
+    if not any(ch in base for ch in "*?[") and looks_like_file:
         path = f"{base[:-1]}[{base[-1]}]"
     return reader.parquet(path)
 

@@ -202,14 +202,26 @@ class TestMetrics:
             if line
         }
         rules = render_alert_rules()
-        exprs = re.findall(r"expr: (\S+)", rules)
-        assert len(exprs) == 6
-        for name in exprs:
+        expr_lines = [
+            ln for ln in rules.splitlines() if "expr:" in ln
+        ]
+        names = set(
+            re.findall(r"clip_quality_\w+", "\n".join(expr_lines))
+        )
+        assert len(names) >= 5
+        for name in names:
             assert name in exported, name
         import yaml
 
         parsed = yaml.safe_load(rules)
         assert len(parsed["groups"][0]["rules"]) == 6
+        # scale-free contract: no absolute-count comparisons — every
+        # non-pct threshold is a ratio of two exported gauges or a rate
+        for r in parsed["groups"][0]["rules"]:
+            expr = r["expr"]
+            if "keep_pct" in expr or "trend_alert" in expr:
+                continue
+            assert "/" in expr or "clips_per_sec" in expr, expr
 
     def test_alert_rules_thresholds_and_save(self, tmp_path):
         from data_quality_check_pipeline_spark.metrics import (

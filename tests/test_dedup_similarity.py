@@ -350,7 +350,10 @@ class TestSimilarity:
         assert b1 == b2
 
     def test_lsh_bucket_requires_dim(self, embeddings):
-        with pytest.raises(ValueError, match="requires dim"):
+        # dim is a required keyword-only arg: a missing value fails at
+        # the call site (TypeError from the signature), not deep inside
+        # plan construction
+        with pytest.raises(TypeError, match="dim"):
             with_lsh_bucket(embeddings)
 
     def test_lsh_topk_recall_on_clusters(self, embeddings):

@@ -251,3 +251,64 @@ class TestTableStore:
         )
         assert store.is_unchanged("t", "abc")
         assert not store.is_unchanged("t", "xyz")
+
+
+class TestMergeShardReport:
+    """Run-level report merge: shard pieces fold into whole-run figures
+    (not last-shard-wins), weighted by each shard's kept rows."""
+
+    def test_weighted_merge(self):
+        from data_quality_check_pipeline_spark.pipeline import (
+            _merge_shard_report,
+        )
+
+        rd: dict = {}
+        s0 = {
+            "ge": [{"name": "be_between:dur_ms", "success": False,
+                    "pass_rate": 0.5, "mostly": 0.99}],
+            "completeness": {"rows": 100, "columns": {
+                "transcript": {"missing": 10, "completeness_pct": 90.0}}},
+            "stats": {"dur_ms_avg": 1000.0, "dur_ms_min": 5.0,
+                      "dur_ms_max": 50.0},
+        }
+        s1 = {
+            "ge": [{"name": "be_between:dur_ms", "success": True,
+                    "pass_rate": 1.0, "mostly": 0.99}],
+            "completeness": {"rows": 300, "columns": {
+                "transcript": {"missing": 2, "completeness_pct": 99.3}}},
+            "stats": {"dur_ms_avg": 2000.0, "dur_ms_min": 1.0,
+                      "dur_ms_max": 40.0},
+        }
+        _merge_shard_report(rd, s0, weight=100)
+        _merge_shard_report(rd, s1, weight=300)
+
+        # ge: (0.5*100 + 1.0*300) / 400 = 0.875 -> still a FAIL at 0.99
+        ge = {e["name"]: e for e in rd["ge"]}
+        assert ge["be_between:dur_ms"]["pass_rate"] == 0.875
+        assert ge["be_between:dur_ms"]["success"] is False
+        # completeness: 12 missing of 400 rows
+        comp = rd["completeness"]
+        assert comp["rows"] == 400
+        assert comp["columns"]["transcript"]["missing"] == 12
+        assert comp["columns"]["transcript"]["completeness_pct"] == 97.0
+        # stats: weighted avg, global min/max
+        assert rd["stats"]["dur_ms_avg"] == 1750.0
+        assert rd["stats"]["dur_ms_min"] == 1.0
+        assert rd["stats"]["dur_ms_max"] == 50.0
+
+    def test_fail_in_early_shard_not_masked(self):
+        """A contract FAIL in shard 0 that passes in shard 1 must stay a
+        FAIL at run level when the merged rate is below mostly."""
+        from data_quality_check_pipeline_spark.pipeline import (
+            _merge_shard_report,
+        )
+
+        rd: dict = {}
+        _merge_shard_report(rd, {"ge": [
+            {"name": "not_be_null:clip_id", "success": False,
+             "pass_rate": 0.0, "mostly": 1.0}]}, weight=50)
+        _merge_shard_report(rd, {"ge": [
+            {"name": "not_be_null:clip_id", "success": True,
+             "pass_rate": 1.0, "mostly": 1.0}]}, weight=50)
+        assert rd["ge"][0]["success"] is False
+        assert rd["ge"][0]["pass_rate"] == 0.5

@@ -90,3 +90,18 @@ def test_recovered_clip_not_reappended(
         .count()
         == 1  # still exactly once
     )
+    # active_quarantine: the recovered clip must NOT read as still
+    # quarantined — neither through its resolution marker nor through
+    # its ORIGINAL quarantine row — while the raw table keeps both for
+    # retry bookkeeping
+    from data_quality_check_pipeline_spark.pipeline import (
+        active_quarantine,
+    )
+
+    q = store.read(QUARANTINE_TABLE)
+    assert q.filter(F.col("clip_id") == good_id).count() == 2
+    active = active_quarantine(q)
+    assert active.filter(F.col("clip_id") == good_id).count() == 0
+    assert (
+        q.filter(F.col("stage") == "requeue_resolved").count() == 1
+    )

@@ -133,6 +133,14 @@ def main() -> None:
         core_list = [args.base_cores, args.base_cores * 4,
                      args.base_cores * 16]
     core_list = [c for c in core_list if c <= 32]
+    # fail BEFORE minutes of measurement, not in the report formatting:
+    # the headline pair is core_list[0] -> core_list[1] and must be an
+    # exact N -> 4N pair for the efficiency formula to mean anything
+    if len(core_list) < 2 or core_list[1] != 4 * core_list[0]:
+        ap.error(
+            f"first two core entries must be N,4N (got {core_list}); "
+            "e.g. --cores 1,4,2,8,32"
+        )
     best: dict[int, dict] = {}
     for _ in range(args.rounds):
         for c in core_list:
