@@ -44,15 +44,15 @@ def _drop_hot_groups(
     standard stop-shingle / hot-bucket tradeoff.
 
     Shape: one groupBy over the keys (map-side partial counts; shuffle =
-    distinct keys only) -> the over-cap key set, which is tiny by
-    construction, is COUNTED eagerly (drops are logged — no silent
-    truncation; the count also lands in ``stats_out`` when given) and
-    removed with a left_anti join (AQE broadcasts the small side). The
-    key-only aggregate is deliberately NOT cached: the anti-join
-    recomputes it once (cheap — map-side combined, key columns only),
-    which avoids pinning a dataset in executor storage for the lifetime
-    of the session (callers never see ``hot`` and could not unpersist
-    it after their own action).
+    distinct keys only) -> the over-cap key set, tiny by construction,
+    is COLLECTED to the driver (drops are logged — no silent truncation;
+    the count also lands in ``stats_out`` when given) and removed with a
+    literal IN-set filter pushed into the candidate scan — no join, no
+    cached dataset pinned for the session, and the (expensive upstream)
+    ``df`` subtree is never re-evaluated to resolve the hot keys. If the
+    over-cap key set is itself pathological (> ``max_inline_keys``,
+    i.e. the corpus is mostly degenerate buckets), fall back to a
+    left_anti join so the plan literal stays bounded.
     """
     if cap is None:
         return df
@@ -62,7 +62,11 @@ def _drop_hot_groups(
         .filter(F.col("_n") > cap)
         .select(*keys)
     )
-    n_hot = hot.count()
+    max_inline_keys = 10_000
+    rows = hot.limit(max_inline_keys + 1).collect()
+    n_hot = len(rows)
+    if n_hot > max_inline_keys:
+        n_hot = hot.count()  # exact figure for the log (rare path)
     if stats_out is not None:
         stats_out[what] = n_hot
     if n_hot == 0:
@@ -72,7 +76,26 @@ def _drop_hot_groups(
         "generation (recall tradeoff, bounded join)",
         what, n_hot, cap,
     )
-    return df.join(hot, keys, "left_anti")
+    if n_hot > max_inline_keys:
+        return df.join(hot, keys, "left_anti")
+    # null-safe composite encoding, mirrored engine/driver side (bucket
+    # keys are hashes/ints and never null in practice, but concat_ws
+    # SKIPS nulls which could alias key tuples — coalesce prevents it)
+    sep, null_tag = "\x1f", "\x00NULL"
+    enc = F.concat_ws(
+        sep,
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit(null_tag))
+            for k in keys
+        ],
+    )
+    hot_set = [
+        sep.join(
+            null_tag if r[k] is None else str(r[k]) for k in keys
+        )
+        for r in rows
+    ]
+    return df.filter(~enc.isin(hot_set))
 
 # ---------------------------------------------------------------------------
 # exact
