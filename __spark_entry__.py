@@ -1209,8 +1209,13 @@ def oracle_sql() -> dict[str, str]:
              min(doc_id) AS min_doc_id
       FROM documents GROUP BY 1 HAVING count(*) > 1"""
 
+    # null text is missing data, never duplicate evidence: null-text rows
+    # all survive (mirrors dedup_exact's engine semantics exactly)
     sql["doc_dedup_survivors"] = f"""
-      SELECT min(doc_id) AS doc_id FROM documents GROUP BY {norm_lower}"""
+      SELECT min(doc_id) AS doc_id FROM documents
+      WHERE text IS NOT NULL GROUP BY {norm_lower}
+      UNION ALL
+      SELECT doc_id FROM documents WHERE text IS NULL"""
 
     # exact jaccard over distinct 3-word shingles, doc_id < 60 subset
     sql["doc_ngram_jaccard"] = """

@@ -70,15 +70,20 @@ def clean_phone(c: Column | str) -> Column:
 
 
 def clean_date(c: Column | str, fmts: list[str] | None = None) -> Column:
-    """Literal 'invalid_date' -> NULL; parse alternate formats -> ISO string
-    (cleaner.py:92-127; formats from config.py:314-318)."""
+    """Literal 'invalid_date' -> NULL; parse alternate formats -> ISO string;
+    a value matching NO format passes through UNCHANGED (cleaner.py:92-127
+    falls through its format loop keeping the original — silently nulling
+    it would destroy data AND book the row as 'cleaned'; formats from
+    config.py:314-318)."""
     col = F.col(c) if isinstance(c, str) else c
     fmts = fmts or ["yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "MM-dd-yyyy"]
     s = F.trim(col.cast("string"))
     parsed = F.coalesce(*[F.try_to_timestamp(s, F.lit(f)) for f in fmts])
     return F.when(
         null_or_empty(col) | (F.lower(s) == "invalid_date"), F.lit(None)
-    ).otherwise(F.date_format(parsed, "yyyy-MM-dd"))
+    ).otherwise(
+        F.coalesce(F.date_format(parsed, "yyyy-MM-dd"), col.cast("string"))
+    )
 
 
 def clean_name(c: Column | str) -> Column:

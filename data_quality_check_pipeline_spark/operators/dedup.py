@@ -106,10 +106,15 @@ def exact_dups(
     df: DataFrame, id_col: str, text_col: str, normalized: bool = True
 ) -> DataFrame:
     """Groups of rows with identical (normalized) text: returns
-    (text_hash, n, ids) for groups with n > 1."""
+    (text_hash, n, ids) for groups with n > 1.
+
+    NULL text is MISSING data, not duplicate evidence — xxhash64(NULL)
+    is a seed constant, so without the filter every null-text row would
+    collapse into one giant 'duplicate' group."""
     t = norm_text(F.lower(F.col(text_col))) if normalized else F.col(text_col)
     return (
-        df.select(F.col(id_col), F.xxhash64(t).alias("text_hash"))
+        df.filter(t.isNotNull())
+        .select(F.col(id_col), F.xxhash64(t).alias("text_hash"))
         .groupBy("text_hash")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -122,13 +127,21 @@ def exact_dups(
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one deterministic survivor (min id) per exact text group.
     Implemented as a min-id aggregate + semi-join — no window sort over the
-    full corpus."""
+    full corpus.
+
+    Rows with NULL text all SURVIVE: missing text is not evidence of
+    shared content (xxhash64(NULL) is a constant — grouping on it would
+    silently discard all-but-one of every null-text row)."""
     t = norm_text(F.lower(F.col(text_col)))
+    keyed = df.select(F.col(id_col).alias("_id"), F.xxhash64(t).alias("_h"),
+                      t.isNull().alias("_null"))
     survivors = (
-        df.select(F.col(id_col).alias("_id"), F.xxhash64(t).alias("_h"))
+        keyed.filter(~F.col("_null"))
         .groupBy("_h")
         .agg(F.min("_id").alias(id_col))
         .select(id_col)
+        .unionByName(keyed.filter("_null").select(
+            F.col("_id").alias(id_col)))
     )
     return df.join(survivors, on=id_col, how="left_semi")
 
@@ -139,14 +152,24 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_expr(text_col: str, k: int):
-    """Distinct word k-shingles as an array column (JVM-side)."""
+    """Distinct word k-shingles as an array column (JVM-side). A document
+    shorter than ``k`` tokens contributes its WHOLE token sequence as one
+    shingle (mirroring the minhash fallback) — using just the first token
+    would give Jaccard 1.0 to any two short docs sharing a first word."""
     toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
     n = F.array_size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(toks[0])))
+    # null text -> null array (explode() then drops the row entirely):
+    # a doc with MISSING text has no shingles and joins no candidate pair
+    return F.when(
+        toks.isNotNull(),
+        F.array_distinct(
+            F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+        ),
+    )
 
 
 def minhash_signatures(
@@ -167,14 +190,20 @@ def minhash_signatures(
     toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
     n = F.array_size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
-    sh_hashes = F.array_distinct(
-        F.when(
-            n >= shingle_k,
-            F.transform(
-                idx, lambda i: F.xxhash64(F.slice(toks, i + 1, shingle_k))
-            ),
-        ).otherwise(F.array(F.xxhash64(toks)))
-    )
+    sh_hashes = F.when(
+        toks.isNotNull(),
+        F.array_distinct(
+            F.when(
+                n >= shingle_k,
+                F.transform(
+                    idx,
+                    lambda i: F.xxhash64(F.slice(toks, i + 1, shingle_k)),
+                ),
+            ).otherwise(F.array(F.xxhash64(toks)))
+        ),
+    )  # null text -> null array -> explode drops the doc: no signature,
+    #    no candidate pairs (xxhash64(NULL) is a constant, which would
+    #    otherwise give every null-text doc an identical signature)
     exploded = df.select(F.col(id_col), F.explode(sh_hashes).alias("_sh"))
     mins = [
         F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"h{i}")
@@ -208,6 +237,15 @@ def minhash_lsh_pairs(
     through their other bands unless degenerate in ALL bands (true spam
     clusters, which belong to exact dedup). max_bucket=None disables.
     """
+    if not 1 <= bands <= n_hashes or n_hashes % bands:
+        # bands > n_hashes would make every band hash the constant
+        # xxhash64('') (one giant bucket -> quadratic join or, with the
+        # hot-bucket cap, zero pairs); a non-divisor would silently
+        # exclude the trailing signature hashes from banding
+        raise ValueError(
+            f"bands must divide n_hashes (got bands={bands}, "
+            f"n_hashes={n_hashes})"
+        )
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
     banded = sigs.select(
@@ -308,6 +346,7 @@ def hamming_band_pairs(
     max_hamming: int = 3, chunks: int = 4,
     max_bucket: int | None = 10_000,
     stats_out: dict | None = None,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-dup pairs over any 64-bit signature column: banding on
     ``chunks`` equal bit-chunks (pigeonhole: any pair with hamming <
@@ -326,7 +365,25 @@ def hamming_band_pairs(
     16-bit span) would otherwise make the join quadratic in that bucket.
     Pairs in a dropped bucket still pair through their other chunks when
     hamming < chunks-1 holds over the remaining spans. max_bucket=None
-    disables."""
+    disables.
+
+    ``max_hamming > chunks - 1`` exceeds the pigeonhole guarantee: a
+    pair can differ in <= max_hamming bits spread across EVERY chunk and
+    never share a band — a systematic false negative in exactly the
+    hamming range the threshold advertises. That combination raises
+    unless ``allow_partial_recall=True`` (a deliberate approximate mode,
+    e.g. as a cheap first pass before an exact verify)."""
+    if 64 % chunks:
+        raise ValueError(f"chunks must divide 64 (got {chunks})")
+    if max_hamming > chunks - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
+            f"guarantee of chunks-1={chunks - 1}: pairs differing in "
+            f"{chunks}..{max_hamming} bits spread across all chunks "
+            "would be silently missed. Raise chunks, lower max_hamming, "
+            "or pass allow_partial_recall=True to accept approximate "
+            "recall."
+        )
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sigs.select(
@@ -371,31 +428,42 @@ def simhash_pairs(
     max_hamming: int = 3, chunks: int = 4,
     max_bucket: int | None = 10_000,
     stats_out: dict | None = None,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by text SimHash (see hamming_band_pairs)."""
     sigs = simhash_signatures(df, id_col, text_col)
     return hamming_band_pairs(
-        sigs, id_col, "simhash", max_hamming, chunks, max_bucket, stats_out
+        sigs, id_col, "simhash", max_hamming, chunks, max_bucket,
+        stats_out, allow_partial_recall,
     )
 
 
 def audio_near_dup_pairs(
     df: DataFrame, id_col: str = "clip_id",
-    max_hamming: int = 6, chunks: int = 4,
+    max_hamming: int = 6, chunks: int = 8,
     max_bucket: int | None = 10_000,
     stats_out: dict | None = None,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs via the 64-bit spectral fingerprint
     (udfs/audio.py:audio_fingerprint_udf — computed from the JVM-extracted
     Welch windows; payload bytes never cross to Python). fp=0 rows
     (silent/undecodable) are excluded: they are not evidence of shared
-    content and would otherwise bucket together."""
+    content and would otherwise bucket together.
+
+    Defaults honor the pigeonhole guarantee for the advertised
+    max_hamming=6: chunks=8 (8-bit chunk keys) guarantees recall up to
+    hamming 7. 8-bit keys produce larger candidate buckets than the
+    16-bit default elsewhere — at very large clip counts either rely on
+    the hot-bucket cap (logged drops) or trade down to chunks=4 with
+    max_hamming=3."""
     from ..udfs.audio import with_audio_fingerprint
 
     sigs = with_audio_fingerprint(df).filter(F.col("audio_fp") != 0)
     return hamming_band_pairs(
         sigs.select(id_col, "audio_fp"), id_col, "audio_fp",
         max_hamming, chunks, max_bucket, stats_out,
+        allow_partial_recall,
     )
 
 

@@ -113,7 +113,12 @@ def evaluate_suite(
             extras[k] = row[f"x_{k}"]
         for i, e in enumerate(agg_items):
             rate = row[f"e{i}"]
-            rate = float(rate) if rate is not None else 0.0
+            # NULL aggregate = zero evaluated rows (empty input, or a
+            # rate whose per-row flag was null throughout): vacuously
+            # satisfied, matching Great Expectations' `mostly` semantics
+            # — 0.0 here would flood an empty shard's report with nine
+            # simultaneous false failures
+            rate = float(rate) if rate is not None else 1.0
             results.append(
                 {
                     "name": e.name,

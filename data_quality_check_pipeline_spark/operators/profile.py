@@ -101,6 +101,12 @@ def freshness(df: DataFrame, ts_col: str, max_age_hours: float = 24.0) -> dict:
     max_ts = row["max_ts"]
     if max_ts is None:
         return {"fresh": False, "max_ts": None}
+    if isinstance(max_ts, _dt.date) and not isinstance(
+        max_ts, _dt.datetime
+    ):
+        # DateType columns collect as datetime.date — promote to
+        # midnight so the subtraction below is datetime - datetime
+        max_ts = _dt.datetime.combine(max_ts, _dt.time.min)
     age_h = (
         _dt.datetime.now(tz=getattr(max_ts, "tzinfo", None)) - max_ts
     ).total_seconds() / 3600.0
@@ -120,6 +126,15 @@ def numeric_summary(df: DataFrame, col: str,
         F.mean(F.col(col)).alias("mean"),
         F.stddev(F.col(col)).alias("std"),
     ).collect()[0]
+    if q["q"] is None or q["mean"] is None:
+        # empty input / all-null column: percentile_approx returns SQL
+        # NULL — return an explicit empty summary instead of iterating
+        # None (callers like with_iqr_outliers then flag zero rows)
+        return {
+            "q1": None, "median": None, "q3": None, "iqr": None,
+            "mean": None, "std": 0.0, "lower": None, "upper": None,
+            "empty": True,
+        }
     q1, med, q3 = [float(x) for x in q["q"]]
     iqr = q3 - q1
     return {

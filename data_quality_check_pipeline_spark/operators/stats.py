@@ -23,6 +23,13 @@ def with_iqr_outliers(
     """Flag rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR]; severity HIGH when
     more than 3*IQR from the median (statistical_validator.py:51-61)."""
     s = numeric_summary(df, col, relative_error)
+    if s.get("empty"):
+        res = df.withColumn(out, F.lit(False))
+        if severity_out:
+            res = res.withColumn(
+                severity_out, F.lit(None).cast("string")
+            )
+        return res, s
     c = F.col(col).cast("double")
     flag = c.isNotNull() & ~c.between(s["lower"], s["upper"])
     res = df.withColumn(out, flag)
@@ -43,6 +50,13 @@ def with_zscore_outliers(
     row = df.agg(
         F.mean(F.col(col)).alias("mean"), F.stddev(F.col(col)).alias("std")
     ).collect()[0]
+    if row["mean"] is None:
+        # empty input / all-null column: nothing to flag (mean over zero
+        # rows is SQL NULL — float(None) would crash instead)
+        return (
+            df.withColumn(out, F.lit(False)),
+            {"mean": None, "std": 0.0},
+        )
     mean, std = float(row["mean"]), float(row["std"] or 0.0)
     c = F.col(col).cast("double")
     flag = (

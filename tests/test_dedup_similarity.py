@@ -58,6 +58,35 @@ class TestExactDedup:
         )
         assert kept == [1, 4, 5, 6]
 
+    def test_null_text_is_not_duplicate_evidence(self, spark):
+        """xxhash64(NULL) is a seed CONSTANT: without an explicit null
+        policy every null-text row would collapse into one 'duplicate'
+        group and all but one would be silently discarded."""
+        rows = [(1, "same text"), (2, "same text"),
+                (3, None), (4, None), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # all null-text rows survive; the real dup group keeps min id
+        kept = sorted(
+            r["doc_id"] for r in dedup_exact(df, "doc_id", "text").collect()
+        )
+        assert kept == [1, 3, 4, 5]
+        # and they never show up as a duplicate group
+        groups = exact_dups(df, "doc_id", "text").collect()
+        assert len(groups) == 1 and groups[0]["ids"] == [1, 2]
+
+    def test_null_text_produces_no_near_dup_pairs(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_pairs,
+        )
+
+        rows = [(1, None), (2, None), (3, None), (4, "real text here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert minhash_lsh_pairs(df, "doc_id", "text").count() == 0
+        assert simhash_pairs(df, "doc_id", "text").count() == 0
+        assert ngram_jaccard_pairs(df, "doc_id", "text").count() == 0
+
 
 class TestMinHash:
     def test_signature_shape_and_determinism(self, docs):
@@ -207,6 +236,51 @@ class TestNgramJaccard:
         assert pairs[(1, 2)] == pytest.approx(1.0)
         assert 0.5 <= pairs[(1, 4)] < 1.0
         assert (1, 5) not in pairs
+
+    def test_short_docs_sharing_first_word_are_not_identical(self, spark):
+        """A doc shorter than shingle_k contributes its WHOLE token
+        sequence as one shingle — using just the first token would give
+        jaccard 1.0 to any two short docs sharing a first word."""
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "hello there"), (3, "hello world")],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", shingle_k=3, min_jaccard=0.1
+            ).collect()
+        }
+        assert (1, 2) not in pairs           # share only the first word
+        assert pairs[(1, 3)] == pytest.approx(1.0)  # truly identical
+
+    def test_minhash_bands_must_divide_n_hashes(self, spark, docs):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        for bad in (64, 5, 0):
+            with pytest.raises(ValueError, match="bands"):
+                minhash_lsh_pairs(
+                    docs, "doc_id", "text", n_hashes=32, bands=bad
+                )
+
+    def test_hamming_banding_rejects_unguaranteed_threshold(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+
+        sigs = spark.createDataFrame(
+            [(1, 7), (2, 9)], "id long, sig long"
+        )
+        # hamming 6 with 16-bit chunks (guarantee 3) -> explicit error...
+        with pytest.raises(ValueError, match="pigeonhole"):
+            hamming_band_pairs(sigs, "id", "sig", max_hamming=6, chunks=4)
+        # ...unless approximate recall is explicitly accepted
+        hamming_band_pairs(
+            sigs, "id", "sig", max_hamming=6, chunks=4,
+            allow_partial_recall=True,
+        ).collect()
 
 
 class TestConnectedComponents:

@@ -97,6 +97,11 @@ class TestCleaners:
             ("01/15/2024", "2024-01-15"),
             ("invalid_date", None),
             (None, None),
+            # matches NO format -> passes through UNCHANGED (reference
+            # cleaner.py:92-127 falls through its format loop; nulling
+            # would destroy data)
+            ("Jan 5, 2023", "Jan 5, 2023"),
+            ("2023-13-45", "2023-13-45"),
         ],
     )
     def test_clean_date(self, spark, raw, expected):

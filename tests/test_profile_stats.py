@@ -113,6 +113,41 @@ class TestProfile:
         df_old = spark.sql("select timestamp'2000-01-01' as ts")
         assert not freshness(df_old, "ts", max_age_hours=24)["fresh"]
 
+    def test_freshness_on_date_type(self, spark):
+        """DateType collects as datetime.date — must not TypeError on the
+        datetime subtraction (TPC-H-style o_orderdate is DATE)."""
+        df_old = spark.sql("select date'2000-01-01' as d")
+        r = freshness(df_old, "d", max_age_hours=24)
+        assert r["fresh"] is False and r["age_hours"] > 24
+        df_new = spark.sql("select current_date() as d")
+        r2 = freshness(df_new, "d", max_age_hours=48)
+        assert r2["fresh"] is True
+
+    def test_empty_input_returns_empty_summary_not_crash(self, spark):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            numeric_summary,
+        )
+        from data_quality_check_pipeline_spark.operators.stats import (
+            with_iqr_outliers,
+            with_zscore_outliers,
+        )
+
+        empty = spark.createDataFrame([], "x double")
+        s = numeric_summary(empty, "x")
+        assert s["empty"] and s["median"] is None
+        flagged, s2 = with_iqr_outliers(empty, "x")
+        assert flagged.count() == 0 and s2["empty"]
+        flagged_z, stats_z = with_zscore_outliers(empty, "x")
+        assert flagged_z.count() == 0 and stats_z["mean"] is None
+        # all-null column behaves like empty
+        nulls = spark.createDataFrame(
+            [(None,), (None,)], "x double"
+        )
+        flagged_n, _ = with_zscore_outliers(nulls, "x")
+        assert [r["is_outlier"] for r in flagged_n.collect()] == [
+            False, False,
+        ]
+
 
 class TestExpectations:
     def test_mostly_semantics(self, spark):
@@ -127,6 +162,20 @@ class TestExpectations:
         assert extras == {}
         assert r[0]["success"] and not r[1]["success"]
         assert r[0]["pass_rate"] == pytest.approx(0.95)
+
+    def test_empty_input_is_vacuously_satisfied(self, spark):
+        """Zero evaluated rows -> NULL aggregate -> vacuous PASS (Great
+        Expectations `mostly` semantics), not nine simultaneous false
+        failures on an empty shard."""
+        empty = spark.createDataFrame([], "c string, v double")
+        suite = [
+            Expectation("not_be_null", "c", mostly=1.0),
+            Expectation("be_between", "v", {"min": 0, "max": 10},
+                        mostly=0.99),
+        ]
+        r, _ = evaluate_suite(empty, suite)
+        assert all(e["success"] for e in r)
+        assert all(e["pass_rate"] == 1.0 for e in r)
 
     def test_kinds(self, spark):
         df = spark.createDataFrame(
