@@ -183,6 +183,23 @@ def model_rules(
     ]
 
 
+# rules that require the audio_stats UDF columns (clip_frac, n_samples):
+# the ONE list both the batch pipeline and the streaming path consult when
+# with_audio=False, so the exclusion set cannot silently drift
+AUDIO_RULE_NAMES = ("clipped_audio", "truncated_audio")
+
+
+def active_rules(with_audio: bool = True) -> list[Rule]:
+    """The full heuristic+model rule set, minus the audio-column rules
+    when the audio scorer is off. Single source of truth for
+    pipeline.flag_clips and streaming.build_streaming_flags."""
+    return heuristic_rules() + [
+        r
+        for r in model_rules()
+        if with_audio or r.name not in AUDIO_RULE_NAMES
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Compilation
 # ---------------------------------------------------------------------------

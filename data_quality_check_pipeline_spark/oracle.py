@@ -82,6 +82,13 @@ def _null_or_empty(v) -> bool:
     return s == "" or s.lower() == "nan"
 
 
+def _is_null_num(v) -> bool:
+    """SQL-NULL test for numeric metadata: a nullable int column comes out
+    of pandas .to_numpy() as float64 with NaN (never None), so an
+    `is None` check silently passes NaN through to int() and crashes."""
+    return v is None or (isinstance(v, (float, np.floating)) and np.isnan(v))
+
+
 def _clean_text(v):
     if _null_or_empty(v):
         return None
@@ -130,9 +137,12 @@ def run_oracle(df: pd.DataFrame) -> pd.DataFrame:
     n_samples = astats["n_samples"].to_numpy()
     clip_frac = astats["clip_frac"].to_numpy()
 
+    # engine parity: with_duplicate_flag joins on the RAW clip_id —
+    # SQL null join keys never match (None/NaN rows are never flagged)
+    # but '' / literal 'nan' are ordinary values it groups and flags
     dup_counts: dict[str, int] = {}
     for cid in clip_id:
-        if not _null_or_empty(cid):
+        if not _is_null_num(cid):
             dup_counts[cid] = dup_counts.get(cid, 0) + 1
 
     reasons_all: list[list[str]] = []
@@ -145,13 +155,15 @@ def run_oracle(df: pd.DataFrame) -> pd.DataFrame:
             reasons.append("null_bytes")
         if t is None:
             reasons.append("empty_transcript")
-        if sr[k] is None or int(sr[k]) not in ALLOWED_SR_HZ:
+        if _is_null_num(sr[k]) or int(sr[k]) not in ALLOWED_SR_HZ:
             reasons.append("bad_sr_hz")
-        if dur[k] is None or not (DUR_MS_MIN <= int(dur[k]) <= DUR_MS_MAX):
+        if _is_null_num(dur[k]) or not (
+            DUR_MS_MIN <= int(dur[k]) <= DUR_MS_MAX
+        ):
             reasons.append("dur_out_of_range")
         if codec[k] is None or codec[k] not in ALLOWED_CODECS:
             reasons.append("unknown_codec")
-        if t is not None and dur[k] is not None and int(dur[k]) > 0:
+        if t is not None and not _is_null_num(dur[k]) and int(dur[k]) > 0:
             cps = len(t) / (int(dur[k]) / 1000.0)
             if not (CHARS_PER_SEC_MIN <= cps <= CHARS_PER_SEC_MAX):
                 reasons.append("length_ratio")
@@ -167,7 +179,7 @@ def run_oracle(df: pd.DataFrame) -> pd.DataFrame:
                 if n_sym / n_chars > SYMBOL_DENSITY_MAX:
                     reasons.append("symbol_density")
         if (
-            not _null_or_empty(clip_id[k])
+            not _is_null_num(clip_id[k])
             and dup_counts.get(clip_id[k], 0) > 1
         ):
             reasons.append("duplicate_clip_id")
@@ -180,7 +192,7 @@ def run_oracle(df: pd.DataFrame) -> pd.DataFrame:
         if clip_frac[k] > CLIP_FRAC_MAX:
             reasons.append("clipped_audio")
         trunc = n_samples[k] <= 0
-        if not trunc and sr[k] is not None and dur[k] is not None:
+        if not trunc and not _is_null_num(sr[k]) and not _is_null_num(dur[k]):
             if int(sr[k]) > 0 and int(dur[k]) > 0:
                 est = n_samples[k] / float(sr[k])
                 ref = int(dur[k]) / 1000.0

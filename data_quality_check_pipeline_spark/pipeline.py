@@ -47,9 +47,8 @@ from .operators.clean import clean_clips
 from .operators.profile import completeness, keep_stats
 from .operators.scrub import scrub_transcripts
 from .operators.validate import (
-    heuristic_rules,
+    active_rules,
     merge_duplicate_reason,
-    model_rules,
     with_duplicate_flag,
     with_flags,
 )
@@ -100,12 +99,7 @@ def score_clips(df: DataFrame, with_audio: bool = True) -> DataFrame:
 def flag_clips(scored: DataFrame, with_audio: bool = True) -> DataFrame:
     """Attach reasons/keep/severity (all rules in one projection) + the
     duplicate-id flag (the one required shuffle)."""
-    rules = heuristic_rules() + [
-        r
-        for r in model_rules()
-        if with_audio or r.name not in ("clipped_audio", "truncated_audio")
-    ]
-    flagged = with_flags(scored, rules)
+    flagged = with_flags(scored, active_rules(with_audio))
     flagged = with_duplicate_flag(flagged, "clip_id")
     return merge_duplicate_reason(flagged)
 

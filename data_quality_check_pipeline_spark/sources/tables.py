@@ -148,9 +148,9 @@ class TableStore:
         if not paths:
             from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(__import__("json").loads(
-                snap["schema"]
-            )) if snap.get("schema") else StructType([])
+            schema = StructType.fromJson(
+                json.loads(snap["schema"])
+            ) if snap.get("schema") else StructType([])
             return self.spark.createDataFrame([], schema)
         # each snapshot dir is its own partition-discovery root (they may be
         # partitioned); union them by name
@@ -198,13 +198,15 @@ class TableStore:
             keep = [self._snapshot(m, m["current"])] + keep
         live_dirs = {d for s in keep for d in s["read_set"]}
         expired = [s["id"] for s in snaps if s not in keep]
-        for s in snaps:
-            if s in keep:
-                continue
-            own = f"snap_{s['id']}"
-            if own not in live_dirs:
+        # sweep the WHOLE table dir, not just this round's expired set: a
+        # dir whose manifest entry was dropped in an earlier round while a
+        # then-keeper still referenced it would otherwise never be
+        # revisited once that keeper expires — an unbounded orphan leak
+        for entry in os.listdir(self._dir(name)):
+            if entry.startswith("snap_") and entry not in live_dirs:
                 shutil.rmtree(
-                    os.path.join(self._dir(name), own), ignore_errors=True
+                    os.path.join(self._dir(name), entry),
+                    ignore_errors=True,
                 )
         m["snapshots"] = keep
         self._save_manifest(name, m)

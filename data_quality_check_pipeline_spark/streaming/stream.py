@@ -61,24 +61,40 @@ def build_streaming_flags(
     stream: DataFrame, with_audio: bool = True, dedup_watermark: str = "1 hour"
 ) -> DataFrame:
     """Stateless clean+score+flag; duplicate-id handling becomes
-    dropDuplicates within a watermark (global history is unbounded in a
-    stream — batch reconciliation owns cross-window dups)."""
-    scored = score_clips(stream, with_audio=with_audio)
-    scored = scored.withColumn("ingest_ts", F.current_timestamp())
-    deduped = scored.withWatermark("ingest_ts", dedup_watermark).dropDuplicates(
-        ["clip_id"]
-    )
-    # rule flags, minus the (stateful) duplicate rule handled above
-    from ..operators.validate import heuristic_rules, model_rules, with_flags
+    dropDuplicatesWithinWatermark (global history is unbounded in a
+    stream — batch reconciliation owns cross-window dups).
 
-    rules = heuristic_rules() + (
-        [
-            r
-            for r in model_rules()
-            if with_audio or r.name not in ("clipped_audio", "truncated_audio")
-        ]
+    Order matters twice here: (1) dedup runs on the RAW stream, before
+    the three pandas-UDF scorers, so duplicate copies never pay langid/
+    perplexity/audio Arrow round-trips just to be discarded; (2) the
+    dedup operator is dropDuplicatesWithinWatermark — plain
+    dropDuplicates on a non-event-time subset would keep one state-store
+    entry per distinct clip_id FOREVER (watermark eviction only applies
+    when the event-time column is in the dedup keys), an unbounded-state
+    leak on a long-running stream."""
+    raw = stream.withColumn("ingest_ts", F.current_timestamp())
+    deduped = raw.withWatermark(
+        "ingest_ts", dedup_watermark
+    ).dropDuplicatesWithinWatermark(["clip_id"])
+    scored = score_clips(deduped, with_audio=with_audio)
+    # rule flags, minus the (stateful) duplicate rule handled above
+    from ..operators.validate import active_rules, with_flags
+
+    return with_flags(scored, active_rules(with_audio))
+
+
+def batch_committed(store: TableStore, table: str, batch_id: int) -> bool:
+    """foreachBatch is at-least-once: a crash between a table commit and
+    the checkpoint offset commit replays the batch on restart. Every sink
+    write stamps ``stream_batch`` into snapshot properties; a table whose
+    snapshot history already carries this batch_id is skipped on replay,
+    making the sink idempotent (exactly-once at the table level)."""
+    if not store.exists(table):
+        return False
+    return any(
+        s.get("properties", {}).get("stream_batch") == batch_id
+        for s in store.snapshots(table)
     )
-    return with_flags(deduped, rules)
 
 
 def start_quality_stream(
@@ -98,33 +114,37 @@ def start_quality_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            kept = scrub_transcripts(
-                batch_df.filter(F.col("keep")).drop(
-                    "reasons", "severity", "keep"
+            if not batch_committed(store, CLEAN_TABLE, batch_id):
+                kept = scrub_transcripts(
+                    batch_df.filter(F.col("keep")).drop(
+                        "reasons", "severity", "keep"
+                    )
                 )
-            )
-            store.write(
-                CLEAN_TABLE,
-                kept,
-                mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
-                partition_by=["lang"],
-                properties={"stream_batch": batch_id},
-            )
-            quarantined = batch_df.filter(~F.col("keep")).select(
-                "clip_id", "reasons", "severity",
-                F.lit("stream_validate").alias("stage"),
-                F.lit(f"batch_{batch_id}").alias("run_id"),
-                F.current_timestamp().alias("ts"),
-                F.lit(0).alias("retry_count"),
-            )
-            store.write(
-                QUARANTINE_TABLE,
-                quarantined,
-                mode="append"
-                if store.exists(QUARANTINE_TABLE)
-                else "overwrite",
-                properties={"stream_batch": batch_id},
-            )
+                store.write(
+                    CLEAN_TABLE,
+                    kept,
+                    mode="append"
+                    if store.exists(CLEAN_TABLE)
+                    else "overwrite",
+                    partition_by=["lang"],
+                    properties={"stream_batch": batch_id},
+                )
+            if not batch_committed(store, QUARANTINE_TABLE, batch_id):
+                quarantined = batch_df.filter(~F.col("keep")).select(
+                    "clip_id", "reasons", "severity",
+                    F.lit("stream_validate").alias("stage"),
+                    F.lit(f"batch_{batch_id}").alias("run_id"),
+                    F.current_timestamp().alias("ts"),
+                    F.lit(0).alias("retry_count"),
+                )
+                store.write(
+                    QUARANTINE_TABLE,
+                    quarantined,
+                    mode="append"
+                    if store.exists(QUARANTINE_TABLE)
+                    else "overwrite",
+                    properties={"stream_batch": batch_id},
+                )
         finally:
             batch_df.unpersist()
 

@@ -312,3 +312,29 @@ class TestMergeShardReport:
              "pass_rate": 1.0, "mostly": 1.0}]}, weight=50)
         assert rd["ge"][0]["success"] is False
         assert rd["ge"][0]["pass_rate"] == 0.5
+
+
+class TestSnapshotGcOrphans:
+    def test_orphan_dirs_from_earlier_rounds_are_swept(self, spark, tmp_path):
+        """A snapshot dir whose manifest entry was dropped in an earlier
+        expire round while a then-keeper still referenced it must be
+        deleted once no surviving snapshot references it — not leak
+        forever."""
+        import os
+
+        store = TableStore(spark, str(tmp_path))
+        sid_a = store.write("t", spark.range(1), mode="overwrite")
+        for i in range(5):
+            store.write("t", spark.range(i + 2), mode="append")
+        # round 1: A's entry expires but its dir stays (appends B..F
+        # reference it in their read_sets)
+        assert store.expire_snapshots("t", keep_last=5) == [sid_a]
+        tdir = os.path.join(str(tmp_path), "t")
+        assert f"snap_{sid_a}" in os.listdir(tdir)
+        # rounds 2+: enough overwrites that nothing references A anymore
+        for i in range(5):
+            store.write("t", spark.range(1), mode="overwrite")
+        store.expire_snapshots("t", keep_last=5)
+        assert f"snap_{sid_a}" not in os.listdir(tdir)
+        # survivors still read fine
+        assert store.read("t").count() == 1

@@ -268,3 +268,38 @@ class TestPlans:
         )
         assert "Exchange" not in plan  # pure projection: no shuffle
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestSinkIdempotence:
+    def test_batch_committed_guard(self, spark, tmp_path):
+        """Replayed micro-batches (foreachBatch is at-least-once) must not
+        double-append: a table whose snapshot history carries the batch id
+        is skipped."""
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            batch_committed,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        assert batch_committed(store, "t", 0) is False  # no table yet
+        store.write("t", spark.range(3), properties={"stream_batch": 0})
+        assert batch_committed(store, "t", 0) is True
+        assert batch_committed(store, "t", 1) is False
+        store.write("t", spark.range(2), mode="append",
+                    properties={"stream_batch": 1})
+        # both batches visible through the snapshot HISTORY, not just the
+        # latest snapshot
+        assert batch_committed(store, "t", 0) is True
+        assert batch_committed(store, "t", 1) is True
+
+    def test_active_rules_shared_between_batch_and_stream(self):
+        """ONE rule list serves pipeline.flag_clips and the streaming
+        path: the audio exclusion set cannot drift apart."""
+        from data_quality_check_pipeline_spark.operators.validate import (
+            AUDIO_RULE_NAMES,
+            active_rules,
+        )
+
+        with_audio = {r.name for r in active_rules(True)}
+        without = {r.name for r in active_rules(False)}
+        assert with_audio - without == set(AUDIO_RULE_NAMES)
+        assert set(AUDIO_RULE_NAMES) <= with_audio
