@@ -117,8 +117,10 @@ def quality_trend_alert(
                 try:
                     with open(os.path.join(metrics_dir, fname)) as f:
                         m = json.load(f)
+                    # keep_pct None = halted zero-work run: no data point
                     history.append(float(m["quality"]["keep_pct"]))
-                except (KeyError, ValueError, json.JSONDecodeError):
+                except (KeyError, TypeError, ValueError,
+                        json.JSONDecodeError):
                     continue
     recent = history[-window:]
     if not recent:

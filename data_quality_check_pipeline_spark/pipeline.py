@@ -35,8 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .control import (
+    CONTINUE,
     DISCARD,
     HALT,
+    QUARANTINE,
     GateResult,
     StageLog,
     Thresholds,
@@ -58,6 +60,10 @@ from .udfs.langid import with_langid
 from .udfs.perplexity import with_perplexity
 
 _log = logging.getLogger(__name__)
+
+# severity order for folding per-shard gate decisions into the run-level
+# gate (worst wins)
+_DECISION_RANK = {CONTINUE: 0, DISCARD: 1, QUARANTINE: 2, HALT: 3}
 
 CLEAN_TABLE = "clips_clean"
 QUARANTINE_TABLE = "clips_quarantine"
@@ -117,6 +123,23 @@ def salted_repartition(
 
 def _shard_expr(key: str, n_shards: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
+
+
+def _find_committed_write(
+    store: TableStore, table: str, match: dict
+) -> str | None:
+    """Snapshot id of a write whose properties contain ``match``, else
+    None. The shard/requeue guards use this to make multi-table commits
+    crash-safe: a rerun after a crash BETWEEN a table append and the
+    lineage/marker write must skip the append instead of duplicating it
+    (the streaming sink's batch_committed is the same pattern)."""
+    if not store.exists(table):
+        return None
+    for s in store.snapshots(table):
+        props = s.get("properties", {})
+        if all(props.get(k) == v for k, v in match.items()):
+            return s["id"]
+    return None
 
 
 def _merge_shard_report(
@@ -202,28 +225,26 @@ def run_pipeline(
     log.record("load", "ok", t0)
 
     # -- IDEMPOTENCY (parity: rollback_manager.py:142-163) -------------------
+    done_shards = _completed_shards(spark, store, cfg)
     if (
         not cfg.force
         and cfg.source_fingerprint
         and store.is_unchanged(CLEAN_TABLE, cfg.source_fingerprint)
+        and len(done_shards) >= cfg.n_shards
     ):
-        done = _completed_shards(spark, store, cfg)
-        if len(done) >= cfg.n_shards:
-            return {
-                "run_id": cfg.run_id,
-                "skipped": True,
-                "reason": "source unchanged; all shards committed",
-            }
-
-    done_shards = _completed_shards(spark, store, cfg)
+        return {
+            "run_id": cfg.run_id,
+            "skipped": True,
+            "reason": "source unchanged; all shards committed",
+        }
     totals = {
         "total": 0, "kept": 0, "dropped": 0, "pii_rows": 0,
         "pii_emails": 0, "pii_phones": 0, "pii_ssns": 0, "pii_tox": 0,
     }
     gate_overall: GateResult | None = None
-    # per-module report inputs, accumulated across shards (histogram
-    # counts merge; ge/completeness/stats keep the latest shard's view;
-    # bounded samples keep the first ones seen)
+    # per-module report inputs, accumulated across shards via
+    # _merge_shard_report (weighted merge; bounded samples keep the
+    # first ones seen)
     report_data: dict = {"reason_histogram": [], "mask_samples": [],
                          "dlq_sample": []}
     reason_totals: dict[str, int] = {}
@@ -240,7 +261,13 @@ def run_pipeline(
         gate, stats, shard_report = _run_shard(
             spark, shard_df, shard, cfg, store, log
         )
-        gate_overall = gate
+        # run-level gate = the WORST shard decision, not the last one —
+        # a 30%-failure quarantined shard must not be masked by a clean
+        # final shard in the run document
+        if gate_overall is None or _DECISION_RANK.get(
+            gate.decision, 0
+        ) > _DECISION_RANK.get(gate_overall.decision, 0):
+            gate_overall = gate
         if gate.decision == HALT:
             # nothing was written for this shard — counting its stats
             # would report clips as kept that never landed, and a resumed
@@ -265,15 +292,21 @@ def run_pipeline(
                 report_data[key] = shard_report.get(key, [])
 
     wall = time.time() - t_run
+    halted = gate_overall is not None and gate_overall.decision == HALT
     metrics = {
         "run_id": cfg.run_id,
+        "halted": halted,
         "stages": log.stages,
         "quality": {
             **totals,
+            # a HALTed run with nothing committed must NOT masquerade as
+            # a perfect run: keep_pct None keeps it out of keep-rate
+            # consumers (trend history, dashboards) instead of feeding
+            # them a fabricated 100.0
             "keep_pct": (
                 100.0 * totals["kept"] / totals["total"]
                 if totals["total"]
-                else 100.0
+                else (None if halted else 100.0)
             ),
         },
         "gate": (
@@ -290,12 +323,17 @@ def run_pipeline(
         },
     }
     # trend check runs BEFORE save_metrics so the trailing window never
-    # includes the current run; a degradation routes through notify
+    # includes the current run; a degradation routes through notify.
+    # A halted zero-work run contributes no keep-rate data point.
     from .metrics import alert_quality_trend
 
-    metrics["trend"] = alert_quality_trend(
-        f"{cfg.out_root}/metrics", metrics["quality"]["keep_pct"]
-    )
+    if metrics["quality"]["keep_pct"] is not None:
+        metrics["trend"] = alert_quality_trend(
+            f"{cfg.out_root}/metrics", metrics["quality"]["keep_pct"]
+        )
+    else:
+        metrics["trend"] = {"alert": False, "trailing_avg": None,
+                            "runs": 0, "skipped": "halted"}
     save_metrics(metrics, f"{cfg.out_root}/metrics", cfg.run_id)
     from .metrics import save_alert_rules, save_dashboard
 
@@ -389,19 +427,34 @@ def _run_shard(
     # shuffle exists only for the write's file layout, and paying it
     # again for two scalar aggs would re-shuffle the audio bytes twice
     kept = salted_repartition(kept_pre, cfg.salt_buckets)
-    pii_rows = 0
-    clean_sid = store.write(
-        CLEAN_TABLE,
-        kept,
-        mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
-        partition_by=["lang"],
-        properties={
-            "run_id": cfg.run_id,
-            "shard": shard,
-            "source_fingerprint": cfg.source_fingerprint,
-        },
+    # crash-safe shard commit: the lineage row (the resume marker) is
+    # written LAST, so a crash after this append but before lineage makes
+    # the rerun reprocess the shard — the (fingerprint, shard, n_shards)
+    # property match skips the re-append instead of duplicating clips
+    shard_props = {
+        "shard": shard,
+        "n_shards": cfg.n_shards,
+        "source_fingerprint": cfg.source_fingerprint,
+    }
+    # without a fingerprint two unrelated runs into the same out_root
+    # would false-match each other's shards — guard only when stamped
+    clean_sid = (
+        _find_committed_write(store, CLEAN_TABLE, shard_props)
+        if cfg.source_fingerprint
+        else None
     )
-    log.record("clean_write", "ok", t0, snapshot=clean_sid)
+    if clean_sid is None:
+        clean_sid = store.write(
+            CLEAN_TABLE,
+            kept,
+            mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
+            partition_by=["lang"],
+            properties={"run_id": cfg.run_id, **shard_props},
+        )
+        log.record("clean_write", "ok", t0, snapshot=clean_sid)
+    else:
+        log.record("clean_write", "skipped_already_committed", t0,
+                   snapshot=clean_sid)
 
     # -- DROP BRANCH: quarantine/DLQ (parity: dead_letter_queue.py) ----------
     t0 = time.time()
@@ -418,13 +471,24 @@ def _run_shard(
         )
     )
     if gate.decision != DISCARD:
-        q_sid = store.write(
-            QUARANTINE_TABLE,
-            quarantined,
-            mode="append" if store.exists(QUARANTINE_TABLE) else "overwrite",
-            properties={"run_id": cfg.run_id, "shard": shard},
+        q_sid = (
+            _find_committed_write(store, QUARANTINE_TABLE, shard_props)
+            if cfg.source_fingerprint
+            else None
         )
-        log.record("quarantine", "ok", t0, snapshot=q_sid)
+        if q_sid is None:
+            q_sid = store.write(
+                QUARANTINE_TABLE,
+                quarantined,
+                mode="append"
+                if store.exists(QUARANTINE_TABLE)
+                else "overwrite",
+                properties={"run_id": cfg.run_id, **shard_props},
+            )
+            log.record("quarantine", "ok", t0, snapshot=q_sid)
+        else:
+            log.record("quarantine", "skipped_already_committed", t0,
+                       snapshot=q_sid)
     else:
         log.record("quarantine", "skipped_discard", t0)
 
@@ -630,12 +694,39 @@ def requeue_quarantine(
     kept = scrub_transcripts(
         flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")
     )
-    store.write(
-        CLEAN_TABLE, salted_repartition(kept, cfg.salt_buckets),
-        mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
-        partition_by=["lang"],
-        properties={"run_id": cfg.run_id, "requeue": True},
+    # crash guard (same pattern as the shard commit): a crash between
+    # this append and the resolution-marker write below leaves the clips
+    # eligible — the rerun must skip the re-append, not duplicate them.
+    # The key is (run_id, attempt#) where attempt# counts this run_id's
+    # COMMITTED marker snapshots: a deliberate re-drive under the same
+    # run_id has a new attempt# (its markers committed) and proceeds,
+    # while a crash-rerun (markers missing) matches and skips.
+    # source_fingerprint rides along so the run-level idempotency
+    # short-circuit (is_unchanged) survives a requeue snapshot on top.
+    attempt = sum(
+        1
+        for s in (
+            store.snapshots(QUARANTINE_TABLE)
+            if store.exists(QUARANTINE_TABLE)
+            else []
+        )
+        if s.get("properties", {}).get("requeue_run") == cfg.run_id
     )
+    requeue_props = {
+        "requeue": True,
+        "requeue_run": cfg.run_id,
+        "requeue_key": f"{cfg.run_id}:{attempt}",
+        "source_fingerprint": cfg.source_fingerprint,
+    }
+    if _find_committed_write(
+        store, CLEAN_TABLE, {"requeue_key": requeue_props["requeue_key"]}
+    ) is None:
+        store.write(
+            CLEAN_TABLE, salted_repartition(kept, cfg.salt_buckets),
+            mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
+            partition_by=["lang"],
+            properties={"run_id": cfg.run_id, **requeue_props},
+        )
     still_bad = (
         flagged.filter(~F.col("keep"))
         .join(eligible, "clip_id", "left")
@@ -663,9 +754,12 @@ def requeue_quarantine(
         F.current_timestamp().alias("ts"),
         F.lit(max_retries).alias("retry_count"),
     )
+    # the marker write is the requeue's commit point (analogous to the
+    # shard lineage row) — written last, never skipped
     store.write(
-        QUARANTINE_TABLE, still_bad.unionByName(recovered), mode="append",
-        properties={"run_id": cfg.run_id, "requeue": True},
+        QUARANTINE_TABLE, still_bad.unionByName(recovered),
+        mode="append",
+        properties={"run_id": cfg.run_id, **requeue_props},
     )
     stats = keep_stats(flagged)
     flagged.unpersist()

@@ -22,7 +22,9 @@ def render_run_report(metrics: dict) -> str:
         f"  total clips:   {q.get('total', 0):,}",
         f"  kept:          {q.get('kept', 0):,}",
         f"  dropped:       {q.get('dropped', 0):,}",
-        f"  keep rate:     {q.get('keep_pct', 100.0):.2f}%",
+        "  keep rate:     "
+        + (f"{q['keep_pct']:.2f}%"
+           if q.get("keep_pct") is not None else "n/a (halted)"),
         f"  rows with PII: {q.get('pii_rows', 0):,}",
         "  PII scrubbed:  "
         f"emails={q.get('pii_emails', 0):,} "
@@ -87,7 +89,9 @@ def render_validation_report(data: dict) -> str:
         f"total clips:  {q.get('total', 0):,}",
         f"kept:         {q.get('kept', 0):,}",
         f"dropped:      {q.get('dropped', 0):,}",
-        f"keep rate:    {q.get('keep_pct', 100.0):.2f}%",
+        "keep rate:    "
+        + (f"{q['keep_pct']:.2f}%"
+           if q.get("keep_pct") is not None else "n/a (halted)"),
         "",
         "DROP REASONS",
     ]

@@ -31,13 +31,24 @@ def source_fingerprint(path: str) -> str:
     no data read."""
     h = hashlib.sha256()
     if os.path.isdir(path):
-        names = sorted(os.listdir(path))
+        # FULL recursive walk: a top-level listdir would miss rewrites
+        # nested >= 2 levels deep (lang=/date=/part-*.parquet backfills)
+        # and falsely skip the run as "source unchanged"
+        for root, dirs, files in sorted(os.walk(path)):
+            dirs.sort()
+            for n in sorted(files):
+                fp = os.path.join(root, n)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(
+                    f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode()
+                )
     else:
-        names = [os.path.basename(path)]
-        path = os.path.dirname(path) or "."
-    for n in names:
-        st = os.stat(os.path.join(path, n))
-        h.update(f"{n}:{st.st_size}:{int(st.st_mtime)}".encode())
+        st = os.stat(path)
+        h.update(
+            f"{os.path.basename(path)}:{st.st_size}:"
+            f"{st.st_mtime_ns}".encode()
+        )
     return h.hexdigest()[:16]
 
 
@@ -102,7 +113,11 @@ def main() -> None:
         return
 
     if args.synthetic:
-        corpus = os.path.join(args.out, "_synthetic_input")
+        # path encodes N: "--synthetic 160000" after an earlier
+        # "--synthetic 3000" run must not silently reuse the stale corpus
+        corpus = os.path.join(
+            args.out, f"_synthetic_input_n{args.synthetic}"
+        )
         input_path = os.path.join(corpus, "clips.parquet")
         if not os.path.exists(input_path):
             write_corpus(corpus, args.synthetic)
@@ -139,7 +154,10 @@ def main() -> None:
         )
 
         store = TableStore(spark, args.out)
-        kept = store.read("clips_clean").count()
+        kept = (
+            store.read("clips_clean").count()
+            if store.exists("clips_clean") else 0
+        )
         quarantined = (
             active_quarantine(store.read("clips_quarantine")).count()
             if store.exists("clips_quarantine") else 0
@@ -156,7 +174,9 @@ def main() -> None:
         n_shards=args.shards,
         source_fingerprint=fp,
         force=args.force,
-        non_interactive=args.no_review or True,
+        # blocking review only when a decision file is configured
+        # and --no-review was not passed
+        non_interactive=args.no_review or args.review_file is None,
         review_decision_file=args.review_file,
         pushgateway_url=args.pushgateway,
     )
@@ -175,6 +195,11 @@ def main() -> None:
     else:
         print(f"skipped: {metrics['reason']}")
     spark.stop()
+    if metrics.get("halted"):
+        # spark-submit / orchestrators must see a halted pipeline as a
+        # FAILED job, not a clean exit with a pretty report
+        print("pipeline HALTED by gate decision", file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -338,3 +338,96 @@ class TestSnapshotGcOrphans:
         assert f"snap_{sid_a}" not in os.listdir(tdir)
         # survivors still read fine
         assert store.read("t").count() == 1
+
+
+class TestCrashResumeGuards:
+    def test_lineage_loss_does_not_duplicate_clean_rows(
+        self, spark, corpus, oracle_df, out_root
+    ):
+        """Crash between a shard's clean append and its lineage row: the
+        rerun reprocesses the shard but the (fingerprint, shard,
+        n_shards) snapshot-property guard skips the re-append — no clip
+        is duplicated."""
+        import shutil
+
+        _, _, path = corpus
+        cfg = RunConfig(out_root=out_root, run_id="cr1",
+                        source_fingerprint="crash-f", n_shards=2)
+        run_pipeline(spark, path, cfg)
+        store = TableStore(spark, out_root)
+        n_clean = store.read(CLEAN_TABLE).count()
+        n_distinct = (
+            store.read(CLEAN_TABLE).select("clip_id").distinct().count()
+        )
+        assert n_clean == n_distinct
+        # simulate the crash: lineage (the resume marker) lost AFTER the
+        # table appends committed
+        shutil.rmtree(os.path.join(out_root, "lineage"))
+        cfg2 = RunConfig(out_root=out_root, run_id="cr2",
+                         source_fingerprint="crash-f", n_shards=2)
+        run_pipeline(spark, path, cfg2)
+        assert store.read(CLEAN_TABLE).count() == n_clean
+        assert (
+            store.read(CLEAN_TABLE).select("clip_id").distinct().count()
+            == n_distinct
+        )
+
+
+class TestHaltedRun:
+    def test_halted_run_is_not_a_perfect_run(
+        self, spark, corpus, out_root
+    ):
+        """A HALTed zero-work run must not write keep_pct=100 metrics
+        (which would poison the trend history) and must be marked."""
+        from data_quality_check_pipeline_spark.control import (
+            HALT,
+            Thresholds,
+        )
+
+        _, _, path = corpus
+        cfg = RunConfig(
+            out_root=out_root, run_id="halted1",
+            source_fingerprint="halt-f",
+            thresholds=Thresholds(
+                hard_failure_pct=0.0, review_pass_rate=101.0,
+                timeout_action=HALT,
+            ),
+        )
+        metrics = run_pipeline(spark, path, cfg)
+        assert metrics["halted"] is True
+        assert metrics["gate"]["decision"] == HALT
+        assert metrics["quality"]["keep_pct"] is None
+        assert metrics["trend"]["skipped"] == "halted"
+        # the saved document must not feed 100.0 into later trend windows
+        from data_quality_check_pipeline_spark.metrics import (
+            quality_trend_alert,
+        )
+
+        r = quality_trend_alert(
+            f"{out_root}/metrics", current_keep_pct=50.0, window=5
+        )
+        assert r["runs"] == 0  # the halted run contributed no data point
+
+
+class TestSourceFingerprint:
+    def test_detects_nested_rewrites(self, tmp_path):
+        """A rewrite >= 2 directory levels deep must change the
+        fingerprint (top-level listdir missed lang=/date=/part backfills
+        and falsely skipped the run)."""
+        import sys
+        import time as _t
+
+        sys.path.insert(0, "/root/repo")
+        from jobs.run_quality_pipeline import source_fingerprint
+
+        deep = tmp_path / "lang=en" / "date=2026-08-01"
+        os.makedirs(deep)
+        f = deep / "part-0.parquet"
+        f.write_bytes(b"v1")
+        fp1 = source_fingerprint(str(tmp_path))
+        _t.sleep(0.01)
+        f.write_bytes(b"v2-bigger")  # nested rewrite
+        fp2 = source_fingerprint(str(tmp_path))
+        assert fp1 != fp2
+        # stable when nothing changed
+        assert source_fingerprint(str(tmp_path)) == fp2
