@@ -66,42 +66,50 @@ class TestPyFilesArtifact:
         assert all(n.endswith(".py") for n in names)
 
 
+def _submit_pipeline(master: str, tmp_path, corpus_path: str, run_id: str):
+    """spark-submit the zipped engine from a scratch dir on ``master``."""
+    b = _load_builder()
+    pkg_zip = b.build(str(tmp_path / "pkg.zip"))
+    entry = str(tmp_path / "run_quality_pipeline.py")
+    shutil.copyfile(
+        os.path.join(REPO, "jobs", "run_quality_pipeline.py"), entry
+    )
+    out_root = str(tmp_path / "out")
+
+    import pyspark
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # imports must come from the zip
+    env["SPARK_HOME"] = os.path.dirname(pyspark.__file__)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env["SPARK_GRAFT_CPUS"] = "4"
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", master,
+            "--driver-memory", "4g",
+            "--py-files", pkg_zip,
+            entry,
+            "--input", corpus_path,
+            "--out", out_root,
+            "--run-id", run_id,
+            "--shards", "2",
+        ],
+        cwd=str(tmp_path),  # repo not under cwd either
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    return proc, out_root
+
+
 class TestSparkSubmitDeploy:
     def test_pyfiles_run_matches_oracle(self, corpus, oracle_df, tmp_path):
         _, _, corpus_path = corpus
-        b = _load_builder()
-        pkg_zip = b.build(str(tmp_path / "pkg.zip"))
-        entry = str(tmp_path / "run_quality_pipeline.py")
-        shutil.copyfile(
-            os.path.join(REPO, "jobs", "run_quality_pipeline.py"), entry
-        )
-        out_root = str(tmp_path / "out")
-
-        import pyspark
-
-        env = dict(os.environ)
-        env.pop("PYTHONPATH", None)  # imports must come from the zip
-        env["SPARK_HOME"] = os.path.dirname(pyspark.__file__)
-        env["PYSPARK_PYTHON"] = sys.executable
-        env["PYSPARK_DRIVER_PYTHON"] = sys.executable
-        env["SPARK_GRAFT_CPUS"] = "4"
-        proc = subprocess.run(
-            [
-                _spark_submit(),
-                "--master", "local[4]",
-                "--driver-memory", "4g",
-                "--py-files", pkg_zip,
-                entry,
-                "--input", corpus_path,
-                "--out", out_root,
-                "--run-id", "submit-smoke",
-                "--shards", "2",
-            ],
-            cwd=str(tmp_path),  # repo not under cwd either
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=600,
+        proc, out_root = _submit_pipeline(
+            "local[4]", tmp_path, corpus_path, "submit-smoke"
         )
         assert proc.returncode == 0, proc.stderr[-4000:]
         assert "CLIP QUALITY PIPELINE" in proc.stdout
@@ -124,3 +132,27 @@ class TestSparkSubmitDeploy:
             os.path.join(out_root, "clips_clean", "manifest.json")
         )
         assert os.path.isdir(os.path.join(out_root, "reports"))
+
+    def test_pyfiles_run_on_multi_executor_cluster(
+        self, corpus, oracle_df, tmp_path
+    ):
+        """The north rule's deployment form: spark-submit --py-files on a
+        MULTI-EXECUTOR cluster. local-cluster[2,2,2048] forks two real
+        separate executor JVMs (own processes, own python workers) — the
+        zip must zipimport on the EXECUTOR side too (UDF deserialization),
+        which plain local[N] cannot prove."""
+        _, _, corpus_path = corpus
+        proc, out_root = _submit_pipeline(
+            "local-cluster[2,2,2048]", tmp_path, corpus_path,
+            "submit-cluster",
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        m = re.search(r"kept:\s+([\d,]+)", proc.stdout)
+        assert m, proc.stdout
+        kept = int(m.group(1).replace(",", ""))
+        # executor-side scoring reproduces the oracle exactly, same bar
+        # as the single-JVM deploy
+        assert kept == int(oracle_df["keep"].sum())
+        assert os.path.exists(
+            os.path.join(out_root, "clips_clean", "manifest.json")
+        )
