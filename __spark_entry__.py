@@ -807,12 +807,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         )
+        # DECIMAL sum: double addition is non-associative, so a raw sum
+        # is partition-order-dependent and can flip round() / top-10 ties
         rev = F.sum(
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (
+                    F.lit(1).cast("decimal(18,4)")
+                    - F.col("l_discount").cast("decimal(18,4)")
+                )
+            ).cast("decimal(28,8)")
         )
         return (
             joined.groupBy("l_orderkey", "o_orderdate")
-            .agg(F.round(rev, 4).alias("revenue"))
+            .agg(F.round(rev.cast("double"), 4).alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
             .limit(10)
             .select(
@@ -854,7 +862,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("value"), 4).alias("sum_value"),
+                # decimal sum -> order-invariant across partitionings
+                F.round(
+                    F.sum(F.col("value").cast("decimal(24,8)"))
+                    .cast("double"),
+                    4,
+                ).alias("sum_value"),
             )
         )
 
@@ -1139,9 +1152,15 @@ def _golden_sql(name: str, types: dict[str, str]) -> str | None:
         return None  # degrade to a rows-only check rather than a red oracle
     with open(path) as f:
         g = _json.load(f).get(name)
-    if not g or not g["rows"]:
+    if not g:
         return None
     cols = g["columns"]
+    if not g["rows"]:
+        # a legitimately-empty golden is still an oracle: the expected
+        # set IS empty, so a regression emitting spurious rows must FAIL
+        # (returning None here would silently degrade to rows-only)
+        sel = ", ".join(f"CAST(NULL AS {types[c]}) AS {c}" for c in cols)
+        return f"SELECT {sel} WHERE false"
 
     def lit(v):
         if v is None:
@@ -1395,7 +1414,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["top_unshipped_orders"] = """
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))
+                 AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -1443,8 +1465,10 @@ def oracle_sql() -> dict[str, str]:
                   || substring(dgx, 4, 3) || '-' || substring(dgx, 7, 4)
              ELSE raw_phone END AS phone,
         CASE WHEN {_sql_missing('raw_name')} THEN raw_name
-             ELSE upper(substring(trim(raw_name), 1, 1))
-                  || lower(substring(trim(raw_name), 2)) END AS name,
+             ELSE array_to_string(list_transform(
+                    string_split(trim(raw_name), ' '),
+                    x -> upper(x[1:1]) || lower(x[2:])), ' ')
+             END AS name,
         CASE WHEN {_sql_missing('raw_email')} THEN raw_email
              ELSE lower(trim(raw_email)) END AS email
       FROM d10"""
@@ -1578,7 +1602,8 @@ def oracle_sql() -> dict[str, str]:
     sql["events_hourly"] = """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              event_type, CAST(count(*) AS BIGINT) AS n,
-             round(sum(value), 4) AS sum_value
+             round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE), 4)
+               AS sum_value
       FROM events GROUP BY 1, 2"""
 
     sql["events_type_histogram"] = (

@@ -25,9 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _clips_path(n: int) -> str:
+    # one cache-layout definition: __spark_entry__._CLIPS_CACHE_DIR
+    import __spark_entry__ as entrymod
     from data_quality_check_pipeline_spark.synth import write_corpus
 
-    path = f"/tmp/spark_graft_clips_cache/n{n}"
+    path = os.path.join(entrymod._CLIPS_CACHE_DIR, f"n{n}")
     marker = os.path.join(path, "clips.parquet")
     if not os.path.exists(marker):
         write_corpus(path, n)
@@ -98,6 +100,23 @@ def main() -> None:
     clips_per_sec = n_clips / timings["clips_keep_drop_scrub"]
 
     # --- operator-family queries at the SF dir -----------------------------
+    def _force(df) -> int:
+        # a bare .count() lets Catalyst PRUNE the projections being
+        # benchmarked (doc_scrub's regexes, customer_clean's transforms
+        # would never run — same mechanism as the CLAUDE.md UDF-pruning
+        # gotcha). Hash every output column of every row instead: the
+        # checksum depends on all of them, so the full query evaluates.
+        cols = df.columns
+        row = df.select(
+            F.xxhash64(F.to_json(F.struct(*cols))).alias("_h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: summing 64-bit hashes overflows under
+            # ANSI mode
+            F.bit_xor("_h").alias("_chk"),
+        ).collect()[0]
+        return row["n"]
+
     qs = entrymod.queries()
     for name in [
         "flagship_doc_quality_filter",
@@ -115,7 +134,7 @@ def main() -> None:
         "embedding_ivf_ann",
     ]:
         fn = qs[name]
-        timed(name, lambda f=fn: f(spark, sf_dir).count())
+        timed(name, lambda f=fn: _force(f(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -131,6 +150,13 @@ def main() -> None:
                 "clips_per_sec": round(clips_per_sec, 1),
                 "clips_cold_first_run_sec": cold_s,
                 "cpus": cpus,
+                # round-2 bench-semantics change, affects cross-round
+                # comparison: operator queries are now forced via a
+                # checksum over ALL output columns — earlier rounds'
+                # bare .count() let Catalyst prune the very projections
+                # being benchmarked (scrub regexes, clean transforms),
+                # under-reporting those queries
+                "bench_semantics": "v2_forced_full_eval",
             }
         )
     )

@@ -60,6 +60,12 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # every iteration joins against und: without this cache the
+        # upstream edge computation (often an expensive candidate-pair
+        # self-join) re-evaluates once PER ROUND. The edge set is small
+        # by construction (near-dup pairs, not the corpus) and is
+        # unpersisted before returning.
+        .cache()
     )
     labels = (
         und.select(F.col("u").alias("node"))
@@ -103,6 +109,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels is checkpointed (independent lineage), so releasing the edge
+    # cache cannot force recomputation downstream
+    und.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

@@ -55,9 +55,10 @@ def minhash_pairs_py(
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
         norm = _norm_lower(text)
         if norm is None:
-            # Spark: split(null)=null -> otherwise-branch array(xxhash64(null))
-            # and xxhash64(NULL) leaves the seed untouched -> [42]
-            sh = {42}
+            # Spark: the toks.isNotNull() guard makes the shingle array
+            # NULL and explode() drops the doc — null text produces NO
+            # signature and joins no candidate pair
+            continue
         else:
             toks = norm.split(" ")
             if len(toks) >= shingle_k:
@@ -201,7 +202,12 @@ def main() -> int:
     ok = True
     for name, g in goldens.items():
         sdf = qs[name](spark, SF_DIR)
-        key = lambda t: tuple(str(x) for x in t)  # noqa: E731 (None-safe)
+        # sort by the SAME canonical form the comparison uses: a str()
+        # sort key could order rows differing only in low-order float
+        # bits differently on the two sides and misalign the zip
+        key = lambda t: tuple(  # noqa: E731 (None-safe)
+            str(_canon(x)) for x in t
+        )
         srows = sorted(
             (tuple(r) for r in sdf.select(*g["columns"]).collect()), key=key
         )
@@ -223,7 +229,7 @@ def main() -> int:
         return 1
     meta = {
         "sf_dir": SF_DIR,
-        "clips_n": 4000,
+        "clips_n": entry._CLIPS_N,  # the corpus actually derived from
         "source": "pure-Python re-derivation (oracle_hash + oracle.run_oracle)",
     }
     with open(OUT, "w") as f:
