@@ -94,6 +94,29 @@ def connected_components(
                 ).alias("comp"),
             )
         )
+        # pointer jump (path compression): comp <- label[comp]. Labels
+        # only decrease, so label[comp] <= comp and each round roughly
+        # halves every node's distance to its component minimum —
+        # convergence in O(log diameter) rounds instead of O(diameter),
+        # i.e. fewer shuffles AND fewer checkpoints on deep near-dup
+        # chains (templated doc series).
+        new_labels = (
+            new_labels.alias("l")
+            .join(
+                new_labels.select(
+                    F.col("node").alias("comp"),
+                    F.col("comp").alias("_cc"),
+                ).alias("p"),
+                "comp",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("_cc", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
         if checkpoint_dir is None:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:

@@ -299,6 +299,25 @@ class TestConnectedComponents:
         }
         assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """A 64-node chain has diameter 63: plain min-label propagation
+        needs 63 rounds (> the max_iter=50 default), pointer jumping
+        needs ~log2(63). Convergence inside the default cap proves the
+        path-compression step works."""
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+        )
+        comps = {
+            r["node"]: r["comp"]
+            for r in connected_components(edges).collect()
+        }
+        assert set(comps.values()) == {0}
+        assert len(comps) == 64
+
     def test_reliable_checkpoint_dir(self, spark, tmp_path):
         """Table-backed per-round persistence (the cluster-safe mode) must
         produce identical components AND leave resumable round files."""
