@@ -134,7 +134,13 @@ def main() -> None:
         "embedding_ivf_ann",
     ]:
         fn = qs[name]
+        # min of 2 passes per query, same discipline as the clips
+        # headline: this host's timings are bimodal (multi-second noise
+        # epochs) — report capacity, not the scheduler's coin flip
         timed(name, lambda f=fn: _force(f(spark, sf_dir)))
+        first = timings[name]
+        timed(name, lambda f=fn: _force(f(spark, sf_dir)))
+        timings[name] = min(first, timings[name])
 
     total = round(sum(timings.values()), 3)
     print(
