@@ -285,7 +285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             connected_components,
         )
 
-        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 60)
+        # cache the (tiny) input subset: the edge pipeline is evaluated
+        # more than once downstream (the hot-shingle guard's eager
+        # pre-pass, then the CC edge-set materialization) — without the
+        # cache each evaluation rescans the documents table
+        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 60).cache()
         pairs = ngram_jaccard_pairs(
             df, "doc_id", "text", shingle_k=1, min_jaccard=0.3
         )
@@ -307,7 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup_survivors_by_component,
         )
 
-        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        # cached for the same multi-evaluation reason as
+        # doc_dup_components (guard pre-pass + CC edge materialization
+        # + the survivor anti-join all reuse it)
+        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 200).cache()
         pairs = ngram_jaccard_pairs(
             df, "doc_id", "text", shingle_k=1, min_jaccard=0.8
         )
