@@ -56,15 +56,32 @@ def _drop_hot_groups(
     """
     if cap is None:
         return df
+    # null-safe composite key encoding. BOTH sides of the comparison go
+    # through this SAME Spark expression (the hot set is collected
+    # ALREADY ENCODED by Spark's cast, never re-encoded by Python str(),
+    # which diverges for bool/float/timestamp keys — 'True' vs 'true',
+    # repr vs scientific notation — and would silently fail the filter
+    # open). concat_ws SKIPS nulls, which could alias key tuples —
+    # coalesce to a sentinel prevents it.
+    sep, null_tag = "\x1f", "\x00NULL"
+    enc = F.concat_ws(
+        sep,
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit(null_tag))
+            for k in keys
+        ],
+    )
     hot = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
-        .select(*keys)
+        .select(enc.alias("_enc"), *keys)
     )
     max_inline_keys = 10_000
-    rows = hot.limit(max_inline_keys + 1).collect()
-    n_hot = len(rows)
+    hot_set = [
+        r["_enc"] for r in hot.limit(max_inline_keys + 1).collect()
+    ]
+    n_hot = len(hot_set)
     if n_hot > max_inline_keys:
         n_hot = hot.count()  # exact figure for the log (rare path)
     if stats_out is not None:
@@ -77,24 +94,7 @@ def _drop_hot_groups(
         what, n_hot, cap,
     )
     if n_hot > max_inline_keys:
-        return df.join(hot, keys, "left_anti")
-    # null-safe composite encoding, mirrored engine/driver side (bucket
-    # keys are hashes/ints and never null in practice, but concat_ws
-    # SKIPS nulls which could alias key tuples — coalesce prevents it)
-    sep, null_tag = "\x1f", "\x00NULL"
-    enc = F.concat_ws(
-        sep,
-        *[
-            F.coalesce(F.col(k).cast("string"), F.lit(null_tag))
-            for k in keys
-        ],
-    )
-    hot_set = [
-        sep.join(
-            null_tag if r[k] is None else str(r[k]) for k in keys
-        )
-        for r in rows
-    ]
+        return df.join(hot.select(*keys), keys, "left_anti")
     return df.filter(~enc.isin(hot_set))
 
 # ---------------------------------------------------------------------------

@@ -99,11 +99,15 @@ def connected_components(
         # halves every node's distance to its component minimum —
         # convergence in O(log diameter) rounds instead of O(diameter),
         # i.e. fewer shuffles AND fewer checkpoints on deep near-dup
-        # chains (templated doc series).
+        # chains (templated doc series). The pre-jump labels are cached
+        # first: they appear on BOTH sides of the self-join, and without
+        # materialization the neighbor-min aggregate above would be
+        # computed twice per round.
+        pre_jump = new_labels.cache()
         new_labels = (
-            new_labels.alias("l")
+            pre_jump.alias("l")
             .join(
-                new_labels.select(
+                pre_jump.select(
                     F.col("node").alias("comp"),
                     F.col("comp").alias("_cc"),
                 ).alias("p"),
@@ -123,6 +127,7 @@ def connected_components(
             path = f"{checkpoint_dir}/cc_round_{it}"
             new_labels.write.mode("overwrite").parquet(path)
             new_labels = spark.read.parquet(path)
+        pre_jump.unpersist()  # checkpointed labels no longer depend on it
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -128,14 +128,29 @@ def _shard_expr(key: str, n_shards: int) -> F.Column:
 def _find_committed_write(
     store: TableStore, table: str, match: dict
 ) -> str | None:
-    """Snapshot id of a write whose properties contain ``match``, else
-    None. The shard/requeue guards use this to make multi-table commits
+    """Snapshot id of a write whose properties contain ``match`` and
+    which is REACHABLE from the table's current view, else None. The
+    shard/requeue guards use this to make multi-table commits
     crash-safe: a rerun after a crash BETWEEN a table append and the
     lineage/marker write must skip the append instead of duplicating it
-    (the streaming sink's batch_committed is the same pattern)."""
+    (the streaming sink's batch_committed is the same pattern).
+
+    Reachability matters for rollback recovery: `rollback` moves
+    'current' without deleting history, so a rolled-back shard append is
+    still in the manifest — matching it would mark data the current
+    view does NOT contain as 'already committed' and the redo would
+    silently skip it."""
     if not store.exists(table):
         return None
-    for s in store.snapshots(table):
+    current = store.current_snapshot(table)
+    reachable = set((current or {}).get("read_set", []))
+    # property_records includes snapshots whose manifest entry was
+    # GC'd by expire_snapshots while their appended data stayed in the
+    # current view — the reachability check below still gates on the
+    # data actually being part of the table
+    for s in store.property_records(table):
+        if f"snap_{s['id']}" not in reachable:
+            continue
         props = s.get("properties", {})
         if all(props.get(k) == v for k, v in match.items()):
             return s["id"]
@@ -440,7 +455,7 @@ def _run_shard(
     # would false-match each other's shards — guard only when stamped
     clean_sid = (
         _find_committed_write(store, CLEAN_TABLE, shard_props)
-        if cfg.source_fingerprint
+        if cfg.source_fingerprint and not cfg.force
         else None
     )
     if clean_sid is None:
@@ -473,7 +488,7 @@ def _run_shard(
     if gate.decision != DISCARD:
         q_sid = (
             _find_committed_write(store, QUARANTINE_TABLE, shard_props)
-            if cfg.source_fingerprint
+            if cfg.source_fingerprint and not cfg.force
             else None
         )
         if q_sid is None:
@@ -642,18 +657,25 @@ def active_quarantine(df: DataFrame) -> DataFrame:
     (stage='requeue_resolved', severity='RESOLVED') as retry-cap
     bookkeeping while the clip's ORIGINAL quarantine rows stay in the
     table; a recovered clip therefore has both. Consumers that count or
-    list quarantined clips get the marker rows removed AND every row of
-    a clip that carries a marker (anti-join on the key-only resolved
-    set, broadcast by AQE) — otherwise recovered clips read as still
-    quarantined."""
+    list quarantined clips get the marker rows removed AND every row
+    OLDER than the clip's latest marker. The time scoping matters: a
+    clip legitimately RE-quarantined after an earlier resolution (a
+    degraded re-upload) has rows NEWER than its marker, and those must
+    stay visible — an all-time anti-join would hide the clip forever.
+    The per-clip marker-ts aggregate is key-only and broadcast by AQE."""
     resolved = (
         df.filter(F.col("stage") == "requeue_resolved")
-        .select("clip_id")
-        .distinct()
+        .groupBy("clip_id")
+        .agg(F.max("ts").alias("_resolved_ts"))
     )
     return (
         df.filter(F.col("stage") != "requeue_resolved")
-        .join(resolved, "clip_id", "left_anti")
+        .join(resolved, "clip_id", "left")
+        .filter(
+            F.col("_resolved_ts").isNull()
+            | (F.col("ts") > F.col("_resolved_ts"))
+        )
+        .drop("_resolved_ts")
     )
 
 
@@ -675,11 +697,16 @@ def requeue_quarantine(
     if not store.exists(QUARANTINE_TABLE):
         return {"requeued": 0}
     q = store.read(QUARANTINE_TABLE)
-    # a clip is eligible while its HIGHEST attempt is below the cap
-    # (max-then-filter; filter-then-max would keep a clip eligible forever
-    # through its older low-retry rows)
+    # a clip is eligible while its HIGHEST attempt AMONG ACTIVE rows is
+    # below the cap (max-then-filter; filter-then-max would keep a clip
+    # eligible forever through its older low-retry rows). Active =
+    # newer than the clip's latest resolution marker: a resolved clip
+    # has no active rows (retired, as before), but one legitimately
+    # RE-quarantined after a past resolution counts only its NEW
+    # attempts — the marker's retry_count=cap must not block it.
     eligible = (
-        q.groupBy("clip_id")
+        active_quarantine(q)
+        .groupBy("clip_id")
         .agg(F.max("retry_count").alias("retry_count"))
         .filter(F.col("retry_count") < max_retries)
     )
@@ -697,30 +724,39 @@ def requeue_quarantine(
     # crash guard (same pattern as the shard commit): a crash between
     # this append and the resolution-marker write below leaves the clips
     # eligible — the rerun must skip the re-append, not duplicate them.
-    # The key is (run_id, attempt#) where attempt# counts this run_id's
-    # COMMITTED marker snapshots: a deliberate re-drive under the same
-    # run_id has a new attempt# (its markers committed) and proceeds,
-    # while a crash-rerun (markers missing) matches and skips.
-    # source_fingerprint rides along so the run-level idempotency
-    # short-circuit (is_unchanged) survives a requeue snapshot on top.
+    # The key is (source_fingerprint, attempt#) — DELIBERATELY not
+    # run_id, which the CLI regenerates per invocation, so a crash-rerun
+    # of the same command still matches. attempt# counts the COMMITTED
+    # marker snapshots for this fingerprint: a deliberate next re-drive
+    # (markers committed) gets a new attempt# and proceeds, while a
+    # crash-rerun (markers missing) matches and skips.
+    # source_fingerprint also keeps the run-level idempotency
+    # short-circuit (is_unchanged) intact over a requeue snapshot.
     attempt = sum(
         1
         for s in (
-            store.snapshots(QUARANTINE_TABLE)
+            store.property_records(QUARANTINE_TABLE)
             if store.exists(QUARANTINE_TABLE)
             else []
         )
-        if s.get("properties", {}).get("requeue_run") == cfg.run_id
+        if s.get("properties", {}).get("requeue")
+        and s.get("properties", {}).get("source_fingerprint")
+        == cfg.source_fingerprint
     )
     requeue_props = {
         "requeue": True,
         "requeue_run": cfg.run_id,
-        "requeue_key": f"{cfg.run_id}:{attempt}",
+        "requeue_key": f"{cfg.source_fingerprint}:requeue:{attempt}",
         "source_fingerprint": cfg.source_fingerprint,
     }
-    if _find_committed_write(
+    if cfg.source_fingerprint and not cfg.force and _find_committed_write(
         store, CLEAN_TABLE, {"requeue_key": requeue_props["requeue_key"]}
-    ) is None:
+    ) is not None:
+        _log.warning(
+            "requeue clean append skipped: attempt %s already committed "
+            "(crash-rerun)", requeue_props["requeue_key"],
+        )
+    else:
         store.write(
             CLEAN_TABLE, salted_repartition(kept, cfg.salt_buckets),
             mode="append" if store.exists(CLEAN_TABLE) else "overwrite",

@@ -169,6 +169,17 @@ class TableStore:
     def snapshots(self, name: str) -> list[dict]:
         return self._load_manifest(name)["snapshots"]
 
+    def property_records(self, name: str) -> list[dict]:
+        """{id, properties} for every snapshot ever committed — live
+        manifest entries PLUS records retained by expire_snapshots. The
+        crash/replay guards consult this so version GC cannot erase
+        their idempotency memory."""
+        m = self._load_manifest(name)
+        return [
+            {"id": s["id"], "properties": s.get("properties", {})}
+            for s in m["snapshots"]
+        ] + m.get("expired_props", [])
+
     def current_snapshot(self, name: str) -> dict | None:
         m = self._load_manifest(name)
         return self._snapshot(m, None)
@@ -198,6 +209,17 @@ class TableStore:
             keep = [self._snapshot(m, m["current"])] + keep
         live_dirs = {d for s in keep for d in s["read_set"]}
         expired = [s["id"] for s in snaps if s not in keep]
+        # retain pruned snapshots' {id, properties}: the crash/replay
+        # guards (pipeline._find_committed_write, stream.batch_committed)
+        # key on snapshot properties, and an append-chain snapshot's DATA
+        # stays in the current view long after its manifest entry is
+        # GC'd — dropping the record would make a resume re-append data
+        # the table still contains. Tiny dicts; bounded by total appends.
+        m.setdefault("expired_props", []).extend(
+            {"id": s["id"], "properties": s.get("properties", {})}
+            for s in snaps
+            if s not in keep
+        )
         # sweep the WHOLE table dir, not just this round's expired set: a
         # dir whose manifest entry was dropped in an earlier round while a
         # then-keeper still referenced it would otherwise never be

@@ -17,6 +17,8 @@ for late data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,17 +85,51 @@ def build_streaming_flags(
     return with_flags(scored, active_rules(with_audio))
 
 
-def batch_committed(store: TableStore, table: str, batch_id: int) -> bool:
+def stream_identity(checkpoint_dir: str) -> str:
+    """Stable id for ONE logical stream, persisted inside its checkpoint
+    dir (created on first use, read back on restart). Guarding replays on
+    the bare integer batch_id would false-match across DIFFERENT streams:
+    a fresh checkpoint into an existing out_root restarts numbering at 0
+    and its first batches would be silently dropped as 'replays'. Falls
+    back to a path-derived id when the dir is not locally writable
+    (remote checkpoint URIs)."""
+    import hashlib
+    import uuid as _uuid
+
+    marker = os.path.join(checkpoint_dir, "stream_identity")
+    try:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return f.read().strip()
+        sid = _uuid.uuid4().hex[:12]
+        with open(marker, "w") as f:
+            f.write(sid)
+        return sid
+    except OSError:
+        # remote URI: scope at least per checkpoint path (deleting and
+        # recreating the same remote path keeps the same id — weaker,
+        # but never weaker than the bare batch_id)
+        return hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+
+def batch_committed(
+    store: TableStore, table: str, batch_id: int, stream_id: str
+) -> bool:
     """foreachBatch is at-least-once: a crash between a table commit and
     the checkpoint offset commit replays the batch on restart. Every sink
-    write stamps ``stream_batch`` into snapshot properties; a table whose
-    snapshot history already carries this batch_id is skipped on replay,
-    making the sink idempotent (exactly-once at the table level)."""
+    write stamps (``stream_id``, ``stream_batch``) into snapshot
+    properties; a table whose snapshot history already carries this
+    stream's batch_id is skipped on replay, making the sink idempotent
+    (exactly-once at the table level). The stream_id scoping prevents a
+    DIFFERENT stream's batch numbering from false-matching."""
     if not store.exists(table):
         return False
+    # property_records (not snapshots): survives expire_snapshots GC
     return any(
         s.get("properties", {}).get("stream_batch") == batch_id
-        for s in store.snapshots(table)
+        and s.get("properties", {}).get("stream_id") == stream_id
+        for s in store.property_records(table)
     )
 
 
@@ -107,6 +143,7 @@ def start_quality_stream(
 ):
     """Start (or drain, with availableNow) the streaming pipeline."""
     store = TableStore(spark, out_root)
+    sid = stream_identity(checkpoint_dir)
     flagged = build_streaming_flags(
         read_clip_stream(spark, source_path), with_audio
     )
@@ -114,7 +151,7 @@ def start_quality_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            if not batch_committed(store, CLEAN_TABLE, batch_id):
+            if not batch_committed(store, CLEAN_TABLE, batch_id, sid):
                 kept = scrub_transcripts(
                     batch_df.filter(F.col("keep")).drop(
                         "reasons", "severity", "keep"
@@ -127,9 +164,10 @@ def start_quality_stream(
                     if store.exists(CLEAN_TABLE)
                     else "overwrite",
                     partition_by=["lang"],
-                    properties={"stream_batch": batch_id},
+                    properties={"stream_batch": batch_id,
+                                "stream_id": sid},
                 )
-            if not batch_committed(store, QUARANTINE_TABLE, batch_id):
+            if not batch_committed(store, QUARANTINE_TABLE, batch_id, sid):
                 quarantined = batch_df.filter(~F.col("keep")).select(
                     "clip_id", "reasons", "severity",
                     F.lit("stream_validate").alias("stage"),
@@ -143,7 +181,8 @@ def start_quality_stream(
                     mode="append"
                     if store.exists(QUARANTINE_TABLE)
                     else "overwrite",
-                    properties={"stream_batch": batch_id},
+                    properties={"stream_batch": batch_id,
+                                "stream_id": sid},
                 )
         finally:
             batch_df.unpersist()

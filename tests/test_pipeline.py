@@ -431,3 +431,45 @@ class TestSourceFingerprint:
         assert fp1 != fp2
         # stable when nothing changed
         assert source_fingerprint(str(tmp_path)) == fp2
+
+
+class TestGuardRollbackAndForce:
+    def test_rollback_redo_is_not_blocked_by_stale_history(
+        self, spark, tmp_path
+    ):
+        """_find_committed_write must only match snapshots REACHABLE from
+        the current view: after a rollback, the rolled-back append's
+        manifest entry remains but its data is not in the table — the
+        redo must NOT be skipped."""
+        from data_quality_check_pipeline_spark.pipeline import (
+            _find_committed_write,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        base = store.write("t", spark.range(5), mode="overwrite")
+        store.write("t", spark.range(3), mode="append",
+                    properties={"shard": 0, "n_shards": 1,
+                                "source_fingerprint": "fp"})
+        match = {"shard": 0, "n_shards": 1, "source_fingerprint": "fp"}
+        assert _find_committed_write(store, "t", match) is not None
+        store.rollback("t", base)  # shard-0 data no longer in the view
+        assert _find_committed_write(store, "t", match) is None
+
+    def test_guard_memory_survives_snapshot_gc(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.pipeline import (
+            _find_committed_write,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        store.write("t", spark.range(1), mode="overwrite",
+                    properties={"shard": 0, "n_shards": 1,
+                                "source_fingerprint": "fp"})
+        for _ in range(7):
+            store.write("t", spark.range(1), mode="append")
+        store.expire_snapshots("t", keep_last=3)
+        # the shard-0 manifest entry is GC'd but its data is still part
+        # of the current view: the guard must still remember it
+        assert _find_committed_write(
+            store, "t",
+            {"shard": 0, "n_shards": 1, "source_fingerprint": "fp"},
+        ) is not None

@@ -105,3 +105,52 @@ def test_recovered_clip_not_reappended(
     assert (
         q.filter(F.col("stage") == "requeue_resolved").count() == 1
     )
+
+
+def test_requarantined_clip_visible_and_eligible_again(spark, tmp_path):
+    """A clip resolved by requeue and LATER re-quarantined (degraded
+    re-upload) must show in active_quarantine and be requeue-eligible
+    with its NEW retry counts — the old marker must not hide or retire
+    it forever."""
+    import pandas as pd
+
+    from data_quality_check_pipeline_spark.pipeline import (
+        active_quarantine,
+    )
+
+    out = str(tmp_path / "rq3")
+    store = TableStore(spark, out)
+
+    def q_row(stage, severity, retry, ts_offset_s):
+        return spark.createDataFrame(
+            pd.DataFrame([{"clip_id": "c1", "reasons": ["r"],
+                           "severity": severity, "stage": stage,
+                           "run_id": "x", "retry_count": retry}])
+        ).withColumn(
+            "ts",
+            F.current_timestamp() + F.expr(
+                f"INTERVAL {ts_offset_s} SECONDS"
+            ),
+        ).select("clip_id", "reasons", "severity", "stage", "run_id",
+                 "ts", "retry_count")
+
+    # original quarantine -> resolution marker -> NEW quarantine (later)
+    store.write(QUARANTINE_TABLE, q_row("validate", "HIGH", 0, -100))
+    store.write(QUARANTINE_TABLE,
+                q_row("requeue_resolved", "RESOLVED", 3, -50),
+                mode="append")
+    store.write(QUARANTINE_TABLE, q_row("validate", "HIGH", 0, 50),
+                mode="append")
+
+    active = active_quarantine(store.read(QUARANTINE_TABLE))
+    rows = active.collect()
+    # exactly the NEW quarantine row is visible (old row + marker hidden)
+    assert len(rows) == 1 and rows[0]["retry_count"] == 0
+    # and the max ACTIVE retry (0) is below the cap, so the clip is
+    # eligible for requeue again despite the marker's retry_count=3
+    eligible = (
+        active.groupBy("clip_id")
+        .agg(F.max("retry_count").alias("rc"))
+        .filter(F.col("rc") < 3)
+    )
+    assert eligible.count() == 1

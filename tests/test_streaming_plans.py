@@ -277,19 +277,37 @@ class TestSinkIdempotence:
         is skipped."""
         from data_quality_check_pipeline_spark.streaming.stream import (
             batch_committed,
+            stream_identity,
         )
 
         store = TableStore(spark, str(tmp_path))
-        assert batch_committed(store, "t", 0) is False  # no table yet
-        store.write("t", spark.range(3), properties={"stream_batch": 0})
-        assert batch_committed(store, "t", 0) is True
-        assert batch_committed(store, "t", 1) is False
+        sid = stream_identity(str(tmp_path / "ckpt"))
+        # identity is stable across restarts of the SAME checkpoint
+        assert stream_identity(str(tmp_path / "ckpt")) == sid
+        assert batch_committed(store, "t", 0, sid) is False  # no table
+        store.write("t", spark.range(3),
+                    properties={"stream_batch": 0, "stream_id": sid})
+        assert batch_committed(store, "t", 0, sid) is True
+        assert batch_committed(store, "t", 1, sid) is False
+        # a DIFFERENT stream (fresh checkpoint) restarting at batch 0
+        # must NOT false-match this stream's batch 0 — its first batches
+        # would be silently dropped as replays
+        sid2 = stream_identity(str(tmp_path / "ckpt2"))
+        assert sid2 != sid
+        assert batch_committed(store, "t", 0, sid2) is False
         store.write("t", spark.range(2), mode="append",
-                    properties={"stream_batch": 1})
+                    properties={"stream_batch": 1, "stream_id": sid})
         # both batches visible through the snapshot HISTORY, not just the
         # latest snapshot
-        assert batch_committed(store, "t", 0) is True
-        assert batch_committed(store, "t", 1) is True
+        assert batch_committed(store, "t", 0, sid) is True
+        assert batch_committed(store, "t", 1, sid) is True
+        # idempotency memory survives version GC
+        for i in range(8):
+            store.write("t", spark.range(1), mode="append",
+                        properties={"stream_batch": 2 + i,
+                                    "stream_id": sid})
+        store.expire_snapshots("t", keep_last=3)
+        assert batch_committed(store, "t", 0, sid) is True
 
     def test_active_rules_shared_between_batch_and_stream(self):
         """ONE rule list serves pipeline.flag_clips and the streaming

@@ -29,12 +29,13 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     args = ap.parse_args()
 
+    import __spark_entry__ as entrymod
     from data_quality_check_pipeline_spark.synth import write_corpus
 
     sizes = [int(s) for s in args.sizes.split(",")]
     paths = {}
     for n in sizes:
-        d = f"/tmp/spark_graft_clips_cache/n{n}"
+        d = os.path.join(entrymod._CLIPS_CACHE_DIR, f"n{n}")
         parquet = os.path.join(d, "clips.parquet")
         if not os.path.exists(parquet):
             print(f"generating {n} clips ...", file=sys.stderr)
