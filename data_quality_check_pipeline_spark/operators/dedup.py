@@ -32,6 +32,7 @@ def _drop_hot_groups(
     cap: int | None,
     what: str,
     stats_out: dict | None = None,
+    max_inline_keys: int = 10_000,
 ) -> DataFrame:
     """Bound candidate-bucket size before a self-join: remove every row
     whose ``keys`` group holds more than ``cap`` rows.
@@ -75,9 +76,8 @@ def _drop_hot_groups(
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
-        .select(enc.alias("_enc"), *keys)
+        .select(enc.alias("_enc"))
     )
-    max_inline_keys = 10_000
     hot_set = [
         r["_enc"] for r in hot.limit(max_inline_keys + 1).collect()
     ]
@@ -94,7 +94,15 @@ def _drop_hot_groups(
         what, n_hot, cap,
     )
     if n_hot > max_inline_keys:
-        return df.join(hot.select(*keys), keys, "left_anti")
+        # anti-join on the null-safe _enc encoding, NOT the raw key tuple:
+        # a plain equi-join never matches NULL keys, so a hot group whose
+        # key contains NULL would survive — the bounded-join guarantee
+        # would fail in exactly the degenerate case the guard exists for.
+        return (
+            df.withColumn("_enc", enc)
+            .join(hot.select("_enc"), "_enc", "left_anti")
+            .drop("_enc")
+        )
     return df.filter(~enc.isin(hot_set))
 
 # ---------------------------------------------------------------------------

@@ -21,8 +21,38 @@ output), not the corpus. Convergence check is a count() action per round
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any scheme Spark can reach — the round files
+    may live on HDFS/S3A, so listing/deleting must go through the Hadoop
+    FS API, not os.*."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _complete_rounds(spark: SparkSession, run_dir: str) -> list[int]:
+    """Round indices under run_dir whose parquet write finished
+    (_SUCCESS present) — a crash mid-write leaves no marker, so a
+    resuming driver never trusts a torn round."""
+    jvm = spark._jvm
+    fs, jdir = _hadoop_fs(spark, run_dir)
+    if not fs.exists(jdir):
+        return []
+    out = []
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith("round_"):
+            succ = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(succ):
+                out.append(int(name[len("round_"):]))
+    return sorted(out)
 
 
 def connected_components(
@@ -31,6 +61,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    run_tag: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     = min node id reachable through the undirected edge set.
@@ -51,11 +82,50 @@ def connected_components(
       unrecoverable and kills the job.
     * ``checkpoint_dir=<fault-tolerant path>``: each round's labels —
       (id, long) pairs, tiny relative to the corpus — are written to
-      ``<dir>/cc_round_<i>`` parquet and read back, so the iteration
-      survives executor loss and can even be resumed by a new driver from
-      the last round's files. This is the 100-TB configuration; point it
-      at the job's durable storage (e.g. the TableStore root).
+      ``<dir>/cc_<run_tag>/round_<i>`` parquet and read back, so the
+      iteration survives executor loss. This is the 100-TB
+      configuration; point it at the job's durable storage (e.g. the
+      TableStore root).
+
+    ``run_tag`` scopes the round files to ONE invocation: concurrent CC
+    jobs sharing a checkpoint dir never overwrite each other's rounds
+    (omitted -> a fresh uuid tag, fully isolated). Passing a STABLE tag
+    additionally makes the call resumable after driver loss: a rerun
+    with the same (checkpoint_dir, run_tag, edges) picks up from the
+    last complete round's files (torn writes are ignored — only rounds
+    with a _SUCCESS marker count), and if the prior run already
+    converged its ``final`` labels are returned without re-iterating.
+    Resuming from any valid intermediate labeling is safe: labels only
+    decrease and never below the component minimum, so the fixed point
+    is unchanged. Do NOT reuse a tag across different edge sets.
+
+    On convergence all round_<i> dirs are deleted; only
+    ``<dir>/cc_<run_tag>/final`` (the result the returned DataFrame
+    reads from) remains — remove it once the result is consumed.
     """
+    spark = edges.sparkSession
+    run_dir = None
+    start_it = 0
+    resume_labels = None
+    if checkpoint_dir is not None:
+        tag = run_tag or uuid.uuid4().hex[:12]
+        run_dir = f"{checkpoint_dir}/cc_{tag}"
+        if run_tag is not None:
+            jvm = spark._jvm
+            fs, _ = _hadoop_fs(spark, run_dir)
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{run_dir}/final/_SUCCESS")
+            ):
+                # prior run with this tag converged (possibly crashing
+                # between the final write and round cleanup — sweep now)
+                _delete_rounds(spark, run_dir)
+                return spark.read.parquet(f"{run_dir}/final")
+            done = _complete_rounds(spark, run_dir)
+            if done:
+                start_it = done[-1] + 1
+                resume_labels = spark.read.parquet(
+                    f"{run_dir}/round_{done[-1]}"
+                )
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -67,14 +137,13 @@ def connected_components(
         # unpersisted before returning.
         .cache()
     )
-    labels = (
+    labels = resume_labels if resume_labels is not None else (
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    spark = edges.sparkSession
     changed = -1
-    for it in range(max_iter):
+    for it in range(start_it, start_it + max_iter):
         nbr_min = (
             und.join(
                 labels.select(
@@ -124,7 +193,7 @@ def connected_components(
         if checkpoint_dir is None:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
-            path = f"{checkpoint_dir}/cc_round_{it}"
+            path = f"{run_dir}/round_{it}"
             new_labels.write.mode("overwrite").parquet(path)
             new_labels = spark.read.parquet(path)
         pre_jump.unpersist()  # checkpointed labels no longer depend on it
@@ -141,12 +210,31 @@ def connected_components(
     # cache cannot force recomputation downstream
     und.unpersist()
     if changed != 0:
+        # round files are deliberately KEPT: with a stable run_tag the
+        # caller can resume from the last complete round
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             f"iterations ({changed} labels still changing) — a component "
             f"diameter exceeds max_iter; raise max_iter"
         )
+    if run_dir is not None:
+        # persist the result, then sweep the per-round files (ADVICE r02:
+        # they accumulated forever and fixed names collided across jobs)
+        labels.select("node", "comp").write.mode("overwrite").parquet(
+            f"{run_dir}/final"
+        )
+        labels = spark.read.parquet(f"{run_dir}/final")
+        _delete_rounds(spark, run_dir)
     return labels.select("node", "comp")
+
+
+def _delete_rounds(spark: SparkSession, run_dir: str) -> None:
+    fs, jdir = _hadoop_fs(spark, run_dir)
+    if not fs.exists(jdir):
+        return
+    for st in fs.listStatus(jdir):
+        if st.getPath().getName().startswith("round_"):
+            fs.delete(st.getPath(), True)
 
 
 def dedup_survivors_by_component(

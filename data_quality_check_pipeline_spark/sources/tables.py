@@ -153,12 +153,18 @@ class TableStore:
             ) if snap.get("schema") else StructType([])
             return self.spark.createDataFrame([], schema)
         # each snapshot dir is its own partition-discovery root (they may be
-        # partitioned); union them by name
+        # partitioned); union them by name. allowMissingColumns: an
+        # append-chain written across a schema widening (e.g. lineage
+        # gaining columns in a later release) unions old 11-col snapshots
+        # with new 13-col appends — strict unionByName would raise
+        # AnalysisException on the resume path; absent columns become null.
         df = self.spark.read.parquet(paths[0])
         from functools import reduce
 
         return reduce(
-            lambda a, p: a.unionByName(self.spark.read.parquet(p)),
+            lambda a, p: a.unionByName(
+                self.spark.read.parquet(p), allowMissingColumns=True
+            ),
             paths[1:],
             df,
         )

@@ -96,6 +96,19 @@ def stream_identity(checkpoint_dir: str) -> str:
     import hashlib
     import uuid as _uuid
 
+    # Remote URIs must be detected by scheme, not by OSError: os.makedirs
+    # on "s3://bucket/ckpt" SUCCEEDS locally (it creates a cwd-relative
+    # "s3:" dir), so the marker would land in a junk local path that
+    # varies per machine/cwd — after driver failover the new driver would
+    # mint a fresh id and replayed batches double-append.
+    scheme_end = checkpoint_dir.find("://")
+    if scheme_end > 0 and checkpoint_dir[:scheme_end].lstrip(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789+.-"
+    ) == "" and not checkpoint_dir.startswith("file://"):
+        return hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    if checkpoint_dir.startswith("file://"):
+        checkpoint_dir = checkpoint_dir[len("file://"):]
+
     marker = os.path.join(checkpoint_dir, "stream_identity")
     try:
         os.makedirs(checkpoint_dir, exist_ok=True)

@@ -203,6 +203,42 @@ class TestHotBucketGuards:
         assert stats["hot_chunk_buckets"] == 3
         assert pairs == {(100, 101)}
 
+    def test_left_anti_fallback_matches_inline_path(self, spark):
+        """The >max_inline_keys branch of _drop_hot_groups — the path a
+        pathologically degenerate 100-TB corpus triggers — must keep the
+        exact survivor set the IN-set path keeps, INCLUDING dropping a
+        hot group whose key is NULL (r02 ADVICE: a raw-key left_anti
+        never matches NULL keys; the fix anti-joins on the null-safe
+        _enc encoding both sides already share)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            _drop_hot_groups,
+        )
+
+        rows = []
+        for g in range(30):  # 30 hot groups of 5 rows, group 0 keyed NULL
+            key = None if g == 0 else f"k{g}"
+            rows += [(g * 10 + i, key) for i in range(5)]
+        rows += [(1000, "cold1"), (1001, "cold2"), (1002, None)]
+        # note 1002: a SINGLE extra null row joins group 0 (6 rows) —
+        # cold rows are only the two distinct-key singletons
+        df = spark.createDataFrame(rows, "id long, band string")
+        stats_in: dict = {}
+        stats_fb: dict = {}
+        inline = {
+            r["id"]
+            for r in _drop_hot_groups(
+                df, ["band"], 3, "t", stats_out=stats_in
+            ).collect()
+        }
+        fallback_df = _drop_hot_groups(
+            df, ["band"], 3, "t", stats_out=stats_fb, max_inline_keys=5
+        )
+        fallback = {r["id"] for r in fallback_df.collect()}
+        assert inline == fallback == {1000, 1001}
+        assert stats_in["t"] == stats_fb["t"] == 30
+        # schema unchanged (the _enc helper column never leaks out)
+        assert fallback_df.columns == df.columns
+
 
 class TestSimHash:
     def test_identical_signatures(self, docs):
@@ -320,7 +356,9 @@ class TestConnectedComponents:
 
     def test_reliable_checkpoint_dir(self, spark, tmp_path):
         """Table-backed per-round persistence (the cluster-safe mode) must
-        produce identical components AND leave resumable round files."""
+        produce identical components, sweep its per-round files on
+        convergence, and leave a durable ``final`` the returned DataFrame
+        reads from."""
         import os
 
         from data_quality_check_pipeline_spark.operators.graph import (
@@ -339,15 +377,81 @@ class TestConnectedComponents:
             ).collect()
         }
         assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
-        rounds = [d for d in os.listdir(ckpt) if d.startswith("cc_round_")]
-        assert rounds  # durable per-round label snapshots exist
-        # the last round's file alone reproduces the final labels
-        last = max(rounds, key=lambda d: int(d.rsplit("_", 1)[1]))
+        run_dirs = [d for d in os.listdir(ckpt) if d.startswith("cc_")]
+        assert len(run_dirs) == 1  # per-invocation subdir
+        inside = os.listdir(os.path.join(ckpt, run_dirs[0]))
+        # rounds cleaned on convergence; only the final labels remain
+        assert not [d for d in inside if d.startswith("round_")]
         persisted = {
             r["node"]: r["comp"]
-            for r in spark.read.parquet(f"{ckpt}/{last}").collect()
+            for r in spark.read.parquet(
+                f"{ckpt}/{run_dirs[0]}/final"
+            ).collect()
         }
         assert persisted == comps
+
+    def test_checkpoint_runs_isolated_by_tag(self, spark, tmp_path):
+        """Two CC jobs sharing one checkpoint dir must not clobber each
+        other's files (r02 ADVICE: fixed cc_round_<i> names collided)."""
+        import os
+
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        ckpt = str(tmp_path / "cc")
+        e1 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        e2 = spark.createDataFrame([(7, 8), (8, 9)], "id_a long, id_b long")
+        c1 = connected_components(e1, checkpoint_dir=ckpt)
+        c2 = connected_components(e2, checkpoint_dir=ckpt)
+        # both lazy results stay readable after the other job ran
+        assert {r["comp"] for r in c1.collect()} == {1}
+        assert {r["comp"] for r in c2.collect()} == {7}
+        assert len([d for d in os.listdir(ckpt) if d.startswith("cc_")]) == 2
+
+    def test_checkpoint_resume_after_driver_loss(self, spark, tmp_path):
+        """A stable run_tag makes the iteration resumable: a run killed
+        mid-iteration (simulated via a too-small max_iter) leaves complete
+        round files; a new 'driver' with the same tag picks up from them
+        and converges, then a third call short-circuits to the persisted
+        final without recomputing (proven by passing disjoint edges)."""
+        import os
+
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        ckpt = str(tmp_path / "cc")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(
+                chain, max_iter=1, checkpoint_dir=ckpt, run_tag="jobA"
+            )
+        run_dir = os.path.join(ckpt, "cc_jobA")
+        rounds = [d for d in os.listdir(run_dir) if d.startswith("round_")]
+        assert rounds  # crash left resumable state
+        comps = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                chain, max_iter=20, checkpoint_dir=ckpt, run_tag="jobA"
+            ).collect()
+        }
+        assert set(comps.values()) == {1} and len(comps) == 9
+        # rounds swept, final persisted
+        inside = os.listdir(run_dir)
+        assert not [d for d in inside if d.startswith("round_")]
+        # same tag again: returns the persisted final untouched — the
+        # disjoint edge set would otherwise yield component 100
+        other = spark.createDataFrame([(100, 101)], "id_a long, id_b long")
+        again = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                other, checkpoint_dir=ckpt, run_tag="jobA"
+            ).collect()
+        }
+        assert again == comps
 
     def test_nonconvergence_raises(self, spark):
         """A chain longer than max_iter hops must raise, not silently

@@ -252,6 +252,30 @@ class TestTableStore:
         assert store.is_unchanged("t", "abc")
         assert not store.is_unchanged("t", "xyz")
 
+    def test_read_survives_schema_widening_append(self, spark, out_root):
+        """An out_root written by an older release appends a WIDER schema
+        after an upgrade (r02 ADVICE: lineage gained dup_count/lang_hist).
+        The append-chain read must union old and new snapshots with nulls
+        for absent columns — a strict unionByName would crash the resume
+        path in _completed_shards with AnalysisException."""
+        store = TableStore(spark, out_root)
+        old = spark.createDataFrame([(1, "a")], "id long, x string")
+        store.write("t", old, mode="overwrite")
+        new = spark.createDataFrame(
+            [(2, "b", 7)], "id long, x string, extra long"
+        )
+        store.write("t", new, mode="append")
+        got = {
+            (r["id"], r["x"], r["extra"])
+            for r in store.read("t").collect()
+        }
+        assert got == {(1, "a", None), (2, "b", 7)}
+        # narrowing direction too (new snapshot missing an old column)
+        store2 = TableStore(spark, out_root)
+        store2.write("u", new, mode="overwrite")
+        store2.write("u", old, mode="append")
+        assert store2.read("u").count() == 2
+
 
 class TestMergeShardReport:
     """Run-level report merge: shard pieces fold into whole-run figures

@@ -309,6 +309,37 @@ class TestSinkIdempotence:
         store.expire_snapshots("t", keep_last=3)
         assert batch_committed(store, "t", 0, sid) is True
 
+    def test_stream_identity_remote_uri_is_path_derived(self, tmp_path):
+        """Remote checkpoint URIs must take the hash-of-path branch by
+        scheme detection, NOT by OSError (r02 ADVICE: os.makedirs('s3://…')
+        SUCCEEDS locally, creating a junk cwd-relative 's3:' dir, so the
+        marker varied per machine/cwd and failover minted a fresh id —
+        double-appending replayed batches)."""
+        import os
+
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            stream_identity,
+        )
+
+        cwd = os.getcwd()
+        os.chdir(tmp_path)  # catch any stray cwd-relative dir creation
+        try:
+            a = stream_identity("s3a://bucket/ckpt")
+            b = stream_identity("s3a://bucket/ckpt")
+            c = stream_identity("s3a://bucket/other")
+            assert a == b  # stable across 'drivers'
+            assert a != c  # scoped per checkpoint path
+            assert not os.path.exists("s3a:")  # no junk local dir
+            # hdfs and abfss schemes route the same way
+            assert stream_identity("hdfs://nn/ck") == stream_identity(
+                "hdfs://nn/ck"
+            )
+        finally:
+            os.chdir(cwd)
+        # file:// URIs are LOCAL: marker-based identity still applies
+        p = str(tmp_path / "ck")
+        assert stream_identity(f"file://{p}") == stream_identity(p)
+
     def test_active_rules_shared_between_batch_and_stream(self):
         """ONE rule list serves pipeline.flag_clips and the streaming
         path: the audio exclusion set cannot drift apart."""
