@@ -1116,6 +1116,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clips_langid_distribution"] = clips_langid_distribution
 
+    def clips_audio_neardup(spark, sf):  # oracle: committed golden (full-payload fingerprint re-derivation)
+        """Audio near-dup at GROUP granularity: distinct spectral
+        fingerprints (+ clip counts), then chunk-banded hamming pairs
+        across the distinct signatures. This is the scale formulation —
+        identical fingerprints collapse BEFORE the self-join, so the
+        banding join runs over D distinct signatures, not N clips (the
+        synthetic corpus: 34 vs 4000). Parity target:
+        operators/dedup.py audio_near_dup_pairs (pair granularity, pytest
+        planted-pair covered)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            with_audio_fingerprint,
+        )
+
+        fps = (
+            with_audio_fingerprint(_clips_df(spark))
+            .filter(F.col("audio_fp") != 0)
+            .groupBy("audio_fp")
+            .agg(F.count(F.lit(1)).alias("n_clips"))
+            # tiny (D distinct sigs) but referenced three times below —
+            # without the cache the fingerprint UDF scan runs 3x
+            .cache()
+        )
+        pairs = hamming_band_pairs(
+            fps, "audio_fp", "audio_fp", max_hamming=6, chunks=8
+        )
+        return (
+            pairs.join(
+                fps.select(
+                    F.col("audio_fp").alias("id_a"),
+                    F.col("n_clips").alias("n_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                fps.select(
+                    F.col("audio_fp").alias("id_b"),
+                    F.col("n_clips").alias("n_b"),
+                ),
+                "id_b",
+            )
+            .select(
+                F.col("id_a").alias("fp_a"),
+                F.col("id_b").alias("fp_b"),
+                "hamming",
+                "n_a",
+                "n_b",
+            )
+        )
+
+    q["clips_audio_neardup"] = clips_audio_neardup
+
     return q
 
 
@@ -1202,6 +1256,9 @@ def oracle_sql() -> dict[str, str]:
          {"reason": "VARCHAR", "n": "BIGINT"}),
         ("clips_langid_distribution",
          {"lang": "VARCHAR", "n": "BIGINT"}),
+        ("clips_audio_neardup",
+         {"fp_a": "BIGINT", "fp_b": "BIGINT", "hamming": "INTEGER",
+          "n_a": "BIGINT", "n_b": "BIGINT"}),
     ]:
         _g = _golden_sql(_name, _types)
         if _g is not None:

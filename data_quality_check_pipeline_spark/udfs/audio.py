@@ -293,6 +293,28 @@ def _parse_window_blobs(win_bytes: pd.Series, n_samples) -> tuple:
     return raw, take, rows
 
 
+def _fingerprint_from_windows(raw: np.ndarray) -> np.ndarray:
+    """Signed-int64 fingerprints from a (R, W, _FFT_N) window tensor —
+    the single spectral-code implementation both the Spark UDF (JVM
+    windows) and the full-payload oracle path run, so their parity
+    reduces to the window extraction (integer-exact by construction)."""
+    m = raw * np.hanning(_FFT_N)[None, None, :].astype(np.float32)
+    spec = (
+        (np.abs(np.fft.rfft(m, axis=2)) ** 2)
+        .mean(axis=1)
+        .astype(np.float64)
+    )
+    spec = spec[:, 1 : 1 + (_FFT_N // 2 // _FP_BANDS) * _FP_BANDS]
+    bands = spec.reshape(spec.shape[0], _FP_BANDS, -1).sum(axis=2)
+    bits = bands > np.mean(bands, axis=1, keepdims=True)
+    weights = (1 << np.arange(_FP_BANDS, dtype=np.uint64)).astype(np.uint64)
+    return (
+        (bits.astype(np.uint64) * weights[None, :])
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
 @pandas_udf(LongType())
 def audio_fingerprint_udf(
     win_bytes: pd.Series, n_samples: pd.Series
@@ -310,24 +332,38 @@ def audio_fingerprint_udf(
     raw, take, rows = _parse_window_blobs(win_bytes, n_samples.to_numpy())
     out = np.zeros(n, dtype=np.int64)
     if rows.size:
-        m = raw * np.hanning(_FFT_N)[None, None, :].astype(np.float32)
-        spec = (
-            (np.abs(np.fft.rfft(m, axis=2)) ** 2)
-            .mean(axis=1)
-            .astype(np.float64)
-        )
-        spec = spec[:, 1 : 1 + (_FFT_N // 2 // _FP_BANDS) * _FP_BANDS]
-        bands = spec.reshape(spec.shape[0], _FP_BANDS, -1).sum(axis=2)
-        bits = bands > np.mean(bands, axis=1, keepdims=True)
-        weights = (1 << np.arange(_FP_BANDS, dtype=np.uint64)).astype(
-            np.uint64
-        )
-        out[rows] = (
-            (bits.astype(np.uint64) * weights[None, :])
-            .sum(axis=1)
-            .astype(np.int64)
-        )
+        out[rows] = _fingerprint_from_windows(raw)
     return pd.Series(out)
+
+
+def fingerprint_batch(payloads, codecs) -> np.ndarray:
+    """Fingerprints from FULL payloads (oracle/test path): decode, gather
+    the same Welch windows the JVM extractor ships, run the shared
+    spectral code. Mirrors stats_batch's relationship to
+    audio_stats_windows_udf — equal to the Spark path by construction."""
+    samples, lengths = _decode_batch(payloads, codecs)
+    n_rows = len(lengths)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    rows = np.flatnonzero(lengths > 0)
+    out = np.zeros(n_rows, dtype=np.int64)
+    if rows.size == 0:
+        return out
+    take, w_start = _window_take_starts(lengths[rows])
+    offs = np.arange(_FFT_N, dtype=np.int64)
+    idx = (
+        starts[rows][:, None, None]
+        + w_start[:, :, None]
+        + offs[None, None, :]
+    )
+    mask = offs[None, None, :] < take[:, None, None]
+    raw = np.where(
+        mask,
+        samples[np.where(mask, idx, 0)].astype(np.float32),
+        np.float32(0.0),
+    )
+    out[rows] = _fingerprint_from_windows(raw)
+    return out
 
 
 def with_audio_fingerprint(

@@ -166,6 +166,47 @@ class TestAudio:
         assert ("a", "b") in pairs
         assert ("a", "c") not in pairs
 
+    def test_fingerprint_batch_matches_spark_path(self, spark):
+        """The full-payload oracle path (fingerprint_batch) and the Spark
+        JVM-window path (with_audio_fingerprint) must agree bit-for-bit:
+        the window extraction is integer-exact on both sides and the
+        spectral code is shared. This parity is what lets the
+        clips_audio_neardup golden stand as an independent oracle."""
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            FAKE_MAGIC,
+            fingerprint_batch,
+            with_audio_fingerprint,
+        )
+
+        rows = []
+        for i in range(12):  # varied lengths: short, exactly-FFT, long
+            n = [100, 512, 3000, 8000][i % 4]
+            x = sine_pcm(
+                n=n, amp=3000.0 + 700 * i, noise=50.0, seed=i,
+                freq=300.0 + 140.0 * i,
+            )
+            payload = x.tobytes()
+            codec = "pcm_s16le"
+            if i % 3 == 0:  # exercise a fake container too
+                codec = "opus"
+                payload = FAKE_MAGIC["opus"] + payload
+            rows.append((f"c{i:02d}", payload, codec))
+        rows.append(("null", None, "pcm_s16le"))
+        rows.append(("empty", b"", "pcm_s16le"))
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, codec string"
+        )
+        spark_fp = {
+            r["clip_id"]: r["audio_fp"]
+            for r in with_audio_fingerprint(df).collect()
+        }
+        py_fp = fingerprint_batch(
+            [r[1] for r in rows], [r[2] for r in rows]
+        )
+        for (cid, _, _), fp in zip(rows, py_fp):
+            assert spark_fp[cid] == int(fp), cid
+        assert spark_fp["null"] == 0 and spark_fp["empty"] == 0
+
     def test_real_compressed_batch_marks_undecodable(self):
         """Batch path must not interpret real compressed frames as PCM —
         it marks the row n_samples=0 (-> truncated_audio quarantine) and

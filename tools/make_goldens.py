@@ -142,6 +142,49 @@ def simhash_pairs_py(
     return out
 
 
+def audio_fp_neardup_py(
+    clips: pd.DataFrame, max_hamming=6, chunks=8
+) -> list[tuple]:
+    """Re-derivation of the clips_audio_neardup harness query: full-payload
+    fingerprints (udfs.audio.fingerprint_batch — the oracle path, mirroring
+    stats_batch), collapsed to distinct signatures with group sizes, then
+    chunk-banded hamming pairs over the distinct signatures."""
+    from data_quality_check_pipeline_spark.udfs.audio import (
+        fingerprint_batch,
+    )
+
+    fps = fingerprint_batch(
+        clips["bytes"].tolist(), clips["codec"].tolist()
+    )
+    counts: dict[int, int] = {}
+    for fp in fps:
+        if fp:
+            counts[int(fp)] = counts.get(int(fp), 0) + 1
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for sig in counts:
+        u = sig & _M64
+        for c in range(chunks):
+            buckets.setdefault((c, (u >> (c * width)) & mask), []).append(
+                sig
+            )
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        pairs.update(
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        )
+    out = []
+    for a, b in sorted(pairs):
+        ham = bin((a ^ b) & _M64).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham, counts[a], counts[b]))
+    return out
+
+
 def clips_goldens_py() -> dict:
     """clips_* goldens from the pure-pandas oracle over the same synthetic
     corpus the harness queries use."""
@@ -173,6 +216,10 @@ def clips_goldens_py() -> dict:
                                    "rows": reason_rows},
         "clips_langid_distribution": {"columns": ["lang", "n"],
                                       "rows": lang_rows},
+        "clips_audio_neardup": {
+            "columns": ["fp_a", "fp_b", "hamming", "n_a", "n_b"],
+            "rows": [list(r) for r in audio_fp_neardup_py(pdf)],
+        },
     }
 
 
