@@ -995,8 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         out = lsh_topk(
-            emb, queries_df, k=5, n_planes=6, dim=64,
-            n_tables=4, multiprobe=1,
+            emb, queries_df, k=5, n_planes=9, dim=64,
+            n_tables=6, multiprobe=2,
         )
         return out.select(
             "query_id",
@@ -1031,13 +1031,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_ivf_ann"] = embedding_ivf_ann
 
     def ann_recall(spark, sf):
-        """recall@5 of the approximate ANN paths (LSH, IVF) against the
-        exact brute-force top-k, per method, averaged over queries. Both
-        approximate methods are deterministic (literal hyperplanes / iters=0
-        min-id codebook), so the oracle reproduces them exactly in SQL."""
+        """recall@5 AND scanned-fraction of the approximate ANN paths
+        (LSH, IVF) against the exact brute-force top-k, per method,
+        averaged over queries. Both approximate methods are deterministic
+        (literal hyperplanes / iters=0 min-id codebook), so the oracle
+        reproduces them exactly in SQL. scan_frac = avg candidates per
+        query / corpus size — the cost the recall was bought at; no
+        silent truncation of what 'approximate' means."""
         from data_quality_check_pipeline_spark.operators.similarity import (
             brute_force_topk,
+            ivf_candidates,
+            ivf_centroids,
             ivf_topk,
+            lsh_candidates,
             lsh_topk,
         )
 
@@ -1051,28 +1057,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id"
         )
         qids = exact.select("query_id").distinct()
+        tot = emb.agg(F.count(F.lit(1)).alias("_N"))
 
-        def rec(approx: DataFrame, method: str) -> DataFrame:
+        def rec(approx: DataFrame, cand: DataFrame, method: str) -> DataFrame:
             hits = (
                 approx.select("query_id", "vec_id")
                 .join(exact, ["query_id", "vec_id"], "left_semi")
                 .groupBy("query_id")
                 .agg(F.count(F.lit(1)).alias("h"))
             )
-            per_q = qids.join(hits, "query_id", "left")
-            return per_q.agg(
-                F.round(
-                    F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.lit(5.0)), 6
-                ).alias("recall")
-            ).select(F.lit(method).alias("method"), "recall")
+            recall = (
+                qids.join(hits, "query_id", "left")
+                .agg(
+                    F.round(
+                        F.avg(
+                            F.coalesce(F.col("h"), F.lit(0)) / F.lit(5.0)
+                        ),
+                        6,
+                    ).alias("recall")
+                )
+            )
+            scans = (
+                qids.join(
+                    cand.groupBy("query_id").agg(
+                        F.count(F.lit(1)).alias("_nc")
+                    ),
+                    "query_id",
+                    "left",
+                )
+                .agg(
+                    F.avg(F.coalesce(F.col("_nc"), F.lit(0))).alias("_avg")
+                )
+            )
+            return (
+                recall.crossJoin(scans)
+                .crossJoin(tot)
+                .select(
+                    F.lit(method).alias("method"),
+                    "recall",
+                    F.round(F.col("_avg") / F.col("_N"), 6).alias(
+                        "scan_frac"
+                    ),
+                )
+            )
 
         lsh = lsh_topk(
-            emb, qdf, k=5, n_planes=6, dim=64, n_tables=4, multiprobe=1
+            emb, qdf, k=5, n_planes=9, dim=64, n_tables=6, multiprobe=2
         )
-        ivf = ivf_topk(
-            emb, qdf, k=5, n_centroids=8, n_probe=3, iters=0
+        lsh_cand = lsh_candidates(
+            emb, qdf, n_planes=9, dim=64, n_tables=6, multiprobe=2
         )
-        return rec(lsh, "lsh").unionByName(rec(ivf, "ivf"))
+        cents = ivf_centroids(emb, 8, iters=0)
+        ivf = ivf_topk(emb, qdf, k=5, n_probe=3, cents=cents)
+        ivf_cand = ivf_candidates(emb, qdf, cents, n_probe=3)
+        return rec(lsh, lsh_cand, "lsh").unionByName(
+            rec(ivf, ivf_cand, "ivf")
+        )
 
     q["ann_recall"] = ann_recall
 
@@ -1762,9 +1802,11 @@ def oracle_sql() -> dict[str, str]:
         _hyperplanes,
     )
 
+    _N_PLANES, _N_TABLES = 9, 6
+
     def _sql_lsh_bucket(col: str, seed: int) -> str:
         terms = []
-        for i, p in enumerate(_hyperplanes(64, 6, seed)):
+        for i, p in enumerate(_hyperplanes(64, _N_PLANES, seed)):
             lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
             terms.append(
                 f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
@@ -1772,14 +1814,22 @@ def oracle_sql() -> dict[str, str]:
             )
         return "(" + " + ".join(terms) + ")"
 
-    # 4 hash tables (seeds 7..10), multiprobe radius 1 over 6 planes —
-    # mirrors lsh_topk(n_planes=6, n_tables=4, multiprobe=1)
+    # 6 hash tables (seeds 7..12), multiprobe radius 2 over 9 planes —
+    # mirrors lsh_topk(n_planes=9, n_tables=6, multiprobe=2)
     _cor_tables = " UNION ALL ".join(
         f"SELECT vec_id, e, {t} AS tbl, {_sql_lsh_bucket('e', 7 + t)} AS bkt"
         " FROM v"
-        for t in range(4)
+        for t in range(_N_TABLES)
     )
-    _probe_flips = ", ".join(["0"] + [str(1 << i) for i in range(6)])
+    _probe_flips = ", ".join(
+        ["0"]
+        + [str(1 << i) for i in range(_N_PLANES)]
+        + [
+            str((1 << i) | (1 << j))
+            for i in range(_N_PLANES)
+            for j in range(i + 1, _N_PLANES)
+        ]
+    )
     sql["embedding_lsh_ann"] = f"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       cor AS ({_cor_tables}),
@@ -1887,13 +1937,30 @@ def oracle_sql() -> dict[str, str]:
         FROM ivf a JOIN exact x
           ON a.query_id = x.query_id AND a.vec_id = x.vec_id
         GROUP BY 1
+      ),
+      n_corpus AS (SELECT count(*) AS n FROM v),
+      sc_lsh AS (
+        SELECT avg(coalesce(nc, 0)) AS avg_c FROM qids
+        LEFT JOIN (SELECT query_id, count(*) AS nc FROM cand GROUP BY 1)
+          USING (query_id)
+      ),
+      sc_ivf AS (
+        SELECT avg(coalesce(nc, 0)) AS avg_c FROM qids
+        LEFT JOIN (SELECT p.query_id, count(*) AS nc
+                   FROM probes p JOIN asgn a ON p.cell = a.cell
+                   GROUP BY 1)
+          USING (query_id)
       )
       SELECT 'lsh' AS method,
-             round(avg(coalesce(h, 0) / 5.0), 6) AS recall
+             round(avg(coalesce(h, 0) / 5.0), 6) AS recall,
+             round((SELECT avg_c FROM sc_lsh)
+                   / (SELECT n FROM n_corpus), 6) AS scan_frac
       FROM qids LEFT JOIN h_lsh USING (query_id)
       UNION ALL
       SELECT 'ivf' AS method,
-             round(avg(coalesce(h, 0) / 5.0), 6) AS recall
+             round(avg(coalesce(h, 0) / 5.0), 6) AS recall,
+             round((SELECT avg_c FROM sc_ivf)
+                   / (SELECT n FROM n_corpus), 6) AS scan_frac
       FROM qids LEFT JOIN h_ivf USING (query_id)"""
 
     sql["embedding_norm_summary"] = """

@@ -115,6 +115,67 @@ def _bucket_expr(
     return bucket
 
 
+def _probe_flips(n_planes: int, multiprobe: int) -> list[int]:
+    """Bucket-XOR masks for multiprobe radius 0, 1 or 2: the empty flip,
+    every single-bit flip, and (radius 2) every two-bit flip."""
+    if multiprobe not in (0, 1, 2):
+        raise ValueError("multiprobe supports radius 0, 1 or 2")
+    flips = [0]
+    if multiprobe >= 1:
+        flips += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return flips
+
+
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    *,
+    dim: int,
+    n_tables: int = 1,
+    multiprobe: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Deduplicated LSH candidate set: one row per (query, corpus id) that
+    shares a probed (table, bucket); carries ``vec_col`` and ``_qvec`` for
+    re-ranking. Exposed separately from lsh_topk so callers can measure
+    the scanned fraction (see the ann_recall harness query)."""
+    buckets = F.posexplode(
+        F.array(
+            *[
+                _bucket_expr(vec_col, dim, n_planes, seed + t)
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("_tbl", "_bkt")
+    c = corpus.select(F.col(id_col), F.col(vec_col), buckets)
+    qb = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), buckets
+    )
+    if multiprobe:
+        flips = F.array(
+            *[F.lit(f) for f in _probe_flips(n_planes, multiprobe)]
+        )
+        qb = qb.withColumn("_flip", F.explode(flips)).select(
+            F.col(query_id_col),
+            F.col("_qvec"),
+            F.col("_tbl"),
+            F.col("_bkt").bitwiseXOR(F.col("_flip")).alias("_bkt"),
+        )
+    return c.join(F.broadcast(qb), ["_tbl", "_bkt"]).dropDuplicates(
+        [query_id_col, id_col]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,44 +198,26 @@ def lsh_topk(
     * ``n_tables`` — independent hash tables (plane sets seeded
       seed..seed+T-1); candidates union across tables. Linear cost in T.
     * ``multiprobe`` — probe radius in bucket hamming space: 1 probes every
-      single-bit-flip bucket too ((n_planes+1) probes per table), catching
-      neighbors that fall just across one hyperplane. Only the QUERY side
-      expands — the corpus still stores n_tables rows per vector.
+      single-bit-flip bucket too ((n_planes+1) probes per table); 2 adds
+      every two-bit flip, catching neighbors that fall just across two
+      hyperplanes. Only the QUERY side expands — the corpus still stores
+      n_tables rows per vector.
     * fewer ``n_planes`` — bigger buckets (recall up, candidates up).
 
     Scale shape: the corpus emits n_tables (table, bucket) rows per vector
     via ONE posexplode; the probe-expanded query side is tiny and
     broadcast; candidates meet through the (table, bucket) equi-join —
-    never a cross join. Measured on the sf0.01 harness corpus:
-    n_tables=4, n_planes=6, multiprobe=1 -> recall@5 = 0.87 while exactly
-    scoring ~19% of the corpus per query (see ann_recall).
+    never a cross join. Measured on the harness corpora (3 queries, k=5):
+    n_planes=9, n_tables=6, multiprobe=2 -> recall@5 = 0.93 (sf0.01) /
+    1.00 (sf0.1) scanning ~45% of these SMALL corpora; the scanned
+    fraction is ~n_tables*probes/2^n_planes, independent of corpus size
+    (see ann_recall's scan_frac column). Radius-1 configs plateaued at
+    0.87 here — the missed neighbors differ from their query across >= 2
+    planes in every table.
     """
-    if multiprobe not in (0, 1):
-        raise ValueError("multiprobe supports radius 0 or 1")
-    buckets = F.posexplode(
-        F.array(
-            *[
-                _bucket_expr(vec_col, dim, n_planes, seed + t)
-                for t in range(n_tables)
-            ]
-        )
-    ).alias("_tbl", "_bkt")
-    c = corpus.select(F.col(id_col), F.col(vec_col), buckets)
-    qb = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), buckets
-    )
-    if multiprobe == 1:
-        flips = F.array(
-            F.lit(0), *[F.lit(1 << i) for i in range(n_planes)]
-        )
-        qb = qb.withColumn("_flip", F.explode(flips)).select(
-            F.col(query_id_col),
-            F.col("_qvec"),
-            F.col("_tbl"),
-            F.col("_bkt").bitwiseXOR(F.col("_flip")).alias("_bkt"),
-        )
-    cand = c.join(F.broadcast(qb), ["_tbl", "_bkt"]).dropDuplicates(
-        [query_id_col, id_col]
+    cand = lsh_candidates(
+        corpus, queries, id_col, vec_col, query_id_col, n_planes,
+        dim=dim, n_tables=n_tables, multiprobe=multiprobe, seed=seed,
     )
     scored = cand.select(
         F.col(query_id_col),
@@ -191,16 +234,103 @@ def lsh_topk(
     )
 
 
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right fold — matches both Spark's F.aggregate
+    and DuckDB's list_dot_product step order, so driver-side seeding
+    arithmetic reproduces bit-for-bit on the oracle side."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _kpp_seeds(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    pool: int,
+) -> list[list[float]]:
+    """Deterministic farthest-point (kmeans++-style) seeding: take the
+    ``pool`` candidates smallest by a Knuth multiplicative hash of the id
+    (id-hash order, NOT corpus order — reproducible across runs/retries,
+    no rand()), then greedily pick the candidate maximizing its min cosine
+    distance to the already-chosen set (ties -> lowest hash, lowest id).
+    Distances round to 9 decimals so the SQL oracle's double arithmetic
+    agrees on every argmax. Resists the codebook collapse min-id seeding
+    suffers when the smallest ids are near-duplicates; see DESIGN.md for
+    measured recall on the harness corpora (min-id wins there — its low
+    ids happen to be cluster-stratified; kpp is the defence against
+    adversarial id orders)."""
+    import math
+
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(2147483648))
+        * F.lit(2654435761),
+        F.lit(2147483648),
+    )
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(pool)
+        .collect()
+    )
+    if not cand:
+        return []
+
+    def cosd(a, b):
+        return round(
+            1.0
+            - _seq_dot(a, b)
+            / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b))),
+            9,
+        )
+
+    chosen = [cand[0]]
+    rest = list(cand[1:])
+    mind = {r["_id"]: cosd(r["_v"], cand[0]["_v"]) for r in rest}
+    while len(chosen) < n_centroids and rest:
+        nxt = None
+        best = -float("inf")
+        for r in rest:  # rest stays (hash, id)-ordered: '>' keeps first
+            if mind[r["_id"]] > best:
+                best = mind[r["_id"]]
+                nxt = r
+        chosen.append(nxt)
+        rest.remove(nxt)
+        for r in rest:
+            d = cosd(r["_v"], nxt["_v"])
+            if d < mind[r["_id"]]:
+                mind[r["_id"]] = d
+    return [list(map(float, r["_v"])) for r in chosen]
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 0,
+    seeding: str = "min_id",
+    pool: int | None = None,
 ) -> list[list[float]]:
-    """Deterministic IVF codebook: seeds are the ``n_centroids`` smallest
-    ids (reproducible across runs/retries — no rand()), optionally refined
-    by ``iters`` Lloyd steps run as Spark aggregations.
+    """Deterministic IVF codebook, optionally refined by ``iters`` Lloyd
+    steps run as Spark aggregations.
+
+    ``seeding``:
+
+    * ``"min_id"`` (default) — seeds are the ``n_centroids`` smallest ids.
+      Reproducible across runs/retries (no rand()); collapses if the
+      lowest ids happen to be near-duplicates.
+    * ``"kpp"`` — deterministic farthest-point over an id-hash-ordered
+      candidate pool (``pool``, default max(4*n_centroids, 32)); immune
+      to id-order pathologies at the cost of favoring outliers as seeds.
+      Measured on the harness corpora min_id wins (DESIGN.md), so it
+      stays the default; use kpp when id order correlates with content.
 
     One Lloyd step = assign (argmax cosine against the broadcast-literal
     codebook, map-side only) -> posexplode vectors -> groupBy(cell, pos)
@@ -208,13 +338,21 @@ def ivf_centroids(
     (cell, pos): n_centroids*dim groups regardless of corpus size, with
     map-side partial aggregation — scale-safe at 10^12 rows.
     """
-    seeds = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .collect()
-    )
-    cents = [list(map(float, r[vec_col])) for r in seeds]
+    if seeding == "kpp":
+        cents = _kpp_seeds(
+            corpus, n_centroids, id_col, vec_col,
+            pool or max(4 * n_centroids, 32),
+        )
+    elif seeding == "min_id":
+        seeds = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .collect()
+        )
+        cents = [list(map(float, r[vec_col])) for r in seeds]
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}")
     # corpus smaller than the requested codebook: shrink, don't crash
     n_centroids = len(cents)
     for _ in range(iters):
@@ -262,29 +400,20 @@ def with_ivf_cell(
     return df.withColumn(out, cell)
 
 
-def ivf_topk(
+def ivf_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
+    cents: list[list[float]],
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    iters: int = 0,
-    cents: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: corpus rows are inverted-listed by nearest
-    centroid; each query probes its ``n_probe`` nearest cells and re-ranks
-    exact cosine inside them only.
-
-    Scale shape: the codebook is a literal (KBs); cell assignment is a
-    map-side projection on both sides; candidates meet through an equi-join
-    on ivf_cell (never a cross join); per-query top-k via a window over the
-    small scored candidate set. Recall/cost dial = n_probe/n_centroids.
-    """
-    if cents is None:
-        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, iters)
+    """One row per (query, corpus id) whose cell is among the query's
+    ``n_probe`` best cells; carries ``vec_col`` and ``_qvec`` for
+    re-ranking. A corpus vector lives in exactly one cell, so the set is
+    duplicate-free by construction. Exposed separately from ivf_topk so
+    callers can measure the scanned fraction (ann_recall)."""
     c = with_ivf_cell(corpus, cents, vec_col)
     sims = F.transform(
         _cents_lit(cents),
@@ -311,7 +440,36 @@ def ivf_topk(
             "ivf_cell"
         ),
     )
-    scored = c.join(F.broadcast(q), "ivf_cell").select(
+    return c.join(F.broadcast(q), "ivf_cell")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 0,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are inverted-listed by nearest
+    centroid; each query probes its ``n_probe`` nearest cells and re-ranks
+    exact cosine inside them only.
+
+    Scale shape: the codebook is a literal (KBs); cell assignment is a
+    map-side projection on both sides; candidates meet through an equi-join
+    on ivf_cell (never a cross join); per-query top-k via a window over the
+    small scored candidate set. Recall/cost dial = n_probe/n_centroids.
+    """
+    if cents is None:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, iters)
+    cand = ivf_candidates(
+        corpus, queries, cents, n_probe, id_col, vec_col, query_id_col
+    )
+    scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
         cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine"),

@@ -599,8 +599,34 @@ class TestSimilarity:
 
     def test_lsh_multiprobe_radius_validated(self, embeddings):
         q = embeddings.limit(1).selectExpr("vec_id as query_id", "embedding")
-        with pytest.raises(ValueError, match="radius 0 or 1"):
-            lsh_topk(embeddings, q, dim=16, multiprobe=2)
+        with pytest.raises(ValueError, match="radius 0, 1 or 2"):
+            lsh_topk(embeddings, q, dim=16, multiprobe=3)
+
+    def test_lsh_multiprobe_radius2_extends_radius1(self, embeddings):
+        """Radius 2 probes a strict superset of radius 1's buckets: its
+        candidate set (and therefore recall) can only grow. The probe set
+        sizes are exact: 1, 1+P, 1+P+C(P,2)."""
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            _probe_flips,
+            lsh_candidates,
+        )
+
+        assert len(_probe_flips(6, 0)) == 1
+        assert len(_probe_flips(6, 1)) == 7
+        assert len(_probe_flips(6, 2)) == 7 + 15
+        assert set(_probe_flips(6, 1)) < set(_probe_flips(6, 2))
+        q = embeddings.limit(2).selectExpr("vec_id as query_id", "embedding")
+
+        def cand_set(r):
+            return {
+                (x["query_id"], x["vec_id"])
+                for x in lsh_candidates(
+                    embeddings, q, dim=16, n_planes=6, multiprobe=r
+                ).collect()
+            }
+
+        c0, c1, c2 = cand_set(0), cand_set(1), cand_set(2)
+        assert c0 <= c1 <= c2
 
     def test_ivf_cells_partition_corpus(self, embeddings):
         cents = ivf_centroids(embeddings, n_centroids=4)
@@ -612,6 +638,42 @@ class TestSimilarity:
         assert {r["vec_id"]: r["ivf_cell"] for r in cells} == {
             r["vec_id"]: r["ivf_cell"] for r in again
         }
+
+    def test_kpp_seeding_resists_low_id_collapse(self, spark):
+        """Planted pathology: the 8 SMALLEST ids are near-identical
+        vectors. min_id seeding collapses the whole codebook into that
+        one direction; kpp (deterministic farthest-point over the
+        id-hash-ordered pool) spreads seeds across the real clusters.
+        This is the scenario kpp exists for — on benign corpora min_id
+        measured better and stays the default (DESIGN.md)."""
+        rng = np.random.RandomState(3)
+        centers = rng.normal(size=(4, 16))
+        rows = []
+        for i in range(8):  # lowest ids: one tight near-dup herd
+            v = centers[0] + rng.normal(scale=0.001, size=16)
+            rows.append((i, [float(x) for x in v]))
+        for i in range(8, 72):
+            v = centers[i % 4] + rng.normal(scale=0.05, size=16)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+        def min_pairwise_cosdist(cents):
+            m = np.array(cents)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ m.T
+            np.fill_diagonal(sims, -1.0)
+            return 1.0 - sims.max()
+
+        lowid = ivf_centroids(df, n_centroids=4, seeding="min_id")
+        kpp = ivf_centroids(df, n_centroids=4, seeding="kpp")
+        assert min_pairwise_cosdist(lowid) < 1e-4   # collapsed codebook
+        assert min_pairwise_cosdist(kpp) > 0.01     # spread seeds
+        # determinism across invocations (no rand() anywhere)
+        assert kpp == ivf_centroids(df, n_centroids=4, seeding="kpp")
+        with pytest.raises(ValueError, match="unknown seeding"):
+            ivf_centroids(df, n_centroids=4, seeding="random")
 
     def test_ivf_codebook_shrinks_to_small_corpus(self, spark):
         small = spark.createDataFrame(
