@@ -2,11 +2,13 @@
 
 Audio is the REAL modality in this engine (udfs/audio.py decodes PCM and
 computes features). This module provides the same Spark-side plumbing —
-schema, batching, mapInPandas signatures — for image/video payloads, with
-the decode step STUBBED: the container has no imaging libraries, so decoding
+schema, batching, mapInPandas signatures — for image/video payloads. The
+image decode step is FEATURE-GATED on Pillow: when PIL is importable
+(production clusters) real payloads decode through it; otherwise decoding
 raises a clearly-marked NotImplementedError unless the payload uses the
-deterministic fake header produced by ``fake_image_payload`` (which lets the
-plumbing be tested end-to-end).
+deterministic fake header produced by ``fake_image_payload`` (which lets
+the plumbing be tested end-to-end in this Pillow-less sandbox). Video
+decode remains an ffmpeg hook.
 """
 
 from __future__ import annotations
@@ -35,12 +37,38 @@ def fake_image_payload(
     return head + plane.tobytes()
 
 
+def _pil_image():
+    """The PIL.Image module when Pillow is installed, else None. Feature
+    gate, not a hard import: production clusters with Pillow get real
+    decode; this sandbox (no Pillow — verified) keeps the tested
+    fake-payload path and an honest NotImplementedError for real
+    payloads."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        return None
+    from PIL import Image  # noqa: PLC0415
+
+    return Image
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
     if payload[: len(_FAKE_IMG_MAGIC)] == _FAKE_IMG_MAGIC:
         w, h = np.frombuffer(payload[8:16], dtype="<i4")
         plane = np.frombuffer(payload[16 : 16 + w * h], dtype=np.uint8)
         return int(w), int(h), 1, float(plane.mean()) if plane.size else 0.0
-    # REAL image decode would go through Pillow/libjpeg here.
+    Image = _pil_image()
+    if Image is not None:
+        import io
+
+        img = Image.open(io.BytesIO(bytes(payload)))
+        luma = np.asarray(img.convert("L"), dtype=np.float64)
+        return (
+            int(img.width),
+            int(img.height),
+            len(img.getbands()),
+            float(luma.mean()) if luma.size else 0.0,
+        )
     raise NotImplementedError(
         "real image decode requires Pillow (not installed in this sandbox)"
     )
@@ -110,17 +138,34 @@ def resize_image(
                 if p is None:
                     out.append(None)
                     continue
-                w, h, _c, _ = _decode_image(bytes(p))
-                plane = np.frombuffer(
-                    bytes(p)[16 : 16 + w * h], dtype=np.uint8
-                ).reshape(h, w)
-                ys = np.arange(target_h) * h // target_h
-                xs = np.arange(target_w) * w // target_w
-                resized = plane[ys[:, None], xs[None, :]]
-                head = _FAKE_IMG_MAGIC + np.array(
-                    [target_w, target_h], dtype="<i4"
-                ).tobytes()
-                out.append(head + resized.tobytes())
+                p = bytes(p)
+                if p[: len(_FAKE_IMG_MAGIC)] == _FAKE_IMG_MAGIC:
+                    w, h, _c, _ = _decode_image(p)
+                    plane = np.frombuffer(
+                        p[16 : 16 + w * h], dtype=np.uint8
+                    ).reshape(h, w)
+                    ys = np.arange(target_h) * h // target_h
+                    xs = np.arange(target_w) * w // target_w
+                    resized = plane[ys[:, None], xs[None, :]]
+                    head = _FAKE_IMG_MAGIC + np.array(
+                        [target_w, target_h], dtype="<i4"
+                    ).tobytes()
+                    out.append(head + resized.tobytes())
+                    continue
+                Image = _pil_image()
+                if Image is None:
+                    raise NotImplementedError(
+                        "real image resize requires Pillow "
+                        "(not installed in this sandbox)"
+                    )
+                import io
+
+                img = Image.open(io.BytesIO(p)).resize(
+                    (target_w, target_h), Image.NEAREST
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append(buf.getvalue())
             pdf = pdf.copy()
             pdf[out_col] = out
             yield pdf

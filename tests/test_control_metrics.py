@@ -312,6 +312,7 @@ class TestDagSpec:
         }
 
     def test_build_dag_gated_without_airflow(self):
+        import importlib.util
         import sys
 
         sys.path.insert(0, "/root/repo")
@@ -319,8 +320,103 @@ class TestDagSpec:
 
         from jobs.quality_dag import build_dag
 
+        if importlib.util.find_spec("airflow") is not None:
+            _pytest.skip("airflow installed: gate does not apply")
         with _pytest.raises(ImportError):
             build_dag("/in", "/out")
+
+    def test_build_dag_materializes_with_fake_airflow(self):
+        """build_dag was previously only spec-tested; materialize it
+        against a minimal fake airflow and assert the REAL operator
+        graph: every TASK_GRAPH edge wired, branch task a
+        BranchPythonOperator, and the non-default trigger rules landing
+        on the materialized operators (reference data_quality_dag.py:585,
+        628 none_failed_min_one_success; :643 all_done)."""
+        import sys
+        import types
+
+        sys.path.insert(0, "/root/repo")
+
+        class _Op:
+            def __init__(self, task_id, python_callable=None, dag=None,
+                         trigger_rule="all_success", **kw):
+                self.task_id = task_id
+                self.python_callable = python_callable
+                self.trigger_rule = trigger_rule
+                self.downstream: set = set()
+                if dag is not None:
+                    dag.tasks.append(self)
+
+            def __rshift__(self, other):
+                self.downstream.add(other.task_id)
+                return other
+
+        class _BranchOp(_Op):
+            pass
+
+        class _DAG:
+            def __init__(self, dag_id, schedule=None, start_date=None,
+                         catchup=None, **kw):
+                self.dag_id = dag_id
+                self.schedule = schedule
+                self.catchup = catchup
+                self.tasks: list = []
+
+        fake_airflow = types.ModuleType("airflow")
+        fake_airflow.DAG = _DAG
+        fake_ops = types.ModuleType("airflow.operators")
+        fake_py = types.ModuleType("airflow.operators.python")
+        fake_py.PythonOperator = _Op
+        fake_py.BranchPythonOperator = _BranchOp
+        fake_airflow.operators = fake_ops
+        fake_ops.python = fake_py
+        fake_pendulum = types.ModuleType("pendulum")
+        fake_pendulum.yesterday = lambda: None
+        saved = {
+            k: sys.modules.get(k)
+            for k in ("airflow", "airflow.operators",
+                      "airflow.operators.python", "pendulum")
+        }
+        sys.modules.update({
+            "airflow": fake_airflow,
+            "airflow.operators": fake_ops,
+            "airflow.operators.python": fake_py,
+            "pendulum": fake_pendulum,
+        })
+        try:
+            from jobs.quality_dag import (
+                SCHEDULE,
+                TASK_GRAPH,
+                TRIGGER_RULES,
+                build_dag,
+            )
+
+            dag = build_dag("/in", "/out")
+            assert dag.dag_id == "clip_quality_pipeline"
+            assert dag.schedule == SCHEDULE and dag.catchup is False
+            ops = {t.task_id: t for t in dag.tasks}
+            # every spec task materialized exactly once
+            assert set(ops) == {
+                k.removeprefix("branch:") for k in TASK_GRAPH
+            }
+            # every spec edge wired on the real operators
+            for k, downstream in TASK_GRAPH.items():
+                src = ops[k.removeprefix("branch:")]
+                assert src.downstream == {
+                    d.removeprefix("branch:") for d in downstream
+                }, k
+            assert isinstance(ops["check_failure_threshold"], _BranchOp)
+            # reference-parity trigger rules on the materialized tasks
+            for task, op in ops.items():
+                assert op.trigger_rule == TRIGGER_RULES.get(
+                    task, "all_success"
+                ), task
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = v
 
 
 class TestReport:

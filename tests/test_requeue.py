@@ -107,6 +107,104 @@ def test_recovered_clip_not_reappended(
     )
 
 
+def test_stream_quarantine_batch_requeue_handoff(spark, tmp_path):
+    """Streaming DLQ parity: clips quarantined by the STREAM are re-driven
+    by the batch requeue over the same (or a fixed) source — the
+    documented handoff (both paths share QUARANTINE_TABLE's schema and
+    retry bookkeeping). Exactly-once holds across the two write paths:
+    the stream's (stream_id, batch) guards and the requeue's
+    (fingerprint, attempt) guards key on disjoint snapshot properties,
+    and a recovered clip lands in clips_clean exactly once, gets its
+    resolution marker, and is never re-driven."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_check_pipeline_spark.streaming.stream import (
+        start_quality_stream,
+    )
+    from data_quality_check_pipeline_spark.synth import generate_clips
+
+    pdf, _ = generate_clips(600)
+    pdf["clip_id"] = [f"s{i:05d}" for i in range(len(pdf))]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(src / "clips.parquet"),
+    )
+    out = str(tmp_path / "out")
+    q = start_quality_stream(
+        spark, str(src), out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(timeout=600)
+    store = TableStore(spark, out)
+    n_clean = store.read(CLEAN_TABLE).count()
+    quar_ids = {
+        r["clip_id"]
+        for r in store.read(QUARANTINE_TABLE)
+        .select("clip_id").distinct().collect()
+        if r["clip_id"] is not None
+    }
+    assert quar_ids  # the stream actually quarantined clips
+
+    # 1) unchanged source: every eligible clip fails again -> retry
+    #    bookkeeping advances, clean table untouched
+    cfg = RunConfig(out_root=out, run_id="rqs", source_fingerprint="fs")
+    res = requeue_quarantine(
+        spark, cfg, str(src / "clips.parquet"), max_retries=3
+    )
+    assert res["requeued"] == len(quar_ids)
+    assert res["kept"] == 0
+    assert store.read(CLEAN_TABLE).count() == n_clean
+    assert (
+        store.read(QUARANTINE_TABLE)
+        .filter(
+            (F.col("stage") != "requeue_resolved")
+            & (F.col("retry_count") == 1)
+        )
+        .count()
+        > 0
+    )
+
+    # 2) fixed source: one stream-quarantined clip re-uploaded with VALID
+    #    content (a kept clip's payload under the quarantined id) recovers
+    kept_ids = {
+        r["clip_id"]
+        for r in store.read(CLEAN_TABLE).select("clip_id").collect()
+    }
+    fixed_id = sorted(quar_ids)[0]
+    donor = pdf[pdf["clip_id"].isin(sorted(kept_ids)[:1])].copy()
+    donor["clip_id"] = fixed_id
+    fixed = tmp_path / "fixed"
+    os.makedirs(fixed)
+    pq.write_table(
+        pa.Table.from_pandas(donor, preserve_index=False),
+        str(fixed / "clips.parquet"),
+    )
+    cfg2 = RunConfig(out_root=out, run_id="rqs2", source_fingerprint="fs2")
+    res2 = requeue_quarantine(
+        spark, cfg2, str(fixed / "clips.parquet"), max_retries=3
+    )
+    assert res2["requeued"] == 1 and res2["kept"] == 1
+    clean = store.read(CLEAN_TABLE)
+    assert clean.filter(F.col("clip_id") == fixed_id).count() == 1
+    assert clean.count() == n_clean + 1
+    # resolution marker retires it: a further requeue over the fixed
+    # source is a no-op and the row count stays exactly-once
+    res3 = requeue_quarantine(
+        spark, cfg2, str(fixed / "clips.parquet"), max_retries=3
+    )
+    assert res3["requeued"] == 0
+    assert (
+        store.read(CLEAN_TABLE)
+        .filter(F.col("clip_id") == fixed_id)
+        .count()
+        == 1
+    )
+
+
 def test_requarantined_clip_visible_and_eligible_again(spark, tmp_path):
     """A clip resolved by requeue and LATER re-quarantined (degraded
     re-upload) must show in active_quarantine and be requeue-eligible

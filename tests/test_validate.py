@@ -127,6 +127,39 @@ def test_duplicate_flag_all_copies(spark):
     assert sum(1 for c, f, k in got if c == "a") == 1  # both identical rows
 
 
+def test_duplicate_flag_no_broadcast_fallback(spark):
+    """The broadcast_dups=False escape hatch (for when the duplicate-key
+    set itself exceeds broadcast limits) must produce the identical flag
+    set through a non-broadcast join. Forced by disabling Spark's
+    auto-broadcast threshold so AQE cannot quietly broadcast anyway."""
+    rows = [
+        {**GOOD, "clip_id": cid}
+        for cid in ["a", "a", "b", "c", "c", "c", "d"]
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    want = {
+        (r["clip_id"], r["is_dup"])
+        for r in with_duplicate_flag(df).collect()
+    }
+    assert want == {("a", True), ("b", False), ("c", True), ("d", False)}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        flagged = with_duplicate_flag(df, broadcast_dups=False)
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan  # fallback really engaged
+        got = {(r["clip_id"], r["is_dup"]) for r in flagged.collect()}
+        assert got == want
+        # the default path still broadcasts (explicit hint beats threshold)
+        bplan = (
+            with_duplicate_flag(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in bplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_severity_is_max(spark):
     reasons, _, severity = flags_for(spark, clip_id=None, dur_ms=80)
     assert set(reasons) >= {"null_clip_id", "dur_out_of_range"}
