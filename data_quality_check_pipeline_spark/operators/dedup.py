@@ -293,12 +293,6 @@ def minhash_lsh_pairs(
         "band",
         "band_hash",
     )
-    pairs = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
     est = (
         F.size(
             F.filter(
@@ -308,10 +302,20 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(n_hashes))
     )
+    # Score and threshold BEFORE the dedup shuffle: a pair colliding in
+    # several bands recomputes the (cheap, codegen'd) zip_with once per
+    # collision, but the distinct exchange then carries 24-byte
+    # (id_a, id_b, est) rows instead of two full n_hashes-long signature
+    # arrays (~22x smaller here), and sub-threshold candidates never
+    # enter the shuffle at all. est is deterministic per pair, so
+    # distinct over the projected triple collapses band duplicates
+    # exactly as the old sig-carrying distinct did. (r02 review item.)
     return (
-        pairs.withColumn("est_jaccard", est)
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -420,13 +424,15 @@ def hamming_band_pairs(
         "chunk_idx", "chunk_val",
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # hamming + threshold BEFORE the dedup shuffle (same rationale as
+    # minhash_lsh_pairs): the distinct exchange carries (id_a, id_b,
+    # hamming) only, and pairs over max_hamming never enter it
     return (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn("hamming", hamming)
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .select("id_a", "id_b", "hamming")
     )
 
@@ -485,6 +491,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3, min_jaccard: float = 0.8,
     max_doc_freq: int | None = 10_000,
     stats_out: dict | None = None,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles for pairs sharing >= 1 shingle.
 
@@ -500,7 +507,26 @@ def ngram_jaccard_pairs(
     when none of its shared shingles were dropped and a lower bound
     otherwise — the filter only MISSES pairs whose overlap is purely
     boilerplate, it never inflates a score. max_doc_freq=None disables.
+
+    ``max_doc_frac`` makes the cutoff CORPUS-RELATIVE: the effective
+    cutoff becomes min(max_doc_freq, ceil(frac * corpus_rows)) (one
+    cheap count() action). The absolute default alone is a trap at
+    scale — boilerplate shared by, say, 5k of 50k docs sits under a
+    10k absolute cap yet contributes ~12.5M candidate pairs per shingle
+    (measured, DESIGN.md #19); 0.1-1% of N is the usual production
+    setting.
     """
+    if max_doc_frac is not None:
+        if not 0.0 < max_doc_frac <= 1.0:
+            raise ValueError(
+                f"max_doc_frac must be in (0, 1] (got {max_doc_frac})"
+            )
+        import math
+
+        rel = max(1, math.ceil(max_doc_frac * df.count()))
+        max_doc_freq = rel if max_doc_freq is None else min(
+            max_doc_freq, rel
+        )
     sh = df.select(
         F.col(id_col),
         _shingle_expr(text_col, shingle_k).alias("_shs"),

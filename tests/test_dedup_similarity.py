@@ -150,6 +150,29 @@ class TestHotBucketGuards:
         assert stats == {}  # guard disabled -> nothing counted
         assert len(pairs) == 42 * 41 // 2
 
+    def test_relative_doc_freq_cutoff(self, hot_shingle_docs):
+        """max_doc_frac scales the stop-shingle cutoff with the corpus
+        (DESIGN.md #19: the absolute default alone lets boilerplate just
+        under it dominate the join at scale). frac=0.2 of 42 docs -> 9,
+        so 'boilerplate' (df=42) drops even with max_doc_freq=100."""
+        stats: dict = {}
+        pairs = ngram_jaccard_pairs(
+            hot_shingle_docs, "doc_id", "text", shingle_k=1,
+            min_jaccard=0.01, max_doc_freq=100, max_doc_frac=0.2,
+            stats_out=stats,
+        ).collect()
+        assert stats["stop_shingles"] == 1
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+        # frac works with max_doc_freq=None too; invalid frac raises
+        assert ngram_jaccard_pairs(
+            hot_shingle_docs, "doc_id", "text", shingle_k=1,
+            min_jaccard=0.01, max_doc_freq=None, max_doc_frac=0.2,
+        ).count() == 1
+        with pytest.raises(ValueError, match="max_doc_frac"):
+            ngram_jaccard_pairs(
+                hot_shingle_docs, "doc_id", "text", max_doc_frac=1.5,
+            )
+
     def test_cap_above_df_changes_nothing(self, hot_shingle_docs):
         capped = ngram_jaccard_pairs(
             hot_shingle_docs, "doc_id", "text", shingle_k=1,
