@@ -473,12 +473,65 @@ def audio_near_dup_pairs(
     max_hamming=3."""
     from ..udfs.audio import with_audio_fingerprint
 
-    sigs = with_audio_fingerprint(df).filter(F.col("audio_fp") != 0)
-    return hamming_band_pairs(
-        sigs.select(id_col, "audio_fp"), id_col, "audio_fp",
+    sigs = (
+        with_audio_fingerprint(df)
+        .filter(F.col("audio_fp") != 0)
+        .select(id_col, "audio_fp")
+        # referenced three times below (distinct-fp banding + two member
+        # expansions); without the cache the fingerprint UDF scan reruns
+        .cache()
+    )
+    # Collapse to DISTINCT fingerprints before banding: audio corpora are
+    # duplicate-heavy (same master re-encoded/re-uploaded), so the banding
+    # self-join runs over D distinct signatures instead of N clips
+    # (4000 -> 34 on the synthetic corpus) — the bucket-quadratic term
+    # shrinks by (N/D)^2. Clip pairs are then re-expanded: within-group
+    # (identical fp, hamming 0) via a group self-join, cross-group via
+    # membership joins on each side of the fp pairs. Output is exactly
+    # the pre-collapse pair set (id_a < id_b, hamming <= max_hamming).
+    fp_pairs = hamming_band_pairs(
+        sigs.select(F.col("audio_fp").alias("_fp")).distinct()
+        .withColumn("_fpid", F.col("_fp")),
+        "_fpid", "_fp",
         max_hamming, chunks, max_bucket, stats_out,
         allow_partial_recall,
+    ).select(
+        F.col("id_a").alias("_fp_a"),
+        F.col("id_b").alias("_fp_b"),
+        "hamming",
     )
+    within = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), "audio_fp")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    cross = (
+        fp_pairs.join(
+            sigs.select(
+                F.col("audio_fp").alias("_fp_a"),
+                F.col(id_col).alias("_ca"),
+            ),
+            "_fp_a",
+        )
+        .join(
+            sigs.select(
+                F.col("audio_fp").alias("_fp_b"),
+                F.col(id_col).alias("_cb"),
+            ),
+            "_fp_b",
+        )
+        .select(
+            F.least("_ca", "_cb").alias("id_a"),
+            F.greatest("_ca", "_cb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

@@ -166,6 +166,51 @@ class TestAudio:
         assert ("a", "b") in pairs
         assert ("a", "c") not in pairs
 
+    def test_audio_neardup_collapse_matches_direct_banding(self, spark):
+        """audio_near_dup_pairs collapses to distinct fingerprints before
+        banding (the duplicate-heavy-corpus scale path); its expanded
+        clip-pair output must equal the direct per-clip banding on a
+        corpus with duplicate payloads."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            audio_near_dup_pairs,
+            hamming_band_pairs,
+        )
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            with_audio_fingerprint,
+        )
+
+        rows = []
+        for i in range(12):
+            x = sine_pcm(
+                n=4000, amp=8000.0, noise=40.0,
+                seed=i % 4, freq=[440.0, 450.0, 1800.0, 2600.0][i % 4],
+            )
+            rows.append((f"c{i:02d}", x.tobytes(), "pcm_s16le"))
+        rows.append(("silent", None, "pcm_s16le"))
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, codec string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in audio_near_dup_pairs(
+                df, max_hamming=6, chunks=8
+            ).collect()
+        }
+        sigs = (
+            with_audio_fingerprint(df)
+            .filter(F.col("audio_fp") != 0)
+            .select("clip_id", "audio_fp")
+        )
+        want = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_band_pairs(
+                sigs, "clip_id", "audio_fp", max_hamming=6, chunks=8
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+        # duplicate payloads really did collapse (seed i%4 -> 4 fps)
+        assert sigs.select("audio_fp").distinct().count() <= 4
+
     def test_fingerprint_batch_matches_spark_path(self, spark):
         """The full-payload oracle path (fingerprint_batch) and the Spark
         JVM-window path (with_audio_fingerprint) must agree bit-for-bit:
