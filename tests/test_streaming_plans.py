@@ -270,7 +270,27 @@ class TestPlans:
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
-class TestSinkIdempotence:
+class TestNewQueryPlans:
+    def test_audio_neardup_plan_caches_fingerprints_no_cartesian(
+        self, spark
+    ):
+        """clips_audio_neardup's plan shape: the fingerprint-UDF subtree
+        is served from cache everywhere it is referenced (the UDF scan
+        runs ONCE at runtime), candidates meet only through equi-joins
+        (no cartesian product), and the tiny fp-side joins broadcast."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        df = entry.queries()["clips_audio_neardup"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan
+        assert "InMemoryTableScan" in plan  # fp subtree reused via cache
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
     def test_batch_committed_guard(self, spark, tmp_path):
         """Replayed micro-batches (foreachBatch is at-least-once) must not
         double-append: a table whose snapshot history carries the batch id
