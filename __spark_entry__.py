@@ -1019,7 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         out = ivf_topk(
-            emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=0
+            emb, queries_df, k=5, n_centroids=8, n_probe=4, iters=0
         )
         return out.select(
             "query_id",
@@ -1037,7 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (literal hyperplanes / iters=0 min-id codebook), so the oracle
         reproduces them exactly in SQL. scan_frac = avg candidates per
         query / corpus size — the cost the recall was bought at; no
-        silent truncation of what 'approximate' means."""
+        silent truncation of what 'approximate' means. 10 queries (the
+        top-k display queries use 3): recall quantizes in 1/50 steps
+        instead of 1/15, so the claim is statistically meaningful."""
         from data_quality_check_pipeline_spark.operators.similarity import (
             brute_force_topk,
             ivf_candidates,
@@ -1050,7 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _load(spark, sf, "embeddings").select(
             "vec_id", _dvec("embedding").alias("embedding")
         )
-        qdf = emb.filter(F.col("vec_id") < 3).select(
+        qdf = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         exact = brute_force_topk(emb, qdf, k=5).select(
@@ -1108,8 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, qdf, n_planes=9, dim=64, n_tables=6, multiprobe=2
         )
         cents = ivf_centroids(emb, 8, iters=0)
-        ivf = ivf_topk(emb, qdf, k=5, n_probe=3, cents=cents)
-        ivf_cand = ivf_candidates(emb, qdf, cents, n_probe=3)
+        ivf = ivf_topk(emb, qdf, k=5, n_probe=4, cents=cents)
+        ivf_cand = ivf_candidates(emb, qdf, cents, n_probe=4)
         return rec(lsh, lsh_cand, "lsh").unionByName(
             rec(ivf, ivf_cand, "ivf")
         )
@@ -1753,7 +1755,7 @@ def oracle_sql() -> dict[str, str]:
       WHERE round({cos}, 5) >= 0.8"""
 
     # IVF ANN: centroids = 8 smallest ids (iters=0), cell = argmax cosine
-    # (ties -> lowest ord), each query probes its 3 best cells, exact
+    # (ties -> lowest ord), each query probes its 4 best cells, exact
     # re-rank inside probed cells only — mirrors similarity.ivf_topk.
     sql["embedding_ivf_ann"] = f"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1776,7 +1778,7 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY a.vec_id
                    ORDER BY {cos} DESC, b.ord ASC) AS rn
           FROM v a CROSS JOIN cent b WHERE a.vec_id < 3
-        ) WHERE rn <= 3
+        ) WHERE rn <= 4
       ),
       ranked AS (
         SELECT query_id, vec_id, c,
@@ -1865,12 +1867,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
                  row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos}
                    DESC, b.vec_id ASC) AS rank
-          FROM v a JOIN v b ON a.vec_id < 3
+          FROM v a JOIN v b ON a.vec_id < 10
         ) WHERE rank <= 5
       ),
       cor AS ({_cor_tables}),
       qb0 AS (SELECT vec_id AS query_id, e AS qe, tbl, bkt
-              FROM cor WHERE vec_id < 3),
+              FROM cor WHERE vec_id < 10),
       qb AS (SELECT query_id, qe, tbl, xor(bkt, f.flip) AS bkt
              FROM qb0, (SELECT unnest([{_probe_flips}]) AS flip) f),
       cand AS (
@@ -1908,8 +1910,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.vec_id AS query_id, a.e AS qe, b.ord,
                  row_number() OVER (PARTITION BY a.vec_id
                    ORDER BY {cos} DESC, b.ord ASC) AS rn
-          FROM v a CROSS JOIN cent b WHERE a.vec_id < 3
-        ) WHERE rn <= 3
+          FROM v a CROSS JOIN cent b WHERE a.vec_id < 10
+        ) WHERE rn <= 4
       ),
       ivf AS (
         SELECT query_id, vec_id FROM (
