@@ -88,8 +88,13 @@ def main() -> None:
         render_run_report,
         save_run_report,
     )
+    from data_quality_check_pipeline_spark.notify import configure_from_env
     from data_quality_check_pipeline_spark.session import get_spark
     from data_quality_check_pipeline_spark.synth import write_corpus
+
+    # live alert transports when the deployment declares webhooks
+    # (CLIP_QUALITY_{SLACK,EMAIL,PAGERDUTY}_WEBHOOK); log-only otherwise
+    configure_from_env()
 
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)

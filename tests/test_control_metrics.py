@@ -69,6 +69,59 @@ class TestNotify:
         finally:
             del SINKS["slack"]
 
+    def test_webhook_transport_real_http(self):
+        """webhook_sink POSTs a Slack-compatible JSON body over real
+        HTTP; configure_from_env wires it from the declared env vars;
+        a dead transport logs and never raises (alerting must not take
+        the pipeline down)."""
+        import http.server
+        import json
+        import threading
+
+        from data_quality_check_pipeline_spark.notify import (
+            configure_from_env,
+        )
+
+        received = []
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                received.append(
+                    (self.path, json.loads(self.rfile.read(n)))
+                )
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"ok")
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            n = configure_from_env(
+                {"CLIP_QUALITY_SLACK_WEBHOOK": f"{url}/slack"}
+            )
+            assert n == 1
+            targets = notify("MEDIUM", "keep rate degraded")
+            assert targets == ["slack"]
+            assert received == [
+                ("/slack", {"text": "[MEDIUM] keep rate degraded"})
+            ]
+            # dead transport: logged, not raised
+            SINKS["slack"] = __import__(
+                "data_quality_check_pipeline_spark.notify",
+                fromlist=["webhook_sink"],
+            ).webhook_sink("http://127.0.0.1:9/unreachable", timeout=0.2)
+            assert notify("MEDIUM", "x") == ["slack"]  # no exception
+        finally:
+            SINKS.pop("slack", None)
+            srv.shutdown()
+            srv.server_close()
+
 
 class TestMetrics:
     def test_prometheus_flatten(self):
