@@ -59,8 +59,28 @@ def read_clip_stream(
     return reader.parquet(path)
 
 
+def content_dedup_key(
+    id_col: str = "clip_id", text_col: str = "transcript"
+):
+    """Per-row dedup key for streaming CONTENT dedup: xxhash64 of the
+    normalized lowercased transcript (JVM-side, no Python). NULL/empty
+    text is MISSING data, never duplicate evidence (same invariant as the
+    batch dedup family) — such rows key on their own clip_id instead, so
+    no two of them ever collide."""
+    from ..functions.exprs import norm_text
+
+    t = norm_text(F.lower(F.col(text_col)))
+    return F.when(
+        t.isNotNull() & (t != ""),
+        F.concat(F.lit("t:"), F.xxhash64(t).cast("string")),
+    ).otherwise(F.concat(F.lit("id:"), F.col(id_col)))
+
+
 def build_streaming_flags(
-    stream: DataFrame, with_audio: bool = True, dedup_watermark: str = "1 hour"
+    stream: DataFrame,
+    with_audio: bool = True,
+    dedup_watermark: str = "1 hour",
+    content_dedup: bool = False,
 ) -> DataFrame:
     """Stateless clean+score+flag; duplicate-id handling becomes
     dropDuplicatesWithinWatermark (global history is unbounded in a
@@ -73,11 +93,26 @@ def build_streaming_flags(
     dropDuplicates on a non-event-time subset would keep one state-store
     entry per distinct clip_id FOREVER (watermark eviction only applies
     when the event-time column is in the dedup keys), an unbounded-state
-    leak on a long-running stream."""
+    leak on a long-running stream.
+
+    ``content_dedup=True`` additionally drops EXACT-CONTENT re-uploads
+    (same transcript under a different clip_id) within the watermark,
+    keyed on a JVM-side hash of the normalized text (content_dedup_key;
+    null/empty text never collides). State stays watermark-bounded.
+    NEAR-dup detection (minhash/simhash banding) deliberately stays
+    batch-side: banded candidates need cross-row joins the streaming
+    state model can't bound, and the stored clean table is re-deduped by
+    the batch stack (the documented stream->batch handoff)."""
     raw = stream.withColumn("ingest_ts", F.current_timestamp())
     deduped = raw.withWatermark(
         "ingest_ts", dedup_watermark
     ).dropDuplicatesWithinWatermark(["clip_id"])
+    if content_dedup:
+        deduped = deduped.withColumn(
+            "_content_key", content_dedup_key()
+        ).dropDuplicatesWithinWatermark(["_content_key"]).drop(
+            "_content_key"
+        )
     scored = score_clips(deduped, with_audio=with_audio)
     # rule flags, minus the (stateful) duplicate rule handled above
     from ..operators.validate import active_rules, with_flags
@@ -153,12 +188,14 @@ def start_quality_stream(
     checkpoint_dir: str,
     with_audio: bool = True,
     available_now: bool = True,
+    content_dedup: bool = False,
 ):
     """Start (or drain, with availableNow) the streaming pipeline."""
     store = TableStore(spark, out_root)
     sid = stream_identity(checkpoint_dir)
     flagged = build_streaming_flags(
-        read_clip_stream(spark, source_path), with_audio
+        read_clip_stream(spark, source_path), with_audio,
+        content_dedup=content_dedup,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

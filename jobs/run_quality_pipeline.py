@@ -78,6 +78,10 @@ def main() -> None:
                     help="drain --input as a Structured Stream "
                          "(availableNow micro-batches) instead of a batch "
                          "run; checkpoint under <out>/_stream_ckpt")
+    ap.add_argument("--stream-content-dedup", action="store_true",
+                    help="with --stream: also drop exact-content "
+                         "re-uploads (same normalized transcript under a "
+                         "new clip_id) within the dedup watermark")
     args = ap.parse_args()
 
     from data_quality_check_pipeline_spark.pipeline import (
@@ -152,6 +156,7 @@ def main() -> None:
         q = start_quality_stream(
             spark, src_dir, args.out,
             os.path.join(args.out, "_stream_ckpt"), available_now=True,
+            content_dedup=args.stream_content_dedup,
         )
         q.awaitTermination()
         from data_quality_check_pipeline_spark.pipeline import (

@@ -102,6 +102,57 @@ class TestStreaming:
             )
         assert ids.distinct().count() == 600  # every clip exactly once
 
+    def test_content_dedup_drops_reuploads_not_null_text(
+        self, spark, tmp_path
+    ):
+        """content_dedup=True: an exact-content re-upload under a NEW
+        clip_id is dropped within the watermark; null/empty-text rows
+        never collide with each other (missing text is not duplicate
+        evidence — batch-family invariant)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_quality_check_pipeline_spark.synth import generate_clips
+
+        pdf, _ = generate_clips(40)
+        pdf["clip_id"] = [f"c{i:03d}" for i in range(len(pdf))]
+        # plant: one content re-upload + two null-text + two empty-text
+        # (pin the pair to a literal: synth row 0 may itself carry a
+        # planted null/empty-transcript defect)
+        pdf.loc[0, "transcript"] = "the people of this place know more"
+        pdf.loc[1, "transcript"] = "The  people of this place know more "
+        pdf.loc[2, "transcript"] = None
+        pdf.loc[3, "transcript"] = None
+        pdf.loc[4, "transcript"] = ""
+        pdf.loc[5, "transcript"] = ""
+        src = tmp_path / "src"
+        os.makedirs(src)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / "clips.parquet"),
+        )
+        out = str(tmp_path / "out")
+        q = start_quality_stream(
+            spark, str(src), out, str(tmp_path / "ckpt"),
+            available_now=True, content_dedup=True,
+        )
+        q.awaitTermination(timeout=600)
+        store = TableStore(spark, out)
+        ids = {
+            r["clip_id"]
+            for r in store.read(CLEAN_TABLE).select("clip_id").collect()
+        }
+        if store.exists(QUARANTINE_TABLE):
+            ids |= {
+                r["clip_id"]
+                for r in store.read(QUARANTINE_TABLE)
+                .select("clip_id").collect()
+            }
+        # exactly ONE of the content-dup pair survived...
+        assert len(ids & {"c000", "c001"}) == 1
+        # ...and all four missing-text rows are individually present
+        assert {"c002", "c003", "c004", "c005"} <= ids
+
     def test_single_file_path_streams_only_that_file(
         self, spark, corpus, tmp_path
     ):
