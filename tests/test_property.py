@@ -137,3 +137,48 @@ class TestTokenCountProperty:
         ).collect()
         for r in rows:
             assert r["n"] == len(r["text"].split()), repr(r["text"])
+
+
+class TestContentDedupKeyProperty:
+    @_SETTINGS
+    @given(texts=st.lists(_TEXT, min_size=1, max_size=12))
+    def test_key_invariant_under_case_and_whitespace(self, spark, texts):
+        """The streaming content-dedup key must be identical for any two
+        texts equal after lowercasing + whitespace normalization, and
+        distinct otherwise; null/empty text keys on clip_id (never a
+        shared key)."""
+        import re as _re
+
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            content_dedup_key,
+        )
+
+        rows = []
+        for i, t in enumerate(texts):
+            rows.append((f"a{i}", t))
+            rows.append((f"b{i}", "  " + t.upper() + " "))  # same content
+        rows += [("n1", None), ("n2", None), ("e1", ""), ("e2", "   ")]
+        df = spark.createDataFrame(rows, "clip_id string, transcript string")
+        keys = {
+            r["clip_id"]: r["k"]
+            for r in df.select(
+                "clip_id", content_dedup_key().alias("k")
+            ).collect()
+        }
+
+        def norm(t):
+            return _re.sub(r"\s+", " ", t.lower().strip(), flags=_re.ASCII)
+
+        for i, t in enumerate(texts):
+            if norm(t):
+                assert keys[f"a{i}"] == keys[f"b{i}"], repr(t)
+            for j, u in enumerate(texts):
+                if norm(t) and norm(u):
+                    same = norm(t) == norm(u)
+                    assert (keys[f"a{i}"] == keys[f"a{j}"]) == same
+        # missing text: every row keys uniquely (on its own clip_id)
+        missing = [
+            k for cid, k in keys.items() if cid in ("n1", "n2", "e1", "e2")
+        ]
+        assert len(set(missing)) == 4
+        assert all(k.startswith("id:") for k in missing)

@@ -153,6 +153,33 @@ class TestStreaming:
         # ...and all four missing-text rows are individually present
         assert {"c002", "c003", "c004", "c005"} <= ids
 
+        # restart resume: dedup STATE survives the checkpoint — a third
+        # copy of the same content arriving in a later drain (well within
+        # the watermark) is still dropped by the restarted stream
+        late = pdf.iloc[[0]].copy()
+        late["clip_id"] = ["c900"]
+        late["transcript"] = ["  THE people of this place know more"]
+        pq.write_table(
+            pa.Table.from_pandas(late, preserve_index=False),
+            str(src / "late.parquet"),
+        )
+        q2 = start_quality_stream(
+            spark, str(src), out, str(tmp_path / "ckpt"),
+            available_now=True, content_dedup=True,
+        )
+        q2.awaitTermination(timeout=600)
+        ids2 = {
+            r["clip_id"]
+            for r in store.read(CLEAN_TABLE).select("clip_id").collect()
+        }
+        if store.exists(QUARANTINE_TABLE):
+            ids2 |= {
+                r["clip_id"]
+                for r in store.read(QUARANTINE_TABLE)
+                .select("clip_id").collect()
+            }
+        assert "c900" not in ids2
+
     def test_single_file_path_streams_only_that_file(
         self, spark, corpus, tmp_path
     ):
