@@ -65,7 +65,8 @@ def webhook_sink(
             ).encode(),
             headers={"Content-Type": "application/json"},
         )
-        urllib.request.urlopen(req, timeout=timeout).read()
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            resp.read()
 
     return send
 

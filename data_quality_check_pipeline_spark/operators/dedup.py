@@ -478,7 +478,11 @@ def audio_near_dup_pairs(
         .filter(F.col("audio_fp") != 0)
         .select(id_col, "audio_fp")
         # referenced three times below (distinct-fp banding + two member
-        # expansions); without the cache the fingerprint UDF scan reruns
+        # expansions); without the cache the fingerprint UDF scan reruns.
+        # The cache is (id, fp) pairs — 16 B/clip. At extreme corpus
+        # sizes materialize fingerprints to a TABLE once and run
+        # hamming_band_pairs + the expansions against it instead of
+        # pinning executor storage for the session.
         .cache()
     )
     # Collapse to DISTINCT fingerprints before banding: audio corpora are

@@ -212,10 +212,11 @@ def connected_components(
     if changed != 0:
         # round files are deliberately KEPT: with a stable run_tag the
         # caller can resume from the last complete round
+        where = f" (round files kept under {run_dir})" if run_dir else ""
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             f"iterations ({changed} labels still changing) — a component "
-            f"diameter exceeds max_iter; raise max_iter"
+            f"diameter exceeds max_iter; raise max_iter{where}"
         )
     if run_dir is not None:
         # persist the result, then sweep the per-round files (ADVICE r02:

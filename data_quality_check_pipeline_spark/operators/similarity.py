@@ -279,6 +279,9 @@ def _kpp_seeds(
         .limit(pool)
         .collect()
     )
+    # zero-norm vectors have no cosine direction — they cannot seed a
+    # cell (and would divide by zero in the distance below)
+    cand = [r for r in cand if any(x != 0.0 for x in r["_v"])]
     if not cand:
         return []
 
