@@ -244,6 +244,11 @@ def minhash_lsh_pairs(
     see _drop_hot_groups. Pairs inside a dropped bucket still surface
     through their other bands unless degenerate in ALL bands (true spam
     clusters, which belong to exact dedup). max_bucket=None disables.
+
+    NOTE: the input subtree is evaluated up to 3x (hot-bucket pre-pass
+    + both self-join sides) — cache the input, or materialize
+    minhash_signatures to a table and band from there, when the
+    upstream is expensive (measured 2.7x at sf0.1 on one-task scans).
     """
     if not 1 <= bands <= n_hashes or n_hashes % bands:
         # bands > n_hashes would make every band hash the constant
@@ -559,7 +564,11 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` documents (boilerplate, templates) is removed from the
     inverted index before the self-join (drop count logged + reported via
     ``stats_out`` key 'stop_shingles'; see _drop_hot_groups), since one such
-    shingle alone contributes df² candidate pairs. |A| and |B| are counted
+    shingle alone contributes df² candidate pairs. NOTE: the input
+    subtree is evaluated up to 3x (stop-shingle pre-pass + both
+    self-join sides) — cache or materialize the input when the upstream
+    is expensive (the harness queries do; measured 150 s -> 2 s on a
+    one-task scan). |A| and |B| are counted
     BEFORE the cutoff, so the reported jaccard of a surviving pair is exact
     when none of its shared shingles were dropped and a lower bound
     otherwise — the filter only MISSES pairs whose overlap is purely
