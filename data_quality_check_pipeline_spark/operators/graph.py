@@ -55,6 +55,44 @@ def _complete_rounds(spark: SparkSession, run_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _driver_union_find(edge_rows, node_type, spark) -> DataFrame:
+    """Exact CC for small graphs, solved on the driver: union-find with
+    path compression, then comp = min node id per component — the same
+    fixed point min-label propagation reaches. One collect + O(E α(E))
+    compute replaces rounds of distributed job waves."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, r in roots.items():
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("comp", node_type)]
+    )
+    return spark.createDataFrame(
+        [(n, comp_min[r]) for n, r in roots.items()], schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -62,6 +100,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
     run_tag: str | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     = min node id reachable through the undirected edge set.
@@ -102,6 +141,17 @@ def connected_components(
     On convergence all round_<i> dirs are deleted; only
     ``<dir>/cc_<run_tag>/final`` (the result the returned DataFrame
     reads from) remains — remove it once the result is consumed.
+
+    ``driver_threshold``: when ``checkpoint_dir`` is None AND the
+    symmetrized edge-row count (2x the undirected edges) is at or
+    below this, the components
+    are solved by a driver-side union-find instead of iterative joins —
+    identical output (comp = min reachable id), one collect + linear
+    compute instead of O(log d) full job waves. Near-dup edge sets are
+    usually tiny relative to the corpus, so this is the common case;
+    the distributed path engages automatically above the threshold and
+    ALWAYS when a checkpoint_dir is given (durability was requested —
+    a driver-held edge list has none). 0 disables the shortcut.
     """
     spark = edges.sparkSession
     run_dir = None
@@ -137,6 +187,18 @@ def connected_components(
         # unpersisted before returning.
         .cache()
     )
+    if checkpoint_dir is None and driver_threshold > 0:
+        head = und.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            und.unpersist()
+            return _driver_union_find(
+                [(r["u"], r["v"]) for r in head],
+                und.schema["u"].dataType,
+                edges.sparkSession,
+            )
+        # over threshold: fall through to the distributed iteration
+        # (the limit+collect cost one evaluation of the cached edge set,
+        # which the first round needed anyway)
     labels = resume_labels if resume_labels is not None else (
         und.select(F.col("u").alias("node"))
         .distinct()

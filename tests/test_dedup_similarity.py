@@ -362,7 +362,8 @@ class TestConnectedComponents:
         """A 64-node chain has diameter 63: plain min-label propagation
         needs 63 rounds (> the max_iter=50 default), pointer jumping
         needs ~log2(63). Convergence inside the default cap proves the
-        path-compression step works."""
+        path-compression step works. driver_threshold=0 forces the
+        DISTRIBUTED iteration (the property under test)."""
         from data_quality_check_pipeline_spark.operators.graph import (
             connected_components,
         )
@@ -372,10 +373,45 @@ class TestConnectedComponents:
         )
         comps = {
             r["node"]: r["comp"]
-            for r in connected_components(edges).collect()
+            for r in connected_components(
+                edges, driver_threshold=0
+            ).collect()
         }
         assert set(comps.values()) == {0}
         assert len(comps) == 64
+
+    def test_driver_shortcut_matches_distributed(self, spark):
+        """Below driver_threshold (and with no checkpoint_dir) CC solves
+        via driver-side union-find — output must equal the distributed
+        iteration exactly, for long AND string ids."""
+        import random
+
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        rng = random.Random(7)
+        edge_list = [
+            (rng.randrange(120), rng.randrange(120)) for _ in range(90)
+        ]
+        for schema, mk in [
+            ("id_a long, id_b long", lambda x: x),
+            ("id_a string, id_b string", lambda x: f"n{x:03d}"),
+        ]:
+            edges = spark.createDataFrame(
+                [(mk(a), mk(b)) for a, b in edge_list], schema
+            )
+            fast = {
+                (r["node"], r["comp"])
+                for r in connected_components(edges).collect()
+            }
+            dist = {
+                (r["node"], r["comp"])
+                for r in connected_components(
+                    edges, driver_threshold=0
+                ).collect()
+            }
+            assert fast == dist and fast
 
     def test_reliable_checkpoint_dir(self, spark, tmp_path):
         """Table-backed per-round persistence (the cluster-safe mode) must
@@ -487,11 +523,13 @@ class TestConnectedComponents:
             [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(chain, max_iter=2)
+            connected_components(chain, max_iter=2, driver_threshold=0)
         # ample cap: the same chain folds into one component
         comps = {
             r["comp"]
-            for r in connected_components(chain, max_iter=20).collect()
+            for r in connected_components(
+                chain, max_iter=20, driver_threshold=0
+            ).collect()
         }
         assert comps == {1}
 
