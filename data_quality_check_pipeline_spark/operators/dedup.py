@@ -230,6 +230,7 @@ def minhash_lsh_pairs(
     min_est_jaccard: float = 0.7,
     max_bucket: int | None = 10_000,
     stats_out: dict | None = None,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by signature
     agreement (unbiased Jaccard estimate). Returns (id_a, id_b, est_jaccard)
@@ -245,10 +246,14 @@ def minhash_lsh_pairs(
     through their other bands unless degenerate in ALL bands (true spam
     clusters, which belong to exact dedup). max_bucket=None disables.
 
-    NOTE: the input subtree is evaluated up to 3x (hot-bucket pre-pass
-    + both self-join sides) — cache the input, or materialize
-    minhash_signatures to a table and band from there, when the
-    upstream is expensive (measured 2.7x at sf0.1 on one-task scans).
+    ``persist_sigs`` (default on) caches the signature frame
+    (MEMORY_AND_DISK): the banding stage references it ~3x (hot-bucket
+    pre-pass + both self-join sides), and without the cache the
+    shingle-explode + n_hashes-min aggregation reruns each time. The
+    cached frame is (id, n_hashes longs) — far smaller than the text
+    it came from; it stays cached for the session. Pass False for a
+    pure plan, or materialize minhash_signatures to a table yourself
+    at extreme scale.
     """
     if not 1 <= bands <= n_hashes or n_hashes % bands:
         # bands > n_hashes would make every band hash the constant
@@ -261,6 +266,10 @@ def minhash_lsh_pairs(
         )
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    if persist_sigs:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -448,9 +457,24 @@ def simhash_pairs(
     max_bucket: int | None = 10_000,
     stats_out: dict | None = None,
     allow_partial_recall: bool = False,
+    persist_sigs: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by text SimHash (see hamming_band_pairs)."""
+    """Near-dup pairs by text SimHash (see hamming_band_pairs).
+
+    ``persist_sigs`` (default on) caches the signature frame
+    (MEMORY_AND_DISK): the banding stage references it ~3x (hot-bucket
+    pre-pass + both self-join sides), and without the cache the
+    64-sum-agg signature computation reruns each time — 2.5x measured
+    at sf0.1. The cached frame is (id, 8-byte sig) — tiny relative to
+    the text it came from; it stays cached for the session (the
+    returned DataFrame reads from it lazily). Pass False for a pure
+    plan, or materialize simhash_signatures to a table yourself at
+    extreme scale."""
     sigs = simhash_signatures(df, id_col, text_col)
+    if persist_sigs:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     return hamming_band_pairs(
         sigs, id_col, "simhash", max_hamming, chunks, max_bucket,
         stats_out, allow_partial_recall,
