@@ -23,6 +23,7 @@ atomically via rename).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -61,6 +62,46 @@ class TableStore:
             json.dump(m, f, indent=2)
         os.replace(tmp, p)  # atomic on POSIX
 
+    @contextlib.contextmanager
+    def _table_lock(
+        self, name: str, timeout_s: float = 120.0, stale_s: float = 300.0
+    ):
+        """Advisory per-table lock around every manifest
+        read-modify-write. Concurrent committers to the SAME table — a
+        streaming sink and a batch requeue sharing an out_root, or two
+        admin operations — would otherwise interleave load/save and one
+        commit would silently vanish (lost update). O_CREAT|O_EXCL is
+        atomic on POSIX; a lock file older than ``stale_s`` is presumed
+        left by a crashed process and broken. (A real Iceberg catalog
+        replaces this with its own atomic commit protocol.)"""
+        os.makedirs(self._dir(name), exist_ok=True)
+        path = os.path.join(self._dir(name), ".manifest.lock")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > stale_s:
+                        os.unlink(path)  # break a crashed holder's lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock for table {name!r} held longer "
+                        f"than {timeout_s}s ({path})"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
+
     def _snapshot(self, m: dict, snapshot_id: str | None) -> dict | None:
         snaps = m["snapshots"]
         if snapshot_id is None:
@@ -83,9 +124,15 @@ class TableStore:
         partition_by: list[str] | None = None,
         properties: dict | None = None,
     ) -> str:
-        """Write df as a new snapshot; returns the snapshot id."""
+        """Write df as a new snapshot; returns the snapshot id.
+
+        The (long) parquet write happens OUTSIDE the table lock into a
+        uuid-unique dir — concurrent writers never collide on data
+        files. Only the manifest read-modify-write is serialized, and
+        an append's read_set is resolved from the manifest AS SEEN
+        INSIDE the lock, so two concurrent appends chain instead of one
+        silently dropping the other."""
         assert mode in ("overwrite", "append")
-        m = self._load_manifest(name)
         sid = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self._dir(name), f"snap_{sid}")
         w = df.write.mode("overwrite")
@@ -101,26 +148,28 @@ class TableStore:
             for f in files
         )
 
-        if mode == "append" and m["current"] is not None:
-            parent = self._snapshot(m, None)
-            read_set = parent["read_set"] + [f"snap_{sid}"]
-        else:
-            read_set = [f"snap_{sid}"]
-        m["snapshots"].append(
-            {
-                "id": sid,
-                "ts": time.time(),
-                "mode": mode,
-                "parent": m["current"],
-                "read_set": read_set,
-                "partition_by": partition_by or [],
-                "properties": properties or {},
-                "schema": schema_json,
-                "has_data": has_data,
-            }
-        )
-        m["current"] = sid
-        self._save_manifest(name, m)
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if mode == "append" and m["current"] is not None:
+                parent = self._snapshot(m, None)
+                read_set = parent["read_set"] + [f"snap_{sid}"]
+            else:
+                read_set = [f"snap_{sid}"]
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": mode,
+                    "parent": m["current"],
+                    "read_set": read_set,
+                    "partition_by": partition_by or [],
+                    "properties": properties or {},
+                    "schema": schema_json,
+                    "has_data": has_data,
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
         return sid
 
     def read(self, name: str, snapshot_id: str | None = None) -> DataFrame:
@@ -193,17 +242,37 @@ class TableStore:
     def rollback(self, name: str, snapshot_id: str) -> None:
         """Point 'current' back at an older snapshot (Iceberg:
         CALL rollback_to_snapshot)."""
-        m = self._load_manifest(name)
-        self._snapshot(m, snapshot_id)  # validate
-        m["current"] = snapshot_id
-        self._save_manifest(name, m)
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            self._snapshot(m, snapshot_id)  # validate
+            m["current"] = snapshot_id
+            self._save_manifest(name, m)
 
-    def expire_snapshots(self, name: str, keep_last: int = 5) -> list[str]:
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 5,
+        orphan_grace_s: float = 3600.0,
+    ) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete files
         no surviving snapshot references (reference keeps newest 5,
-        rollback_manager.py:165-184)."""
+        rollback_manager.py:165-184).
+
+        ``orphan_grace_s``: unreferenced snap dirs YOUNGER than this are
+        left alone — a concurrent writer's parquet write lands in its
+        uuid dir BEFORE its manifest commit (write() holds the lock only
+        for the manifest), so a zero-grace sweep would reap an in-flight
+        snapshot. Same retention-interval discipline as Iceberg's
+        orphan-file cleanup. Pass 0 to force-collect everything
+        unreferenced (safe only with no concurrent writers)."""
         import shutil
 
+        with self._table_lock(name):
+            return self._expire_inner(
+                name, keep_last, orphan_grace_s, shutil
+            )
+
+    def _expire_inner(self, name, keep_last, orphan_grace_s, shutil):
         m = self._load_manifest(name)
         snaps = m["snapshots"]
         if len(snaps) <= keep_last:
@@ -229,13 +298,26 @@ class TableStore:
         # sweep the WHOLE table dir, not just this round's expired set: a
         # dir whose manifest entry was dropped in an earlier round while a
         # then-keeper still referenced it would otherwise never be
-        # revisited once that keeper expires — an unbounded orphan leak
+        # revisited once that keeper expires — an unbounded orphan leak.
+        # Two classes of unreferenced dir: (a) KNOWN to the manifest
+        # (some entry's read_set names it) — committed and expired,
+        # delete immediately; (b) UNKNOWN — possibly a concurrent
+        # writer's in-flight parquet that has not reached its manifest
+        # commit yet (write() locks only the manifest step), so it is
+        # deleted only past ``orphan_grace_s``.
+        known = {d for s in snaps for d in s["read_set"]}
+        now = time.time()
         for entry in os.listdir(self._dir(name)):
-            if entry.startswith("snap_") and entry not in live_dirs:
-                shutil.rmtree(
-                    os.path.join(self._dir(name), entry),
-                    ignore_errors=True,
-                )
+            if not entry.startswith("snap_") or entry in live_dirs:
+                continue
+            path = os.path.join(self._dir(name), entry)
+            if entry not in known:
+                try:
+                    if now - os.path.getmtime(path) < orphan_grace_s:
+                        continue  # maybe in-flight: grace period
+                except OSError:
+                    continue
+            shutil.rmtree(path, ignore_errors=True)
         m["snapshots"] = keep
         self._save_manifest(name, m)
         return expired

@@ -252,6 +252,90 @@ class TestTableStore:
         assert store.is_unchanged("t", "abc")
         assert not store.is_unchanged("t", "xyz")
 
+    def test_concurrent_appends_all_commit(self, spark, out_root):
+        """Two committers appending to the SAME table concurrently (the
+        shape of a streaming sink + a batch requeue sharing an out_root)
+        must both land: the manifest read-modify-write is serialized by
+        the per-table advisory lock, and each append resolves its parent
+        chain from the manifest as seen INSIDE the lock — no lost
+        updates."""
+        import threading
+
+        store = TableStore(spark, out_root)
+        store.write("t", spark.range(0, 1))
+        errs: list = []
+
+        def appender(lo):
+            try:
+                for i in range(lo, lo + 4):
+                    store.write(
+                        "t",
+                        spark.range(10 * i, 10 * i + 2),
+                        mode="append",
+                    )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=appender, args=(lo,))
+            for lo in (1, 100)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        # 1 overwrite + 8 appends all present; rows = 1 + 8*2
+        assert len(store.snapshots("t")) == 9
+        assert store.read("t").count() == 17
+
+    def test_expire_grace_protects_inflight_unknown_dirs(
+        self, spark, out_root
+    ):
+        """An unreferenced snap dir UNKNOWN to the manifest (a concurrent
+        writer's parquet landed, manifest commit pending) survives
+        expire within the grace period; a committed-but-expired dir is
+        reaped immediately; a stale unknown dir (backdated mtime) is
+        reaped as a true orphan."""
+        import os as _os
+
+        store = TableStore(spark, out_root)
+        for i in range(4):
+            store.write("t", spark.range(i + 1), mode="overwrite")
+        tdir = _os.path.join(out_root, "t")
+        fresh = _os.path.join(tdir, "snap_inflight00000001")
+        _os.makedirs(fresh)
+        stale = _os.path.join(tdir, "snap_crashedorphan01")
+        _os.makedirs(stale)
+        _os.utime(stale, (1, 1))  # ancient mtime
+        store.expire_snapshots("t", keep_last=2)
+        on_disk = {
+            d for d in _os.listdir(tdir) if d.startswith("snap_")
+        }
+        live = {
+            d
+            for s in store.snapshots("t")
+            for d in s["read_set"]
+        }
+        assert "snap_inflight00000001" in on_disk  # grace respected
+        assert "snap_crashedorphan01" not in on_disk  # true orphan gone
+        assert on_disk == live | {"snap_inflight00000001"}
+
+    def test_stale_lock_broken(self, spark, out_root):
+        """A lock file left by a crashed process must not wedge the
+        table forever: holders older than stale_s are broken."""
+        import os as _os
+
+        store = TableStore(spark, out_root)
+        _os.makedirs(_os.path.join(out_root, "t"), exist_ok=True)
+        lock = _os.path.join(out_root, "t", ".manifest.lock")
+        with open(lock, "w") as f:
+            f.write("99999")
+        _os.utime(lock, (1, 1))  # crashed long ago
+        store.write("t", spark.range(3))  # must not TimeoutError
+        assert store.read("t").count() == 3
+        assert not _os.path.exists(lock)  # released after commit
+
     def test_read_survives_schema_widening_append(self, spark, out_root):
         """An out_root written by an older release appends a WIDER schema
         after an upgrade (r02 ADVICE: lineage gained dup_count/lang_hist).
