@@ -976,6 +976,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 
+    def embedding_neardup_components(spark, sf):
+        """Cross-operator composition: exact cosine pairs over the
+        bounded vec_id<200 subset (threshold 0.3 — the corpus has no
+        pairs above 0.5 here) -> connected_components -> one
+        (vec_id, component) row per node, component = min reachable id.
+        Semantic dedup closure for embeddings, mirroring the text-side
+        doc_dup_components."""
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            cosine_expr,
+        )
+
+        emb = (
+            _load(spark, sf, "embeddings")
+            .filter(F.col("vec_id") < 200)
+            .select("vec_id", _dvec("embedding").alias("e"))
+            .cache()
+        )
+        a = emb.select(
+            F.col("vec_id").alias("id_a"), F.col("e").alias("va")
+        )
+        b = emb.select(
+            F.col("vec_id").alias("id_b"), F.col("e").alias("vb")
+        )
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.round(cosine_expr(F.col("va"), F.col("vb")), 5)
+                >= 0.3
+            )
+            .select("id_a", "id_b")
+        )
+        return connected_components(pairs).select(
+            F.col("node").alias("vec_id"),
+            F.col("comp").alias("component"),
+        )
+
+    q["embedding_neardup_components"] = embedding_neardup_components
+
     def embedding_norm_summary(spark, sf):
         emb = _load(spark, sf, "embeddings").select(
             "label", _dvec("embedding").alias("e")
@@ -1770,6 +1812,25 @@ def oracle_sql() -> dict[str, str]:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 5) AS cosine
       FROM v a JOIN v b ON a.vec_id < b.vec_id
       WHERE round({cos}, 5) >= 0.8"""
+
+    sql["embedding_neardup_components"] = f"""
+      WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id < 200
+      ), p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round({cos}, 5) >= 0.3
+      ), e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+      ), reach(n, m) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.v, reach.m FROM e JOIN reach ON e.u = reach.n
+      )
+      SELECT n AS vec_id, min(m) AS component FROM reach GROUP BY n"""
 
     # IVF ANN: centroids = 8 smallest ids (iters=0), cell = argmax cosine
     # (ties -> lowest ord), each query probes its 4 best cells, exact
