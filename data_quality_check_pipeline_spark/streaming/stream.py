@@ -60,19 +60,41 @@ def read_clip_stream(
 
 
 def content_dedup_key(
-    id_col: str = "clip_id", text_col: str = "transcript"
+    id_col: str = "clip_id", text_col: str = "transcript",
+    mode: str = "exact",
 ):
-    """Per-row dedup key for streaming CONTENT dedup: xxhash64 of the
-    normalized lowercased transcript (JVM-side, no Python). NULL/empty
-    text is MISSING data, never duplicate evidence (same invariant as the
-    batch dedup family) — such rows key on their own clip_id instead, so
-    no two of them ever collide."""
+    """Per-row dedup key for streaming CONTENT dedup (JVM-side, no
+    Python). NULL/empty text is MISSING data, never duplicate evidence
+    (same invariant as the batch dedup family) — such rows key on their
+    own clip_id instead, so no two of them ever collide.
+
+    ``mode``:
+
+    * ``"exact"`` — xxhash64 of the normalized lowercased transcript:
+      byte-identical content (after whitespace/case normalization)
+      collapses.
+    * ``"bag"`` — xxhash64 of the SORTED DISTINCT token set: re-uploads
+      with reordered or repeated words also collapse. Strictly more
+      aggressive — two genuinely different transcripts sharing the
+      exact word set (ignoring order and multiplicity) collapse too,
+      which is vanishingly rare for real speech but makes this an
+      opt-in. True near-dup (edit-distance-ish) detection stays
+      batch-side on the stored table.
+    """
+    if mode not in ("exact", "bag"):
+        raise ValueError(f"unknown content dedup mode {mode!r}")
     from ..functions.exprs import norm_text
 
     t = norm_text(F.lower(F.col(text_col)))
+    if mode == "bag":
+        hashed = F.xxhash64(
+            F.array_sort(F.array_distinct(F.split(t, " ")))
+        )
+    else:
+        hashed = F.xxhash64(t)
     return F.when(
         t.isNotNull() & (t != ""),
-        F.concat(F.lit("t:"), F.xxhash64(t).cast("string")),
+        F.concat(F.lit(f"{mode[0]}:"), hashed.cast("string")),
     ).otherwise(F.concat(F.lit("id:"), F.col(id_col)))
 
 
@@ -80,7 +102,7 @@ def build_streaming_flags(
     stream: DataFrame,
     with_audio: bool = True,
     dedup_watermark: str = "1 hour",
-    content_dedup: bool = False,
+    content_dedup: bool | str = False,
 ) -> DataFrame:
     """Stateless clean+score+flag; duplicate-id handling becomes
     dropDuplicatesWithinWatermark (global history is unbounded in a
@@ -95,21 +117,24 @@ def build_streaming_flags(
     when the event-time column is in the dedup keys), an unbounded-state
     leak on a long-running stream.
 
-    ``content_dedup=True`` additionally drops EXACT-CONTENT re-uploads
-    (same transcript under a different clip_id) within the watermark,
-    keyed on a JVM-side hash of the normalized text (content_dedup_key;
-    null/empty text never collides). State stays watermark-bounded.
-    NEAR-dup detection (minhash/simhash banding) deliberately stays
-    batch-side: banded candidates need cross-row joins the streaming
-    state model can't bound, and the stored clean table is re-deduped by
-    the batch stack (the documented stream->batch handoff)."""
+    ``content_dedup`` additionally drops CONTENT re-uploads (same
+    transcript under a different clip_id) within the watermark, keyed
+    on a JVM-side hash of the normalized text (content_dedup_key;
+    null/empty text never collides). True (or "exact") collapses
+    normalized-identical text; "bag" also collapses reordered/repeated
+    word sets. State stays watermark-bounded. NEAR-dup detection
+    (minhash/simhash banding) deliberately stays batch-side: banded
+    candidates need cross-row joins the streaming state model can't
+    bound, and the stored clean table is re-deduped by the batch stack
+    (the documented stream->batch handoff)."""
     raw = stream.withColumn("ingest_ts", F.current_timestamp())
     deduped = raw.withWatermark(
         "ingest_ts", dedup_watermark
     ).dropDuplicatesWithinWatermark(["clip_id"])
     if content_dedup:
+        mode = "exact" if content_dedup is True else content_dedup
         deduped = deduped.withColumn(
-            "_content_key", content_dedup_key()
+            "_content_key", content_dedup_key(mode=mode)
         ).dropDuplicatesWithinWatermark(["_content_key"]).drop(
             "_content_key"
         )
@@ -188,7 +213,7 @@ def start_quality_stream(
     checkpoint_dir: str,
     with_audio: bool = True,
     available_now: bool = True,
-    content_dedup: bool = False,
+    content_dedup: bool | str = False,
 ):
     """Start (or drain, with availableNow) the streaming pipeline."""
     store = TableStore(spark, out_root)

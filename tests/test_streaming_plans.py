@@ -180,6 +180,38 @@ class TestStreaming:
             }
         assert "c900" not in ids2
 
+    def test_content_dedup_bag_mode_key_semantics(self, spark):
+        """bag mode: reordered/repeated word sets share a key; exact
+        mode distinguishes them. Distinct word sets never collide in
+        either mode; invalid modes raise."""
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            content_dedup_key,
+        )
+
+        rows = [
+            ("a", "the quick brown fox"),
+            ("b", "fox brown THE quick"),          # reordered + case
+            ("c", "the the quick quick brown fox"),  # repeated
+            ("d", "the quick brown wolf"),          # different set
+        ]
+        df = spark.createDataFrame(
+            rows, "clip_id string, transcript string"
+        )
+        for mode, same_abc in (("exact", False), ("bag", True)):
+            keys = {
+                r["clip_id"]: r["k"]
+                for r in df.select(
+                    "clip_id",
+                    content_dedup_key(mode=mode).alias("k"),
+                ).collect()
+            }
+            assert (
+                keys["a"] == keys["b"] == keys["c"]
+            ) is same_abc, mode
+            assert keys["d"] not in (keys["a"], keys["b"], keys["c"])
+        with pytest.raises(ValueError, match="unknown content dedup"):
+            content_dedup_key(mode="fuzzy")
+
     def test_single_file_path_streams_only_that_file(
         self, spark, corpus, tmp_path
     ):
