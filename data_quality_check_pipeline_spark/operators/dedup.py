@@ -499,7 +499,20 @@ def audio_near_dup_pairs(
     hamming 7. 8-bit keys produce larger candidate buckets than the
     16-bit default elsewhere — at very large clip counts either rely on
     the hot-bucket cap (logged drops) or trade down to chunks=4 with
-    max_hamming=3."""
+    max_hamming=3.
+
+    ``max_bucket`` bounds BOTH candidate joins: the banding buckets
+    over distinct fingerprints (hamming_band_pairs) AND the pair
+    re-expansion over identical-fingerprint clip groups. The latter is
+    the duplicate-heavy-corpus hazard this operator exists for: one
+    re-upload cluster of n identical clips would otherwise emit
+    n(n-1)/2 pairs from an uncapped group self-join. Clips in a group
+    larger than max_bucket are excluded from pair expansion entirely
+    (within-group AND cross-group), logged and reported via
+    ``stats_out`` key 'identical-fp clip groups' — the same recall
+    tradeoff as the banding hot-bucket drop: a >max_bucket identical
+    cluster is exact-dedup territory (collapse it by fingerprint), not
+    pairwise-near-dup territory."""
     from ..udfs.audio import with_audio_fingerprint
 
     sigs = (
@@ -533,9 +546,18 @@ def audio_near_dup_pairs(
         F.col("id_b").alias("_fp_b"),
         "hamming",
     )
+    # Bound the expansion joins: the distinct-fp collapse makes the
+    # BANDING immune to duplicate-heavy groups, but the re-expansion
+    # back to clip pairs is still group-size-quadratic (within) /
+    # group-size-linear per fp pair (cross). Same guard, same logging,
+    # same tradeoff as the banding cap.
+    members = _drop_hot_groups(
+        sigs, ["audio_fp"], max_bucket,
+        "identical-fp clip groups", stats_out,
+    )
     within = (
-        sigs.alias("x")
-        .join(sigs.alias("y"), "audio_fp")
+        members.alias("x")
+        .join(members.alias("y"), "audio_fp")
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
@@ -545,14 +567,14 @@ def audio_near_dup_pairs(
     )
     cross = (
         fp_pairs.join(
-            sigs.select(
+            members.select(
                 F.col("audio_fp").alias("_fp_a"),
                 F.col(id_col).alias("_ca"),
             ),
             "_fp_a",
         )
         .join(
-            sigs.select(
+            members.select(
                 F.col("audio_fp").alias("_fp_b"),
                 F.col(id_col).alias("_cb"),
             ),

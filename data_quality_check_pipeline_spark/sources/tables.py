@@ -70,37 +70,44 @@ class TableStore:
         read-modify-write. Concurrent committers to the SAME table — a
         streaming sink and a batch requeue sharing an out_root, or two
         admin operations — would otherwise interleave load/save and one
-        commit would silently vanish (lost update). O_CREAT|O_EXCL is
-        atomic on POSIX; a lock file older than ``stale_s`` is presumed
-        left by a crashed process and broken. (A real Iceberg catalog
-        replaces this with its own atomic commit protocol.)"""
+        commit would silently vanish (lost update).
+
+        fcntl.flock on a PERSISTENT lock file (never unlinked): the
+        kernel owns the lock state, so a crashed holder's lock releases
+        automatically when its fd closes — there is no stale-lock
+        heuristic to race. The previous O_CREAT|O_EXCL + mtime-stale
+        break was double-racy (r03 ADVICE): two waiters could both pass
+        the staleness check and the loser's pending unlink/rename could
+        steal the winner's FRESH lock, briefly re-enabling the
+        manifest lost-update the lock exists to prevent. ``stale_s`` is
+        retained for signature compatibility but unused — a hung-alive
+        holder now surfaces as a TimeoutError after ``timeout_s``
+        instead of being silently broken. (A real Iceberg catalog
+        replaces all of this with its own atomic commit protocol.)"""
+        import fcntl
+
         os.makedirs(self._dir(name), exist_ok=True)
         path = os.path.join(self._dir(name), ".manifest.lock")
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
         deadline = time.time() + timeout_s
-        while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(path) > stale_s:
-                        os.unlink(path)  # break a crashed holder's lock
-                        continue
-                except FileNotFoundError:
-                    continue  # holder just released; retry immediately
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"manifest lock for table {name!r} held longer "
-                        f"than {timeout_s}s ({path})"
-                    )
-                time.sleep(0.05)
         try:
-            yield
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except (BlockingIOError, InterruptedError):
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"manifest lock for table {name!r} held "
+                            f"longer than {timeout_s}s ({path})"
+                        ) from None
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
         finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(path)
+            os.close(fd)
 
     def _snapshot(self, m: dict, snapshot_id: str | None) -> dict | None:
         snaps = m["snapshots"]

@@ -17,6 +17,7 @@ for late data.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,8 @@ from pyspark.sql import functions as F
 from ..pipeline import CLEAN_TABLE, QUARANTINE_TABLE, flag_clips, score_clips
 from ..operators.scrub import scrub_transcripts
 from ..sources.tables import TableStore
+
+_log = logging.getLogger(__name__)
 
 CLIPS_SCHEMA = (
     "clip_id string, bytes binary, sr_hz int, dur_ms int, "
@@ -145,14 +148,66 @@ def build_streaming_flags(
     return with_flags(scored, active_rules(with_audio))
 
 
-def stream_identity(checkpoint_dir: str) -> str:
+def _marker_via_hadoop_fs(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Read-or-mint the stream_identity marker through the Hadoop FS API
+    (s3a/hdfs/gs/abfs — any scheme Spark reaches), so the identity lives
+    INSIDE the remote checkpoint dir exactly like the local path. The
+    property this buys: wiping the remote checkpoint to reprocess from
+    scratch mints a FRESH id. A pure path digest survives checkpoint
+    deletion — batch numbering restarts at 0 under the OLD id,
+    batch_committed finds the old property records for batches 0..N, and
+    the sink silently skips every replayed batch (data loss on a
+    legitimate reset). Create is no-overwrite, so two racing drivers
+    converge: the loser's create throws and it re-reads the winner's id.
+    """
+    import uuid as _uuid
+
+    jvm = spark._jvm
+    jmarker = jvm.org.apache.hadoop.fs.Path(
+        checkpoint_dir.rstrip("/") + "/stream_identity"
+    )
+    fs = jmarker.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _read() -> str:
+        stream = fs.open(jmarker)
+        try:
+            return str(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            ).strip()
+        finally:
+            stream.close()
+
+    if fs.exists(jmarker):
+        return _read()
+    sid = _uuid.uuid4().hex[:12]
+    try:
+        out = fs.create(jmarker, False)  # False = fail if it exists
+        try:
+            out.write(bytearray(sid.encode()))
+        finally:
+            out.close()
+        return sid
+    except Exception:
+        if fs.exists(jmarker):  # lost the create race: adopt the winner's
+            return _read()
+        raise
+
+
+def stream_identity(
+    checkpoint_dir: str, spark: SparkSession | None = None
+) -> str:
     """Stable id for ONE logical stream, persisted inside its checkpoint
     dir (created on first use, read back on restart). Guarding replays on
     the bare integer batch_id would false-match across DIFFERENT streams:
     a fresh checkpoint into an existing out_root restarts numbering at 0
-    and its first batches would be silently dropped as 'replays'. Falls
-    back to a path-derived id when the dir is not locally writable
-    (remote checkpoint URIs)."""
+    and its first batches would be silently dropped as 'replays'.
+
+    Remote checkpoint URIs go through the Hadoop FS API when ``spark``
+    is given (the production path — start_quality_stream passes it), so
+    deleting and recreating a remote checkpoint dir mints a fresh id,
+    same as local. Only WITHOUT a session does it fall back to a
+    path-derived digest (weaker: the id survives checkpoint resets;
+    logged)."""
     import hashlib
     import uuid as _uuid
 
@@ -165,6 +220,15 @@ def stream_identity(checkpoint_dir: str) -> str:
     if scheme_end > 0 and checkpoint_dir[:scheme_end].lstrip(
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789+.-"
     ) == "" and not checkpoint_dir.startswith("file://"):
+        if spark is not None:
+            return _marker_via_hadoop_fs(spark, checkpoint_dir)
+        _log.warning(
+            "stream_identity(%s): no SparkSession given for a remote "
+            "checkpoint URI — falling back to a path-derived id, which "
+            "SURVIVES checkpoint deletion (a reset would silently skip "
+            "replayed batches). Pass spark= for marker-file semantics.",
+            checkpoint_dir,
+        )
         return hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
     if checkpoint_dir.startswith("file://"):
         checkpoint_dir = checkpoint_dir[len("file://"):]
@@ -217,7 +281,7 @@ def start_quality_stream(
 ):
     """Start (or drain, with availableNow) the streaming pipeline."""
     store = TableStore(spark, out_root)
-    sid = stream_identity(checkpoint_dir)
+    sid = stream_identity(checkpoint_dir, spark)
     flagged = build_streaming_flags(
         read_clip_stream(spark, source_path), with_audio,
         content_dedup=content_dedup,

@@ -289,6 +289,57 @@ class TestTableStore:
         assert len(store.snapshots("t")) == 9
         assert store.read("t").count() == 17
 
+    def test_crashed_holder_lock_is_exclusive(self, spark, out_root):
+        """r03 ADVICE: the old O_EXCL + mtime-stale break raced — two
+        waiters could both pass the staleness check and the loser's
+        pending delete stole the winner's FRESH lock, letting a third
+        committer in. The lock is now kernel-owned (fcntl.flock on a
+        persistent file): a crashed holder's lock releases with its fd,
+        there is no break heuristic to race, and the critical section
+        stays mutually exclusive under a stampede of waiters arriving
+        at a leftover lock file at once."""
+        import os as _os
+        import threading
+        import time as _time
+
+        store = TableStore(spark, out_root)
+        _os.makedirs(_os.path.join(out_root, "t"), exist_ok=True)
+        lock = _os.path.join(out_root, "t", ".manifest.lock")
+        # a crashed holder leaves the FILE behind (flock died with it);
+        # ancient mtime — under the old scheme every waiter would race
+        # to break this
+        with open(lock, "w") as f:
+            f.write("99999")
+        _os.utime(lock, (1, 1))
+        state = {"n": 0}
+        overlaps: list = []
+        errs: list = []
+        gate = threading.Barrier(8)
+
+        def committer():
+            try:
+                gate.wait()
+                with store._table_lock("t", timeout_s=30, stale_s=60):
+                    state["n"] += 1
+                    if state["n"] > 1:
+                        overlaps.append(1)
+                    _time.sleep(0.02)
+                    state["n"] -= 1
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=committer) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs and not overlaps
+        # the lock file is PERSISTENT now (the flock target) and the
+        # lock is free again after the stampede
+        assert _os.path.exists(lock)
+        with store._table_lock("t", timeout_s=1):
+            pass
+
     def test_expire_grace_protects_inflight_unknown_dirs(
         self, spark, out_root
     ):

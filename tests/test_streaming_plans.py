@@ -470,6 +470,42 @@ class TestNewQueryPlans:
         p = str(tmp_path / "ck")
         assert stream_identity(f"file://{p}") == stream_identity(p)
 
+    def test_stream_identity_remote_marker_via_hadoop_fs(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r03 ADVICE: a pure path digest for remote schemes SURVIVES
+        checkpoint deletion — wiping s3://…/ckpt to reprocess restarts
+        batch ids at 0 under the OLD stream_id, batch_committed matches
+        the old property records, and the sink silently skips every
+        replayed batch. With a SparkSession the identity must live in a
+        marker file INSIDE the checkpoint dir via the Hadoop FS API, so
+        a recreated dir mints a fresh id."""
+        import shutil
+
+        from data_quality_check_pipeline_spark.streaming import stream as sm
+
+        # Drive the Hadoop-FS marker path itself over a file:// URI
+        # (Hadoop LocalFileSystem): mint, re-read, reset semantics.
+        uri = f"file://{tmp_path}/rck"
+        a = sm._marker_via_hadoop_fs(spark, uri)
+        assert sm._marker_via_hadoop_fs(spark, uri) == a
+        assert (tmp_path / "rck" / "stream_identity").exists()
+        shutil.rmtree(tmp_path / "rck")
+        assert sm._marker_via_hadoop_fs(spark, uri) != a  # fresh id
+        # and stream_identity ROUTES remote schemes through it when a
+        # session is given (no real s3a in this sandbox — intercept)
+        seen = {}
+
+        def fake_marker(sp, ck):
+            seen["args"] = (sp, ck)
+            return "fromfs"
+
+        monkeypatch.setattr(sm, "_marker_via_hadoop_fs", fake_marker)
+        assert sm.stream_identity("s3a://bucket/ckpt", spark) == "fromfs"
+        assert seen["args"] == (spark, "s3a://bucket/ckpt")
+        # without a session the digest fallback still applies (warned)
+        assert sm.stream_identity("s3a://bucket/ckpt") != "fromfs"
+
     def test_active_rules_shared_between_batch_and_stream(self):
         """ONE rule list serves pipeline.flag_clips and the streaming
         path: the audio exclusion set cannot drift apart."""

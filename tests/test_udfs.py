@@ -211,6 +211,67 @@ class TestAudio:
         # duplicate payloads really did collapse (seed i%4 -> 4 fps)
         assert sigs.select("audio_fp").distinct().count() <= 4
 
+    def test_audio_neardup_within_group_expansion_is_capped(self, spark):
+        """r03 ADVICE: the distinct-fp collapse bounded the BANDING but
+        left the pair re-expansion uncapped — one giant identical-fp
+        re-upload cluster (n clips) emitted n(n-1)/2 pairs from an
+        unbounded group self-join. max_bucket must now bound the
+        expansion too: clips in an over-cap identical-fp group are
+        excluded from within-group AND cross-group pairs, with the drop
+        logged via stats_out (same tradeoff as the banding hot-bucket
+        guard)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            audio_near_dup_pairs,
+        )
+
+        # measured fps (fingerprint_batch): hot == 0xc0 (the seed-2
+        # re-noise lands on the SAME fingerprint — it joins the hot
+        # group), small == 0x20000000000, hamming(hot, small) == 3 —
+        # so small pairs CROSS-group with hot at max_hamming=6
+        hot = sine_pcm(n=4000, amp=8000.0, noise=40.0, seed=1)
+        hot2 = sine_pcm(n=4000, amp=8000.0, noise=40.0, seed=2)
+        small = sine_pcm(
+            n=4000, amp=8000.0, noise=40.0, seed=3, freq=2600.0
+        )
+        rows = [(f"hot{i}", hot.tobytes(), "pcm_s16le") for i in range(5)]
+        rows.append(("hot5", hot2.tobytes(), "pcm_s16le"))
+        rows += [(f"sm{i}", small.tobytes(), "pcm_s16le") for i in range(2)]
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, codec string"
+        )
+        stats: dict = {}
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in audio_near_dup_pairs(
+                df, max_hamming=6, chunks=8, max_bucket=3,
+                stats_out=stats,
+            ).collect()
+        }
+        assert stats["identical-fp clip groups"] == 1
+        # the over-cap group (6 hot clips) is excluded from BOTH
+        # expansions — no within pairs, and no cross pairs with the
+        # hamming-3 small group either; only the under-cap identical
+        # pair survives
+        assert pairs == {("sm0", "sm1")}
+        # uncapped run keeps everything: C(6,2) within-hot + 1 within-sm
+        # + 6*2 cross(hot, sm)
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in audio_near_dup_pairs(
+                df, max_hamming=6, chunks=8, max_bucket=None,
+            ).collect()
+        }
+        hot_within = {
+            (a, b) for a, b in full
+            if a.startswith("hot") and b.startswith("hot")
+        }
+        cross = {
+            (a, b) for a, b in full
+            if {a[:2], b[:2]} == {"ho", "sm"}
+        }
+        assert len(hot_within) == 15 and len(cross) == 12
+        assert len(full) == 15 + 1 + 12
+
     def test_fingerprint_batch_matches_spark_path(self, spark):
         """The full-payload oracle path (fingerprint_batch) and the Spark
         JVM-window path (with_audio_fingerprint) must agree bit-for-bit:
