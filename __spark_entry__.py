@@ -288,6 +288,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_minhash_pairs"] = doc_minhash_pairs
 
+    def doc_minhash_incremental(spark, sf):  # oracle: golden full-pair set restricted to new-involving pairs
+        """Incremental cross-run dedup: docs with id >= 250 arrive as a
+        NEW batch and are mined against the signature history of the
+        already-ingested first half — the raw text of history is never
+        re-shingled. By the tested equivalence (incremental ∪
+        history-internal == full recompute), the result is exactly the
+        golden doc_minhash_pairs set restricted to pairs touching a new
+        id. Split constant matches the sf0.01 golden corpus (500 docs);
+        the golden oracle itself is only valid there."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+            minhash_signatures,
+        )
+
+        df = _load(spark, sf, "documents", rebalance=True).cache()
+        hist = df.filter(F.col("doc_id") < 250)
+        new = df.filter(F.col("doc_id") >= 250)
+        pairs, _sigs = minhash_lsh_pairs_incremental(
+            new, minhash_signatures(hist, "doc_id", "text"),
+            "doc_id", "text", min_est_jaccard=0.5,
+        )
+        return pairs
+
+    q["doc_minhash_incremental"] = doc_minhash_incremental
+
     def doc_dup_components(spark, sf):
         """Transitive dedup groups: connected components over the exact
         n-gram-Jaccard candidate pairs (iterative min-label propagation)."""
@@ -338,6 +363,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_neardup_survivors"] = doc_neardup_survivors
 
+    def doc_quality_survivors(spark, sf):
+        """Survivor-selection POLICY: same closure as
+        doc_neardup_survivors, but each dup group keeps its
+        highest-quality member (quality = n_chars here — 'keep the
+        longest copy', a real production policy; near-dup members
+        genuinely differ in length, so the argmax path is exercised,
+        with min-id tie-breaks keeping determinism)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+            dedup_survivors_by_component,
+        )
+
+        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 200).cache()
+        pairs = ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_k=1, min_jaccard=0.8
+        )
+        comps = connected_components(pairs)
+        return dedup_survivors_by_component(
+            df, comps, "doc_id", quality_col="n_chars"
+        ).select("doc_id")
+
+    q["doc_quality_survivors"] = doc_quality_survivors
+
     def doc_simhash_pairs(spark, sf):  # oracle: committed golden (pure-Python XXH64 re-derivation)
         from data_quality_check_pipeline_spark.operators.dedup import (
             simhash_pairs,
@@ -377,7 +428,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_pii_type_counts"] = doc_pii_type_counts
 
     # ---- text analysis ------------------------------------------------------
-    def doc_token_counts(spark, sf):
+    def doc_text_stats(spark, sf):
+        """Per-doc text analysis as ONE projection: token counting
+        (whitespace + BPE-ish regex), stopword ratio, n-gram language
+        guess, heuristic quality score. Formerly four separate queries
+        (doc_token_counts / doc_stopword_ratio / doc_lang_guess /
+        doc_quality_scores) — folded so every registered query fits the
+        driver's 50-slot correctness budget; each column keeps its own
+        oracle expression, so per-operator evidence is undiminished.
+        One pass over the corpus is also the 100-TB shape: these are
+        all narrow per-row exprs sharing the scan."""
+        from data_quality_check_pipeline_spark.operators.text import (
+            stopword_ratio_expr,
+        )
+
         df = _load(spark, sf, "documents")
         return df.select(
             "doc_id",
@@ -387,37 +451,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
             .cast("long")
             .alias("bpe_tokens"),
+            stopword_ratio_expr("text").alias("stopword_ratio"),
+            lang_guess_expr(F.col("text")).alias("lang_guess"),
+            quality_score_expr(F.col("text")).alias("quality_score"),
         )
 
-    q["doc_token_counts"] = doc_token_counts
-
-    def doc_quality_scores(spark, sf):
-        df = _load(spark, sf, "documents")
-        return df.select(
-            "doc_id", quality_score_expr(F.col("text")).alias("quality_score")
-        )
-
-    q["doc_quality_scores"] = doc_quality_scores
-
-    def doc_lang_guess(spark, sf):
-        df = _load(spark, sf, "documents")
-        return df.select(
-            "doc_id", lang_guess_expr(F.col("text")).alias("lang_guess")
-        )
-
-    q["doc_lang_guess"] = doc_lang_guess
-
-    def doc_stopword_ratio(spark, sf):
-        from data_quality_check_pipeline_spark.operators.text import (
-            stopword_ratio_expr,
-        )
-
-        df = _load(spark, sf, "documents")
-        return df.select(
-            "doc_id", stopword_ratio_expr("text").alias("stopword_ratio")
-        )
-
-    q["doc_stopword_ratio"] = doc_stopword_ratio
+    q["doc_text_stats"] = doc_text_stats
 
     def doc_validation_flags(spark, sf):
         df = _load(spark, sf, "documents")
@@ -568,10 +607,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_clean_dates"] = orders_clean_dates
 
-    def orders_date_bounds(spark, sf):
-        """Timestamp-sanity rule (statistical_validator.py:113-150 parity):
-        per-row out-of-range flag + corpus tallies. Bounds are set inside
-        the table's 1992-1998 span so both outcomes occur."""
+    def orders_date_profile(spark, sf):
+        """Timestamp-sanity rule (statistical_validator.py:113-150 parity)
+        + freshness SLA in one aggregate: per-row out-of-range flag with
+        corpus tallies, and the max-orderdate freshness probe (formerly
+        the separate orders_freshness query — folded for the driver's
+        50-slot budget). Bounds sit inside the table's 1992-1998 span so
+        both outcomes occur."""
         from data_quality_check_pipeline_spark.operators.stats import (
             with_date_bounds_flag,
         )
@@ -587,9 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             F.min(F.year("o_orderdate")).alias("min_year"),
             F.max(F.year("o_orderdate")).alias("max_year"),
+            F.date_format(
+                F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("max_orderdate"),
         )
 
-    q["orders_date_bounds"] = orders_date_bounds
+    q["orders_date_profile"] = orders_date_profile
 
     # ---- histograms / sorts / top-k -----------------------------------------
     def orders_status_histogram(spark, sf):
@@ -614,16 +659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["orders_priority_share"] = orders_priority_share
-
-    def orders_freshness(spark, sf):
-        df = _load(spark, sf, "orders")
-        return df.agg(
-            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
-                "max_orderdate"
-            )
-        )
-
-    q["orders_freshness"] = orders_freshness
 
     def events_user_topk(spark, sf):
         df = _load(spark, sf, "events")
@@ -1365,6 +1400,16 @@ def oracle_sql() -> dict[str, str]:
         if _g is not None:
             sql[_name] = _g
 
+    if "doc_minhash_pairs" in sql:
+        # incremental == full recompute restricted to pairs touching a
+        # new (id >= 250) doc — the tested equivalence of
+        # minhash_lsh_pairs_incremental lets the committed golden serve
+        # as the incremental oracle too
+        sql["doc_minhash_incremental"] = (
+            f"SELECT * FROM ({sql['doc_minhash_pairs']}) "
+            "WHERE id_a >= 250 OR id_b >= 250"
+        )
+
     sql["flagship_doc_quality_filter"] = _FLAGSHIP_SQL.replace(
         "__LANG_GUESS__", lang_guess
     ).replace("__QUALITY__", quality)
@@ -1480,6 +1525,26 @@ def oracle_sql() -> dict[str, str]:
         WHERE n != comp
       )"""
 
+    # quality-policy survivors: same closure, but each component keeps
+    # its argmax-n_chars member (ties -> min id, NULL quality loses)
+    _qsurv_head, _qsurv_tail = sql["doc_neardup_survivors"].rsplit(
+        "SELECT doc_id FROM documents", 1
+    )
+    sql["doc_quality_survivors"] = _qsurv_head + """
+      SELECT doc_id FROM documents
+      WHERE doc_id < 200 AND doc_id NOT IN (
+        SELECT n FROM (
+          SELECT c.n,
+                 row_number() OVER (
+                   PARTITION BY c.comp
+                   ORDER BY d.n_chars DESC NULLS LAST, c.n ASC
+                 ) AS rk
+          FROM (SELECT n, min(m) AS comp FROM reach GROUP BY n) c
+          JOIN documents d ON d.doc_id = c.n
+        )
+        WHERE rk > 1
+      )"""
+
     sql["doc_scrub"] = (
         f"SELECT doc_id, {_sql_scrub('text')} AS text_scrubbed FROM documents"
     )
@@ -1502,32 +1567,24 @@ def oracle_sql() -> dict[str, str]:
 
     ws_count = _sql_count("text", "\\S+")
     bpe_count = _sql_count("text", TOKEN_RE)
-    sql["doc_token_counts"] = f"""
-      SELECT doc_id,
-             CAST({ws_count} AS BIGINT) AS ws_tokens,
-             CAST({bpe_count} AS BIGINT) AS bpe_tokens
-      FROM documents"""
-
-    sql["doc_quality_scores"] = (
-        f"SELECT doc_id, {quality} AS quality_score FROM documents"
-    )
-
-    sql["doc_lang_guess"] = f"""
-      SELECT doc_id, {_sql_lang_guess('text')} AS lang_guess FROM documents"""
 
     from data_quality_check_pipeline_spark.operators.text import STOPWORDS
 
     _norm_low = _SQL_NORM.format(c="lower(text)")
     _sw_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
-    sql["doc_stopword_ratio"] = f"""
+    sql["doc_text_stats"] = f"""
       SELECT doc_id,
-        CASE WHEN {_sql_missing('text')}
-                  OR len(string_split({_norm_low}, ' ')) <= 0 THEN 0.0
-             ELSE round(
-               CAST(len(list_filter(string_split({_norm_low}, ' '),
-                         t -> list_contains({_sw_list}, t))) AS DOUBLE)
-               / CAST(len(string_split({_norm_low}, ' ')) AS DOUBLE), 6)
-        END AS stopword_ratio
+             CAST({ws_count} AS BIGINT) AS ws_tokens,
+             CAST({bpe_count} AS BIGINT) AS bpe_tokens,
+             CASE WHEN {_sql_missing('text')}
+                       OR len(string_split({_norm_low}, ' ')) <= 0 THEN 0.0
+                  ELSE round(
+                    CAST(len(list_filter(string_split({_norm_low}, ' '),
+                              t -> list_contains({_sw_list}, t))) AS DOUBLE)
+                    / CAST(len(string_split({_norm_low}, ' ')) AS DOUBLE), 6)
+             END AS stopword_ratio,
+             {_sql_lang_guess('text')} AS lang_guess,
+             {quality} AS quality_score
       FROM documents"""
 
     sql["doc_validation_flags"] = """
@@ -1645,14 +1702,16 @@ def oracle_sql() -> dict[str, str]:
                   ELSE NULL END AS clean_date
       FROM orders"""
 
-    sql["orders_date_bounds"] = """
+    sql["orders_date_profile"] = """
       SELECT CAST(count(*) AS BIGINT) AS total,
              CAST(sum(CASE WHEN o_orderdate IS NULL
                            OR year(o_orderdate) < 1993
                            OR year(o_orderdate) > 1997
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_bounds,
              CAST(min(year(o_orderdate)) AS INTEGER) AS min_year,
-             CAST(max(year(o_orderdate)) AS INTEGER) AS max_year
+             CAST(max(year(o_orderdate)) AS INTEGER) AS max_year,
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+               AS max_orderdate
       FROM orders"""
 
     sql["orders_status_histogram"] = (
@@ -1666,11 +1725,6 @@ def oracle_sql() -> dict[str, str]:
                    / CAST((SELECT count(*) FROM orders) AS DOUBLE), 6)
                AS share
       FROM orders GROUP BY 1"""
-
-    sql["orders_freshness"] = (
-      "SELECT strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') "
-      "AS max_orderdate FROM orders"
-    )
 
     sql["events_user_topk"] = """
       SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, user_id ASC)

@@ -60,14 +60,6 @@ def main() -> None:
         extra={"spark.sql.session.timeZone": "UTC"},
     )
 
-    timings: dict[str, float] = {}
-
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
-
     # --- headline: clip keep/drop + scrub end-to-end (count + scrub agg) ---
     def clips_pipeline():
         df = spark.read.parquet(clips_parquet)
@@ -83,21 +75,11 @@ def main() -> None:
     # Warm-up pass (excluded): pays one-time costs that are not engine
     # throughput — cold page-cache read of the corpus (this sandbox's disk
     # has multi-second noise epochs, see DESIGN.md), python-worker spawn,
-    # and per-host model build/mmap. The timed pass below measures
+    # and per-host model build/mmap. The timed passes below measure
     # steady-state capacity, same methodology as tools/bench_scaling.py.
     t0 = time.time()
-    clips_pipeline()
+    kept = clips_pipeline()
     cold_s = round(time.time() - t0, 3)
-
-    # min of 2 timed passes: this host's high-thread timings are bimodal
-    # (same job 4.7s vs 11.7s within one JVM) — report capacity, not the
-    # scheduler's coin flip. Same methodology as tools/bench_scaling.py.
-    kept = timed("clips_keep_drop_scrub", clips_pipeline)
-    first = timings["clips_keep_drop_scrub"]
-    kept = timed("clips_keep_drop_scrub", clips_pipeline)
-    timings["clips_keep_drop_scrub"] = min(first,
-                                           timings["clips_keep_drop_scrub"])
-    clips_per_sec = n_clips / timings["clips_keep_drop_scrub"]
 
     # --- operator-family queries at the SF dir -----------------------------
     def _force(df) -> int:
@@ -118,10 +100,10 @@ def main() -> None:
         return row["n"]
 
     qs = entrymod.queries()
-    for name in [
+    names = [
         "flagship_doc_quality_filter",
         "doc_scrub",
-        "doc_token_counts",
+        "doc_text_stats",
         "doc_minhash_pairs",
         "doc_simhash_pairs",
         "doc_dup_components",
@@ -132,15 +114,31 @@ def main() -> None:
         "events_hourly",
         "embedding_topk",
         "embedding_ivf_ann",
-    ]:
-        fn = qs[name]
-        # min of 2 passes per query, same discipline as the clips
-        # headline: this host's timings are bimodal (multi-second noise
-        # epochs) — report capacity, not the scheduler's coin flip
-        timed(name, lambda f=fn: _force(f(spark, sf_dir)))
-        first = timings[name]
-        timed(name, lambda f=fn: _force(f(spark, sf_dir)))
-        timings[name] = min(first, timings[name])
+    ]
+
+    # Per-query MIN over >=3 INTERLEAVED passes, with the spread
+    # reported alongside (bench_scaling.py's discipline, adopted here
+    # after r03: a one-pass headline moved -8% round-over-round with no
+    # code change on that path — this host's multi-second noise epochs
+    # masquerade as regressions). Interleaving matters: an epoch then
+    # degrades pass k of EVERY query instead of all passes of one
+    # query, so per-query minima stay clean.
+    PASSES = 3
+    runs: dict[str, list[float]] = {}
+
+    def one_pass(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        runs.setdefault(name, []).append(round(time.time() - t0, 3))
+
+    for _ in range(PASSES):
+        one_pass("clips_keep_drop_scrub", clips_pipeline)
+        for name in names:
+            one_pass(name, lambda f=qs[name]: _force(f(spark, sf_dir)))
+
+    timings = {k: min(v) for k, v in runs.items()}
+    spread = {k: round(max(v) - min(v), 3) for k, v in runs.items()}
+    clips_per_sec = n_clips / timings["clips_keep_drop_scrub"]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -150,6 +148,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "passes": PASSES,
                 "sf": sf_dir,
                 "clips_n": n_clips,
                 "clips_kept": int(kept),
@@ -166,6 +166,11 @@ def main() -> None:
             }
         )
     )
+    # cache-lifetime hygiene: queries cache()/persist intra-query frames
+    # (kept ACROSS the interleaved passes on purpose — the min measures
+    # steady-state); release them before teardown so a caller embedding
+    # main() in a longer-lived session isn't left with pinned storage
+    spark.catalog.clearCache()
     spark.stop()
 
 

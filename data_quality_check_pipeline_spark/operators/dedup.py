@@ -132,21 +132,48 @@ def exact_dups(
     )
 
 
-def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one deterministic survivor (min id) per exact text group.
-    Implemented as a min-id aggregate + semi-join — no window sort over the
+def _argmax_quality(id_expr, quality_col: str):
+    """min_by ordering key that keeps the HIGHEST-quality member, ties
+    broken on MIN id — one aggregate, no window sort over the corpus.
+    NULL quality coalesces to -inf so it always loses to a scored row;
+    the id tie-break keeps the choice deterministic across retries."""
+    nq = -F.coalesce(F.col(quality_col).cast("double"),
+                     F.lit(float("-inf")))
+    return F.min_by(id_expr, F.struct(nq.alias("_nq"), id_expr.alias("_i")))
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Keep one deterministic survivor per exact text group. Implemented
+    as an argmin/argmax aggregate + semi-join — no window sort over the
     full corpus.
+
+    Default policy: min id. With ``quality_col`` (numeric), the
+    survivor is the group's BEST-quality member instead — the
+    production policy for training-data dedup, where a dup cluster
+    should keep its longest/highest-scoring copy, not whichever was
+    ingested first. Ties (exact dups often score identically) break on
+    min id; NULL quality ranks lowest.
 
     Rows with NULL text all SURVIVE: missing text is not evidence of
     shared content (xxhash64(NULL) is a constant — grouping on it would
     silently discard all-but-one of every null-text row)."""
     t = norm_text(F.lower(F.col(text_col)))
-    keyed = df.select(F.col(id_col).alias("_id"), F.xxhash64(t).alias("_h"),
-                      t.isNull().alias("_null"))
+    cols = [F.col(id_col).alias("_id"), F.xxhash64(t).alias("_h"),
+            t.isNull().alias("_null")]
+    if quality_col is not None:
+        cols.append(F.col(quality_col))
+    keyed = df.select(*cols)
+    pick = (
+        F.min("_id") if quality_col is None
+        else _argmax_quality(F.col("_id"), quality_col)
+    ).alias(id_col)
     survivors = (
         keyed.filter(~F.col("_null"))
         .groupBy("_h")
-        .agg(F.min("_id").alias(id_col))
+        .agg(pick)
         .select(id_col)
         .unionByName(keyed.filter("_null").select(
             F.col("_id").alias(id_col)))
@@ -270,9 +297,57 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("sig"),
+    banded = _minhash_banded(sigs, id_col, n_hashes, bands)
+    banded = _drop_hot_groups(
+        banded, ["band", "band_hash"], max_bucket,
+        "hot_band_buckets", stats_out,
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_hash",
+    )
+    # Score and threshold BEFORE the dedup shuffle: a pair colliding in
+    # several bands recomputes the (cheap, codegen'd) zip_with once per
+    # collision, but the distinct exchange then carries 24-byte
+    # (id_a, id_b, est) rows instead of two full n_hashes-long signature
+    # arrays (~22x smaller here), and sub-threshold candidates never
+    # enter the shuffle at all. est is deterministic per pair, so
+    # distinct over the projected triple collapses band duplicates
+    # exactly as the old sig-carrying distinct did. (r02 review item.)
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            _sig_agreement(n_hashes).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
+    )
+
+
+def _minhash_banded(
+    sigs: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a (id, sig) frame into (id, sig, band, band_hash) rows —
+    one per band. Pure map-side (no shuffle): each band hash is
+    xxhash64 over that band's slice of the signature, salted by the
+    band index so identical slices in DIFFERENT bands never bucket
+    together. Shared by the full and the incremental candidate
+    generators so the two band identically (the incremental-equals-full
+    equivalence depends on it). Extra columns on ``sigs`` are carried
+    through untouched."""
+    rows = n_hashes // bands
+    return sigs.select(
+        "*",
         F.posexplode(
             F.array(
                 *[
@@ -291,23 +366,12 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    banded = _drop_hot_groups(
-        banded, ["band", "band_hash"], max_bucket,
-        "hot_band_buckets", stats_out,
-    )
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("sig").alias("sig_a"),
-        "band",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("sig").alias("sig_b"),
-        "band",
-        "band_hash",
-    )
-    est = (
+
+
+def _sig_agreement(n_hashes: int):
+    """Fraction of agreeing signature positions between sig_a and sig_b
+    (the unbiased Jaccard estimate)."""
+    return (
         F.size(
             F.filter(
                 F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
@@ -316,21 +380,138 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(n_hashes))
     )
-    # Score and threshold BEFORE the dedup shuffle: a pair colliding in
-    # several bands recomputes the (cheap, codegen'd) zip_with once per
-    # collision, but the distinct exchange then carries 24-byte
-    # (id_a, id_b, est) rows instead of two full n_hashes-long signature
-    # arrays (~22x smaller here), and sub-threshold candidates never
-    # enter the shuffle at all. est is deterministic per pair, so
-    # distinct over the projected triple collapses band duplicates
-    # exactly as the old sig-carrying distinct did. (r02 review item.)
-    return (
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame, history_sigs: DataFrame | None,
+    id_col: str, text_col: str,
+    n_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+    min_est_jaccard: float = 0.7,
+    max_bucket: int | None = 10_000,
+    stats_out: dict | None = None,
+    persist_sigs: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental cross-run near-dup mining: candidate pairs where at
+    least ONE side is a NEW document, against a persisted signature
+    history — the 100-TB shape, where each arriving shard dedups
+    against everything already ingested WITHOUT re-mining the corpus.
+    Returns ``(pairs, new_sigs)``: score-thresholded (id_a, id_b,
+    est_jaccard) pairs (new-vs-new AND new-vs-history), and the new
+    batch's (id, sig) frame for the caller to append to the history
+    table after the run commits (see incremental_minhash_run).
+
+    Equivalence guarantee (tested): with identical parameters,
+    ``full_pairs(history ∪ new) == full_pairs(history) ∪
+    incremental_pairs(new, sigs(history))`` — exactly, whenever the
+    hot-bucket cap does not fire. Banding and capping run over the
+    UNION of history and new signatures, so every new-involving pair
+    sees exactly the bucket bounds a full recompute would; when a
+    bucket grows past the cap ACROSS runs, the accumulated pair set is
+    a SUPERSET of a capped full recompute (pairs legitimately found
+    while the bucket was still small are kept, not retroactively
+    dropped) and never misses anything the full recompute would find.
+    Only the raw-text stage (shingle explode + n_hashes min-aggs, the
+    expensive part) is skipped for history rows: re-banding a history
+    signature is one codegen'd projection over 8·n_hashes bytes/doc.
+
+    ``history_sigs`` must hold (id_col, sig: array<bigint>) rows
+    produced by minhash_signatures WITH THE SAME n_hashes/shingle_k
+    (signatures from different parameters silently estimate garbage).
+    ids in ``new_df`` must be disjoint from history — replaying an
+    already-ingested batch belongs to the caller's idempotency layer
+    (TableStore source fingerprints), not here. ``history_sigs=None``
+    degrades to a first-run full mine over new_df alone."""
+    new_sigs = minhash_signatures(
+        new_df, id_col, text_col, n_hashes, shingle_k
+    )
+    if persist_sigs:
+        from pyspark import StorageLevel
+
+        new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    tagged = new_sigs.withColumn("_new", F.lit(True))
+    if history_sigs is not None:
+        tagged = (
+            history_sigs.select(F.col(id_col), "sig")
+            .withColumn("_new", F.lit(False))
+            .unionByName(tagged)
+        )
+    banded = _minhash_banded(tagged, id_col, n_hashes, bands)
+    banded = _drop_hot_groups(
+        banded, ["band", "band_hash"], max_bucket,
+        "hot_band_buckets", stats_out,
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("_new").alias("_new_a"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("_new").alias("_new_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = (
         left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_new_a") | F.col("_new_b"))
+        )
+        .select(
+            "id_a", "id_b",
+            _sig_agreement(n_hashes).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .distinct()
     )
+    return pairs, new_sigs
+
+
+def incremental_minhash_run(
+    store, table: str, new_df: DataFrame,
+    id_col: str, text_col: str,
+    source_fingerprint: str | None = None,
+    **kwargs,
+) -> DataFrame | None:
+    """One ingest round against a TableStore-backed signature history:
+    read the current history snapshot, mine new-vs-(history ∪ new)
+    pairs, materialize them, then append the new signatures as the next
+    snapshot. Returns the pairs DataFrame, or None when
+    ``source_fingerprint`` matches the table's last commit (an exact
+    replay of an already-ingested batch — ids would collide with
+    history, so the run is skipped idempotently; pass None to disable).
+
+    The sig append commits AFTER the pairs are materialized from the
+    PRE-append snapshot, so a crash mid-run re-mines the same batch
+    against the same history next time — at-least-once with the
+    fingerprint guard upgrading replays to exactly-once."""
+    if source_fingerprint is not None and store.exists(table) and (
+        store.is_unchanged(table, source_fingerprint)
+    ):
+        _log.info(
+            "incremental_minhash_run(%s): source fingerprint unchanged — "
+            "batch already ingested, skipping", table,
+        )
+        return None
+    history = store.read(table) if store.exists(table) else None
+    pairs, new_sigs = minhash_lsh_pairs_incremental(
+        new_df, history, id_col, text_col, **kwargs
+    )
+    # materialize pairs BEFORE committing the sigs: once the append
+    # lands, a re-run would see the batch's own sigs as 'history'
+    pairs = pairs.cache()
+    pairs.count()
+    store.write(
+        table, new_sigs, mode="append",
+        properties=(
+            {"source_fingerprint": source_fingerprint}
+            if source_fingerprint is not None else None
+        ),
+    )
+    return pairs
 
 
 # ---------------------------------------------------------------------------

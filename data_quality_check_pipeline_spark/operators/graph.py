@@ -304,10 +304,40 @@ def dedup_survivors_by_component(
     df: DataFrame,
     components: DataFrame,
     id_col: str,
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Keep one deterministic survivor (the min-id == component id) per
-    near-dup group; rows not in any component survive untouched."""
-    dupes = components.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
+    """Keep one deterministic survivor per near-dup group; rows not in
+    any component survive untouched.
+
+    Default policy: min id — free, because the component LABEL already
+    is the group's min id, so non-survivors are simply the rows where
+    node != comp (no extra join). With ``quality_col`` (numeric column
+    on ``df``), the survivor is instead the group's argmax-quality
+    member (ties -> min id, NULL quality loses) — production pipelines
+    keep the BEST copy of a dup cluster, not the first-ingested one.
+    Cost shape: one narrow join components⋈(id, quality) + one groupBy
+    over components (both bounded by the dup-cluster rows, not the
+    corpus) + the same left_anti."""
+    if quality_col is None:
+        dupes = components.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(dupes, id_col, "left_anti")
+    from .dedup import _argmax_quality
+
+    members = components.join(
+        df.select(
+            F.col(id_col).alias("node"),
+            F.col(quality_col).alias("_q"),
+        ),
+        "node",
+    )
+    best = members.groupBy("comp").agg(
+        _argmax_quality(F.col("node"), "_q").alias("_keep")
+    )
+    dupes = (
+        members.join(best, "comp")
+        .filter(F.col("node") != F.col("_keep"))
+        .select(F.col("node").alias(id_col))
     )
     return df.join(dupes, id_col, "left_anti")

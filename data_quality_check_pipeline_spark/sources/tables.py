@@ -32,6 +32,136 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _norm_stat_value(v):
+    """Normalize a stats/predicate value to a JSON-storable, totally-
+    ordered primitive, or None when the type is not safely comparable.
+    datetimes/dates go to epoch seconds / ordinal numbers (NOT ISO
+    strings: lexicographic ISO comparison breaks on trailing-zero
+    fractions, and a misordered bound would prune a file that matched).
+    bools and decimals are skipped outright — pruning must be
+    conservative, never clever."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or isinstance(v, decimal.Decimal):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        base = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - base).total_seconds()
+    if isinstance(v, datetime.date):
+        return float(v.toordinal())
+    return None
+
+
+def _partition_value(raw: str):
+    """Decode a hive-style path segment value the way Spark's partition
+    inference does (int, then float, then string)."""
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            continue
+    return raw
+
+
+def _collect_file_stats(data_dir: str) -> list[dict]:
+    """Per-file min/max column stats from parquet FOOTERS (metadata-only
+    reads — the writer already paid for the stats; this is the local
+    equivalent of Iceberg writers reporting stats into manifests).
+    Hive-style partition path segments contribute exact min==max stats
+    for the partition columns. A column missing stats in ANY row group
+    of a file gets no entry for that file (conservative)."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for root, _dirs, files in os.walk(data_dir):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, data_dir)
+            stats: dict = {}
+            bad: set = set()
+            try:
+                md = pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        cname = col.path_in_schema
+                        if "." in cname or cname in bad:
+                            continue  # nested / already disqualified
+                        st = col.statistics
+                        lo = hi = None
+                        if st is not None and st.has_min_max:
+                            lo = _norm_stat_value(st.min)
+                            hi = _norm_stat_value(st.max)
+                        if lo is None or hi is None:
+                            bad.add(cname)
+                            stats.pop(cname, None)
+                            continue
+                        if cname in stats:
+                            stats[cname] = [
+                                min(stats[cname][0], lo),
+                                max(stats[cname][1], hi),
+                            ]
+                        else:
+                            stats[cname] = [lo, hi]
+            except Exception:  # noqa: BLE001 - stats are best-effort
+                stats = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    if raw != "__HIVE_DEFAULT_PARTITION__":
+                        v = _partition_value(raw)
+                        stats[k] = [v, v]
+            out.append({"path": rel, "stats": stats})
+    return out
+
+
+def _file_may_match(stats: dict, prune: list) -> bool:
+    """Conservative overlap test: False ONLY when the file's [min, max]
+    provably cannot satisfy EVERY predicate. Missing stats, unknown
+    columns, or type-incomparable values keep the file. NULL rows carry
+    no stats and are excluded by every predicate anyway (SQL
+    three-valued logic) — callers still apply the real filter; pruning
+    only skips files."""
+    for col, op, val in prune:
+        s = stats.get(col)
+        nval = _norm_stat_value(val)
+        if not s or nval is None:
+            continue
+        lo, hi = s
+        try:
+            if op == "=":
+                drop = nval < lo or nval > hi
+            elif op == ">=":
+                drop = hi < nval
+            elif op == ">":
+                drop = hi <= nval
+            elif op == "<=":
+                drop = lo > nval
+            elif op == "<":
+                drop = lo >= nval
+            else:
+                raise ValueError(f"unsupported prune op {op!r}")
+            if drop:
+                return False
+        except TypeError:
+            continue  # e.g. int predicate on a string column: keep
+    return True
+
+
 class TableStore:
     """Parquet-backed versioned tables under a root directory."""
 
@@ -149,11 +279,8 @@ class TableStore:
         # an empty write leaves no data files; remember the schema so reads
         # of empty tables/snapshots still resolve
         schema_json = df.schema.json()
-        has_data = any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(data_dir)
-            for f in files
-        )
+        files = _collect_file_stats(data_dir)
+        has_data = bool(files)
 
         with self._table_lock(name):
             m = self._load_manifest(name)
@@ -173,14 +300,39 @@ class TableStore:
                     "properties": properties or {},
                     "schema": schema_json,
                     "has_data": has_data,
+                    # per-file min/max column stats (footer metadata only
+                    # — no data scan), the manifest-level data-skipping
+                    # lever Iceberg gets from its manifests. Keyed by the
+                    # file's snap-dir-relative path.
+                    "files": files,
                 }
             )
             m["current"] = sid
             self._save_manifest(name, m)
         return sid
 
-    def read(self, name: str, snapshot_id: str | None = None) -> DataFrame:
-        """Read the current (or a time-travel) snapshot."""
+    def read(
+        self,
+        name: str,
+        snapshot_id: str | None = None,
+        prune: list | None = None,
+        scan_stats: dict | None = None,
+    ) -> DataFrame:
+        """Read the current (or a time-travel) snapshot.
+
+        ``prune``: optional list of simple predicates
+        ``(col, op, value)`` with op in {'=', '<', '<=', '>', '>='} —
+        FILES whose recorded min/max provably cannot match every
+        predicate are skipped before Spark ever lists them (manifest-
+        level data skipping, the lever that makes an Iceberg-style
+        table usable at 100 TB: a time- or key-range query touches the
+        overlapping files, not the table). Pruning is advisory and
+        conservative — files lacking stats are kept, and callers must
+        still apply the real filter to the returned frame. Partitioned
+        snapshot dirs keep their partition columns via basePath.
+        ``scan_stats`` (optional dict) receives
+        files_kept/files_skipped/files_unknown counts for observability
+        and tests."""
         m = self._load_manifest(name)
         snap = self._snapshot(m, snapshot_id)
         if snap is None:
@@ -197,11 +349,48 @@ class TableStore:
                     return True
             return False
 
-        paths = [
+        dirs = [
             os.path.join(self._dir(name), d) for d in snap["read_set"]
         ]
-        paths = [p for p in paths if os.path.isdir(p) and _dir_has_parquet(p)]
-        if not paths:
+        dirs = [p for p in dirs if os.path.isdir(p) and _dir_has_parquet(p)]
+        if scan_stats is not None:
+            scan_stats.update(
+                {"files_kept": 0, "files_skipped": 0, "files_unknown": 0}
+            )
+        # per-file stats live in the manifest entry of the snapshot that
+        # WROTE each dir (an append's read_set references parent dirs)
+        stats_by_dir = {
+            f"snap_{s['id']}": s.get("files") for s in m["snapshots"]
+        }
+        parts: list[DataFrame] = []
+        for d in dirs:
+            finfo = stats_by_dir.get(os.path.basename(d))
+            if prune and finfo is not None:
+                kept = [
+                    f["path"] for f in finfo
+                    if _file_may_match(f["stats"], prune)
+                ]
+                if scan_stats is not None:
+                    scan_stats["files_kept"] += len(kept)
+                    scan_stats["files_skipped"] += len(finfo) - len(kept)
+                if not kept:
+                    continue
+                if len(kept) == len(finfo):
+                    parts.append(self.spark.read.parquet(d))
+                else:
+                    # basePath keeps hive-style partition columns intact
+                    # when listing individual files under a partitioned
+                    # snapshot dir
+                    parts.append(
+                        self.spark.read.option("basePath", d).parquet(
+                            *[os.path.join(d, p) for p in kept]
+                        )
+                    )
+            else:
+                if scan_stats is not None and prune:
+                    scan_stats["files_unknown"] += 1  # legacy dir: kept
+                parts.append(self.spark.read.parquet(d))
+        if not parts:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(
@@ -214,15 +403,12 @@ class TableStore:
         # gaining columns in a later release) unions old 11-col snapshots
         # with new 13-col appends — strict unionByName would raise
         # AnalysisException on the resume path; absent columns become null.
-        df = self.spark.read.parquet(paths[0])
         from functools import reduce
 
         return reduce(
-            lambda a, p: a.unionByName(
-                self.spark.read.parquet(p), allowMissingColumns=True
-            ),
-            paths[1:],
-            df,
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            parts[1:],
+            parts[0],
         )
 
     def exists(self, name: str) -> bool:

@@ -74,6 +74,57 @@ class TestExactDedup:
         groups = exact_dups(df, "doc_id", "text").collect()
         assert len(groups) == 1 and groups[0]["ids"] == [1, 2]
 
+    def test_survivor_by_quality(self, spark):
+        """Production policy: a dup group keeps its BEST-quality member
+        (argmax quality, ties -> min id, NULL quality loses), not the
+        min id."""
+        rows = [
+            (1, "same text", 0.2),
+            (2, "same text", 0.9),   # best quality -> survivor
+            (3, "same text", None),  # null quality always loses
+            (4, "other words", 0.1),
+            (5, "OTHER words  ", 0.1),  # tie with 4 -> min id 4 wins
+            (6, None, 0.0),          # null text always survives
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_exact(df, "doc_id", "text",
+                                 quality_col="q").collect()
+        )
+        assert kept == [2, 4, 6]
+
+    def test_component_survivor_by_quality(self, spark):
+        from data_quality_check_pipeline_spark.operators.graph import (
+            dedup_survivors_by_component,
+        )
+
+        comps = spark.createDataFrame(
+            # group A = {1,2,3}, group B = {7,9}; 5 is in no component
+            [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+            "node long, comp long",
+        )
+        df = spark.createDataFrame(
+            [(1, 0.1), (2, 0.8), (3, 0.8), (5, 0.0), (7, None), (9, 0.2)],
+            "doc_id long, q double",
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_survivors_by_component(
+                df, comps, "doc_id", quality_col="q"
+            ).collect()
+        )
+        # A: quality tie 2 vs 3 -> min id 2; B: null(7) loses to 0.2(9)
+        assert kept == [2, 5, 9]
+        # default policy unchanged: min-id (== component label)
+        kept_min = sorted(
+            r["doc_id"]
+            for r in dedup_survivors_by_component(
+                df, comps, "doc_id"
+            ).collect()
+        )
+        assert kept_min == [1, 5, 7]
+
     def test_null_text_produces_no_near_dup_pairs(self, spark):
         from data_quality_check_pipeline_spark.operators.dedup import (
             minhash_lsh_pairs,
@@ -261,6 +312,156 @@ class TestHotBucketGuards:
         assert stats_in["t"] == stats_fb["t"] == 30
         # schema unchanged (the _enc helper column never leaks out)
         assert fallback_df.columns == df.columns
+
+
+def _two_batch_corpus(spark):
+    """A corpus split into an already-ingested batch (ids < 100) and a
+    new arrival (ids >= 100), with planted near-dup clusters WITHIN
+    history, WITHIN the new batch, and ACROSS the split."""
+    hist = [
+        (1, BASE),
+        (2, BASE),                               # hist-hist exact
+        (3, NEAR),                               # hist-hist near
+        (4, FAR),
+        (5, "unrelated musings on tea kettles and copper pots in autumn"),
+    ]
+    new = [
+        (101, BASE.replace("lazy", "sleepy")),   # cross: near dup of 1/2
+        (102, FAR),                              # cross: exact dup of 4
+        (103, "fresh content about sailing boats across the northern sea"),
+        (104, "fresh content about sailing boats across the southern sea"),
+        # ^ 103/104: new-new near pair
+        (105, "completely novel text with no relatives anywhere at all"),
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    return mk(hist), mk(new), mk(hist + new)
+
+
+class TestIncrementalMinhash:
+    KW = dict(n_hashes=32, bands=8, min_est_jaccard=0.5)
+
+    def _pairset(self, df):
+        return {
+            (r["id_a"], r["id_b"], r["est_jaccard"]) for r in df.collect()
+        }
+
+    def test_incremental_equals_full(self, spark):
+        """The contract: full_pairs(history ∪ new) == full_pairs(history)
+        ∪ incremental_pairs(new, sigs(history)) — the incremental pass
+        mines every new-vs-new AND new-vs-history pair and nothing
+        history-internal (those were found when history was ingested)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+        )
+
+        hist, new, both = _two_batch_corpus(spark)
+        full = self._pairset(
+            minhash_lsh_pairs(both, "doc_id", "text", **self.KW)
+        )
+        hist_pairs = self._pairset(
+            minhash_lsh_pairs(hist, "doc_id", "text", **self.KW)
+        )
+        hist_sigs = minhash_signatures(hist, "doc_id", "text", 32)
+        inc, new_sigs = minhash_lsh_pairs_incremental(
+            new, hist_sigs, "doc_id", "text", **self.KW
+        )
+        inc = self._pairset(inc)
+        assert full == hist_pairs | inc
+        # every incremental pair touches a new id; all three planted
+        # new-involving relationships surfaced
+        assert all(a >= 100 or b >= 100 for a, b, _ in inc)
+        inc_ids = {(a, b) for a, b, _ in inc}
+        assert (1, 101) in inc_ids      # cross near
+        assert (4, 102) in inc_ids      # cross exact
+        assert (103, 104) in inc_ids    # new-new near
+        assert not any(a < 100 and b < 100 for a, b in inc_ids)
+        # the returned new_sigs are exactly the new batch's signatures
+        want = {
+            (r["doc_id"], tuple(r["sig"]))
+            for r in minhash_signatures(new, "doc_id", "text", 32).collect()
+        }
+        got = {(r["doc_id"], tuple(r["sig"])) for r in new_sigs.collect()}
+        assert got == want
+
+    def test_first_run_without_history(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+        )
+
+        hist, _, _ = _two_batch_corpus(spark)
+        inc, _ = minhash_lsh_pairs_incremental(
+            hist, None, "doc_id", "text", **self.KW
+        )
+        assert self._pairset(inc) == self._pairset(
+            minhash_lsh_pairs(hist, "doc_id", "text", **self.KW)
+        )
+
+    def test_union_level_hot_bucket_cap(self, spark):
+        """The cap must see UNION bucket sizes: a bucket that is under
+        the cap within each batch alone but over it across batches is
+        dropped, exactly as a full recompute would drop it."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+        )
+
+        spam = "identical spam body repeated across every upload batch"
+        hist = spark.createDataFrame(
+            [(i, spam) for i in range(3)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(100 + i, spam) for i in range(3)], "doc_id long, text string"
+        )
+        hist_sigs = minhash_signatures(hist, "doc_id", "text", 32)
+        stats_inc: dict = {}
+        inc, _ = minhash_lsh_pairs_incremental(
+            new, hist_sigs, "doc_id", "text",
+            max_bucket=4, stats_out=stats_inc, **self.KW
+        )
+        stats_full: dict = {}
+        full = minhash_lsh_pairs(
+            hist.unionByName(new), "doc_id", "text",
+            max_bucket=4, stats_out=stats_full, **self.KW
+        )
+        # all 6 clones share all 8 band buckets -> every bucket is hot
+        # in the UNION (6 > 4) though each batch alone (3) is under cap
+        assert stats_inc["hot_band_buckets"] == stats_full[
+            "hot_band_buckets"] > 0
+        assert inc.count() == full.count() == 0
+
+    def test_tablestore_run_accumulates_and_skips_replays(
+        self, spark, tmp_path
+    ):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            incremental_minhash_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        hist, new, both = _two_batch_corpus(spark)
+        store = TableStore(spark, str(tmp_path))
+        p1 = incremental_minhash_run(
+            store, "minhash_sigs", hist, "doc_id", "text",
+            source_fingerprint="batch1", **self.KW
+        )
+        p2 = incremental_minhash_run(
+            store, "minhash_sigs", new, "doc_id", "text",
+            source_fingerprint="batch2", **self.KW
+        )
+        accumulated = self._pairset(p1) | self._pairset(p2)
+        assert accumulated == self._pairset(
+            minhash_lsh_pairs(both, "doc_id", "text", **self.KW)
+        )
+        # history now holds every signature, once
+        assert store.read("minhash_sigs").count() == 10
+        # replaying the last batch is a no-op (idempotent ingest)
+        assert incremental_minhash_run(
+            store, "minhash_sigs", new, "doc_id", "text",
+            source_fingerprint="batch2", **self.KW
+        ) is None
+        assert store.read("minhash_sigs").count() == 10
 
 
 class TestSimHash:

@@ -372,10 +372,14 @@ class TestTableStore:
         assert "snap_crashedorphan01" not in on_disk  # true orphan gone
         assert on_disk == live | {"snap_inflight00000001"}
 
-    def test_stale_lock_broken(self, spark, out_root):
+    def test_crashed_holder_never_wedges_table(self, spark, out_root):
         """A lock file left by a crashed process must not wedge the
-        table forever: holders older than stale_s are broken."""
+        table forever. With the kernel-owned flock (r03 ADVICE) there is
+        nothing to 'break': the crashed holder's flock died with its fd,
+        so the leftover FILE is immediately lockable — no stale window,
+        no timeout wait."""
         import os as _os
+        import time as _time
 
         store = TableStore(spark, out_root)
         _os.makedirs(_os.path.join(out_root, "t"), exist_ok=True)
@@ -383,9 +387,95 @@ class TestTableStore:
         with open(lock, "w") as f:
             f.write("99999")
         _os.utime(lock, (1, 1))  # crashed long ago
+        t0 = _time.time()
         store.write("t", spark.range(3))  # must not TimeoutError
         assert store.read("t").count() == 3
-        assert not _os.path.exists(lock)  # released after commit
+        # and acquisition was instant — no stale_s/backoff wait involved
+        # (generous bound: the write itself dominates)
+        assert _time.time() - t0 < 60
+
+    def test_minmax_scan_pruning(self, spark, out_root):
+        """Iceberg's real scale lever: per-file min/max stats recorded at
+        write (footer metadata only) let a predicate read skip files that
+        provably cannot match — a key-range query over a 100-TB table
+        touches the overlapping files, not the table."""
+        import pyspark.sql.functions as F
+
+        store = TableStore(spark, out_root)
+        # snapshot 1: ids 0..99, range-partitioned into 4 files with
+        # disjoint id ranges (file-level pruning inside ONE snap dir)
+        store.write("t", spark.range(0, 100).repartitionByRange(4, "id"))
+        # snapshot 2 (append): ids 1000..1099, hive-partitioned by lang
+        # (partition-path stats)
+        df2 = spark.range(1000, 1100).withColumn(
+            "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        ).coalesce(1)
+        store.write("t", df2, mode="append", partition_by=["lang"])
+
+        full = store.read("t")
+        n_files = sum(
+            len(s.get("files") or []) for s in store.snapshots("t")
+        )
+        assert n_files >= 6  # 4 range files + 2 lang partitions
+
+        # id-range prune: every snap-1 file except the last range file
+        # skipped, snap-2 files kept
+        ss: dict = {}
+        got = store.read("t", prune=[("id", ">=", 1000)], scan_stats=ss)
+        assert ss["files_skipped"] >= 4 and ss["files_kept"] >= 2
+        assert {r["id"] for r in got.collect()} == set(range(1000, 1100))
+
+        # partition-column prune from the hive path (lang=de)
+        ss2: dict = {}
+        got2 = store.read("t", prune=[("lang", "=", "de")], scan_stats=ss2)
+        # conservative: snap-1 files have NO lang stats -> kept; only
+        # the lang=en file of snap 2 is provably non-matching
+        assert ss2["files_skipped"] == 1
+        # pruning is advisory: caller still applies the real filter
+        assert got2.filter(F.col("lang") == "de").count() == 50
+
+        # file-level prune WITHIN snap 1 (disjoint range files): ids
+        # 0..24 live in one of the 4 range files
+        ss3: dict = {}
+        got3 = store.read("t", prune=[("id", "<=", 10)], scan_stats=ss3)
+        assert 0 < ss3["files_kept"] < 6
+        assert got3.filter(F.col("id") <= 10).count() == 11
+
+        # provably-empty prune -> empty frame with the table schema
+        ss4: dict = {}
+        got4 = store.read("t", prune=[("id", "<", 0)], scan_stats=ss4)
+        assert got4.count() == 0 and ss4["files_kept"] == 0
+        assert set(got4.columns) == set(full.columns)
+
+        # combined predicates AND-compose
+        got5 = store.read(
+            "t", prune=[("id", ">=", 1000), ("lang", "=", "en")]
+        )
+        assert got5.filter(
+            (F.col("id") >= 1000) & (F.col("lang") == "en")
+        ).count() == 50
+
+    def test_prune_keeps_legacy_snapshots_without_stats(
+        self, spark, out_root
+    ):
+        """Manifests written before file stats existed (no 'files' key)
+        must be read fully under prune — never silently dropped."""
+        import json as _json
+        import os as _os
+
+        store = TableStore(spark, out_root)
+        store.write("t", spark.range(0, 10).coalesce(1))
+        mp = _os.path.join(out_root, "t", "manifest.json")
+        with open(mp) as f:
+            m = _json.load(f)
+        for s in m["snapshots"]:
+            s.pop("files", None)
+        with open(mp, "w") as f:
+            _json.dump(m, f)
+        ss: dict = {}
+        got = store.read("t", prune=[("id", ">=", 1000)], scan_stats=ss)
+        assert got.count() == 10  # kept despite non-matching range
+        assert ss["files_unknown"] == 1 and ss["files_skipped"] == 0
 
     def test_read_survives_schema_widening_append(self, spark, out_root):
         """An out_root written by an older release appends a WIDER schema

@@ -142,6 +142,13 @@ def main() -> int:
             f"{status} {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)"
             + ("  " + "; ".join(msgs) if msgs else "")
         )
+        # cache-lifetime policy: several harness queries cache()/persist
+        # their input subsets or signature frames for intra-query reuse;
+        # in this long-lived shared session that storage would pin and
+        # accumulate across all 50 queries. Each query re-creates its own
+        # caches, so dropping them between queries bounds executor
+        # storage at one query's working set.
+        spark.catalog.clearCache()
 
     # smoke the entry() contract
     if not only:
