@@ -1330,21 +1330,43 @@ def _clips_df(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _golden_sql(name: str, types: dict[str, str]) -> str | None:
-    """Inline a committed golden table (tools/goldens_sf001.json) as a
-    DuckDB VALUES relation. The goldens are computed by an INDEPENDENT
-    pure-Python re-derivation (tools/make_goldens.py: oracle_hash XXH64 +
-    the pandas pipeline oracle) — they give the xxhash64-signature and
-    UDF-scored queries a real cross-check even though DuckDB cannot
-    compute xxhash64 or run the scorers. Valid at the driver's correctness
-    SF (0.01) and the fixed synthetic clips corpus."""
+# column types of every golden-backed query, shared with
+# tools/check_entry.py (which rebuilds these oracles from the PER-SF
+# golden files when checking a non-sf0.01 corpus)
+GOLDEN_TYPES: dict[str, dict[str, str]] = {
+    "doc_minhash_pairs":
+        {"id_a": "BIGINT", "id_b": "BIGINT", "est_jaccard": "DOUBLE"},
+    "doc_simhash_pairs":
+        {"id_a": "BIGINT", "id_b": "BIGINT", "hamming": "INTEGER"},
+    "clips_keep_stats": {"total": "BIGINT", "kept": "BIGINT"},
+    "clips_reason_histogram": {"reason": "VARCHAR", "n": "BIGINT"},
+    "clips_langid_distribution": {"lang": "VARCHAR", "n": "BIGINT"},
+    "clips_audio_neardup":
+        {"fp_a": "BIGINT", "fp_b": "BIGINT", "hamming": "INTEGER",
+         "n_a": "BIGINT", "n_b": "BIGINT"},
+}
+
+
+def _golden_sql(
+    name: str, types: dict[str, str], path: str | None = None
+) -> str | None:
+    """Inline a committed golden table (tools/goldens_sf001.json by
+    default; pass ``path`` for a per-SF golden file) as a DuckDB VALUES
+    relation. The goldens are computed by an INDEPENDENT pure-Python
+    re-derivation (tools/make_goldens.py: oracle_hash XXH64 + the pandas
+    pipeline oracle) — they give the xxhash64-signature and UDF-scored
+    queries a real cross-check even though DuckDB cannot compute
+    xxhash64 or run the scorers. Each golden file is valid only for the
+    corpus it was derived from (sha-fingerprinted in its _meta) and the
+    fixed synthetic clips corpus."""
     import json as _json
     import os as _os
 
-    path = _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)),
-        "tools", "goldens_sf001.json",
-    )
+    if path is None:
+        path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "tools", "goldens_sf001.json",
+        )
     if not _os.path.exists(path):
         return None  # degrade to a rows-only check rather than a red oracle
     with open(path) as f:
@@ -1382,20 +1404,7 @@ def oracle_sql() -> dict[str, str]:
     quality = _sql_quality("text")
     sql: dict[str, str] = {}
 
-    for _name, _types in [
-        ("doc_minhash_pairs",
-         {"id_a": "BIGINT", "id_b": "BIGINT", "est_jaccard": "DOUBLE"}),
-        ("doc_simhash_pairs",
-         {"id_a": "BIGINT", "id_b": "BIGINT", "hamming": "INTEGER"}),
-        ("clips_keep_stats", {"total": "BIGINT", "kept": "BIGINT"}),
-        ("clips_reason_histogram",
-         {"reason": "VARCHAR", "n": "BIGINT"}),
-        ("clips_langid_distribution",
-         {"lang": "VARCHAR", "n": "BIGINT"}),
-        ("clips_audio_neardup",
-         {"fp_a": "BIGINT", "fp_b": "BIGINT", "hamming": "INTEGER",
-          "n_a": "BIGINT", "n_b": "BIGINT"}),
-    ]:
+    for _name, _types in GOLDEN_TYPES.items():
         _g = _golden_sql(_name, _types)
         if _g is not None:
             sql[_name] = _g

@@ -390,6 +390,7 @@ def minhash_lsh_pairs_incremental(
     max_bucket: int | None = 10_000,
     stats_out: dict | None = None,
     persist_sigs: bool = True,
+    keep_flags: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental cross-run near-dup mining: candidate pairs where at
     least ONE side is a NEW document, against a persisted signature
@@ -420,7 +421,13 @@ def minhash_lsh_pairs_incremental(
     ids in ``new_df`` must be disjoint from history — replaying an
     already-ingested batch belongs to the caller's idempotency layer
     (TableStore source fingerprints), not here. ``history_sigs=None``
-    degrades to a first-run full mine over new_df alone."""
+    degrades to a first-run full mine over new_df alone.
+
+    ``keep_flags=True`` appends boolean ``new_a``/``new_b`` columns so a
+    caller can tell WHICH side of a pair is the new arrival (the
+    streaming near-dup sink quarantines the new side of a new-vs-history
+    pair; id order alone cannot tell). Flags are deterministic per pair,
+    so the band-dedup distinct is unaffected."""
     new_sigs = minhash_signatures(
         new_df, id_col, text_col, n_hashes, shingle_k
     )
@@ -454,16 +461,22 @@ def minhash_lsh_pairs_incremental(
         "band",
         "band_hash",
     )
+    out_cols = [
+        F.col("id_a"), F.col("id_b"),
+        _sig_agreement(n_hashes).alias("est_jaccard"),
+    ]
+    if keep_flags:
+        out_cols += [
+            F.col("_new_a").alias("new_a"),
+            F.col("_new_b").alias("new_b"),
+        ]
     pairs = (
         left.join(right, ["band", "band_hash"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("_new_a") | F.col("_new_b"))
         )
-        .select(
-            "id_a", "id_b",
-            _sig_agreement(n_hashes).alias("est_jaccard"),
-        )
+        .select(*out_cols)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .distinct()
     )

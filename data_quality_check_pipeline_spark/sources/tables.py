@@ -330,9 +330,10 @@ class TableStore:
         conservative — files lacking stats are kept, and callers must
         still apply the real filter to the returned frame. Partitioned
         snapshot dirs keep their partition columns via basePath.
-        ``scan_stats`` (optional dict) receives
-        files_kept/files_skipped/files_unknown counts for observability
-        and tests."""
+        ``scan_stats`` (optional dict) receives files_kept/files_skipped
+        counts plus files_unknown (legacy snapshot DIRS read whole
+        because their manifest entry predates file stats) for
+        observability and tests."""
         m = self._load_manifest(name)
         snap = self._snapshot(m, snapshot_id)
         if snap is None:

@@ -270,6 +270,38 @@ def batch_committed(
     )
 
 
+NEARDUP_SIG_TABLE = "minhash_sig_history"
+NEARDUP_REASON = "stream_near_duplicate"
+
+
+def _sig_history_before_batch(
+    store: TableStore, table: str, batch_id: int, stream_id: str
+):
+    """Signature history AS OF before this batch's own append — the
+    replay-safe read. foreachBatch is at-least-once: a crash AFTER the
+    sig append but before the checkpoint offset commit replays the
+    batch, and reading the CURRENT snapshot would then include the
+    batch's own signatures — batch members would 'near-dup' their own
+    committed copies and the replay would quarantine clips the first
+    attempt had kept (non-deterministic replay = corrupted exactly-once
+    routing). Reading the parent of this batch's own append keeps every
+    replay's candidate mining identical to the first attempt. Relies on
+    property_records-style retention only within the snapshot manifest;
+    expire_snapshots keeps recent snapshots, and checkpoint replays are
+    by construction recent."""
+    if not store.exists(table):
+        return None
+    for s in store.snapshots(table):
+        p = s.get("properties", {})
+        if (
+            p.get("stream_batch") == batch_id
+            and p.get("stream_id") == stream_id
+        ):
+            parent = s.get("parent")
+            return store.read(table, parent) if parent else None
+    return store.read(table)
+
+
 def start_quality_stream(
     spark: SparkSession,
     source_path: str,
@@ -278,8 +310,25 @@ def start_quality_stream(
     with_audio: bool = True,
     available_now: bool = True,
     content_dedup: bool | str = False,
+    near_dup: bool = False,
+    near_dup_jaccard: float = 0.8,
 ):
-    """Start (or drain, with availableNow) the streaming pipeline."""
+    """Start (or drain, with availableNow) the streaming pipeline.
+
+    ``near_dup=True`` adds MINHASH near-dup detection within the sink:
+    each micro-batch's kept clips are mined against the persisted
+    signature history (minhash_lsh_pairs_incremental — new-vs-history
+    AND new-vs-new, history text never re-shingled), near-dup arrivals
+    are routed to quarantine with reason ``stream_near_duplicate``
+    instead of the clean table, and the SURVIVORS' signatures are
+    appended to the history table under the same exactly-once
+    (stream_id, batch_id) guard as the data writes. This closes the
+    gap content_dedup (exact/bag-of-words key equality) cannot: a
+    slightly-edited re-upload streams through an equality key but
+    collides in minhash bands. Watermark state is NOT involved — the
+    'state' is the durable signature table, bounded by the corpus, and
+    the candidate join runs batch-side inside foreachBatch where
+    cross-row joins are legal."""
     store = TableStore(spark, out_root)
     sid = stream_identity(checkpoint_dir, spark)
     flagged = build_streaming_flags(
@@ -288,13 +337,35 @@ def start_quality_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import minhash_lsh_pairs_incremental
+
         batch_df = batch_df.cache()
+        dup_ids = None
+        new_sigs = None
         try:
+            kept_src = batch_df.filter(F.col("keep"))
+            if near_dup:
+                history = _sig_history_before_batch(
+                    store, NEARDUP_SIG_TABLE, batch_id, sid
+                )
+                pairs, new_sigs = minhash_lsh_pairs_incremental(
+                    kept_src, history, "clip_id", "transcript",
+                    min_est_jaccard=near_dup_jaccard, keep_flags=True,
+                )
+                # the NEW side of a new-vs-history pair is the dup; for
+                # new-vs-new pairs the later (greater) clip_id loses —
+                # deterministic, so replays route identically
+                dup_ids = pairs.select(
+                    F.when(
+                        F.col("new_a") & ~F.col("new_b"), F.col("id_a")
+                    ).when(
+                        F.col("new_b") & ~F.col("new_a"), F.col("id_b")
+                    ).otherwise(F.col("id_b")).alias("clip_id")
+                ).distinct().cache()
+                kept_src = kept_src.join(dup_ids, "clip_id", "left_anti")
             if not batch_committed(store, CLEAN_TABLE, batch_id, sid):
                 kept = scrub_transcripts(
-                    batch_df.filter(F.col("keep")).drop(
-                        "reasons", "severity", "keep"
-                    )
+                    kept_src.drop("reasons", "severity", "keep")
                 )
                 store.write(
                     CLEAN_TABLE,
@@ -314,6 +385,23 @@ def start_quality_stream(
                     F.current_timestamp().alias("ts"),
                     F.lit(0).alias("retry_count"),
                 )
+                if dup_ids is not None:
+                    near_rows = (
+                        batch_df.filter(F.col("keep"))
+                        .join(dup_ids, "clip_id", "left_semi")
+                        .select(
+                            "clip_id",
+                            F.array(F.lit(NEARDUP_REASON)).alias(
+                                "reasons"
+                            ),
+                            F.lit("MEDIUM").alias("severity"),
+                            F.lit("stream_near_dup").alias("stage"),
+                            F.lit(f"batch_{batch_id}").alias("run_id"),
+                            F.current_timestamp().alias("ts"),
+                            F.lit(0).alias("retry_count"),
+                        )
+                    )
+                    quarantined = quarantined.unionByName(near_rows)
                 store.write(
                     QUARANTINE_TABLE,
                     quarantined,
@@ -323,7 +411,29 @@ def start_quality_stream(
                     properties={"stream_batch": batch_id,
                                 "stream_id": sid},
                 )
+            if near_dup and not batch_committed(
+                store, NEARDUP_SIG_TABLE, batch_id, sid
+            ):
+                # survivors only: a quarantined near-dup is not in the
+                # corpus, so its signature must not become history.
+                # Committed LAST — a crash before this point replays
+                # against the same pre-batch history (see
+                # _sig_history_before_batch).
+                surv_sigs = new_sigs.join(dup_ids, "clip_id", "left_anti")
+                store.write(
+                    NEARDUP_SIG_TABLE,
+                    surv_sigs,
+                    mode="append"
+                    if store.exists(NEARDUP_SIG_TABLE)
+                    else "overwrite",
+                    properties={"stream_batch": batch_id,
+                                "stream_id": sid},
+                )
         finally:
+            if dup_ids is not None:
+                dup_ids.unpersist()
+            if new_sigs is not None:
+                new_sigs.unpersist()
             batch_df.unpersist()
 
     writer = (

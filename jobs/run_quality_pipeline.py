@@ -82,6 +82,11 @@ def main() -> None:
                     help="with --stream: also drop exact-content "
                          "re-uploads (same normalized transcript under a "
                          "new clip_id) within the dedup watermark")
+    ap.add_argument("--stream-near-dup", action="store_true",
+                    help="with --stream: quarantine minhash NEAR-dup "
+                         "re-uploads (small transcript edits) against a "
+                         "persisted signature-history table "
+                         "(minhash_sig_history under <out>)")
     args = ap.parse_args()
 
     from data_quality_check_pipeline_spark.pipeline import (
@@ -157,6 +162,7 @@ def main() -> None:
             spark, src_dir, args.out,
             os.path.join(args.out, "_stream_ckpt"), available_now=True,
             content_dedup=args.stream_content_dedup,
+            near_dup=args.stream_near_dup,
         )
         q.awaitTermination()
         from data_quality_check_pipeline_spark.pipeline import (

@@ -37,6 +37,33 @@ def test_requeue_increments_retry_and_appends(
     final = requeue_quarantine(spark, cfg, path, max_retries=3)
     assert final["requeued"] == 0
 
+    # terminal dead-letter semantics (reference
+    # dead_letter_queue.py:118-127 retry-eligibility parity): attempts
+    # stop AT the cap — retry_count never exceeds max_retries no matter
+    # how many further requeue calls arrive...
+    from data_quality_check_pipeline_spark.pipeline import (
+        active_quarantine,
+    )
+
+    q = store.read(QUARANTINE_TABLE)
+    assert q.agg(F.max("retry_count").alias("m")).collect()[0]["m"] == 3
+    # ...the exhausted clips remain VISIBLE as unresolved dead letters
+    # (terminal = retired from retries, never hidden from operators)...
+    exhausted = {
+        r["clip_id"]
+        for r in q.filter(
+            (F.col("retry_count") == 3)
+            & (F.col("stage") != "requeue_resolved")
+        ).select("clip_id").collect()
+    }
+    active = {
+        r["clip_id"]
+        for r in active_quarantine(q).select("clip_id").collect()
+    }
+    assert exhausted and exhausted <= active
+    # ...and a permanently-failing clip never leaked into clips_clean
+    assert store.read(CLEAN_TABLE).count() == n_clean
+
 
 def test_recovered_clip_not_reappended(
     spark, corpus, oracle_df, out_root, tmp_path

@@ -180,6 +180,113 @@ class TestStreaming:
             }
         assert "c900" not in ids2
 
+    def test_near_dup_stream_quarantines_edited_reuploads(
+        self, spark, tmp_path
+    ):
+        """near_dup=True: a slightly-EDITED re-upload — which streams
+        straight through the exact/bag content keys — collides in
+        minhash bands and is routed to quarantine with reason
+        stream_near_duplicate; the survivor's signature is appended to
+        the history table; a SECOND drain catches a later near-dup
+        against that persisted history (cross-run, text never
+        re-shingled); and re-draining is exactly-once (no duplicate
+        rows)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_quality_check_pipeline_spark.pipeline import (
+            flag_clips,
+            score_clips,
+        )
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            NEARDUP_REASON,
+            NEARDUP_SIG_TABLE,
+        )
+        from data_quality_check_pipeline_spark.synth import generate_clips
+
+        pdf, _ = generate_clips(40)
+        pdf["clip_id"] = [f"c{i:03d}" for i in range(len(pdf))]
+        # find a row the rules KEEP (near-dup mining only sees kept rows)
+        flagged = flag_clips(score_clips(spark.createDataFrame(pdf)))
+        kept = sorted(
+            r["clip_id"] for r in flagged.filter("keep")
+            .select("clip_id").collect()
+        )
+        base_id = kept[0]
+        base_row = pdf[pdf.clip_id == base_id].iloc[0]
+        # edited re-upload: same audio, one word appended to the
+        # transcript (shingle jaccard ~0.9 — invisible to content keys)
+        dup1 = base_row.copy()
+        dup1["clip_id"] = "z_dup_batch"  # sorts AFTER base -> loses
+        dup1["transcript"] = base_row["transcript"] + " indeed"
+        pdf = pdf._append(dup1, ignore_index=True)
+        src = tmp_path / "src"
+        os.makedirs(src)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / "clips.parquet"),
+        )
+        out = str(tmp_path / "out")
+        q = start_quality_stream(
+            spark, str(src), out, str(tmp_path / "ckpt"),
+            available_now=True, near_dup=True, near_dup_jaccard=0.6,
+        )
+        q.awaitTermination(timeout=600)
+        store = TableStore(spark, out)
+        clean1 = {
+            r["clip_id"]
+            for r in store.read(CLEAN_TABLE).select("clip_id").collect()
+        }
+        assert base_id in clean1 and "z_dup_batch" not in clean1
+        quar = {
+            r["clip_id"]: r["reasons"]
+            for r in store.read(QUARANTINE_TABLE)
+            .select("clip_id", "reasons").collect()
+        }
+        assert NEARDUP_REASON in quar["z_dup_batch"]
+        # history holds survivors only
+        sig_ids = {
+            r["clip_id"]
+            for r in store.read(NEARDUP_SIG_TABLE)
+            .select("clip_id").collect()
+        }
+        assert base_id in sig_ids and "z_dup_batch" not in sig_ids
+
+        # second drain: a NEW near-dup of base arrives — caught against
+        # the PERSISTED history (base's text is not in this batch)
+        late = pdf[pdf.clip_id == base_id].copy()
+        late["clip_id"] = ["z_dup_later"]
+        late["transcript"] = [base_row["transcript"] + " truly"]
+        pq.write_table(
+            pa.Table.from_pandas(late, preserve_index=False),
+            str(src / "late.parquet"),
+        )
+        q2 = start_quality_stream(
+            spark, str(src), out, str(tmp_path / "ckpt"),
+            available_now=True, near_dup=True, near_dup_jaccard=0.6,
+        )
+        q2.awaitTermination(timeout=600)
+        clean2 = store.read(CLEAN_TABLE).select("clip_id")
+        assert "z_dup_later" not in {
+            r["clip_id"] for r in clean2.collect()
+        }
+        quar2 = {
+            r["clip_id"]: r["reasons"]
+            for r in store.read(QUARANTINE_TABLE)
+            .select("clip_id", "reasons").collect()
+        }
+        assert NEARDUP_REASON in quar2["z_dup_later"]
+        # exactly-once across the restart: no clip appears twice
+        assert clean2.count() == clean2.distinct().count()
+        assert clean2.count() == len(clean1)  # nothing re-appended
+        # and the history never absorbed a quarantined near-dup
+        sig_ids2 = {
+            r["clip_id"]
+            for r in store.read(NEARDUP_SIG_TABLE)
+            .select("clip_id").collect()
+        }
+        assert "z_dup_later" not in sig_ids2 and base_id in sig_ids2
+
     def test_content_dedup_bag_mode_key_semantics(self, spark):
         """bag mode: reordered/repeated word sets share a key; exact
         mode distinguishes them. Distinct word sets never collide in

@@ -72,21 +72,57 @@ def main() -> int:
             print(f"ERROR unknown query name(s): {sorted(unknown)}")
             print(f"      available: {sorted(qs)}")
             sys.exit(2)
-    # golden-backed oracles (tools/goldens_sf001.json) encode expected
-    # values for sf0.01 ONLY — comparing another SF's output against them
-    # is a guaranteed false FAIL, so those queries degrade to rows-only
-    # off sf0.01
+    # golden-backed oracles encode expected values for ONE corpus each —
+    # comparing another SF's output against them is a guaranteed false
+    # FAIL. Off sf0.01, rebuild those oracles from the matching per-SF
+    # golden file (tools/goldens_<tag>.json, sha-fingerprint-verified
+    # against the documents parquet on disk); queries whose golden is
+    # absent or stale degrade to rows-only.
     golden_names: set[str] = set()
     if not sf_dir.rstrip("/").endswith("sf0.01"):
         import json as _json
 
-        gpath = os.path.join(
+        from make_goldens import corpus_fingerprint, golden_path
+
+        g01 = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "goldens_sf001.json",
         )
+        if os.path.exists(g01):
+            with open(g01) as f:
+                golden_names = set(_json.load(f)) - {"_meta"}
+        gpath = golden_path(sf_dir)
         if os.path.exists(gpath):
             with open(gpath) as f:
-                golden_names = set(_json.load(f)) - {"_meta"}
+                gmeta = _json.load(f).get("_meta", {})
+            if gmeta.get("documents_sha256") == corpus_fingerprint(sf_dir):
+                rebuilt = 0
+                for name, types in entrymod.GOLDEN_TYPES.items():
+                    g = entrymod._golden_sql(name, types, path=gpath)
+                    if g is not None:
+                        oracles[name] = g
+                        golden_names.discard(name)
+                        rebuilt += 1
+                if "doc_minhash_pairs" not in golden_names:
+                    # derived oracle follows its base golden to this SF
+                    oracles["doc_minhash_incremental"] = (
+                        f"SELECT * FROM ({oracles['doc_minhash_pairs']}) "
+                        "WHERE id_a >= 250 OR id_b >= 250"
+                    )
+                    golden_names.discard("doc_minhash_incremental")
+                print(
+                    f"using per-SF goldens {os.path.basename(gpath)} "
+                    f"({rebuilt} oracles rebuilt)"
+                )
+            else:
+                print(
+                    f"WARNING per-SF goldens {os.path.basename(gpath)} "
+                    "fingerprint does not match the corpus — rows-only "
+                    "for golden queries (regenerate via make_goldens.py)"
+                )
+        # the derived incremental oracle is only valid where its base is
+        if "doc_minhash_pairs" in golden_names:
+            golden_names.add("doc_minhash_incremental")
 
     for name, fn in qs.items():
         if only and name not in only:

@@ -13,7 +13,13 @@ As a guard the tool ALSO runs the Spark harness queries and refuses to
 write a golden that disagrees — a mismatch means one side has a bug and
 must be fixed, not frozen.
 
-Usage: python tools/make_goldens.py   (writes tools/goldens_sf001.json)
+Usage: python tools/make_goldens.py [sf_dir ...]
+       (default: /root/testdata/sf0.01 AND /root/testdata/sf0.1 ->
+        tools/goldens_sf001.json / tools/goldens_sf01.json)
+
+Each file is stamped with a sha256 fingerprint of the documents parquet
+it derives from; consumers (tools/check_entry.py) refuse a golden whose
+fingerprint no longer matches the corpus on disk.
 """
 
 from __future__ import annotations
@@ -32,9 +38,26 @@ from data_quality_check_pipeline_spark.oracle_hash import (  # noqa: E402
     spark_xxhash64,
 )
 
-SF_DIR = "/root/testdata/sf0.01"
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "goldens_sf001.json")
+DEFAULT_SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def golden_path(sf_dir: str) -> str:
+    """tools/goldens_<tag>.json — sf0.01 -> sf001 (the historical name),
+    sf0.1 -> sf01."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "")
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"goldens_{tag}.json"
+    )
+
+
+def corpus_fingerprint(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(f"{sf_dir}/documents.parquet", "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()[:16]
 
 _WS = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII
 _M64 = (1 << 64) - 1
@@ -224,65 +247,83 @@ def clips_goldens_py() -> dict:
 
 
 def main() -> int:
-    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[
-        ["doc_id", "text"]
-    ]
-    goldens = {
-        "doc_minhash_pairs": {
-            "columns": ["id_a", "id_b", "est_jaccard"],
-            "rows": [list(r) for r in minhash_pairs_py(docs)],
-        },
-        "doc_simhash_pairs": {
-            "columns": ["id_a", "id_b", "hamming"],
-            "rows": [list(r) for r in simhash_pairs_py(docs)],
-        },
-        **clips_goldens_py(),
-    }
-
-    # guard: the Spark harness queries must agree EXACTLY before we commit
     import __spark_entry__ as entry
     from data_quality_check_pipeline_spark.session import get_spark
 
+    sf_dirs = sys.argv[1:] or DEFAULT_SF_DIRS
+    clips = clips_goldens_py()  # SF-independent (fixed synthetic corpus)
     spark = get_spark(app_name="make-goldens", cores=8,
                       shuffle_partitions=8)
     qs = entry.queries()
-    ok = True
-    for name, g in goldens.items():
-        sdf = qs[name](spark, SF_DIR)
-        # sort by the SAME canonical form the comparison uses: a str()
-        # sort key could order rows differing only in low-order float
-        # bits differently on the two sides and misalign the zip
-        key = lambda t: tuple(  # noqa: E731 (None-safe)
-            str(_canon(x)) for x in t
-        )
-        srows = sorted(
-            (tuple(r) for r in sdf.select(*g["columns"]).collect()), key=key
-        )
-        grows = sorted((tuple(r) for r in g["rows"]), key=key)
-        if [tuple(map(_canon, r)) for r in srows] != [
-            tuple(map(_canon, r)) for r in grows
-        ]:
-            ok = False
-            print(f"MISMATCH {name}: spark={len(srows)} golden={len(grows)}")
-            for s, gg in list(zip(srows, grows))[:5]:
-                if tuple(map(_canon, s)) != tuple(map(_canon, gg)):
-                    print("  spark ", s)
-                    print("  golden", gg)
-        else:
-            print(f"ok {name}: {len(grows)} rows")
+    rc = 0
+    for sf_dir in sf_dirs:
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+            ["doc_id", "text"]
+        ]
+        goldens = {
+            "doc_minhash_pairs": {
+                "columns": ["id_a", "id_b", "est_jaccard"],
+                "rows": [list(r) for r in minhash_pairs_py(docs)],
+            },
+            "doc_simhash_pairs": {
+                "columns": ["id_a", "id_b", "hamming"],
+                "rows": [list(r) for r in simhash_pairs_py(docs)],
+            },
+            **clips,
+        }
+
+        # guard: the Spark harness queries must agree EXACTLY before we
+        # commit a golden — a mismatch means one side has a bug and must
+        # be fixed, not frozen
+        ok = True
+        for name, g in goldens.items():
+            sdf = qs[name](spark, sf_dir)
+            # sort by the SAME canonical form the comparison uses: a
+            # str() sort key could order rows differing only in
+            # low-order float bits differently on the two sides and
+            # misalign the zip
+            key = lambda t: tuple(  # noqa: E731 (None-safe)
+                str(_canon(x)) for x in t
+            )
+            srows = sorted(
+                (tuple(r) for r in sdf.select(*g["columns"]).collect()),
+                key=key,
+            )
+            grows = sorted((tuple(r) for r in g["rows"]), key=key)
+            if [tuple(map(_canon, r)) for r in srows] != [
+                tuple(map(_canon, r)) for r in grows
+            ]:
+                ok = False
+                print(
+                    f"MISMATCH {name} at {sf_dir}: "
+                    f"spark={len(srows)} golden={len(grows)}"
+                )
+                for s, gg in list(zip(srows, grows))[:5]:
+                    if tuple(map(_canon, s)) != tuple(map(_canon, gg)):
+                        print("  spark ", s)
+                        print("  golden", gg)
+            else:
+                print(f"ok {name} at {sf_dir}: {len(grows)} rows")
+        spark.catalog.clearCache()  # per-SF caches must not accumulate
+        if not ok:
+            print(f"NOT WRITING goldens for {sf_dir} — fix the divergence")
+            rc = 1
+            continue
+        meta = {
+            "sf_dir": sf_dir,
+            "documents_sha256": corpus_fingerprint(sf_dir),
+            "clips_n": entry._CLIPS_N,  # the corpus actually derived from
+            "source": (
+                "pure-Python re-derivation "
+                "(oracle_hash + oracle.run_oracle)"
+            ),
+        }
+        out = golden_path(sf_dir)
+        with open(out, "w") as f:
+            json.dump({"_meta": meta, **goldens}, f, indent=1)
+        print(f"wrote {out}")
     spark.stop()
-    if not ok:
-        print("NOT WRITING goldens — fix the divergence first")
-        return 1
-    meta = {
-        "sf_dir": SF_DIR,
-        "clips_n": entry._CLIPS_N,  # the corpus actually derived from
-        "source": "pure-Python re-derivation (oracle_hash + oracle.run_oracle)",
-    }
-    with open(OUT, "w") as f:
-        json.dump({"_meta": meta, **goldens}, f, indent=1)
-    print(f"wrote {OUT}")
-    return 0
+    return rc
 
 
 def _canon(v):
