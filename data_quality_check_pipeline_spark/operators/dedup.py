@@ -181,6 +181,57 @@ def dedup_exact(
     return df.join(survivors, on=id_col, how="left_semi")
 
 
+def dedup_exact_incremental(
+    new_df: DataFrame, history_hashes: DataFrame | None,
+    id_col: str, text_col: str,
+    quality_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: keep the NEW rows whose (normalized)
+    text hash has never been retained before — the 100-TB ingest shape,
+    where each arriving shard drops copies of anything already in the
+    corpus via one hash anti-join instead of re-grouping all text ever
+    seen. Returns ``(kept, kept_hashes)``: the surviving subset of
+    ``new_df`` (original columns), and its (text_hash) frame — append
+    kept_hashes to the history table after the run commits, so history
+    always holds exactly the retained corpus's hashes (8 bytes/doc).
+
+    Sequential-equals-full (tested): with the default min-id policy and
+    ids assigned in ingest order, feeding batches B1..Bn through this
+    function retains exactly ``dedup_exact(B1 ∪ … ∪ Bn)``. With
+    ``quality_col`` the within-batch survivor is the batch's best copy,
+    but the cross-run policy is necessarily GREEDY: an earlier batch's
+    survivor is never displaced by a later higher-quality copy (history
+    stores hashes, not scores) — the standard streaming-ingest
+    tradeoff; run a periodic full ``dedup_exact`` compaction when
+    global argmax semantics matter.
+
+    NULL-text rows all survive and contribute no hash (missing text is
+    not duplicate evidence — dedup_exact's rule)."""
+    t = norm_text(F.lower(F.col(text_col)))
+    keyed = new_df.select(
+        F.col(id_col).alias("_id"),
+        F.xxhash64(t).alias("_h"),
+        t.isNull().alias("_null"),
+        *([F.col(quality_col)] if quality_col is not None else []),
+    )
+    pick = (
+        F.min("_id") if quality_col is None
+        else _argmax_quality(F.col("_id"), quality_col)
+    ).alias(id_col)
+    batch_surv = keyed.filter(~F.col("_null")).groupBy("_h").agg(pick)
+    if history_hashes is not None:
+        batch_surv = batch_surv.join(
+            history_hashes.select(F.col("text_hash").alias("_h")),
+            "_h", "left_anti",
+        )
+    kept_ids = batch_surv.select(id_col).unionByName(
+        keyed.filter("_null").select(F.col("_id").alias(id_col))
+    )
+    kept = new_df.join(kept_ids, on=id_col, how="left_semi")
+    kept_hashes = batch_surv.select(F.col("_h").alias("text_hash"))
+    return kept, kept_hashes
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash/LSH
 # ---------------------------------------------------------------------------
@@ -483,40 +534,38 @@ def minhash_lsh_pairs_incremental(
     return pairs, new_sigs
 
 
-def incremental_minhash_run(
-    store, table: str, new_df: DataFrame,
-    id_col: str, text_col: str,
-    source_fingerprint: str | None = None,
-    **kwargs,
+def _incremental_run(
+    store, table: str, new_df: DataFrame, miner,
+    source_fingerprint: str | None, what: str,
 ) -> DataFrame | None:
     """One ingest round against a TableStore-backed signature history:
-    read the current history snapshot, mine new-vs-(history ∪ new)
-    pairs, materialize them, then append the new signatures as the next
-    snapshot. Returns the pairs DataFrame, or None when
-    ``source_fingerprint`` matches the table's last commit (an exact
-    replay of an already-ingested batch — ids would collide with
-    history, so the run is skipped idempotently; pass None to disable).
+    read the current history snapshot, run ``miner(new_df, history) ->
+    (result, new_sigs)``, materialize the result, then append the new
+    signatures as the next snapshot. Returns the result DataFrame, or
+    None when ``source_fingerprint`` matches the table's last commit
+    (an exact replay of an already-ingested batch — ids would collide
+    with history, so the run is skipped idempotently; pass None to
+    disable).
 
-    The sig append commits AFTER the pairs are materialized from the
+    The sig append commits AFTER the result is materialized from the
     PRE-append snapshot, so a crash mid-run re-mines the same batch
     against the same history next time — at-least-once with the
-    fingerprint guard upgrading replays to exactly-once."""
+    fingerprint guard upgrading replays to exactly-once. Shared by the
+    minhash / simhash / audio / exact incremental run wrappers."""
     if source_fingerprint is not None and store.exists(table) and (
         store.is_unchanged(table, source_fingerprint)
     ):
         _log.info(
-            "incremental_minhash_run(%s): source fingerprint unchanged — "
-            "batch already ingested, skipping", table,
+            "%s(%s): source fingerprint unchanged — batch already "
+            "ingested, skipping", what, table,
         )
         return None
     history = store.read(table) if store.exists(table) else None
-    pairs, new_sigs = minhash_lsh_pairs_incremental(
-        new_df, history, id_col, text_col, **kwargs
-    )
-    # materialize pairs BEFORE committing the sigs: once the append
-    # lands, a re-run would see the batch's own sigs as 'history'
-    pairs = pairs.cache()
-    pairs.count()
+    result, new_sigs = miner(new_df, history)
+    # materialize BEFORE committing the sigs: once the append lands, a
+    # re-run would see the batch's own sigs as 'history'
+    result = result.cache()
+    result.count()
     store.write(
         table, new_sigs, mode="append",
         properties=(
@@ -524,7 +573,79 @@ def incremental_minhash_run(
             if source_fingerprint is not None else None
         ),
     )
-    return pairs
+    return result
+
+
+def incremental_minhash_run(
+    store, table: str, new_df: DataFrame,
+    id_col: str, text_col: str,
+    source_fingerprint: str | None = None,
+    **kwargs,
+) -> DataFrame | None:
+    """MinHash ingest round (see _incremental_run for the commit
+    protocol): history table holds (id_col, sig) rows; returns the
+    new-involving pair set, or None on a fingerprint-replay skip."""
+    return _incremental_run(
+        store, table, new_df,
+        lambda new, hist: minhash_lsh_pairs_incremental(
+            new, hist, id_col, text_col, **kwargs
+        ),
+        source_fingerprint, "incremental_minhash_run",
+    )
+
+
+def incremental_simhash_run(
+    store, table: str, new_df: DataFrame,
+    id_col: str, text_col: str,
+    source_fingerprint: str | None = None,
+    **kwargs,
+) -> DataFrame | None:
+    """SimHash ingest round (see _incremental_run): history table holds
+    (id_col, simhash) rows; returns the new-involving pair set."""
+    return _incremental_run(
+        store, table, new_df,
+        lambda new, hist: simhash_pairs_incremental(
+            new, hist, id_col, text_col, **kwargs
+        ),
+        source_fingerprint, "incremental_simhash_run",
+    )
+
+
+def incremental_audio_run(
+    store, table: str, new_df: DataFrame,
+    id_col: str = "clip_id",
+    source_fingerprint: str | None = None,
+    **kwargs,
+) -> DataFrame | None:
+    """Audio-fingerprint ingest round (see _incremental_run): history
+    table holds (id_col, audio_fp) rows — 16 bytes/clip, never the
+    payloads; returns the new-involving clip pair set."""
+    return _incremental_run(
+        store, table, new_df,
+        lambda new, hist: audio_near_dup_pairs_incremental(
+            new, hist, id_col, **kwargs
+        ),
+        source_fingerprint, "incremental_audio_run",
+    )
+
+
+def incremental_dedup_exact_run(
+    store, table: str, new_df: DataFrame,
+    id_col: str, text_col: str,
+    source_fingerprint: str | None = None,
+    **kwargs,
+) -> DataFrame | None:
+    """Exact-dedup ingest round (see _incremental_run): history table
+    holds (text_hash) rows of everything RETAINED so far; returns the
+    kept subset of ``new_df`` (whose hashes were appended), or None on
+    a fingerprint-replay skip."""
+    return _incremental_run(
+        store, table, new_df,
+        lambda new, hist: dedup_exact_incremental(
+            new, hist, id_col, text_col, **kwargs
+        ),
+        source_fingerprint, "incremental_dedup_exact_run",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +682,46 @@ def simhash_signatures(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _check_hamming_params(
+    max_hamming: int, chunks: int, allow_partial_recall: bool
+) -> None:
+    """Shared parameter validation for the hamming-banding family."""
+    if 64 % chunks:
+        raise ValueError(f"chunks must divide 64 (got {chunks})")
+    if max_hamming > chunks - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
+            f"guarantee of chunks-1={chunks - 1}: pairs differing in "
+            f"{chunks}..{max_hamming} bits spread across all chunks "
+            "would be silently missed. Raise chunks, lower max_hamming, "
+            "or pass allow_partial_recall=True to accept approximate "
+            "recall."
+        )
+
+
+def _hamming_chunked(sigs: DataFrame, sig_col: str, chunks: int) -> DataFrame:
+    """Explode a signature frame into one row per (chunk_idx, chunk_val)
+    bit-chunk of ``sig_col``. Pure map-side (no shuffle). Shared by the
+    full and the incremental hamming candidate generators so the two
+    band identically — the incremental-equals-full equivalence depends
+    on it (same argument as _minhash_banded). Extra columns on ``sigs``
+    are carried through untouched."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    return sigs.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(sig_col), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+
+
 def hamming_band_pairs(
     sigs: DataFrame, id_col: str, sig_col: str,
     max_hamming: int = 3, chunks: int = 4,
@@ -593,31 +754,10 @@ def hamming_band_pairs(
     hamming range the threshold advertises. That combination raises
     unless ``allow_partial_recall=True`` (a deliberate approximate mode,
     e.g. as a cheap first pass before an exact verify)."""
-    if 64 % chunks:
-        raise ValueError(f"chunks must divide 64 (got {chunks})")
-    if max_hamming > chunks - 1 and not allow_partial_recall:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
-            f"guarantee of chunks-1={chunks - 1}: pairs differing in "
-            f"{chunks}..{max_hamming} bits spread across all chunks "
-            "would be silently missed. Raise chunks, lower max_hamming, "
-            "or pass allow_partial_recall=True to accept approximate "
-            "recall."
-        )
-    width = 64 // chunks
-    mask = (1 << width) - 1
-    chunked = sigs.select(
-        F.col(id_col),
-        F.col(sig_col).alias("_sig"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col(sig_col), i * width)
-                    .bitwiseAND(F.lit(mask))
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+    _check_hamming_params(max_hamming, chunks, allow_partial_recall)
+    chunked = _hamming_chunked(
+        sigs.select(F.col(id_col), F.col(sig_col).alias("_sig")),
+        "_sig", chunks,
     )
     chunked = _drop_hot_groups(
         chunked, ["chunk_idx", "chunk_val"], max_bucket,
@@ -642,6 +782,81 @@ def hamming_band_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def hamming_band_pairs_incremental(
+    new_sigs: DataFrame, history_sigs: DataFrame | None,
+    id_col: str, sig_col: str,
+    max_hamming: int = 3, chunks: int = 4,
+    max_bucket: int | None = 10_000,
+    stats_out: dict | None = None,
+    allow_partial_recall: bool = False,
+    keep_flags: bool = False,
+) -> DataFrame:
+    """Incremental cross-run hamming mining over any 64-bit signature
+    column: candidate pairs where at least ONE side is NEW, against a
+    persisted signature history — the 100-TB shape shared by text
+    SimHash and the audio fingerprint (each arriving shard dedups
+    against everything already ingested without recomputing history
+    signatures; re-banding a history signature is one codegen'd
+    projection over 8 bytes/row).
+
+    Equivalence guarantee (tested, same argument as
+    minhash_lsh_pairs_incremental): with identical parameters,
+    ``full_pairs(history ∪ new) == full_pairs(history) ∪
+    incremental_pairs(new, history)`` exactly whenever the hot-bucket
+    cap does not fire; banding and capping run over the UNION so every
+    new-involving pair sees the bucket bounds a full recompute would,
+    and cross-run cap growth only ever yields a SUPERSET of the capped
+    full recompute (pairs found while a bucket was still small are
+    kept), never a miss relative to it.
+
+    ``history_sigs`` must hold (id_col, sig_col) rows produced by the
+    SAME signature function; ids in ``new_sigs`` must be disjoint from
+    history (replay idempotency belongs to the caller's TableStore
+    fingerprint layer). ``history_sigs=None`` degrades to a first-run
+    full mine. ``keep_flags=True`` appends boolean new_a/new_b columns
+    so callers can tell which side is the new arrival."""
+    _check_hamming_params(max_hamming, chunks, allow_partial_recall)
+    tagged = new_sigs.select(
+        F.col(id_col), F.col(sig_col).alias("_sig")
+    ).withColumn("_new", F.lit(True))
+    if history_sigs is not None:
+        tagged = (
+            history_sigs.select(F.col(id_col), F.col(sig_col).alias("_sig"))
+            .withColumn("_new", F.lit(False))
+            .unionByName(tagged)
+        )
+    chunked = _hamming_chunked(tagged, "_sig", chunks)
+    chunked = _drop_hot_groups(
+        chunked, ["chunk_idx", "chunk_val"], max_bucket,
+        "hot_chunk_buckets", stats_out,
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("_sig").alias("sh_a"),
+        F.col("_new").alias("_new_a"), "chunk_idx", "chunk_val",
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("_sig").alias("sh_b"),
+        F.col("_new").alias("_new_b"), "chunk_idx", "chunk_val",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    out_cols = ["id_a", "id_b", hamming.alias("hamming")]
+    if keep_flags:
+        out_cols += [
+            F.col("_new_a").alias("new_a"),
+            F.col("_new_b").alias("new_b"),
+        ]
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_new_a") | F.col("_new_b"))
+        )
+        .select(*out_cols)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -673,6 +888,36 @@ def simhash_pairs(
         sigs, id_col, "simhash", max_hamming, chunks, max_bucket,
         stats_out, allow_partial_recall,
     )
+
+
+def simhash_pairs_incremental(
+    new_df: DataFrame, history_sigs: DataFrame | None,
+    id_col: str, text_col: str,
+    max_hamming: int = 3, chunks: int = 4,
+    max_bucket: int | None = 10_000,
+    stats_out: dict | None = None,
+    allow_partial_recall: bool = False,
+    persist_sigs: bool = True,
+    keep_flags: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SimHash near-dup mining: pairs with >= 1 NEW side
+    against a persisted (id, simhash) history — only the NEW batch's
+    text crosses the 64-sum-agg signature stage; history rows cost one
+    8-byte re-banding projection each. Returns ``(pairs, new_sigs)``;
+    append new_sigs to the history table after the run commits (see
+    incremental_simhash_run). Equivalence + cap semantics:
+    hamming_band_pairs_incremental."""
+    new_sigs = simhash_signatures(new_df, id_col, text_col)
+    if persist_sigs:
+        from pyspark import StorageLevel
+
+        new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = hamming_band_pairs_incremental(
+        new_sigs, history_sigs, id_col, "simhash",
+        max_hamming, chunks, max_bucket, stats_out,
+        allow_partial_recall, keep_flags,
+    )
+    return pairs, new_sigs
 
 
 def audio_near_dup_pairs(
@@ -781,6 +1026,117 @@ def audio_near_dup_pairs(
         )
     )
     return within.unionByName(cross)
+
+
+def audio_near_dup_pairs_incremental(
+    new_df: DataFrame, history_fps: DataFrame | None,
+    id_col: str = "clip_id",
+    max_hamming: int = 6, chunks: int = 8,
+    max_bucket: int | None = 10_000,
+    stats_out: dict | None = None,
+    allow_partial_recall: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental cross-run AUDIO near-dup mining: clip pairs with
+    >= 1 NEW side against a persisted (id_col, audio_fp) history —
+    only the NEW batch's Welch windows cross the fingerprint UDF;
+    history clips cost 16 bytes each. Returns ``(pairs, new_fps)``;
+    append new_fps (fp=0 silent/undecodable rows already excluded) to
+    the history table after the run commits (see incremental_audio_run).
+
+    Keeps the full operator's duplicate-heavy-corpus shape: banding
+    runs over DISTINCT fingerprints of the union, then pairs re-expand
+    through the member sets. 'New' is tracked at BOTH levels — a
+    fingerprint counts as new when it has >= 1 new member (a new
+    re-upload of an old master makes its old fingerprint's pairs
+    eligible again), and the re-expansion keeps only clip pairs that
+    actually touch a new clip. Result (tested): exactly
+    ``audio_near_dup_pairs(history ∪ new)`` restricted to
+    new-involving pairs, whenever the caps do not fire; caps apply to
+    the union, so bounds match a full recompute (superset-not-miss
+    across runs, as in hamming_band_pairs_incremental)."""
+    from ..udfs.audio import with_audio_fingerprint
+
+    new_fps = (
+        with_audio_fingerprint(new_df)
+        .filter(F.col("audio_fp") != 0)
+        .select(id_col, "audio_fp")
+        # referenced several times below; without the cache the
+        # fingerprint UDF scan reruns. 16 B/clip, NEW batch only —
+        # unlike the full operator this never pins history-sized
+        # storage (history is already materialized by the caller).
+        .cache()
+    )
+    members = new_fps.withColumn("_new", F.lit(True))
+    if history_fps is not None:
+        members = (
+            history_fps.select(F.col(id_col), "audio_fp")
+            .filter(F.col("audio_fp") != 0)
+            .withColumn("_new", F.lit(False))
+            .unionByName(members)
+        )
+    # fingerprint-level novelty: one groupBy over the union (shuffle =
+    # distinct fps only). A fp is 'new' iff it gained a new member.
+    fp_flags = members.groupBy("audio_fp").agg(
+        F.max("_new").alias("_fp_new")
+    )
+    fp_pairs = hamming_band_pairs_incremental(
+        fp_flags.filter(F.col("_fp_new"))
+        .select(F.col("audio_fp").alias("_fpid"),
+                F.col("audio_fp").alias("_fp")),
+        fp_flags.filter(~F.col("_fp_new"))
+        .select(F.col("audio_fp").alias("_fpid"),
+                F.col("audio_fp").alias("_fp")),
+        "_fpid", "_fp",
+        max_hamming, chunks, max_bucket, stats_out,
+        allow_partial_recall,
+    ).select(
+        F.col("id_a").alias("_fp_a"),
+        F.col("id_b").alias("_fp_b"),
+        "hamming",
+    )
+    # same expansion bound as the full operator, over the union
+    bounded = _drop_hot_groups(
+        members, ["audio_fp"], max_bucket,
+        "identical-fp clip groups", stats_out,
+    )
+    within = (
+        bounded.alias("x")
+        .join(bounded.alias("y"), "audio_fp")
+        .filter(
+            (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            & (F.col("x._new") | F.col("y._new"))
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    cross = (
+        fp_pairs.join(
+            bounded.select(
+                F.col("audio_fp").alias("_fp_a"),
+                F.col(id_col).alias("_ca"),
+                F.col("_new").alias("_na"),
+            ),
+            "_fp_a",
+        )
+        .join(
+            bounded.select(
+                F.col("audio_fp").alias("_fp_b"),
+                F.col(id_col).alias("_cb"),
+                F.col("_new").alias("_nb"),
+            ),
+            "_fp_b",
+        )
+        .filter(F.col("_na") | F.col("_nb"))
+        .select(
+            F.least("_ca", "_cb").alias("id_a"),
+            F.greatest("_ca", "_cb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross), new_fps
 
 
 # ---------------------------------------------------------------------------

@@ -464,6 +464,196 @@ class TestIncrementalMinhash:
         assert store.read("minhash_sigs").count() == 10
 
 
+class TestIncrementalSimhash:
+    KW = dict(max_hamming=7, chunks=8)
+
+    def _pairset(self, df):
+        return {(r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()}
+
+    def test_incremental_equals_full(self, spark):
+        """full_pairs(history ∪ new) == full_pairs(history) ∪
+        incremental_pairs(new, sigs(history)) — the SimHash analogue of
+        the minhash contract, through the shared banding helper."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            simhash_pairs_incremental,
+        )
+
+        hist, new, both = _two_batch_corpus(spark)
+        full = self._pairset(
+            simhash_pairs(both, "doc_id", "text", **self.KW)
+        )
+        hist_pairs = self._pairset(
+            simhash_pairs(hist, "doc_id", "text", **self.KW)
+        )
+        hist_sigs = simhash_signatures(hist, "doc_id", "text")
+        inc, new_sigs = simhash_pairs_incremental(
+            new, hist_sigs, "doc_id", "text", **self.KW
+        )
+        inc = self._pairset(inc)
+        assert full == hist_pairs | inc
+        assert all(a >= 100 or b >= 100 for a, b, _ in inc)
+        inc_ids = {(a, b) for a, b, _ in inc}
+        assert (4, 102) in inc_ids           # cross exact: hamming 0
+        assert not any(a < 100 and b < 100 for a, b in inc_ids)
+        # the returned new_sigs are exactly the new batch's signatures
+        want = {
+            (r["doc_id"], r["simhash"])
+            for r in simhash_signatures(new, "doc_id", "text").collect()
+        }
+        got = {(r["doc_id"], r["simhash"]) for r in new_sigs.collect()}
+        assert got == want
+
+    def test_first_run_and_new_flags(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            simhash_pairs_incremental,
+        )
+
+        hist, new, _ = _two_batch_corpus(spark)
+        # no history -> plain full mine over the new batch
+        inc, _ = simhash_pairs_incremental(
+            hist, None, "doc_id", "text", **self.KW
+        )
+        assert self._pairset(inc) == self._pairset(
+            simhash_pairs(hist, "doc_id", "text", **self.KW)
+        )
+        # keep_flags tells the caller which side is the new arrival
+        hist_sigs = simhash_signatures(hist, "doc_id", "text")
+        flagged, _ = simhash_pairs_incremental(
+            new, hist_sigs, "doc_id", "text", keep_flags=True, **self.KW
+        )
+        rows = {
+            (r["id_a"], r["id_b"]): (r["new_a"], r["new_b"])
+            for r in flagged.collect()
+        }
+        assert rows[(4, 102)] == (False, True)      # history vs new
+        for (a, b), (na, nb) in rows.items():
+            assert na == (a >= 100) and nb == (b >= 100)
+
+    def test_tablestore_run_accumulates_and_skips_replays(
+        self, spark, tmp_path
+    ):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            incremental_simhash_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        hist, new, both = _two_batch_corpus(spark)
+        store = TableStore(spark, str(tmp_path))
+        p1 = incremental_simhash_run(
+            store, "simhash_sigs", hist, "doc_id", "text",
+            source_fingerprint="b1", **self.KW
+        )
+        p2 = incremental_simhash_run(
+            store, "simhash_sigs", new, "doc_id", "text",
+            source_fingerprint="b2", **self.KW
+        )
+        assert self._pairset(p1) | self._pairset(p2) == self._pairset(
+            simhash_pairs(both, "doc_id", "text", **self.KW)
+        )
+        assert store.read("simhash_sigs").count() == 10
+        assert incremental_simhash_run(
+            store, "simhash_sigs", new, "doc_id", "text",
+            source_fingerprint="b2", **self.KW
+        ) is None
+        assert store.read("simhash_sigs").count() == 10
+
+
+class TestIncrementalExact:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_sequential_equals_full_min_id(self, spark):
+        """Feeding batches through dedup_exact_incremental (appending
+        kept_hashes each round) retains exactly dedup_exact(union) under
+        the min-id policy with ingest-ordered ids."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dedup_exact_incremental,
+        )
+
+        b1 = [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, None)]
+        b2 = [(11, "aaa"), (12, "ccc"), (13, "ccc"), (14, None)]
+        b3 = [(21, "bbb"), (22, "ddd")]
+        hist = None
+        kept_ids: set = set()
+        for rows in (b1, b2, b3):
+            kept, hashes = dedup_exact_incremental(
+                self._mk(spark, rows), hist, "doc_id", "text"
+            )
+            kept_ids |= {r["doc_id"] for r in kept.collect()}
+            hist = hashes if hist is None else hist.unionByName(hashes)
+        full = {
+            r["doc_id"]
+            for r in dedup_exact(
+                self._mk(spark, b1 + b2 + b3), "doc_id", "text"
+            ).collect()
+        }
+        # nulls all survive; "aaa"->1, "bbb"->2, "ccc"->12, "ddd"->22
+        assert kept_ids == full == {1, 2, 4, 12, 14, 22}
+        # history hashes cover exactly the retained non-null texts
+        assert hist.count() == 4
+
+    def test_quality_policy_is_greedy_across_runs(self, spark):
+        """Within a batch the best-quality copy survives; across runs
+        the policy is greedy — an earlier survivor is never displaced
+        by a later higher-quality copy (documented tradeoff vs the
+        full-compaction argmax)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dedup_exact_incremental,
+        )
+
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string, q double"
+        )
+        k1, h1 = dedup_exact_incremental(
+            mk([(1, "aaa", 0.2), (2, "aaa", 0.8)]), None,
+            "doc_id", "text", quality_col="q",
+        )
+        assert {r["doc_id"] for r in k1.collect()} == {2}
+        k2, _ = dedup_exact_incremental(
+            mk([(11, "aaa", 0.99), (12, "eee", 0.1)]), h1,
+            "doc_id", "text", quality_col="q",
+        )
+        # 11 outscores the retained 2 but "aaa" is already in history
+        assert {r["doc_id"] for r in k2.collect()} == {12}
+        full = dedup_exact(
+            mk([(1, "aaa", 0.2), (2, "aaa", 0.8),
+                (11, "aaa", 0.99), (12, "eee", 0.1)]),
+            "doc_id", "text", quality_col="q",
+        )
+        assert {r["doc_id"] for r in full.collect()} == {11, 12}
+
+    def test_tablestore_run_and_replay_skip(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            incremental_dedup_exact_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        k1 = incremental_dedup_exact_run(
+            store, "content_hashes",
+            self._mk(spark, [(1, "aaa"), (2, "aaa"), (3, "bbb")]),
+            "doc_id", "text", source_fingerprint="b1",
+        )
+        assert {r["doc_id"] for r in k1.collect()} == {1, 3}
+        k2 = incremental_dedup_exact_run(
+            store, "content_hashes",
+            self._mk(spark, [(11, "aaa"), (12, "zzz")]),
+            "doc_id", "text", source_fingerprint="b2",
+        )
+        assert {r["doc_id"] for r in k2.collect()} == {12}
+        assert store.read("content_hashes").count() == 3
+        assert incremental_dedup_exact_run(
+            store, "content_hashes",
+            self._mk(spark, [(11, "aaa"), (12, "zzz")]),
+            "doc_id", "text", source_fingerprint="b2",
+        ) is None
+        assert store.read("content_hashes").count() == 3
+
+
 class TestSimHash:
     def test_identical_signatures(self, docs):
         sigs = {

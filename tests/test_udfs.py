@@ -272,6 +272,129 @@ class TestAudio:
         assert len(hot_within) == 15 and len(cross) == 12
         assert len(full) == 15 + 1 + 12
 
+    def test_audio_neardup_incremental_equals_full(self, spark):
+        """Incremental cross-run audio dedup: mining the new batch
+        against the persisted fingerprint history yields exactly the
+        full recompute's pair set restricted to new-involving pairs —
+        including pairs through an OLD fingerprint that gained a new
+        member (a fresh re-upload of an already-ingested master)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            audio_near_dup_pairs,
+            audio_near_dup_pairs_incremental,
+        )
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            with_audio_fingerprint,
+        )
+
+        rows = []
+        for i in range(12):  # seed/freq cycle of 4 -> duplicate fps
+            x = sine_pcm(
+                n=4000, amp=8000.0, noise=40.0,
+                seed=i % 4, freq=[440.0, 450.0, 1800.0, 2600.0][i % 4],
+            )
+            rows.append((f"c{i:02d}", x.tobytes(), "pcm_s16le"))
+        schema = "clip_id string, bytes binary, codec string"
+        hist_df = spark.createDataFrame(rows[:6], schema)
+        new_df = spark.createDataFrame(
+            rows[6:] + [("silent", None, "pcm_s16le")], schema
+        )
+        both = spark.createDataFrame(
+            rows + [("silent", None, "pcm_s16le")], schema
+        )
+        full = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in audio_near_dup_pairs(
+                both, max_hamming=6, chunks=8
+            ).collect()
+        }
+        hist_fps = (
+            with_audio_fingerprint(hist_df)
+            .filter(F.col("audio_fp") != 0)
+            .select("clip_id", "audio_fp")
+        )
+        inc, new_fps = audio_near_dup_pairs_incremental(
+            new_df, hist_fps, max_hamming=6, chunks=8
+        )
+        inc = {(r["id_a"], r["id_b"], r["hamming"]) for r in inc.collect()}
+        new_ids = {f"c{i:02d}" for i in range(6, 12)}
+        assert inc == {
+            p for p in full if p[0] in new_ids or p[1] in new_ids
+        }
+        # c06 (new) reuses c02's fingerprint (seed 2 / 1800 Hz): the OLD
+        # fp gained a new member, so the history twin pairs at hamming 0
+        assert ("c02", "c06", 0) in inc
+        assert not any(
+            a not in new_ids and b not in new_ids for a, b, _ in inc
+        )
+        # returned new_fps: the new batch's fingerprints, silent excluded
+        got = {
+            (r["clip_id"], r["audio_fp"]) for r in new_fps.collect()
+        }
+        want = {
+            (r["clip_id"], r["audio_fp"])
+            for r in with_audio_fingerprint(new_df)
+            .filter(F.col("audio_fp") != 0)
+            .select("clip_id", "audio_fp")
+            .collect()
+        }
+        assert got == want and len(got) == 6
+        # no history -> plain full mine over the new batch alone
+        solo, _ = audio_near_dup_pairs_incremental(
+            new_df, None, max_hamming=6, chunks=8
+        )
+        solo = {
+            (r["id_a"], r["id_b"], r["hamming"]) for r in solo.collect()
+        }
+        assert solo == {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in audio_near_dup_pairs(
+                new_df, max_hamming=6, chunks=8
+            ).collect()
+        }
+
+    def test_audio_incremental_tablestore_run(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            audio_near_dup_pairs,
+            incremental_audio_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        rows = []
+        for i in range(8):
+            x = sine_pcm(
+                n=4000, amp=8000.0, noise=40.0,
+                seed=i % 4, freq=[440.0, 450.0, 1800.0, 2600.0][i % 4],
+            )
+            rows.append((f"c{i:02d}", x.tobytes(), "pcm_s16le"))
+        schema = "clip_id string, bytes binary, codec string"
+        b1 = spark.createDataFrame(rows[:4], schema)
+        b2 = spark.createDataFrame(rows[4:], schema)
+        store = TableStore(spark, str(tmp_path))
+        pairset = lambda df: {  # noqa: E731
+            (r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()
+        }
+        p1 = incremental_audio_run(
+            store, "audio_fps", b1, source_fingerprint="b1",
+            max_hamming=6, chunks=8,
+        )
+        p2 = incremental_audio_run(
+            store, "audio_fps", b2, source_fingerprint="b2",
+            max_hamming=6, chunks=8,
+        )
+        assert pairset(p1) | pairset(p2) == pairset(
+            audio_near_dup_pairs(
+                spark.createDataFrame(rows, schema),
+                max_hamming=6, chunks=8,
+            )
+        )
+        assert store.read("audio_fps").count() == 8
+        assert incremental_audio_run(
+            store, "audio_fps", b2, source_fingerprint="b2",
+            max_hamming=6, chunks=8,
+        ) is None
+
     def test_fingerprint_batch_matches_spark_path(self, spark):
         """The full-payload oracle path (fingerprint_batch) and the Spark
         JVM-window path (with_audio_fingerprint) must agree bit-for-bit:
