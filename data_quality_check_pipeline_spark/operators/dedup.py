@@ -1035,6 +1035,7 @@ def audio_near_dup_pairs_incremental(
     max_bucket: int | None = 10_000,
     stats_out: dict | None = None,
     allow_partial_recall: bool = False,
+    keep_flags: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental cross-run AUDIO near-dup mining: clip pairs with
     >= 1 NEW side against a persisted (id_col, audio_fp) history —
@@ -1053,7 +1054,11 @@ def audio_near_dup_pairs_incremental(
     ``audio_near_dup_pairs(history ∪ new)`` restricted to
     new-involving pairs, whenever the caps do not fire; caps apply to
     the union, so bounds match a full recompute (superset-not-miss
-    across runs, as in hamming_band_pairs_incremental)."""
+    across runs, as in hamming_band_pairs_incremental).
+
+    ``keep_flags=True`` appends boolean new_a/new_b columns (which side
+    of the pair is a new arrival) so a sink can quarantine the new side
+    of a new-vs-history pair deterministically."""
     from ..udfs.audio import with_audio_fingerprint
 
     new_fps = (
@@ -1099,6 +1104,29 @@ def audio_near_dup_pairs_incremental(
         members, ["audio_fp"], max_bucket,
         "identical-fp clip groups", stats_out,
     )
+    within_cols = [
+        F.col(f"x.{id_col}").alias("id_a"),
+        F.col(f"y.{id_col}").alias("id_b"),
+        F.lit(0).alias("hamming"),
+    ]
+    # x.id < y.id below, so the flags follow the ids positionally
+    cross_swap = F.col("_ca") > F.col("_cb")
+    cross_cols = [
+        F.least("_ca", "_cb").alias("id_a"),
+        F.greatest("_ca", "_cb").alias("id_b"),
+        F.col("hamming"),
+    ]
+    if keep_flags:
+        within_cols += [
+            F.col("x._new").alias("new_a"),
+            F.col("y._new").alias("new_b"),
+        ]
+        cross_cols += [
+            F.when(cross_swap, F.col("_nb")).otherwise(F.col("_na"))
+            .alias("new_a"),
+            F.when(cross_swap, F.col("_na")).otherwise(F.col("_nb"))
+            .alias("new_b"),
+        ]
     within = (
         bounded.alias("x")
         .join(bounded.alias("y"), "audio_fp")
@@ -1106,11 +1134,7 @@ def audio_near_dup_pairs_incremental(
             (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             & (F.col("x._new") | F.col("y._new"))
         )
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-            F.lit(0).alias("hamming"),
-        )
+        .select(*within_cols)
     )
     cross = (
         fp_pairs.join(
@@ -1130,11 +1154,7 @@ def audio_near_dup_pairs_incremental(
             "_fp_b",
         )
         .filter(F.col("_na") | F.col("_nb"))
-        .select(
-            F.least("_ca", "_cb").alias("id_a"),
-            F.greatest("_ca", "_cb").alias("id_b"),
-            "hamming",
-        )
+        .select(*cross_cols)
     )
     return within.unionByName(cross), new_fps
 

@@ -48,10 +48,13 @@ def _agg_expr(e: Expectation) -> Column | None:
         return _pass_rate(~null_or_empty(c))
     if e.kind == "be_unique":
         # pass-rate = distinct/non-null (all-or-nothing in the reference;
-        # expressed as a ratio so `mostly` composes)
+        # expressed as a ratio so `mostly` composes). nullif: zero
+        # non-null rows (empty shard — e.g. every kept clip deduped
+        # away) must yield NULL = vacuous pass, not DIVIDE_BY_ZERO
+        # under ANSI mode
         return (
             F.count_distinct(c).cast("double")
-            / F.count(c).cast("double")
+            / F.nullif(F.count(c).cast("double"), F.lit(0.0))
         )
     if e.kind == "value_lengths_between":
         return _pass_rate(

@@ -68,6 +68,21 @@ _DECISION_RANK = {CONTINUE: 0, DISCARD: 1, QUARANTINE: 2, HALT: 3}
 CLEAN_TABLE = "clips_clean"
 QUARANTINE_TABLE = "clips_quarantine"
 LINEAGE_TABLE = "lineage"
+# cross-run dedup signature history tables (survivors only; see
+# _dedup_kept_branch)
+CONTENT_HASH_TABLE = "content_hash_history"
+AUDIO_FP_TABLE = "audio_fp_history"
+DUP_CONTENT_REASON = "duplicate_content"
+DUP_AUDIO_REASON = "near_duplicate_audio"
+# quarantine reasons that are TERMINAL for the DLQ: a duplicate stays a
+# duplicate on retry (its survivor is already in the corpus), so requeue
+# must never re-drive it into clips_clean — unlike transient validation
+# failures. stream_near_duplicate is the streaming sink's analogue.
+TERMINAL_REASONS = (
+    DUP_CONTENT_REASON,
+    DUP_AUDIO_REASON,
+    "stream_near_duplicate",
+)
 
 
 @dataclass
@@ -86,6 +101,16 @@ class RunConfig:
     module_reports: bool = True
     pushgateway_url: str | None = None
     push_transport: object = None  # injectable (url, data, headers) hook
+    # cross-run dedup of the kept branch against persisted signature
+    # history in this out_root (exact transcript hash / audio spectral
+    # fingerprint); duplicates quarantine with a TERMINAL reason
+    dedup_content: bool = False
+    dedup_audio: bool = False
+    dedup_audio_max_hamming: int = 6
+    # survivor policy for WITHIN-shard exact-content groups: keep the
+    # argmax of this numeric column (ties -> min clip_id) instead of min
+    # clip_id. Cross-run stays greedy (dedup_exact_incremental docs).
+    dedup_quality_col: str | None = None
 
     def __post_init__(self) -> None:
         if not self.run_id:
@@ -155,6 +180,109 @@ def _find_committed_write(
         if all(props.get(k) == v for k, v in match.items()):
             return s["id"]
     return None
+
+
+def _history_before(
+    store: TableStore, table: str, match: dict
+) -> DataFrame | None:
+    """Signature history AS OF before this shard's own append — the
+    replay-safe read (the batch twin of the streaming sink's
+    _sig_history_before_batch). A crash AFTER the history append but
+    before the lineage row replays the shard; reading the CURRENT
+    snapshot would then include the shard's own signatures, so every
+    clip would 'duplicate' its own committed copy and the replay would
+    quarantine clips the first attempt kept. Reading the parent of the
+    shard's own committed append keeps every replay's dedup routing
+    identical to the first attempt."""
+    if not store.exists(table):
+        return None
+    for s in store.property_records(table):
+        props = s.get("properties", {})
+        if all(props.get(k) == v for k, v in match.items()):
+            parent = s.get("parent")
+            return store.read(table, parent) if parent else None
+    return store.read(table)
+
+
+def _dedup_kept_branch(
+    kept_src: DataFrame,
+    cfg: RunConfig,
+    store: TableStore,
+    shard_props: dict,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None,
+           DataFrame | None, dict]:
+    """Cross-run dedup of the kept branch against the out_root's
+    persisted signature history: exact transcript hash first (cheap,
+    catches re-uploads verbatim), then audio spectral fingerprint over
+    the remainder (catches re-encodes / re-noised copies of the same
+    master). Returns ``(survivors, dup_rows, new_hashes, new_fps,
+    counts, cached)`` where dup_rows is (clip_id, reason) for
+    quarantine routing, new_hashes / new_fps are the SURVIVORS'
+    signatures for the caller to append after the data writes commit
+    (crash protocol: _history_before), and cached lists the frames the
+    stage pinned — unpersist once the signature appends land.
+
+    Works across shards within one run too: shard k's append is
+    committed history by the time shard k+1 mines. All routing is
+    deterministic (hash anti-join; min-id or argmax-quality within
+    batch; greater clip_id loses a new-new audio pair), so crash
+    replays and task retries route identically."""
+    from .operators.dedup import (
+        audio_near_dup_pairs_incremental,
+        dedup_exact_incremental,
+    )
+
+    counts: dict = {}
+    dup_parts: list[DataFrame] = []
+    cached: list[DataFrame] = []
+    new_hashes = new_fps = None
+    if cfg.dedup_content:
+        hist = _history_before(store, CONTENT_HASH_TABLE, shard_props)
+        survivors, new_hashes = dedup_exact_incremental(
+            kept_src, hist, "clip_id", "transcript",
+            quality_col=cfg.dedup_quality_col,
+        )
+        dropped = kept_src.select("clip_id").join(
+            survivors.select("clip_id"), "clip_id", "left_anti"
+        )
+        counts["content_dups"] = dropped.count()
+        if counts["content_dups"]:
+            dup_parts.append(
+                dropped.withColumn("reason", F.lit(DUP_CONTENT_REASON))
+            )
+        kept_src = survivors
+    if cfg.dedup_audio:
+        hist = _history_before(store, AUDIO_FP_TABLE, shard_props)
+        pairs, new_fps = audio_near_dup_pairs_incremental(
+            kept_src, hist, "clip_id",
+            max_hamming=cfg.dedup_audio_max_hamming,
+            keep_flags=True,
+        )
+        cached.append(new_fps)  # the operator's cached (id, fp) frame
+        # the NEW side of a new-vs-history pair is the dup; for
+        # new-vs-new the greater clip_id loses (same routing as the
+        # streaming near-dup sink — deterministic across replays)
+        dup_ids = pairs.select(
+            F.when(F.col("new_a") & ~F.col("new_b"), F.col("id_a"))
+            .when(F.col("new_b") & ~F.col("new_a"), F.col("id_b"))
+            .otherwise(F.col("id_b"))
+            .alias("clip_id")
+        ).distinct()
+        counts["audio_dups"] = dup_ids.count()
+        if counts["audio_dups"]:
+            dup_parts.append(
+                dup_ids.withColumn("reason", F.lit(DUP_AUDIO_REASON))
+            )
+            kept_src = kept_src.join(dup_ids, "clip_id", "left_anti")
+            # survivors only: a quarantined dup's fingerprint must not
+            # become history (its survivor's already is)
+            new_fps = new_fps.join(dup_ids, "clip_id", "left_anti")
+    dup_rows = None
+    if dup_parts:
+        dup_rows = dup_parts[0]
+        for p in dup_parts[1:]:
+            dup_rows = dup_rows.unionByName(p)
+    return kept_src, dup_rows, new_hashes, new_fps, counts, cached
 
 
 def _merge_shard_report(
@@ -433,15 +561,6 @@ def _run_shard(
             flagged.unpersist()
         return gate, stats, {}
 
-    # -- KEEP BRANCH: scrub -> salted partitioned write ----------------------
-    t0 = time.time()
-    kept_pre = scrub_transcripts(
-        flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")
-    )
-    # aggregates below run on kept_pre (pre-repartition): the salted
-    # shuffle exists only for the write's file layout, and paying it
-    # again for two scalar aggs would re-shuffle the audio bytes twice
-    kept = salted_repartition(kept_pre, cfg.salt_buckets)
     # crash-safe shard commit: the lineage row (the resume marker) is
     # written LAST, so a crash after this append but before lineage makes
     # the rerun reprocess the shard — the (fingerprint, shard, n_shards)
@@ -451,6 +570,33 @@ def _run_shard(
         "n_shards": cfg.n_shards,
         "source_fingerprint": cfg.source_fingerprint,
     }
+
+    # -- KEEP BRANCH: [cross-run dedup] -> scrub -> salted write -------------
+    t0 = time.time()
+    kept_src = flagged.filter(F.col("keep")).drop(
+        "reasons", "severity", "keep"
+    )
+    dup_rows = new_hashes = new_fps = None
+    dedup_cached: list[DataFrame] = []
+    if cfg.dedup_content or cfg.dedup_audio:
+        (kept_src, dup_rows, new_hashes, new_fps, dd,
+         dedup_cached) = _dedup_kept_branch(
+            kept_src, cfg, store, shard_props
+        )
+        n_dups = sum(dd.values())
+        # run totals report what LANDED: a deduped clip is dropped (it
+        # quarantines with a terminal reason), not kept
+        stats["kept"] -= n_dups
+        stats["dropped"] += n_dups
+        if stats.get("total"):
+            stats["keep_pct"] = 100.0 * stats["kept"] / stats["total"]
+        log.record("dedup", "ok", t0, **dd)
+        t0 = time.time()
+    kept_pre = scrub_transcripts(kept_src)
+    # aggregates below run on kept_pre (pre-repartition): the salted
+    # shuffle exists only for the write's file layout, and paying it
+    # again for two scalar aggs would re-shuffle the audio bytes twice
+    kept = salted_repartition(kept_pre, cfg.salt_buckets)
     # without a fingerprint two unrelated runs into the same out_root
     # would false-match each other's shards — guard only when stamped
     clean_sid = (
@@ -485,6 +631,20 @@ def _run_shard(
             F.lit(0).alias("retry_count"),
         )
     )
+    if dup_rows is not None:
+        quarantined = quarantined.unionByName(
+            dup_rows.select(
+                "clip_id",
+                F.array("reason").alias("reasons"),
+                F.lit("MEDIUM").alias("severity"),
+                F.lit("dedup").alias("stage"),
+                F.lit(cfg.run_id).alias("run_id"),
+                F.current_timestamp().alias("ts"),
+                # terminal from the start: duplicates never requeue
+                # (requeue_quarantine filters TERMINAL_REASONS too)
+                F.lit(0).alias("retry_count"),
+            )
+        )
     if gate.decision != DISCARD:
         q_sid = (
             _find_committed_write(store, QUARANTINE_TABLE, shard_props)
@@ -506,6 +666,29 @@ def _run_shard(
                        snapshot=q_sid)
     else:
         log.record("quarantine", "skipped_discard", t0)
+
+    # -- DEDUP HISTORY APPENDS (survivors only, committed AFTER the data
+    # writes so a crash replays against the pre-append history — see
+    # _history_before) -------------------------------------------------------
+    for table, sigs in (
+        (CONTENT_HASH_TABLE, new_hashes),
+        (AUDIO_FP_TABLE, new_fps),
+    ):
+        if sigs is None:
+            continue
+        already = (
+            _find_committed_write(store, table, shard_props)
+            if cfg.source_fingerprint and not cfg.force
+            else None
+        )
+        if already is None:
+            store.write(
+                table, sigs,
+                mode="append" if store.exists(table) else "overwrite",
+                properties={"run_id": cfg.run_id, **shard_props},
+            )
+    for c in dedup_cached:
+        c.unpersist()
 
     # -- GE VALIDATE + PII (parity: reference stages 10-11) ------------------
     # one aggregate pass over the cached kept branch: the expectation
@@ -704,11 +887,28 @@ def requeue_quarantine(
     # has no active rows (retired, as before), but one legitimately
     # RE-quarantined after a past resolution counts only its NEW
     # attempts — the marker's retry_count=cap must not block it.
+    active = active_quarantine(q)
+    # duplicate quarantines are TERMINAL (TERMINAL_REASONS): the dup's
+    # survivor is already in clips_clean, so a retry can never
+    # legitimately succeed — re-driving one would append duplicate
+    # content. Any active row carrying a terminal reason retires the
+    # clip from eligibility regardless of retry_count.
+    terminal = (
+        active.filter(
+            F.arrays_overlap(
+                "reasons",
+                F.array(*[F.lit(r) for r in TERMINAL_REASONS]),
+            )
+        )
+        .select("clip_id")
+        .distinct()
+    )
     eligible = (
-        active_quarantine(q)
+        active
         .groupBy("clip_id")
         .agg(F.max("retry_count").alias("retry_count"))
         .filter(F.col("retry_count") < max_retries)
+        .join(terminal, "clip_id", "left_anti")
     )
     df = spark.read.parquet(source) if isinstance(source, str) else source
     subset = df.join(eligible.select("clip_id"), "clip_id", "left_semi")

@@ -87,6 +87,25 @@ def main() -> None:
                          "re-uploads (small transcript edits) against a "
                          "persisted signature-history table "
                          "(minhash_sig_history under <out>)")
+    ap.add_argument("--dedup-content", action="store_true",
+                    help="batch runs: quarantine kept clips whose exact "
+                         "normalized transcript was already retained "
+                         "(this run or any earlier run into <out>; "
+                         "history table content_hash_history)")
+    ap.add_argument("--dedup-audio", action="store_true",
+                    help="batch runs: quarantine kept clips whose audio "
+                         "spectral fingerprint near-dups an already-"
+                         "retained clip (history table audio_fp_history)")
+    ap.add_argument("--dedup-audio-max-hamming", type=int, default=6,
+                    metavar="N",
+                    help="with --dedup-audio: fingerprint hamming "
+                         "radius counted as a near-dup (default 6; the "
+                         "synthetic tone corpus is fingerprint-"
+                         "degenerate, use 0 there)")
+    ap.add_argument("--dedup-quality-col", default=None, metavar="COL",
+                    help="with --dedup-content: keep the within-run dup "
+                         "group's argmax of this score column (e.g. "
+                         "snr_db) instead of min clip_id")
     args = ap.parse_args()
 
     from data_quality_check_pipeline_spark.pipeline import (
@@ -195,6 +214,10 @@ def main() -> None:
         non_interactive=args.no_review or args.review_file is None,
         review_decision_file=args.review_file,
         pushgateway_url=args.pushgateway,
+        dedup_content=args.dedup_content,
+        dedup_audio=args.dedup_audio,
+        dedup_audio_max_hamming=args.dedup_audio_max_hamming,
+        dedup_quality_col=args.dedup_quality_col,
     )
     if args.requeue:
         from data_quality_check_pipeline_spark.pipeline import (

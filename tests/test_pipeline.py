@@ -722,3 +722,267 @@ class TestGuardRollbackAndForce:
             store, "t",
             {"shard": 0, "n_shards": 1, "source_fingerprint": "fp"},
         ) is not None
+
+
+class TestCrossRunDedup:
+    """The batch pipeline's incremental dedup stage: kept clips are
+    mined against signature history persisted in the out_root
+    (content_hash_history / audio_fp_history), duplicates quarantine
+    with TERMINAL reasons, survivors' signatures accumulate."""
+
+    def _write(self, tmp_path, name, pdf):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / name)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        return p
+
+    def _keep_ids(self, spark, pdf):
+        from data_quality_check_pipeline_spark.pipeline import (
+            flag_clips,
+            score_clips,
+        )
+
+        sdf = spark.createDataFrame(pdf)
+        return [
+            r["clip_id"]
+            for r in flag_clips(score_clips(sdf))
+            .filter("keep").select("clip_id").collect()
+        ]
+
+    @pytest.fixture(scope="class")
+    def halves(self, spark):
+        from data_quality_check_pipeline_spark.synth import generate_clips
+
+        pdf, _ = generate_clips(60)
+        first = pdf.iloc[:30].reset_index(drop=True)
+        second = pdf.iloc[30:].reset_index(drop=True)
+        return (
+            first, second,
+            self._keep_ids(spark, first), self._keep_ids(spark, second),
+        )
+
+    def test_content_dedup_across_and_within_runs(
+        self, spark, tmp_path, halves
+    ):
+        first, second, valid1, valid2 = halves
+        assert len(valid1) >= 2 and len(valid2) >= 2
+        out = str(tmp_path / "tables")
+        p1 = self._write(tmp_path, "c1.parquet", first)
+        cfg1 = RunConfig(out_root=out, run_id="r1",
+                         source_fingerprint="fpA", dedup_content=True,
+                         module_reports=False)
+        m1 = run_pipeline(spark, p1, cfg1)
+        store = TableStore(spark, out)
+        kept1 = m1["quality"]["kept"]
+        assert kept1 == len(valid1)  # first run: nothing to dedup
+        assert store.read("content_hash_history").count() == len(valid1)
+
+        # second corpus: cross-run exact dup of k1, a within-run dup
+        # pair cloned from held-out valid row y, plus the rest of the
+        # second half (y excluded so the pair is fresh content)
+        k1 = valid1[0]
+        y = valid2[0]
+        row_k1 = first[first.clip_id == k1].copy()
+        row_y = second[second.clip_id == y].copy()
+        assert row_y.iloc[0]["transcript"] not in set(first.transcript)
+        ctdup = row_k1.assign(clip_id="zzz_ctdup")
+        w1 = row_y.assign(clip_id="zzz_w1")
+        w2 = row_y.assign(clip_id="zzz_w2")
+        import pandas as pd
+
+        corpus2 = pd.concat(
+            [second[second.clip_id != y], ctdup, w1, w2],
+            ignore_index=True,
+        )
+        p2 = self._write(tmp_path, "c2.parquet", corpus2)
+        cfg2 = RunConfig(out_root=out, run_id="r2",
+                         source_fingerprint="fpB", dedup_content=True,
+                         module_reports=False)
+        m2 = run_pipeline(spark, p2, cfg2)
+
+        clean_ids = {
+            r["clip_id"] for r in store.read(CLEAN_TABLE).collect()
+        }
+        assert "zzz_ctdup" not in clean_ids     # cross-run dup dropped
+        assert "zzz_w1" in clean_ids            # within-run survivor
+        assert "zzz_w2" not in clean_ids        # within-run dup dropped
+        q = store.read(QUARANTINE_TABLE)
+        dup_rows = {
+            r["clip_id"]: (list(r["reasons"]), r["stage"])
+            for r in q.filter(
+                F.array_contains("reasons", "duplicate_content")
+            ).collect()
+        }
+        assert set(dup_rows) == {"zzz_ctdup", "zzz_w2"}
+        assert all(stage == "dedup" for _, stage in dup_rows.values())
+        # clean table holds no duplicated transcript across both runs
+        dup_texts = (
+            store.read(CLEAN_TABLE)
+            .groupBy("transcript").count().filter("count > 1").count()
+        )
+        assert dup_texts == 0
+        # history accumulated survivors only (one hash per kept text)
+        assert (
+            store.read("content_hash_history").count()
+            == store.read(CLEAN_TABLE).count()
+        )
+        # metrics report what landed
+        assert m2["quality"]["kept"] == len(clean_ids) - kept1
+
+    def test_dup_quarantine_is_terminal_for_requeue(
+        self, spark, tmp_path, halves
+    ):
+        from data_quality_check_pipeline_spark.pipeline import (
+            active_quarantine,
+            requeue_quarantine,
+        )
+
+        first, second, valid1, valid2 = halves
+        out = str(tmp_path / "tables")
+        p1 = self._write(tmp_path, "c1.parquet", first)
+        cfg1 = RunConfig(out_root=out, run_id="r1",
+                         source_fingerprint="fpA", dedup_content=True,
+                         module_reports=False)
+        run_pipeline(spark, p1, cfg1)
+        import pandas as pd
+
+        # same corpus under fresh ids: every valid clip is a cross-run
+        # content dup
+        clones = first.copy()
+        clones["clip_id"] = ["dup_" + c for c in first["clip_id"]]
+        p2 = self._write(tmp_path, "c2.parquet", clones)
+        cfg2 = RunConfig(out_root=out, run_id="r2",
+                         source_fingerprint="fpB", dedup_content=True,
+                         module_reports=False)
+        m2 = run_pipeline(spark, p2, cfg2)
+        assert m2["quality"]["kept"] == 0
+        store = TableStore(spark, out)
+        n_clean = store.read(CLEAN_TABLE).count()
+
+        # requeue over the clone corpus: dup quarantines are terminal,
+        # so nothing may be re-driven into clips_clean
+        res = requeue_quarantine(spark, cfg2, p2)
+        assert store.read(CLEAN_TABLE).count() == n_clean
+        dup_ids = {"dup_" + v for v in valid1}
+        if res.get("requeued"):
+            # only non-dup (validation-failure) clips were re-driven
+            requeued_kept = res.get("kept", 0)
+            assert requeued_kept == 0 or not (
+                dup_ids
+                & {
+                    r["clip_id"]
+                    for r in store.read(CLEAN_TABLE).collect()
+                }
+            )
+        # the dup clips remain visible in active quarantine
+        active = {
+            r["clip_id"]
+            for r in active_quarantine(
+                store.read(QUARANTINE_TABLE)
+            ).collect()
+        }
+        assert dup_ids <= active
+
+    def test_audio_dedup_across_runs(self, spark, tmp_path, halves):
+        """The synthetic corpus's own tones are fingerprint-degenerate
+        (nearly everything within hamming 2 of everything — see the
+        probe in this test's history), so this test plants CONTROLLED
+        tones under valid rows: distinct frequencies 180 Hz apart
+        measure >= hamming 2 apart, an exact byte copy measures 0, and
+        the stage runs with max_hamming=1."""
+        import numpy as np
+        import pandas as pd
+
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            fingerprint_batch,
+        )
+
+        first, second, valid1, valid2 = halves
+
+        def with_tone(row, freq, seed):
+            sr, dur = int(row["sr_hz"]), int(row["dur_ms"])
+            n = max(1, int(sr * dur / 1000))
+            rng = np.random.RandomState(seed)
+            t = np.arange(n) / sr
+            x = 9000 * np.sin(2 * np.pi * freq * t) + rng.normal(
+                0, 60.0, n
+            )
+            return np.clip(x, -32768, 32767).astype("<i2").tobytes()
+
+        rows1 = (
+            first[first.clip_id.isin(valid1[:6])]
+            .copy().reset_index(drop=True)
+        )
+        z_src = second[second.clip_id == valid2[0]].copy()
+        z_src = z_src.reset_index(drop=True)
+
+        # the spectral fingerprint buckets frequencies RELATIVE to each
+        # row's sample rate, so fixed spacing cannot guarantee
+        # separation across mixed-sr rows — pick each row's tone
+        # greedily, verifying the actual fingerprint stays > max_hamming
+        # (=1) from everything already chosen
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        chosen_fps: list[int] = []
+
+        def plant(row, seed):
+            for freq in range(200, 3500, 150):
+                payload = with_tone(row, freq, seed)
+                fp = int(
+                    fingerprint_batch([payload], ["pcm_s16le"])[0]
+                )
+                if fp != 0 and all(ham(fp, g) > 1 for g in chosen_fps):
+                    chosen_fps.append(fp)
+                    return payload
+            raise AssertionError("no separable tone found for row")
+
+        rows1["bytes"] = [
+            plant(r, i) for i, r in rows1.iterrows()
+        ]
+        rows1["codec"] = "pcm_s16le"
+        z_src["bytes"] = [plant(z_src.iloc[0], 100)]
+        z_src["codec"] = "pcm_s16le"
+
+        out = str(tmp_path / "tables")
+        p1 = self._write(tmp_path, "a1.parquet", rows1)
+        cfg1 = RunConfig(out_root=out, run_id="r1",
+                         source_fingerprint="fpA", dedup_audio=True,
+                         dedup_audio_max_hamming=1,
+                         module_reports=False)
+        m1 = run_pipeline(spark, p1, cfg1)
+        store = TableStore(spark, out)
+        assert m1["quality"]["kept"] == len(rows1)
+        assert store.read("audio_fp_history").count() == len(rows1)
+
+        # run 2: control z (far tone, must survive) + an exact byte
+        # copy of a run-1 clip under a new id (hamming 0 vs history)
+        z = valid2[0]
+        audup = rows1.iloc[[1]].assign(clip_id="zzz_audup")
+        corpus2 = pd.concat([z_src, audup], ignore_index=True)
+        p2 = self._write(tmp_path, "a2.parquet", corpus2)
+        cfg2 = RunConfig(out_root=out, run_id="r2",
+                         source_fingerprint="fpB", dedup_audio=True,
+                         dedup_audio_max_hamming=1,
+                         module_reports=False)
+        run_pipeline(spark, p2, cfg2)
+
+        clean_ids = {
+            r["clip_id"] for r in store.read(CLEAN_TABLE).collect()
+        }
+        assert "zzz_audup" not in clean_ids
+        assert z in clean_ids
+        q = store.read(QUARANTINE_TABLE)
+        audup_reasons = [
+            list(r["reasons"])
+            for r in q.filter(F.col("clip_id") == "zzz_audup").collect()
+        ]
+        assert ["near_duplicate_audio"] in audup_reasons
+        # the dup's fingerprint did NOT enter history; z's did
+        fps_hist = store.read("audio_fp_history")
+        assert fps_hist.filter(
+            F.col("clip_id") == "zzz_audup"
+        ).count() == 0
+        assert fps_hist.filter(F.col("clip_id") == z).count() == 1
