@@ -65,11 +65,20 @@ def threshold_gate(
     if failure_pct <= t.hard_failure_pct:
         return GateResult(CONTINUE, failure_pct, pass_pct)
     if pass_pct < t.review_pass_rate:
-        decision = poll_review_decision(
-            review_decision_file,
-            timeout_s=0.0 if non_interactive else t.review_timeout_s,
-            default=t.timeout_action,
-        )
+        if review_decision_file is None and not non_interactive:
+            # no file channel configured but a human IS attached: TTY
+            # prompt with a real auto-timeout (reference interactive
+            # path, human_review.py:127-235). Non-TTY stdin degrades to
+            # the timeout action immediately — never blocks a scheduler.
+            decision = prompt_review_interactive(
+                failure_pct, pass_pct, total, failed, t,
+            )
+        else:
+            decision = poll_review_decision(
+                review_decision_file,
+                timeout_s=0.0 if non_interactive else t.review_timeout_s,
+                default=t.timeout_action,
+            )
         return GateResult(
             decision, failure_pct, pass_pct, reviewed=True,
             detail="review gate (pass rate below threshold)",
@@ -78,6 +87,113 @@ def threshold_gate(
         QUARANTINE, failure_pct, pass_pct,
         detail="failure above hard threshold; quarantining failed rows",
     )
+
+
+def _append_audit(path: str | None, row: dict) -> None:
+    """Append one JSONL row to the review audit trail; never raises —
+    the audit trail must never block the gate itself."""
+    if not path:
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    except OSError:
+        pass
+
+
+def _read_line_with_timeout(timeout_s: float) -> str | None:
+    """Read one line from stdin, or None on timeout / closed stream.
+    select()-based so the advertised auto-timeout is real (the
+    reference prints '(Auto-... in Ns)' but its bare input() would wait
+    forever; reference human_review.py:195-198)."""
+    import select
+    import sys
+
+    try:
+        ready, _, _ = select.select([sys.stdin], [], [], max(timeout_s, 0))
+        if not ready:
+            return None
+        line = sys.stdin.readline()
+        return line if line else None  # '' = EOF/closed
+    except (OSError, ValueError):  # closed/invalid stdin
+        return None
+
+
+def prompt_review_interactive(
+    failure_pct: float,
+    pass_pct: float,
+    total: int,
+    failed: int,
+    thresholds: Thresholds | None = None,
+    samples: list[dict] | None = None,
+    audit_log: str | None = None,
+    input_fn=None,
+    isatty: bool | None = None,
+) -> str:
+    """Interactive operator prompt (parity: reference
+    human_review.py:127-235 request_review_interactive): banner with
+    pass rate / threshold / counts, up to 5 failed-row samples, a
+    [C/D/Q/H] choice with a REAL auto-timeout, and an audit-trail row
+    for whatever was decided. Non-TTY stdin (cron, Airflow, CI) never
+    blocks: the timeout action applies immediately, exactly as the
+    reference's isatty guard does.
+
+    ``input_fn``/``isatty`` are test seams; production callers leave
+    them None (select()-gated stdin read, real isatty)."""
+    t = thresholds or Thresholds()
+    if isatty is None:
+        import sys
+
+        try:
+            isatty = sys.stdin.isatty()
+        except (AttributeError, ValueError):
+            isatty = False
+    path = audit_log
+
+    def _decide(decision: str, source: str) -> str:
+        _append_audit(path, {
+            "ts": time.time(), "decision": decision, "source": source,
+            "failure_pct": failure_pct,
+        })
+        return decision
+
+    if not isatty and input_fn is None:
+        return _decide(t.timeout_action, "non_interactive_auto")
+
+    print("\n" + "=" * 60)
+    print("  HUMAN REVIEW REQUIRED")
+    print("=" * 60)
+    print(f"\n  Validation pass rate: {pass_pct:.1f}%")
+    print(f"  Required threshold:   {t.review_pass_rate:.1f}%")
+    print(f"  Failed clips:         {failed}")
+    print(f"  Total clips:          {total}\n")
+    for s in (samples or [])[:5]:
+        print(f"    {s}")
+    if samples:
+        print()
+    print("  Options:")
+    print("    [C] Continue   — keep everything, failed rows included")
+    print("    [D] Discard    — drop failed rows, keep the rest")
+    print("    [Q] Quarantine — failed rows to the DLQ, keep the rest")
+    print("    [H] Halt       — stop the pipeline entirely")
+    print(f"\n  (Auto-{t.timeout_action} in {t.review_timeout_s:.0f}s "
+          "if no response)\n")
+    line = (
+        input_fn() if input_fn is not None
+        else _read_line_with_timeout(t.review_timeout_s)
+    )
+    if line is None:
+        print(f"\n  No response — auto-{t.timeout_action}.")
+        return _decide(t.timeout_action, "timeout_default")
+    choice = line.strip().upper()[:1]
+    decision = {
+        "C": CONTINUE, "D": DISCARD, "Q": QUARANTINE, "H": HALT,
+    }.get(choice)
+    if decision is None:
+        print(f"\n  Unrecognized '{choice}' — auto-{t.timeout_action}.")
+        return _decide(t.timeout_action, "invalid_choice_default")
+    print(f"\n  Decision recorded: {decision.upper()}")
+    return _decide(decision, "operator")
 
 
 def poll_review_decision(
@@ -115,17 +231,12 @@ def poll_review_decision(
     path = audit_log or (
         f"{decision_file}.audit.jsonl" if decision_file else None
     )
-    if path:
-        try:
-            with open(path, "a") as f:
-                f.write(json.dumps({
-                    "ts": time.time(),
-                    "decision": decision,
-                    "source": source,
-                    "decision_file": decision_file,
-                }) + "\n")
-        except OSError:
-            pass  # the audit trail must never block the gate itself
+    _append_audit(path, {
+        "ts": time.time(),
+        "decision": decision,
+        "source": source,
+        "decision_file": decision_file,
+    })
     return decision
 
 

@@ -23,7 +23,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline import CLEAN_TABLE, QUARANTINE_TABLE, flag_clips, score_clips
+from ..pipeline import (
+    AUDIO_FP_TABLE,
+    CLEAN_TABLE,
+    DUP_AUDIO_REASON,
+    QUARANTINE_TABLE,
+    flag_clips,
+    score_clips,
+)
 from ..operators.scrub import scrub_transcripts
 from ..sources.tables import TableStore
 
@@ -312,6 +319,8 @@ def start_quality_stream(
     content_dedup: bool | str = False,
     near_dup: bool = False,
     near_dup_jaccard: float = 0.8,
+    audio_near_dup: bool = False,
+    audio_max_hamming: int = 6,
 ):
     """Start (or drain, with availableNow) the streaming pipeline.
 
@@ -328,7 +337,19 @@ def start_quality_stream(
     collides in minhash bands. Watermark state is NOT involved — the
     'state' is the durable signature table, bounded by the corpus, and
     the candidate join runs batch-side inside foreachBatch where
-    cross-row joins are legal."""
+    cross-row joins are legal.
+
+    ``audio_near_dup=True`` is the AUDIO analogue: the micro-batch's
+    remaining kept clips are mined against the persisted fingerprint
+    history (audio_near_dup_pairs_incremental over the shared
+    audio_fp_history table, so batch `--dedup-audio` runs and streams
+    into one out_root dedup against EACH OTHER'S survivors); a
+    re-encoded/re-noised re-upload whose transcript was also rewritten
+    — invisible to every text key — still collides in fingerprint
+    chunks. Dups quarantine with the terminal near_duplicate_audio
+    reason; survivor fingerprints append under the same exactly-once
+    guard. A clip dropped by the audio stage leaves NO signature in
+    either history table (its text sig is withheld too)."""
     store = TableStore(spark, out_root)
     sid = stream_identity(checkpoint_dir, spark)
     flagged = build_streaming_flags(
@@ -337,11 +358,28 @@ def start_quality_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.dedup import minhash_lsh_pairs_incremental
+        from ..operators.dedup import (
+            audio_near_dup_pairs_incremental,
+            minhash_lsh_pairs_incremental,
+        )
+
+        def _new_side(pairs: DataFrame) -> DataFrame:
+            # the NEW side of a new-vs-history pair is the dup; for
+            # new-vs-new pairs the later (greater) clip_id loses —
+            # deterministic, so replays route identically
+            return pairs.select(
+                F.when(
+                    F.col("new_a") & ~F.col("new_b"), F.col("id_a")
+                ).when(
+                    F.col("new_b") & ~F.col("new_a"), F.col("id_b")
+                ).otherwise(F.col("id_b")).alias("clip_id")
+            ).distinct().cache()
 
         batch_df = batch_df.cache()
         dup_ids = None
+        a_dup_ids = None
         new_sigs = None
+        new_fps = None
         try:
             kept_src = batch_df.filter(F.col("keep"))
             if near_dup:
@@ -352,17 +390,20 @@ def start_quality_stream(
                     kept_src, history, "clip_id", "transcript",
                     min_est_jaccard=near_dup_jaccard, keep_flags=True,
                 )
-                # the NEW side of a new-vs-history pair is the dup; for
-                # new-vs-new pairs the later (greater) clip_id loses —
-                # deterministic, so replays route identically
-                dup_ids = pairs.select(
-                    F.when(
-                        F.col("new_a") & ~F.col("new_b"), F.col("id_a")
-                    ).when(
-                        F.col("new_b") & ~F.col("new_a"), F.col("id_b")
-                    ).otherwise(F.col("id_b")).alias("clip_id")
-                ).distinct().cache()
+                dup_ids = _new_side(pairs)
                 kept_src = kept_src.join(dup_ids, "clip_id", "left_anti")
+            if audio_near_dup:
+                fp_history = _sig_history_before_batch(
+                    store, AUDIO_FP_TABLE, batch_id, sid
+                )
+                apairs, new_fps = audio_near_dup_pairs_incremental(
+                    kept_src, fp_history, "clip_id",
+                    max_hamming=audio_max_hamming, keep_flags=True,
+                )
+                a_dup_ids = _new_side(apairs)
+                kept_src = kept_src.join(
+                    a_dup_ids, "clip_id", "left_anti"
+                )
             if not batch_committed(store, CLEAN_TABLE, batch_id, sid):
                 kept = scrub_transcripts(
                     kept_src.drop("reasons", "severity", "keep")
@@ -385,23 +426,30 @@ def start_quality_stream(
                     F.current_timestamp().alias("ts"),
                     F.lit(0).alias("retry_count"),
                 )
-                if dup_ids is not None:
-                    near_rows = (
+                def _near_rows(ids: DataFrame, reason: str, stage: str):
+                    return (
                         batch_df.filter(F.col("keep"))
-                        .join(dup_ids, "clip_id", "left_semi")
+                        .join(ids, "clip_id", "left_semi")
                         .select(
                             "clip_id",
-                            F.array(F.lit(NEARDUP_REASON)).alias(
-                                "reasons"
-                            ),
+                            F.array(F.lit(reason)).alias("reasons"),
                             F.lit("MEDIUM").alias("severity"),
-                            F.lit("stream_near_dup").alias("stage"),
+                            F.lit(stage).alias("stage"),
                             F.lit(f"batch_{batch_id}").alias("run_id"),
                             F.current_timestamp().alias("ts"),
                             F.lit(0).alias("retry_count"),
                         )
                     )
-                    quarantined = quarantined.unionByName(near_rows)
+
+                if dup_ids is not None:
+                    quarantined = quarantined.unionByName(_near_rows(
+                        dup_ids, NEARDUP_REASON, "stream_near_dup"
+                    ))
+                if a_dup_ids is not None:
+                    quarantined = quarantined.unionByName(_near_rows(
+                        a_dup_ids, DUP_AUDIO_REASON,
+                        "stream_audio_near_dup",
+                    ))
                 store.write(
                     QUARANTINE_TABLE,
                     quarantined,
@@ -415,11 +463,16 @@ def start_quality_stream(
                 store, NEARDUP_SIG_TABLE, batch_id, sid
             ):
                 # survivors only: a quarantined near-dup is not in the
-                # corpus, so its signature must not become history.
-                # Committed LAST — a crash before this point replays
-                # against the same pre-batch history (see
+                # corpus, so its signature must not become history —
+                # including a clip the AUDIO stage dropped (its text sig
+                # is withheld too). Committed LAST — a crash before this
+                # point replays against the same pre-batch history (see
                 # _sig_history_before_batch).
                 surv_sigs = new_sigs.join(dup_ids, "clip_id", "left_anti")
+                if a_dup_ids is not None:
+                    surv_sigs = surv_sigs.join(
+                        a_dup_ids, "clip_id", "left_anti"
+                    )
                 store.write(
                     NEARDUP_SIG_TABLE,
                     surv_sigs,
@@ -429,11 +482,27 @@ def start_quality_stream(
                     properties={"stream_batch": batch_id,
                                 "stream_id": sid},
                 )
+            if audio_near_dup and not batch_committed(
+                store, AUDIO_FP_TABLE, batch_id, sid
+            ):
+                # new_fps was mined AFTER the text near-dup filter, so
+                # text dups are already absent; exclude audio dups
+                surv_fps = new_fps.join(
+                    a_dup_ids, "clip_id", "left_anti"
+                )
+                store.write(
+                    AUDIO_FP_TABLE,
+                    surv_fps,
+                    mode="append"
+                    if store.exists(AUDIO_FP_TABLE)
+                    else "overwrite",
+                    properties={"stream_batch": batch_id,
+                                "stream_id": sid},
+                )
         finally:
-            if dup_ids is not None:
-                dup_ids.unpersist()
-            if new_sigs is not None:
-                new_sigs.unpersist()
+            for frame in (dup_ids, a_dup_ids, new_sigs, new_fps):
+                if frame is not None:
+                    frame.unpersist()
             batch_df.unpersist()
 
     writer = (

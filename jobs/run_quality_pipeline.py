@@ -64,6 +64,12 @@ def main() -> None:
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--no-review", action="store_true")
     ap.add_argument("--review-file", default=None)
+    ap.add_argument("--interactive-review", action="store_true",
+                    help="when the gate needs a decision and no "
+                         "--review-file is set, prompt on the terminal "
+                         "([C/D/Q/H], auto-timeout) instead of applying "
+                         "the timeout action immediately; non-TTY stdin "
+                         "degrades to the timeout action")
     ap.add_argument("--cores", default=None)
     ap.add_argument("--pushgateway", default=None, metavar="URL",
                     help="Prometheus pushgateway base URL; run metrics "
@@ -87,6 +93,12 @@ def main() -> None:
                          "re-uploads (small transcript edits) against a "
                          "persisted signature-history table "
                          "(minhash_sig_history under <out>)")
+    ap.add_argument("--stream-audio-near-dup", action="store_true",
+                    help="with --stream: quarantine audio-fingerprint "
+                         "near-dup re-uploads (re-encodes with rewritten "
+                         "transcripts) against the shared "
+                         "audio_fp_history table under <out>; radius "
+                         "from --dedup-audio-max-hamming")
     ap.add_argument("--dedup-content", action="store_true",
                     help="batch runs: quarantine kept clips whose exact "
                          "normalized transcript was already retained "
@@ -182,6 +194,8 @@ def main() -> None:
             os.path.join(args.out, "_stream_ckpt"), available_now=True,
             content_dedup=args.stream_content_dedup,
             near_dup=args.stream_near_dup,
+            audio_near_dup=args.stream_audio_near_dup,
+            audio_max_hamming=args.dedup_audio_max_hamming,
         )
         q.awaitTermination()
         from data_quality_check_pipeline_spark.pipeline import (
@@ -209,9 +223,13 @@ def main() -> None:
         n_shards=args.shards,
         source_fingerprint=fp,
         force=args.force,
-        # blocking review only when a decision file is configured
-        # and --no-review was not passed
-        non_interactive=args.no_review or args.review_file is None,
+        # blocking review only when a decision file is configured (or
+        # --interactive-review asks for the TTY prompt) and --no-review
+        # was not passed
+        non_interactive=(
+            args.no_review
+            or (args.review_file is None and not args.interactive_review)
+        ),
         review_decision_file=args.review_file,
         pushgateway_url=args.pushgateway,
         dedup_content=args.dedup_content,

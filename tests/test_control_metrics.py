@@ -614,3 +614,107 @@ class TestStageLog:
         log.record("load", "ok", t0, rows=5)
         assert log.stages[0]["stage"] == "load"
         assert log.stages[0]["rows"] == 5
+
+
+class TestInteractiveReview:
+    """Interactive TTY review prompt (reference human_review.py:127-235
+    parity): choice mapping, invalid/timeout defaults, the non-TTY
+    guard, real select()-based timeout, and the audit trail."""
+
+    def _prompt(self, line=None, tmp_path=None, **kw):
+        from data_quality_check_pipeline_spark.control import (
+            Thresholds,
+            prompt_review_interactive,
+        )
+
+        audit = str(tmp_path / "audit.jsonl") if tmp_path else None
+        t = Thresholds(review_timeout_s=0.1)
+        return prompt_review_interactive(
+            30.0, 70.0, 100, 30, t,
+            audit_log=audit,
+            input_fn=(lambda: line) if line is not None else None,
+            **kw,
+        ), audit
+
+    def test_choice_mapping(self, capsys):
+        from data_quality_check_pipeline_spark.control import (
+            CONTINUE,
+            DISCARD,
+            HALT,
+            QUARANTINE,
+        )
+
+        for line, want in (
+            ("c\n", CONTINUE), ("D\n", DISCARD),
+            ("q\n", QUARANTINE), ("H\n", HALT),
+            ("  quarantine\n", QUARANTINE),  # first letter wins
+        ):
+            got, _ = self._prompt(line, isatty=True)
+            assert got == want
+        out = capsys.readouterr().out
+        assert "HUMAN REVIEW REQUIRED" in out
+        assert "[C] Continue" in out and "Auto-quarantine" in out
+
+    def test_invalid_choice_applies_timeout_action(self, tmp_path):
+        import json
+
+        got, audit = self._prompt("x\n", tmp_path=tmp_path, isatty=True)
+        assert got == "quarantine"  # Thresholds default timeout_action
+        row = json.loads(open(audit).read().strip().splitlines()[-1])
+        assert row["source"] == "invalid_choice_default"
+
+    def test_non_tty_never_blocks(self, tmp_path):
+        import json
+        import time as _t
+
+        t0 = _t.time()
+        got, audit = self._prompt(tmp_path=tmp_path, isatty=False)
+        assert got == "quarantine" and _t.time() - t0 < 1.0
+        row = json.loads(open(audit).read().strip().splitlines()[-1])
+        assert row["source"] == "non_interactive_auto"
+
+    def test_real_stdin_select_timeout_and_read(self, monkeypatch):
+        """Drive the production select() path with a real pipe: data
+        present -> read; empty pipe -> timeout default."""
+        import os
+        import sys
+
+        from data_quality_check_pipeline_spark.control import (
+            HALT,
+            Thresholds,
+            prompt_review_interactive,
+        )
+
+        t = Thresholds(review_timeout_s=0.2)
+        r, w = os.pipe()
+        os.write(w, b"h\n")
+        with os.fdopen(r, "r") as rf:
+            monkeypatch.setattr(sys, "stdin", rf)
+            got = prompt_review_interactive(
+                30.0, 70.0, 100, 30, t, isatty=True
+            )
+            assert got == HALT
+        os.close(w)
+
+        r2, w2 = os.pipe()  # nothing written -> select times out
+        with os.fdopen(r2, "r") as rf2:
+            monkeypatch.setattr(sys, "stdin", rf2)
+            got = prompt_review_interactive(
+                30.0, 70.0, 100, 30, t, isatty=True
+            )
+            assert got == "quarantine"
+        os.close(w2)
+
+    def test_gate_routes_to_interactive_prompt(self, monkeypatch):
+        """threshold_gate with no decision file + non_interactive=False
+        uses the TTY prompt (non-TTY stdin -> immediate timeout action,
+        reviewed=True)."""
+        from data_quality_check_pipeline_spark.control import (
+            QUARANTINE,
+            threshold_gate,
+        )
+
+        g = threshold_gate(
+            100, 30, review_decision_file=None, non_interactive=False
+        )
+        assert g.decision == QUARANTINE and g.reviewed

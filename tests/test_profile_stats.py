@@ -227,3 +227,113 @@ class TestExpectations:
         results, _ = evaluate_suite(clean, clips_suite())
         failures = [r for r in results if not r["success"]]
         assert not failures, failures
+
+
+class TestGELibraryAdapter:
+    """evaluate_suite_via_ge contract (reference expectations.py:95-151
+    parity): method-name + kwargs mapping onto the legacy PandasDataset
+    API, result-shape normalization, missing-method degradation, and
+    the import gate. great_expectations is absent in this sandbox, so
+    the contract runs against an injected dataset_cls (the fake-airflow
+    pattern); the gate test asserts the honest RuntimeError."""
+
+    def _suite(self):
+        from data_quality_check_pipeline_spark.operators.expectations import (
+            Expectation,
+        )
+
+        return [
+            Expectation("not_be_null", "a"),
+            Expectation("be_between", "b", {"min": 1, "max": 9},
+                        mostly=0.9),
+            Expectation("be_in_set", "c", {"values": ["x", "y"]}),
+            Expectation("match_regex", "a", {"regex": "^r"}),
+            Expectation("of_type", "b", {"type": "bigint"}),
+        ]
+
+    def test_method_and_kwargs_contract(self, spark):
+        from data_quality_check_pipeline_spark.operators.expectations import (
+            evaluate_suite_via_ge,
+        )
+
+        calls = []
+
+        class FakeDataset:
+            def __init__(self, pdf):
+                self.pdf = pdf
+
+            def _rec(self, name, kw):
+                calls.append((name, kw))
+                return {"success": True,
+                        "result": {"unexpected_percent": 5.0}}
+
+            def expect_column_values_to_not_be_null(self, **kw):
+                return self._rec("not_null", kw)
+
+            def expect_column_values_to_be_between(self, **kw):
+                return self._rec("between", kw)
+
+            def expect_column_values_to_be_in_set(self, **kw):
+                return self._rec("in_set", kw)
+
+            def expect_column_values_to_match_regex(self, **kw):
+                return self._rec("regex", kw)
+
+            def expect_column_values_to_be_of_type(self, **kw):
+                return self._rec("of_type", kw)
+
+        df = spark.createDataFrame(
+            [("r1", 5, "x")], "a string, b long, c string"
+        )
+        rows = evaluate_suite_via_ge(
+            df, self._suite(), dataset_cls=FakeDataset
+        )
+        by = dict(calls)
+        assert by["between"] == {
+            "column": "b", "min_value": 1, "max_value": 9, "mostly": 0.9
+        }
+        assert by["in_set"] == {"column": "c", "value_set": ["x", "y"]}
+        assert by["regex"] == {"column": "a", "regex": "^r"}
+        assert by["of_type"] == {"column": "b", "type_": "bigint"}
+        assert "mostly" not in by["not_null"]  # mostly=1.0 -> omitted
+        # result normalization: unexpected_percent 5 -> pass_rate 0.95
+        assert all(r["success"] for r in rows)
+        assert rows[0]["pass_rate"] == pytest.approx(0.95)
+        assert rows[0]["name"] == "not_be_null:a"
+
+    def test_missing_method_marks_failure_not_raise(self, spark):
+        from data_quality_check_pipeline_spark.operators.expectations import (
+            Expectation,
+            evaluate_suite_via_ge,
+        )
+
+        class Minimal:
+            def __init__(self, pdf):
+                pass
+
+            def expect_column_values_to_not_be_null(self, **kw):
+                return {"success": True, "result": {}}
+
+        df = spark.createDataFrame([("r1",)], "a string")
+        rows = evaluate_suite_via_ge(
+            df,
+            [Expectation("not_be_null", "a"),
+             Expectation("be_unique", "a")],
+            dataset_cls=Minimal,
+        )
+        assert rows[0]["success"] is True
+        assert rows[1]["success"] is False and "error" in rows[1]
+        # pass_rate without unexpected_percent falls back to success
+        assert rows[0]["pass_rate"] == 1.0
+
+    def test_import_gate_without_ge(self, spark):
+        from data_quality_check_pipeline_spark.operators.expectations import (
+            evaluate_suite_via_ge,
+            ge_library_available,
+        )
+
+        if ge_library_available():  # pragma: no cover — not this sandbox
+            pytest.skip("great_expectations installed")
+        df = spark.createDataFrame([("r1",)], "a string")
+        with pytest.raises(RuntimeError, match="great_expectations"):
+            evaluate_suite_via_ge(df, self._suite())

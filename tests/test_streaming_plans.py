@@ -180,6 +180,134 @@ class TestStreaming:
             }
         assert "c900" not in ids2
 
+    def test_audio_near_dup_stream_quarantines_reencoded_reuploads(
+        self, spark, tmp_path
+    ):
+        """audio_near_dup=True: a re-upload whose PAYLOAD matches a
+        retained clip is quarantined with the terminal
+        near_duplicate_audio reason even though no text key fires; a
+        second drain catches a later copy against the PERSISTED
+        audio_fp_history (shared with the batch --dedup-audio stage);
+        survivor fingerprints only. Tones are planted greedily because
+        the synthetic corpus's own fingerprints are degenerate
+        (DESIGN.md #22)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_quality_check_pipeline_spark.pipeline import (
+            AUDIO_FP_TABLE,
+            DUP_AUDIO_REASON,
+            flag_clips,
+            score_clips,
+        )
+        from data_quality_check_pipeline_spark.synth import generate_clips
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            fingerprint_batch,
+        )
+
+        pdf, _ = generate_clips(40)
+        pdf["clip_id"] = [f"c{i:03d}" for i in range(len(pdf))]
+        flagged = flag_clips(score_clips(spark.createDataFrame(pdf)))
+        kept = sorted(
+            r["clip_id"] for r in flagged.filter("keep")
+            .select("clip_id").collect()
+        )
+        rows = pdf[pdf.clip_id.isin(kept[:4])].reset_index(drop=True)
+
+        def tone(row, freq, seed):
+            rng = np.random.RandomState(seed)
+            sr, dur = int(row["sr_hz"]), int(row["dur_ms"])
+            n = max(1, int(sr * dur / 1000))
+            t = np.arange(n) / sr
+            x = 9000 * np.sin(2 * np.pi * freq * t) + rng.normal(
+                0, 60.0, n
+            )
+            return np.clip(x, -32768, 32767).astype("<i2").tobytes()
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        chosen: list = []
+
+        def plant(row, seed):
+            for freq in range(200, 3500, 150):
+                p = tone(row, freq, seed)
+                fp = int(fingerprint_batch([p], ["pcm_s16le"])[0])
+                if fp != 0 and all(ham(fp, g) > 1 for g in chosen):
+                    chosen.append(fp)
+                    return p
+            raise AssertionError("no separable tone")
+
+        rows["bytes"] = [plant(r, i) for i, r in rows.iterrows()]
+        rows["codec"] = "pcm_s16le"
+        base = rows.iloc[[0]]
+        adup = base.assign(clip_id="z_adup")  # byte-identical re-upload
+        import pandas as pd
+
+        corpus = pd.concat([rows, adup], ignore_index=True)
+        src = tmp_path / "src"
+        os.makedirs(src)
+        pq.write_table(
+            pa.Table.from_pandas(corpus, preserve_index=False),
+            str(src / "clips.parquet"),
+        )
+        out = str(tmp_path / "out")
+        q = start_quality_stream(
+            spark, str(src), out, str(tmp_path / "ckpt"),
+            available_now=True, audio_near_dup=True, audio_max_hamming=1,
+        )
+        q.awaitTermination(timeout=600)
+        store = TableStore(spark, out)
+        clean1 = {
+            r["clip_id"]
+            for r in store.read(CLEAN_TABLE).select("clip_id").collect()
+        }
+        assert base.iloc[0]["clip_id"] in clean1
+        assert "z_adup" not in clean1
+        quar = {
+            r["clip_id"]: (list(r["reasons"]), r["stage"])
+            for r in store.read(QUARANTINE_TABLE)
+            .select("clip_id", "reasons", "stage").collect()
+        }
+        assert quar["z_adup"] == (
+            [DUP_AUDIO_REASON], "stream_audio_near_dup"
+        )
+        fp_ids = {
+            r["clip_id"]
+            for r in store.read(AUDIO_FP_TABLE)
+            .select("clip_id").collect()
+        }
+        assert fp_ids == set(rows["clip_id"])  # survivors only
+
+        # second drain: a later byte-copy of a DIFFERENT retained clip
+        # arrives alone — caught purely against the persisted history
+        late = rows.iloc[[1]].assign(clip_id="z_adup2")
+        pq.write_table(
+            pa.Table.from_pandas(late, preserve_index=False),
+            str(src / "late.parquet"),
+        )
+        q2 = start_quality_stream(
+            spark, str(src), out, str(tmp_path / "ckpt"),
+            available_now=True, audio_near_dup=True, audio_max_hamming=1,
+        )
+        q2.awaitTermination(timeout=600)
+        clean2 = store.read(CLEAN_TABLE).select("clip_id")
+        assert "z_adup2" not in {r["clip_id"] for r in clean2.collect()}
+        assert clean2.count() == clean2.distinct().count() == len(clean1)
+        quar2 = {
+            r["clip_id"]: list(r["reasons"])
+            for r in store.read(QUARANTINE_TABLE)
+            .select("clip_id", "reasons").collect()
+        }
+        assert DUP_AUDIO_REASON in quar2["z_adup2"]
+        fp_ids2 = {
+            r["clip_id"]
+            for r in store.read(AUDIO_FP_TABLE)
+            .select("clip_id").collect()
+        }
+        assert "z_adup2" not in fp_ids2 and fp_ids2 == fp_ids
+
     def test_near_dup_stream_quarantines_edited_reuploads(
         self, spark, tmp_path
     ):
