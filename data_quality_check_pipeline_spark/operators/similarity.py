@@ -15,9 +15,13 @@ threshold instead of top-k.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("clip_quality.similarity")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -263,6 +267,21 @@ def _kpp_seeds(
     ids happen to be cluster-stratified; kpp is the defence against
     adversarial id orders)."""
     import math
+
+    # the greedy loop below is driver-side O(pool * n_centroids) (the
+    # min-distance dict amortizes the distance updates, but every pick
+    # scans `rest` once) and the candidate pool is COLLECTED — a pool
+    # raised toward corpus scale would turn seeding into the job's
+    # bottleneck and blow the driver heap. Seeding quality plateaus far
+    # below this cap; clamp loudly instead of degrading silently.
+    _MAX_KPP_POOL = 50_000
+    if pool > _MAX_KPP_POOL:
+        _log.warning(
+            "_kpp_seeds: pool=%d clamped to %d (driver-side greedy "
+            "seeding; larger pools add cost, not quality)",
+            pool, _MAX_KPP_POOL,
+        )
+        pool = _MAX_KPP_POOL
 
     h = F.pmod(
         F.pmod(F.col(id_col).cast("long"), F.lit(2147483648))
