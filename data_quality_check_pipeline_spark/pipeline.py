@@ -169,11 +169,29 @@ def _find_committed_write(
         return None
     current = store.current_snapshot(table)
     reachable = set((current or {}).get("read_set", []))
+    records = store.property_records(table)
+    # transitive closure through compactions: a compact snapshot's
+    # absorbed_read_set lists the dirs it REWROTE — their data is still
+    # part of the current view even though the dirs themselves left the
+    # read_set (and may be deleted). Without the closure, a crash-rerun
+    # after compact+expire would re-append a shard the view contains.
+    changed = True
+    while changed:
+        changed = False
+        for s in records:
+            if f"snap_{s['id']}" in reachable:
+                absorbed = set(
+                    s.get("properties", {}).get("absorbed_read_set")
+                    or []
+                ) - reachable
+                if absorbed:
+                    reachable |= absorbed
+                    changed = True
     # property_records includes snapshots whose manifest entry was
     # GC'd by expire_snapshots while their appended data stayed in the
     # current view — the reachability check below still gates on the
     # data actually being part of the table
-    for s in store.property_records(table):
+    for s in records:
         if f"snap_{s['id']}" not in reachable:
             continue
         props = s.get("properties", {})
@@ -196,7 +214,10 @@ def _history_before(
     identical to the first attempt."""
     if not store.exists(table):
         return None
-    for s in store.property_records(table):
+    # live manifest entries carry `parent` (property_records strips it);
+    # a crash-rerun happens while its append is still live, same
+    # retention argument as the streaming twin
+    for s in store.snapshots(table):
         props = s.get("properties", {})
         if all(props.get(k) == v for k, v in match.items()):
             parent = s.get("parent")

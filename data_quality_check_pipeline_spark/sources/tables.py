@@ -25,11 +25,14 @@ from __future__ import annotations
 
 import contextlib
 import json
+import logging
 import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger("clip_quality.tables")
 
 
 def _norm_stat_value(v):
@@ -411,6 +414,98 @@ class TableStore:
             parts[1:],
             parts[0],
         )
+
+    def compact(
+        self,
+        name: str,
+        target_files: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> str | None:
+        """Rewrite the CURRENT view as one fresh snapshot dir (the
+        Iceberg ``rewrite_data_files`` analogue). An append-heavy table
+        — per-run signature-history appends, streaming micro-batch
+        commits — accretes one small snap dir per commit, and every
+        read unions N dirs: at scale the listing, per-dir partition
+        discovery, and footer fetches dominate the scan, and manifest
+        file-stat pruning has N entries to walk. Compaction reads the
+        current read_set once and commits it back as a single snapshot
+        (mode='compact'); older snapshots stay time-travelable until
+        expire_snapshots reclaims them. Returns the new snapshot id,
+        None when the view is already one dir (no-op) or on a commit
+        conflict.
+
+        Concurrency: the rewrite happens OUTSIDE the table lock; at
+        commit time, if 'current' moved since the source snapshot was
+        read (a concurrent append), the compaction ABORTS — optimistic
+        concurrency, Iceberg's commit-conflict model — leaving its
+        orphan dir for expire_snapshots' grace sweep. Re-run it; never
+        blind-commit, which would silently drop the concurrent append.
+
+        The source snapshot's ``source_fingerprint`` property is
+        carried over so is_unchanged-based ingest idempotency survives
+        a compaction. ``partition_by`` defaults to the source
+        snapshot's layout; ``target_files`` repartitions (e.g. 8 for a
+        small history table) — default leaves Spark's partitioning."""
+        m0 = self._load_manifest(name)
+        base = self._snapshot(m0, None)
+        if base is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        if len(base["read_set"]) <= 1:
+            return None
+        df = self.read(name, base["id"])
+        if target_files:
+            df = df.repartition(target_files)
+        if partition_by is None:
+            partition_by = base.get("partition_by") or None
+        sid = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._dir(name), f"snap_{sid}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        files = _collect_file_stats(data_dir)
+        # absorbed_read_set: the dirs this compaction rewrote. Lives in
+        # PROPERTIES (not just the manifest entry) because expire keeps
+        # property records after dropping entries — the crash/replay
+        # guards (_find_committed_write) follow it transitively so a
+        # shard append whose dir was rewritten away still counts as
+        # part of the current view (its DATA is; forgetting it would
+        # make a crash-rerun re-append and duplicate rows).
+        props = {
+            "compaction_of": base["id"],
+            "absorbed_read_set": list(base["read_set"]),
+        }
+        fp = base.get("properties", {}).get("source_fingerprint")
+        if fp is not None:
+            props["source_fingerprint"] = fp
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if m["current"] != base["id"]:
+                _log.warning(
+                    "compact(%s): current moved %s -> %s during the "
+                    "rewrite (concurrent commit); aborting — orphan "
+                    "dir snap_%s left for expire_snapshots' grace "
+                    "sweep; re-run compact",
+                    name, base["id"], m["current"], sid,
+                )
+                return None
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": "compact",
+                    "parent": base["id"],
+                    "read_set": [f"snap_{sid}"],
+                    "partition_by": partition_by or [],
+                    "properties": props,
+                    "schema": df.schema.json(),
+                    "has_data": bool(files),
+                    "files": files,
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+        return sid
 
     def exists(self, name: str) -> bool:
         return self._load_manifest(name)["current"] is not None

@@ -78,6 +78,11 @@ def main() -> None:
                     help="list clips_clean snapshots and exit")
     ap.add_argument("--rollback", default=None, metavar="SNAPSHOT_ID",
                     help="roll clips_clean back to a snapshot and exit")
+    ap.add_argument("--compact", default=None, metavar="TABLE",
+                    help="rewrite TABLE's current view as one snapshot "
+                         "dir (small-file compaction for append-heavy "
+                         "history tables, e.g. content_hash_history / "
+                         "audio_fp_history) and exit")
     ap.add_argument("--requeue", action="store_true",
                     help="re-drive quarantined clips instead of a full run")
     ap.add_argument("--stream", action="store_true",
@@ -138,7 +143,7 @@ def main() -> None:
 
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)
-    if args.list_versions or args.rollback:
+    if args.list_versions or args.rollback or args.compact:
         from data_quality_check_pipeline_spark.sources.tables import (
             TableStore,
         )
@@ -154,6 +159,12 @@ def main() -> None:
         if args.rollback:
             store.rollback("clips_clean", args.rollback)
             print(f"rolled back clips_clean to {args.rollback}")
+        if args.compact:
+            sid = store.compact(args.compact)
+            print(
+                f"compacted {args.compact} -> snap_{sid}" if sid
+                else f"{args.compact}: nothing to compact"
+            )
         spark.stop()
         return
 

@@ -986,3 +986,128 @@ class TestCrossRunDedup:
             F.col("clip_id") == "zzz_audup"
         ).count() == 0
         assert fps_hist.filter(F.col("clip_id") == z).count() == 1
+
+
+class TestCompaction:
+    """TableStore.compact — the Iceberg rewrite_data_files analogue for
+    append-heavy history tables: one snapshot dir replaces the N-dir
+    read_set; rows, fingerprint idempotency, time travel, crash/replay
+    property memory, and the optimistic commit-conflict abort."""
+
+    def test_compact_collapses_read_set_and_preserves_rows(
+        self, spark, tmp_path
+    ):
+        store = TableStore(spark, str(tmp_path))
+        for i in range(4):
+            store.write(
+                "h", spark.range(i * 10, i * 10 + 10),
+                mode="append" if i else "overwrite",
+                properties={"source_fingerprint": f"b{i}"},
+            )
+        pre = store.current_snapshot("h")
+        assert len(pre["read_set"]) == 4
+        before = {r["id"] for r in store.read("h").collect()}
+
+        sid = store.compact("h")
+        assert sid is not None
+        cur = store.current_snapshot("h")
+        assert cur["id"] == sid and cur["mode"] == "compact"
+        assert cur["read_set"] == [f"snap_{sid}"]
+        assert {r["id"] for r in store.read("h").collect()} == before
+        # ingest idempotency survives: the last batch's fingerprint rode
+        # along on the compaction snapshot
+        assert store.is_unchanged("h", "b3")
+        assert cur["properties"]["compaction_of"] == pre["id"]
+        # time travel to the pre-compaction snapshot still works
+        assert store.read("h", pre["id"]).count() == 40
+        # idempotent: a single-dir view has nothing to compact
+        assert store.compact("h") is None
+
+    def test_expire_after_compact_keeps_view_and_guard_memory(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from data_quality_check_pipeline_spark.pipeline import (
+            _find_committed_write,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        props = {"shard": 0, "n_shards": 1, "source_fingerprint": "fp"}
+        store.write("h", spark.range(10), mode="overwrite",
+                    properties=props)
+        for i in range(3):
+            store.write("h", spark.range(10 * (i + 1), 10 * (i + 2)),
+                        mode="append")
+        store.compact("h")
+        store.expire_snapshots("h", keep_last=1, orphan_grace_s=0)
+        assert store.read("h").count() == 40
+        # old snap dirs really are gone (small-file cleanup happened)
+        dirs = [d for d in os.listdir(str(tmp_path / "h"))
+                if d.startswith("snap_")]
+        assert len(dirs) == 1
+        # crash/replay guards keep their memory through compact+expire
+        # via expired_props (data is still part of the current view)
+        assert _find_committed_write(store, "h", props) is not None
+
+    def test_commit_conflict_aborts_not_clobbers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A concurrent append landing during the rewrite must abort
+        the compaction (optimistic concurrency) — blind-committing
+        would silently drop the append from the current view."""
+        store = TableStore(spark, str(tmp_path))
+        store.write("h", spark.range(10), mode="overwrite")
+        store.write("h", spark.range(10, 20), mode="append")
+
+        orig_read = TableStore.read
+
+        def read_then_append(self, name, *a, **k):
+            monkeypatch.setattr(TableStore, "read", orig_read)
+            out = orig_read(self, name, *a, **k)
+            store.write("h", spark.range(20, 30), mode="append")
+            return out
+
+        monkeypatch.setattr(TableStore, "read", read_then_append)
+        assert store.compact("h") is None  # conflict -> abort
+        # the concurrent append is intact; nothing lost
+        assert store.read("h").count() == 30
+        # a clean re-run compacts all three appends
+        sid = store.compact("h")
+        assert sid is not None
+        assert store.read("h").count() == 30
+        assert store.current_snapshot("h")["read_set"] == [f"snap_{sid}"]
+
+
+class TestHistoryBefore:
+    """_history_before: the batch replay-safe history read. A
+    crash-rerun of a shard whose history append already committed must
+    see the PARENT snapshot (mining against its own signatures would
+    quarantine every clip as a dup of itself)."""
+
+    def test_parent_current_and_first_append_cases(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.pipeline import (
+            _history_before,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        props = {"shard": 0, "n_shards": 1, "source_fingerprint": "fp"}
+        store.write("hh", spark.range(5), mode="overwrite",
+                    properties={"run_id": "r0"})
+        store.write("hh", spark.range(5, 8), mode="append",
+                    properties=props)
+        # own append committed -> parent view (5 rows, not 8)
+        h = _history_before(store, "hh", props)
+        assert {r["id"] for r in h.collect()} == set(range(5))
+        # no matching append (fresh shard) -> current view
+        h2 = _history_before(
+            store, "hh",
+            {"shard": 1, "n_shards": 1, "source_fingerprint": "fp"},
+        )
+        assert h2.count() == 8
+        # own append is the table's FIRST snapshot -> no history at all
+        store.write("h0", spark.range(3), mode="overwrite",
+                    properties=props)
+        assert _history_before(store, "h0", props) is None
+        # missing table -> None
+        assert _history_before(store, "nope", props) is None
