@@ -536,3 +536,93 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def embedding_near_dups_incremental(
+    new_df: DataFrame,
+    history_df: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+    *,
+    dim: int,
+    keep_flags: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental cross-run semantic dedup: near-dup pairs with >= 1
+    NEW side against a persisted (id, embedding) history — the
+    embedding analogue of the minhash/simhash/audio incremental miners
+    (same union-tagged shape; the bucket hash is one projection per
+    row, so history costs no re-scoring of history-internal pairs,
+    which is the quadratic term a full recompute pays every run).
+    Returns ``(pairs, new_vecs)``: thresholded (id_a, id_b, cosine)
+    pairs touching a new vector, and the new batch's (id, vec) frame to
+    append to the history table after the run commits
+    (incremental_embedding_run).
+
+    Equivalence (tested): with the same planes/threshold,
+    ``full(history ∪ new) == full(history) ∪ incremental(new,
+    history)`` — banding runs over the union, and each pair shares
+    exactly one bucket key (the bucket is the FULL plane signature), so
+    no distinct shuffle is needed. Same recall caveat as
+    embedding_near_dups: pairs split across a plane are missed; union
+    two seeds for higher recall. ``keep_flags=True`` appends new_a /
+    new_b side-attribution columns."""
+    tagged = new_df.select(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("_new", F.lit(True))
+    if history_df is not None:
+        tagged = (
+            history_df.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_new", F.lit(False))
+            .unionByName(tagged)
+        )
+    b = with_lsh_bucket(tagged, vec_col, dim=dim, n_planes=n_planes)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        F.col("_new").alias("_new_a"), "lsh_bucket",
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        F.col("_new").alias("_new_b"), "lsh_bucket",
+    )
+    out = [
+        F.col("id_a"), F.col("id_b"),
+        cosine_expr(F.col("v_a"), F.col("v_b")).alias("cosine"),
+    ]
+    if keep_flags:
+        out += [
+            F.col("_new_a").alias("new_a"),
+            F.col("_new_b").alias("new_b"),
+        ]
+    pairs = (
+        left.join(right, "lsh_bucket")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_new_a") | F.col("_new_b"))
+        )
+        .select(*out)
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    return pairs, new_df.select(F.col(id_col), F.col(vec_col))
+
+
+def incremental_embedding_run(
+    store, table: str, new_df: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    source_fingerprint: str | None = None,
+    **kwargs,
+) -> DataFrame | None:
+    """Embedding ingest round against a TableStore-backed (id, vec)
+    history (commit protocol: dedup._incremental_run — materialize the
+    pairs from the pre-append snapshot, then append the new vectors;
+    fingerprint-idempotent replays)."""
+    from .dedup import _incremental_run
+
+    return _incremental_run(
+        store, table, new_df,
+        lambda new, hist: embedding_near_dups_incremental(
+            new, hist, id_col, vec_col, **kwargs
+        ),
+        source_fingerprint, "incremental_embedding_run",
+    )

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from data_quality_check_pipeline_spark.operators.dedup import (
     dedup_exact,
@@ -1179,3 +1180,60 @@ class TestSimilarity:
             ).collect()
         }
         assert (100, 101) in pairs
+
+    def test_embedding_near_dups_incremental_equals_full(
+        self, spark, embeddings
+    ):
+        """full(history ∪ new) == full(history) ∪ incremental(new,
+        history); every incremental pair touches a new id; TableStore
+        run wrapper accumulates and skips fingerprint replays."""
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            embedding_near_dups_incremental,
+            incremental_embedding_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        kw = dict(min_cosine=0.98, dim=16)
+        hist = embeddings.filter(F.col("vec_id") < 40)
+        new = embeddings.filter(F.col("vec_id") >= 40)
+
+        def ps(df):
+            return {
+                (r["id_a"], r["id_b"], round(r["cosine"], 9))
+                for r in df.collect()
+            }
+
+        full = ps(embedding_near_dups(embeddings, **kw))
+        hist_pairs = ps(embedding_near_dups(hist, **kw))
+        inc_df, new_vecs = embedding_near_dups_incremental(
+            new, hist, keep_flags=True, **kw
+        )
+        inc = ps(inc_df.drop("new_a", "new_b"))
+        assert full == hist_pairs | inc and len(inc) > 0
+        assert all(a >= 40 or b >= 40 for a, b, _ in inc)
+        assert (100, 101) in {(a, b) for a, b, _ in inc}  # new-new
+        flags = {
+            (r["id_a"], r["id_b"]): (r["new_a"], r["new_b"])
+            for r in inc_df.collect()
+        }
+        for (a, b), (na, nb) in flags.items():
+            assert na == (a >= 40) and nb == (b >= 40)
+        assert new_vecs.count() == new.count()
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            store = TableStore(spark, d)
+            p1 = incremental_embedding_run(
+                store, "vecs", hist, source_fingerprint="b1", **kw
+            )
+            p2 = incremental_embedding_run(
+                store, "vecs", new, source_fingerprint="b2", **kw
+            )
+            assert ps(p1) | ps(p2) == full
+            assert store.read("vecs").count() == embeddings.count()
+            assert incremental_embedding_run(
+                store, "vecs", new, source_fingerprint="b2", **kw
+            ) is None
