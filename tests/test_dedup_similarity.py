@@ -1237,3 +1237,81 @@ class TestSimilarity:
             assert incremental_embedding_run(
                 store, "vecs", new, source_fingerprint="b2", **kw
             ) is None
+
+
+class TestIncrementalComponents:
+    """connected_components_incremental: folding new edges into a
+    standing labeling equals full CC over the cumulative edge set —
+    including merges that relabel OLD nodes — for long and string ids;
+    plus the overwrite-table maintenance round."""
+
+    def _labels(self, df):
+        return {(r["node"], r["comp"]) for r in df.collect()}
+
+    def test_incremental_equals_full_with_merge(self, spark):
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+            connected_components_incremental,
+        )
+
+        for mk, schema in [
+            (lambda x: x, "id_a long, id_b long"),
+            (lambda x: f"n{x:03d}", "id_a string, id_b string"),
+        ]:
+            # batch 1: two separate chains {0..3} and {10..13}, plus a
+            # singleton pair {20,21}
+            b1 = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 13),
+                  (20, 21)]
+            # batch 2: MERGES the two chains (3-10), extends one (13-14),
+            # and adds a brand-new component {30,31}
+            b2 = [(3, 10), (13, 14), (30, 31)]
+            e1 = spark.createDataFrame(
+                [(mk(a), mk(b)) for a, b in b1], schema
+            )
+            e2 = spark.createDataFrame(
+                [(mk(a), mk(b)) for a, b in b2], schema
+            )
+            l1 = connected_components(e1)
+            inc = connected_components_incremental(e2, l1)
+            full = connected_components(e1.unionByName(e2))
+            assert self._labels(inc) == self._labels(full)
+            got = dict(self._labels(inc))
+            # the merge relabeled the old 10..13 chain down to comp 0
+            assert got[mk(11)] == mk(0) and got[mk(14)] == mk(0)
+            assert got[mk(21)] == mk(20) and got[mk(31)] == mk(30)
+            # prior_labels=None degrades to a plain full run
+            assert self._labels(
+                connected_components_incremental(e1, None)
+            ) == self._labels(l1)
+
+    def test_components_table_round(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+            incremental_components_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        e1 = spark.createDataFrame(
+            [(0, 1), (5, 6)], "id_a long, id_b long"
+        )
+        e2 = spark.createDataFrame([(1, 5)], "id_a long, id_b long")
+        incremental_components_run(
+            store, "comps", e1, source_fingerprint="b1"
+        )
+        l2 = incremental_components_run(
+            store, "comps", e2, source_fingerprint="b2"
+        )
+        # table holds the FULL replacement labeling after the merge
+        want = self._labels(
+            connected_components(e1.unionByName(e2))
+        )
+        assert self._labels(store.read("comps")) == want
+        assert self._labels(l2) == want
+        # replay skips; table unchanged
+        assert incremental_components_run(
+            store, "comps", e2, source_fingerprint="b2"
+        ) is None
+        assert self._labels(store.read("comps")) == want
