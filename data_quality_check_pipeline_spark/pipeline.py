@@ -111,6 +111,11 @@ class RunConfig:
     # argmax of this numeric column (ties -> min clip_id) instead of min
     # clip_id. Cross-run stays greedy (dedup_exact_incremental docs).
     dedup_quality_col: str | None = None
+    # compact a dedup history table once its current view fragments past
+    # this many snapshot dirs (one small dir accretes per shard per
+    # run). None disables. Conflict-safe: compact() aborts rather than
+    # clobber a concurrent append, so a lost race just retries next run.
+    history_compact_dirs: int | None = 64
 
     def __post_init__(self) -> None:
         if not self.run_id:
@@ -708,6 +713,14 @@ def _run_shard(
                 mode="append" if store.exists(table) else "overwrite",
                 properties={"run_id": cfg.run_id, **shard_props},
             )
+        # opportunistic small-file maintenance: one dir accretes per
+        # shard per run; past the threshold, fold the view into one
+        # snapshot (compact aborts on a concurrent commit — next run
+        # retries)
+        if cfg.history_compact_dirs is not None and store.exists(table):
+            cur = store.current_snapshot(table)
+            if cur and len(cur["read_set"]) > cfg.history_compact_dirs:
+                store.compact(table)
     for c in dedup_cached:
         c.unpersist()
 

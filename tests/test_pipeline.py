@@ -1111,3 +1111,48 @@ class TestHistoryBefore:
         assert _history_before(store, "h0", props) is None
         # missing table -> None
         assert _history_before(store, "nope", props) is None
+
+
+class TestHistoryAutoCompaction:
+    def test_history_compacts_and_dedup_still_works(
+        self, spark, tmp_path
+    ):
+        """history_compact_dirs: past the fragmentation threshold the
+        pipeline folds the history table into one snapshot dir; dedup
+        keeps catching cross-run dups off the compacted view."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_quality_check_pipeline_spark.synth import generate_clips
+
+        pdf, _ = generate_clips(30)
+        out = str(tmp_path / "tables")
+
+        def run(tag, frame):
+            p = str(tmp_path / f"{tag}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(frame, preserve_index=False), p
+            )
+            cfg = RunConfig(out_root=out, run_id=tag,
+                            source_fingerprint=tag, dedup_content=True,
+                            history_compact_dirs=1,
+                            module_reports=False)
+            return run_pipeline(spark, p, cfg)
+
+        m1 = run("r1", pdf)
+        clones = pdf.copy()
+        clones["clip_id"] = ["d_" + c for c in pdf["clip_id"]]
+        m2 = run("r2", clones)
+        assert m2["quality"]["kept"] == 0  # all valid clones deduped
+        store = TableStore(spark, out)
+        cur = store.current_snapshot("content_hash_history")
+        # run 2's append pushed the view past 1 dir -> auto-compacted
+        assert cur["mode"] == "compact" and len(cur["read_set"]) == 1
+        # a third clone wave still dedups off the COMPACTED history
+        clones2 = pdf.copy()
+        clones2["clip_id"] = ["e_" + c for c in pdf["clip_id"]]
+        m3 = run("r3", clones2)
+        assert m3["quality"]["kept"] == 0
+        assert store.read("content_hash_history").count() == m1[
+            "quality"]["kept"]

@@ -182,3 +182,126 @@ class TestContentDedupKeyProperty:
         ]
         assert len(set(missing)) == 4
         assert all(k.startswith("id:") for k in missing)
+
+
+# -- incremental-dedup invariants over generated corpora ---------------------
+
+# small vocab on purpose: duplicates and near-dups must actually occur
+_DOC = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"]),
+    min_size=0, max_size=6,
+).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=14)
+_SPLIT = st.integers(min_value=0, max_value=14)
+
+
+class TestIncrementalInvariants:
+    """The incremental==full contracts, under hypothesis-generated
+    corpora instead of hand-planted ones: any split of any corpus into
+    (history, new) must reproduce the full recompute exactly."""
+
+    @given(docs=_CORPUS, split=_SPLIT)
+    @_SETTINGS
+    def test_exact_sequential_equals_full(self, spark, docs, split):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dedup_exact,
+            dedup_exact_incremental,
+        )
+
+        rows = [(i, t if t else None) for i, t in enumerate(docs)]
+        split = min(split, len(rows))
+        mk = lambda rs: spark.createDataFrame(  # noqa: E731
+            rs, "doc_id long, text string"
+        )
+        hist_rows, new_rows = rows[:split], rows[split:]
+        kept_ids: set = set()
+        hashes = None
+        for batch in (hist_rows, new_rows):
+            if not batch:
+                continue
+            kept, h = dedup_exact_incremental(
+                mk(batch), hashes, "doc_id", "text"
+            )
+            kept_ids |= {r["doc_id"] for r in kept.collect()}
+            hashes = h if hashes is None else hashes.unionByName(h)
+        full = {
+            r["doc_id"]
+            for r in dedup_exact(mk(rows), "doc_id", "text").collect()
+        }
+        assert kept_ids == full
+
+    @given(docs=_CORPUS, split=_SPLIT)
+    @_SETTINGS
+    def test_minhash_incremental_equals_full(self, spark, docs, split):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_incremental,
+            minhash_signatures,
+        )
+
+        rows = [(i, t) for i, t in enumerate(docs) if t]
+        if not rows:
+            return
+        split = min(split, len(rows))
+        mk = lambda rs: spark.createDataFrame(  # noqa: E731
+            rs, "doc_id long, text string"
+        )
+        kw = dict(n_hashes=16, bands=4, shingle_k=1,
+                  min_est_jaccard=0.5)
+        ps = lambda df: {  # noqa: E731
+            (r["id_a"], r["id_b"]) for r in df.collect()
+        }
+        full = ps(minhash_lsh_pairs(mk(rows), "doc_id", "text", **kw))
+        hist_rows, new_rows = rows[:split], rows[split:]
+        hist_pairs = (
+            ps(minhash_lsh_pairs(mk(hist_rows), "doc_id", "text", **kw))
+            if hist_rows else set()
+        )
+        if new_rows:
+            hist_sigs = (
+                minhash_signatures(
+                    mk(hist_rows), "doc_id", "text", 16, 1
+                ) if hist_rows else None
+            )
+            inc, _ = minhash_lsh_pairs_incremental(
+                mk(new_rows), hist_sigs, "doc_id", "text", **kw
+            )
+            inc = ps(inc)
+        else:
+            inc = set()
+        assert full == hist_pairs | inc
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1, max_size=20,
+        ),
+        split=st.integers(0, 20),
+    )
+    @_SETTINGS
+    def test_components_incremental_equals_full(self, spark, edges, split):
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+            connected_components_incremental,
+        )
+
+        split = min(split, len(edges))
+        b1, b2 = edges[:split], edges[split:]
+        mk = lambda es: spark.createDataFrame(  # noqa: E731
+            es, "id_a long, id_b long"
+        )
+        full = {
+            (r["node"], r["comp"])
+            for r in connected_components(mk(edges)).collect()
+        }
+        if not b1:
+            inc = connected_components_incremental(mk(b2), None)
+        elif not b2:
+            inc = connected_components(mk(b1))
+        else:
+            inc = connected_components_incremental(
+                mk(b2), connected_components(mk(b1))
+            )
+        assert {
+            (r["node"], r["comp"]) for r in inc.collect()
+        } == full
