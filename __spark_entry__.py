@@ -214,29 +214,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_lang_histogram"] = doc_lang_histogram
 
     def doc_dup_stats(spark, sf):
+        """id uniqueness + exact-content duplicate-group profile in one
+        row (the former per-group doc_exact_dup_groups listing is folded
+        in as aggregates — the sf0.01 corpus has no exact text dups, so
+        a per-group listing carried zero evidence)."""
         df = _load(spark, sf, "documents")
-        return df.agg(
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ids = df.agg(
             F.count("doc_id").alias("non_null"),
             F.count_distinct(F.col("doc_id")).alias("n_distinct"),
         )
+        groups = (
+            df.filter(F.col("text").isNotNull())
+            .groupBy(norm.alias("_t"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .agg(
+                F.count(F.lit(1)).cast("long")
+                .alias("n_exact_text_groups"),
+                F.coalesce(F.sum("_n"), F.lit(0)).cast("long")
+                .alias("n_exact_dup_rows"),
+            )
+        )
+        return ids.crossJoin(groups)
 
     q["doc_dup_stats"] = doc_dup_stats
-
-    # ---- dedup family ------------------------------------------------------
-    def doc_exact_dup_groups(spark, sf):
-        df = _load(spark, sf, "documents")
-        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-        return (
-            df.select(norm.alias("text_norm"), "doc_id")
-            .groupBy("text_norm")
-            .agg(
-                F.count(F.lit(1)).alias("n_dups"),
-                F.min("doc_id").alias("min_doc_id"),
-            )
-            .filter(F.col("n_dups") > 1)
-        )
-
-    q["doc_exact_dup_groups"] = doc_exact_dup_groups
 
     def doc_dedup_survivors(spark, sf):
         from data_quality_check_pipeline_spark.operators.dedup import (
@@ -336,6 +338,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_dup_components"] = doc_dup_components
+
+    def doc_components_incremental(spark, sf):
+        """Incremental closure, driver-checked: the doc_id<60 subset's
+        candidate edges split into an already-ingested batch (both
+        endpoints < 40) and a new arrival; batch 1's standing labels are
+        folded with batch 2's edges via connected_components_incremental
+        (star compression). By the tested equivalence the result is
+        EXACTLY the full closure, so the oracle is doc_dup_components'
+        recursive CTE verbatim."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+            connected_components_incremental,
+        )
+
+        df = _load(spark, sf, "documents").filter(F.col("doc_id") < 60).cache()
+        # cache the edge set: both batch filters re-evaluate it
+        pairs = ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_k=1, min_jaccard=0.3
+        ).cache()
+        labels1 = connected_components(pairs.filter(F.col("id_b") < 40))
+        return connected_components_incremental(
+            pairs.filter(F.col("id_b") >= 40), labels1
+        ).select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("component")
+        )
+
+    q["doc_components_incremental"] = doc_components_incremental
 
     def doc_neardup_survivors(spark, sf):
         """End-to-end near-dup dedup: candidate pairs -> connected
@@ -1435,17 +1467,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1"
     )
 
-    sql["doc_dup_stats"] = """
-      SELECT CAST(count(doc_id) AS BIGINT) AS non_null,
-             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
-      FROM documents"""
-
     norm_lower = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
-    sql["doc_exact_dup_groups"] = f"""
-      SELECT {norm_lower} AS text_norm,
-             CAST(count(*) AS BIGINT) AS n_dups,
-             min(doc_id) AS min_doc_id
-      FROM documents GROUP BY 1 HAVING count(*) > 1"""
+    sql["doc_dup_stats"] = f"""
+      SELECT CAST(count(doc_id) AS BIGINT) AS non_null,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT 1 FROM documents WHERE text IS NOT NULL
+                GROUP BY {norm_lower} HAVING count(*) > 1
+              )) AS n_exact_text_groups,
+             (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM (
+                SELECT count(*) AS n FROM documents
+                WHERE text IS NOT NULL
+                GROUP BY {norm_lower} HAVING count(*) > 1
+              )) AS n_exact_dup_rows
+      FROM documents"""
 
     # null text is missing data, never duplicate evidence: null-text rows
     # all survive (mirrors dedup_exact's engine semantics exactly)
@@ -1478,6 +1513,34 @@ def oracle_sql() -> dict[str, str]:
     # component = min reachable doc_id over the undirected jaccard>=0.3
     # pair graph (same edge derivation as doc_ngram_jaccard)
     sql["doc_dup_components"] = """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(string_split(regexp_replace(trim(lower(text)),
+                            '\\s+', ' ', 'g'), ' ')) AS shingles
+        FROM documents WHERE doc_id < 60
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles)) AS i,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ), e AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        WHERE i > 0
+          AND CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.3
+        UNION
+        SELECT id_b, id_a FROM pairs
+        WHERE i > 0
+          AND CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.3
+      ), reach(n, m) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.v, reach.m FROM e JOIN reach ON e.u = reach.n
+      )
+      SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n"""
+
+    # incremental closure == full closure (tested star-compression
+    # equivalence) -> same oracle
+    sql["doc_components_incremental"] = """
       WITH RECURSIVE sh AS (
         SELECT doc_id,
                list_distinct(string_split(regexp_replace(trim(lower(text)),
