@@ -731,41 +731,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["threshold_gate_sim"] = threshold_gate_sim
 
     # ---- statistics (A13-A15) ------------------------------------------------
-    def lineitem_iqr_bounds(spark, sf):
-        df = _load(spark, sf, "lineitem", rebalance=True)
-        return df.agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias(
-                "q1"
-            ),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-                "median"
-            ),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias(
-                "q3"
-            ),
-        )
-
-    q["lineitem_iqr_bounds"] = lineitem_iqr_bounds
-
     def lineitem_iqr_outliers(spark, sf):
-        # two passes by construction (bounds -> flags); cache between them
-        # so the second pass reads columnar blocks instead of re-scanning
-        # and re-rebalancing the table (~2x on the bench)
+        """IQR bounds + Tukey-fence outlier count in one surface (the
+        former lineitem_iqr_bounds query folded in — same operators,
+        one driver slot; the freed slot hosts events_asof_clicks).
+        Two passes by construction (exact percentile bounds -> literal
+        fence flags); cached between them so the second pass reads
+        columnar blocks instead of re-scanning (~2x on the bench).
+        Fences use the UNROUNDED bounds; rounding is output-only."""
         df = _load(spark, sf, "lineitem", rebalance=True).select(
             "l_extendedprice"
         ).cache()
         b = df.agg(
             F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
             F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
         ).collect()[0]
         iqr = b["q3"] - b["q1"]
         lo, hi = b["q1"] - 1.5 * iqr, b["q3"] + 1.5 * iqr
-        out = df.agg(
+        return df.agg(
             F.sum(
                 (~F.col("l_extendedprice").between(lo, hi)).cast("long")
             ).alias("n_outliers")
+        ).select(
+            F.round(F.lit(b["q1"]), 4).alias("q1"),
+            F.round(F.lit(b["med"]), 4).alias("median"),
+            F.round(F.lit(b["q3"]), 4).alias("q3"),
+            "n_outliers",
         )
-        return out
 
     q["lineitem_iqr_outliers"] = lineitem_iqr_outliers
 
@@ -986,6 +979,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_sessionized_gap"] = events_sessionized_gap
+
+    def events_asof_clicks(spark, sf):
+        """As-of join (operators/joins.py): each purchase event picks
+        the user's latest click at-or-before it — the state-as-of-event
+        lookup Spark has no native operator for; implemented as union +
+        running last(ignorenulls) over one (user, ts) sort (no join
+        explosion). Oracle: DuckDB's native ASOF LEFT JOIN. Output
+        carries the microseconds-since-click gap (integer — exact and
+        timezone-free on the NTZ timestamps; casting NTZ to double is
+        illegal in Spark 4 and epoch() would be session-tz-dependent),
+        NULL when the user never clicked before."""
+        from data_quality_check_pipeline_spark.operators.joins import (
+            asof_join,
+        )
+
+        ev = _load(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts")
+        )
+        j = asof_join(
+            purchases, clicks, ["user_id"], "ts", "click_ts"
+        )
+        return j.select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("purchase_value"),
+            F.expr("timestampdiff(MICROSECOND, click_ts_r, ts)").alias(
+                "micros_since_click"
+            ),
+        )
+
+    q["events_asof_clicks"] = events_asof_clicks
 
     # ---- embeddings / similarity ------------------------------------------------
     def _dvec(c):
@@ -1822,22 +1850,29 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'quarantine' END AS decision
       FROM a"""
 
-    sql["lineitem_iqr_bounds"] = """
-      SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
-             round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
-             round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
-      FROM lineitem"""
-
     sql["lineitem_iqr_outliers"] = """
       WITH b AS (
         SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.5) AS med,
                quantile_cont(l_extendedprice, 0.75) AS q3
         FROM lineitem
       )
-      SELECT CAST(sum(CASE WHEN l_extendedprice NOT BETWEEN
-                   q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)
-                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-      FROM lineitem, b"""
+      SELECT round(q1, 4) AS q1,
+             round(med, 4) AS median,
+             round(q3, 4) AS q3,
+             CAST(sum(CASE WHEN l_extendedprice NOT BETWEEN
+                  q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM lineitem, b GROUP BY q1, med, q3"""
+
+    sql["events_asof_clicks"] = """
+      SELECT p.event_id,
+             p.user_id,
+             p.value AS purchase_value,
+             date_diff('microsecond', c.ts, p.ts) AS micros_since_click
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
     sql["lineitem_zscore_outliers"] = """
       WITH s AS (
