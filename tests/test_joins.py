@@ -125,6 +125,17 @@ class TestAsofJoin:
         assert out[1] is not None       # 10 min old: within tolerance
         assert out[2] is None           # 3 h old: nulled
 
+    def test_plan_one_exchange_no_join(self, spark):
+        """Pin the scale shape: the union + running-last plan shuffles
+        ONCE on the key and contains no join operator at all (a naive
+        formulation would plan a SortMergeJoin + aggregate)."""
+        left, right = self._frames(spark)
+        q = asof_join(left, right, ["user"], "ts", "rts")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan and "Cartesian" not in plan
+        assert "Window" in plan
+
     def test_errors(self, spark):
         left, right = self._frames(spark)
         with pytest.raises(ValueError, match="direction"):
