@@ -1,0 +1,270 @@
+"""Deterministic corpus sampling / mixing operators.
+
+A training-data pipeline rarely trains on the raw corpus: it samples
+per-language (or per-source) strata to a target mixture, caps
+over-represented strata, and assigns stable train/val/test splits. The
+reference engine has no analogue (single-table pandas, no sampling
+stage); these are the round-brief "operations a large-scale
+training-data pipeline would need".
+
+Every decision here derives from ``xxhash64(key, seed)`` — NEVER
+``rand()`` (the repo invariant: task retries and different
+partitionings must reproduce the same sample; see CLAUDE.md). The hash
+keeps decisions:
+
+* deterministic  — same key + seed => same decision, on any cluster,
+  any partitioning, any retry;
+* independent    — a pure per-row filter, no shuffle, whole-stage
+  codegen (``hash_sample`` / ``stratified_sample`` / ``with_split``
+  compile to a single projection+filter over the scan);
+* composable     — disjoint seeds give independent samples of the same
+  corpus.
+
+``cap_per_stratum`` is the one operator that needs per-stratum order
+(keep exactly-k): its scale path prefilters with the same hash
+threshold so the final window sorts ~cap*margin rows per stratum, not
+the whole corpus (hot-language skew would otherwise serialize into one
+sort task).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_log = logging.getLogger("clip_quality.sampling")
+
+# hash -> uniform fraction resolution. 2^20 buckets: rate granularity
+# ~1e-6, and pmod on a power of two stays exact in long arithmetic.
+_BUCKETS = 1 << 20
+
+
+def hash_frac(key_col: str | Column, seed: int = 0) -> Column:
+    """Uniform-[0,1) fraction derived from ``xxhash64(key, seed)``.
+
+    The seed rides along as a literal hash input (Spark's xxhash64 has
+    a fixed internal seed; folding a literal gives the same effect and
+    keeps the pure-Python oracle parity of ``oracle_hash.
+    spark_xxhash64`` applicable). Stable across partitionings, retries
+    and sessions."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    # seed folds as a LONG literal so the pure-Python re-derivation
+    # (oracle_hash.spark_xxhash64(key, seed)) matches bit-for-bit
+    h = F.xxhash64(col, F.lit(int(seed)).cast("long"))
+    return F.pmod(h, F.lit(_BUCKETS)).cast("double") / F.lit(float(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows, keyed on
+    ``key_col``. Pure filter: no shuffle, no state, codegen-friendly —
+    the 100 TB shape (a sample is a scan predicate, not a job)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_frac(key_col, seed) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling: stratum ``s`` keeps a
+    deterministic ~``rates[s]`` fraction (``default_rate`` for
+    unlisted strata, NULL stratum included). Still one scan-side
+    filter — the per-stratum thresholds compile into a CASE chain, so
+    sampling a 100-language corpus stays shuffle-free."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    rate_expr: Column = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(float(r))
+        ).otherwise(rate_expr)
+    return df.filter(hash_frac(key_col, seed) < rate_expr)
+
+
+def corpus_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+    key_col: str,
+    seed: int = 0,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Resample toward a target mixture: stratum ``s`` should supply
+    ~``weights[s]/sum(weights)`` of a ~``total_rows``-row training
+    corpus. Two passes: a tiny per-stratum count aggregate (map-side
+    partial, result rows = #strata) fixes the per-stratum rates on the
+    driver, then one ``stratified_sample`` filter applies them.
+    Strata absent from ``weights`` are dropped. A stratum too small
+    for its target keeps everything (rate clamps to 1.0) — the
+    shortfall is reported in ``stats_out['unmet']`` rather than
+    silently rebalanced (production mixing re-weights epochs instead;
+    a silent rebalance would hide the data gap)."""
+    if total_rows <= 0:
+        raise ValueError(f"total_rows must be > 0, got {total_rows}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.filter(F.col(strata_col).isin(list(weights)))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates: dict[str, float] = {}
+    unmet: dict[str, int] = {}
+    for s, w in weights.items():
+        target = total_rows * w / wsum
+        have = counts.get(s, 0)
+        if have == 0:
+            if target > 0:
+                unmet[s] = int(round(target))
+            continue
+        if target > have:
+            unmet[s] = int(round(target - have))
+        rates[s] = min(1.0, target / have)
+    if stats_out is not None:
+        stats_out["rates"] = dict(rates)
+        stats_out["unmet"] = unmet
+    if unmet:
+        _log.warning(
+            "corpus_mix: %d strata cannot meet their target (%s); keeping "
+            "all their rows", len(unmet), unmet,
+        )
+    return stratified_sample(
+        df, strata_col, rates, key_col, default_rate=0.0, seed=seed
+    )
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign a stable train/val/test split label per row: the hash
+    fraction lands in cumulative ``fractions`` bands (insertion
+    order). Fractions must sum to ~1. A row's split never changes as
+    the corpus grows — the property that keeps eval sets uncontaminated
+    across corpus versions (rand()-based splits reshuffle every run)."""
+    tot = float(sum(fractions.values()))
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {tot})")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    frac = hash_frac(key_col, seed)
+    expr: Column | None = None
+    hi = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += fractions[name]
+        cond = frac < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    cap: int,
+    key_col: str,
+    seed: int = 0,
+    prefilter: bool = True,
+    margin: float = 2.0,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Keep exactly ``min(cap, n)`` rows per stratum — the rows with
+    the smallest hash fractions (deterministic; ties broken by key).
+    The head-count cap is how pipelines bound over-represented
+    languages/sources when a plain rate undershoots small strata.
+
+    Scale shape: the naive form is ``row_number() over (partition by
+    stratum order by hash)`` — a full sort of every stratum, and the
+    hot stratum serializes into one task. With ``prefilter=True`` a
+    tiny count pass sets a per-stratum hash threshold at
+    ``margin * cap / n`` so the window input shrinks to ~margin*cap
+    rows per stratum first (same scan-side filter as
+    ``stratified_sample``); the cap-smallest hashes among survivors
+    are exactly the cap-smallest overall whenever the prefilter kept
+    >= min(cap, n) rows, which is verified per stratum and any
+    undershooting stratum (binomially rare at margin 2) falls back to
+    the exact path for just that stratum."""
+    if cap <= 0:
+        raise ValueError(f"cap must be > 0, got {cap}")
+    frac = hash_frac(key_col, seed)
+
+    def _exact(d: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(frac.asc(), F.col(key_col).asc())
+        )
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+
+    if not prefilter:
+        return _exact(df)
+
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    rates = {
+        s: min(1.0, margin * cap / n) for s, n in counts.items() if n > 0
+    }
+    # NULL strata and rate-1 strata skip the filter entirely
+    thresh: Column = F.lit(1.0)
+    for s, r in sorted((s, r) for s, r in rates.items() if s is not None):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(float(r))
+        ).otherwise(thresh)
+    survivors = df.filter(frac < thresh)
+    got = {
+        r[strata_col]: r["n"]
+        for r in survivors.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    short = [
+        s
+        for s, n in counts.items()
+        if got.get(s, 0) < min(cap, n)
+    ]
+    if stats_out is not None:
+        stats_out["prefilter_rates"] = rates
+        stats_out["prefilter_short_strata"] = list(short)
+    if short:
+        _log.warning(
+            "cap_per_stratum: prefilter undershot %d strata (%s); exact "
+            "fallback for those", len(short), short[:10],
+        )
+        null_short = any(s is None for s in short)
+        is_short = F.col(strata_col).isin(
+            [s for s in short if s is not None]
+        ) | (F.lit(null_short) & F.col(strata_col).isNull())
+        survivors = survivors.filter(~is_short).unionByName(
+            df.filter(is_short)
+        )
+    return _exact(survivors)

@@ -1,0 +1,276 @@
+"""Sampling / mixing / packing operator tests: determinism across
+partitionings, rate accuracy, cap semantics + prefilter==exact
+equivalence, split stability under corpus growth, pure-Python oracles
+for both packing semantics, and the shuffle-free plan pins."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.operators.packing import (
+    chunk_stats,
+    pack_greedy,
+    pack_stream_chunks,
+)
+from data_quality_check_pipeline_spark.operators.sampling import (
+    cap_per_stratum,
+    corpus_mix,
+    hash_frac,
+    hash_sample,
+    stratified_sample,
+    with_split,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rng = random.Random(7)
+    langs = ["en"] * 60 + ["de"] * 25 + ["fr"] * 10 + ["sw"] * 5
+    rows = [
+        (i, langs[rng.randrange(len(langs))], rng.randrange(1, 400))
+        for i in range(4000)
+    ]
+    return spark.createDataFrame(rows, "id long, lang string, n_tok int")
+
+
+class TestHashSample:
+    def test_deterministic_and_partition_invariant(self, spark, corpus_df):
+        a = {r["id"] for r in hash_sample(corpus_df, "id", 0.3).collect()}
+        b = {
+            r["id"]
+            for r in hash_sample(
+                corpus_df.repartition(17, "lang"), "id", 0.3
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+        # a different seed gives a genuinely different sample
+        c = {
+            r["id"]
+            for r in hash_sample(corpus_df, "id", 0.3, seed=9).collect()
+        }
+        assert c != a and abs(len(c) - len(a)) < 0.1 * len(a)
+
+    def test_rate_accuracy_and_nesting(self, spark, corpus_df):
+        n = corpus_df.count()
+        kept = hash_sample(corpus_df, "id", 0.25)
+        k = kept.count()
+        assert abs(k / n - 0.25) < 0.03
+        # same seed, smaller rate => subset (thresholds nest)
+        small = {
+            r["id"] for r in hash_sample(corpus_df, "id", 0.1).collect()
+        }
+        assert small <= {r["id"] for r in kept.collect()}
+        with pytest.raises(ValueError, match="rate"):
+            hash_sample(corpus_df, "id", 1.5)
+
+    def test_plan_is_pure_filter(self, spark, corpus_df):
+        q = hash_sample(corpus_df, "id", 0.5)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_matches_pure_python_xxh64(self, spark, corpus_df):
+        """The scan-side decision must equal the committed-golden
+        machinery's independent re-derivation (oracle_hash)."""
+        from data_quality_check_pipeline_spark.oracle_hash import (
+            spark_xxhash64,
+        )
+
+        got = {r["id"] for r in hash_sample(corpus_df, "id", 0.2, 3).collect()}
+        exp = {
+            i
+            for i in range(4000)
+            if (spark_xxhash64(i, 3) % (1 << 20)) / (1 << 20) < 0.2
+        }
+        assert got == exp
+
+
+class TestStratifiedAndMix:
+    def test_per_stratum_rates(self, spark, corpus_df):
+        rates = {"en": 0.1, "de": 0.5, "fr": 1.0}
+        out = stratified_sample(corpus_df, "lang", rates, "id")
+        got = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        base = {
+            r["lang"]: r["n"]
+            for r in corpus_df.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert "sw" not in got  # default_rate=0 drops unlisted strata
+        assert got["fr"] == base["fr"]
+        assert abs(got["en"] / base["en"] - 0.1) < 0.05
+        assert abs(got["de"] / base["de"] - 0.5) < 0.07
+
+    def test_corpus_mix_targets_and_unmet(self, spark, corpus_df):
+        stats = {}
+        out = corpus_mix(
+            corpus_df,
+            "lang",
+            weights={"en": 1.0, "de": 1.0, "sw": 1.0},
+            total_rows=900,
+            key_col="id",
+            stats_out=stats,
+        )
+        got = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # en and de can meet ~300 each; sw (~200 rows total) cannot
+        assert abs(got["en"] - 300) < 60 and abs(got["de"] - 300) < 60
+        assert stats["rates"]["sw"] == 1.0 and "sw" in stats["unmet"]
+        assert "fr" not in got  # unweighted stratum dropped
+
+    def test_split_stable_under_growth(self, spark, corpus_df):
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        small = with_split(corpus_df.filter(F.col("id") < 1000), "id", fr)
+        big = with_split(corpus_df, "id", fr)
+        m_small = {r["id"]: r["split"] for r in small.collect()}
+        m_big = {r["id"]: r["split"] for r in big.collect()}
+        assert all(m_big[i] == s for i, s in m_small.items())
+        n = len(m_big)
+        from collections import Counter
+
+        c = Counter(m_big.values())
+        assert abs(c["train"] / n - 0.8) < 0.03
+        assert abs(c["val"] / n - 0.1) < 0.02
+        with pytest.raises(ValueError, match="sum to 1"):
+            with_split(corpus_df, "id", {"a": 0.5})
+
+
+class TestCapPerStratum:
+    def test_cap_semantics_and_prefilter_equivalence(
+        self, spark, corpus_df
+    ):
+        stats = {}
+        fast = cap_per_stratum(
+            corpus_df, "lang", 100, "id", stats_out=stats
+        )
+        exact = cap_per_stratum(
+            corpus_df, "lang", 100, "id", prefilter=False
+        )
+        fs = sorted((r["lang"], r["id"]) for r in fast.collect())
+        es = sorted((r["lang"], r["id"]) for r in exact.collect())
+        assert fs == es
+        got = {
+            r["lang"]: r["n"]
+            for r in fast.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        base = {
+            r["lang"]: r["n"]
+            for r in corpus_df.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for lang, n in base.items():
+            assert got[lang] == min(100, n), lang
+        assert stats["prefilter_short_strata"] == []
+
+    def test_prefilter_undershoot_falls_back(self, spark, corpus_df):
+        """A margin below 1 forces the undershoot path; the result must
+        still be exactly the cap-smallest-hash rows."""
+        stats = {}
+        fast = cap_per_stratum(
+            corpus_df, "lang", 120, "id", margin=0.2, stats_out=stats
+        )
+        exact = cap_per_stratum(
+            corpus_df, "lang", 120, "id", prefilter=False
+        )
+        assert sorted((r["lang"], r["id"]) for r in fast.collect()) == sorted(
+            (r["lang"], r["id"]) for r in exact.collect()
+        )
+        assert len(stats["prefilter_short_strata"]) > 0
+
+
+def _py_stream_chunks(rows, budget):
+    """rows: (group, order, size) — reference fold."""
+    out = {}
+    by_g = {}
+    for g, o, s in rows:
+        by_g.setdefault(g, []).append((o, s))
+    for g, items in by_g.items():
+        off = 0
+        for o, s in sorted(items):
+            out[(g, o)] = (off, off // budget)
+            off += max(s or 0, 0)
+    return out
+
+
+def _py_greedy(rows, budget):
+    out = {}
+    by_g = {}
+    for g, o, s in rows:
+        by_g.setdefault(g, []).append((o, s))
+    for g, items in by_g.items():
+        b, fill = 0, 0
+        for o, s in sorted(items):
+            s = max(s or 0, 0)
+            if fill > 0 and fill + s > budget:
+                b, fill = b + 1, 0
+            out[(g, o)] = b
+            fill += s
+            if fill >= budget:
+                b, fill = b + 1, 0
+    return out
+
+
+class TestPacking:
+    def _rows(self):
+        rng = random.Random(13)
+        rows = [
+            (f"g{rng.randrange(4)}", i, rng.randrange(0, 900))
+            for i in range(500)
+        ]
+        rows.append(("g0", 9991, None))  # NULL size rides along
+        rows.append(("g1", 9992, 5000))  # oversized doc
+        return rows
+
+    def test_stream_chunks_matches_oracle(self, spark):
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "g string, i long, sz int")
+        packed = pack_stream_chunks(
+            df, "sz", 1000, ["g"], ["i"]
+        )
+        exp = _py_stream_chunks(rows, 1000)
+        for r in packed.collect():
+            off, ch = exp[(r["g"], r["i"])]
+            assert (r["start_offset"], r["chunk_id"]) == (off, ch)
+        st = {
+            (r["g"], r["chunk_id"]): (r["n_docs"], r["chunk_tokens"])
+            for r in chunk_stats(packed, "sz", ["g"]).collect()
+        }
+        assert sum(n for n, _ in st.values()) == len(rows)
+
+    def test_greedy_matches_oracle_and_never_overflows(self, spark):
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "g string, i long, sz int")
+        packed = pack_greedy(df, "sz", 1000, ["g"], ["i"])
+        exp = _py_greedy(rows, 1000)
+        got = {(r["g"], r["i"]): r["bin_id"] for r in packed.collect()}
+        assert got == exp
+        # no bin of >1 doc exceeds the budget
+        fills = (
+            packed.groupBy("g", "bin_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce("sz", F.lit(0))).alias("tok"),
+            )
+            .collect()
+        )
+        for r in fills:
+            assert r["n"] == 1 or r["tok"] <= 1000
+
+    def test_errors(self, spark):
+        df = spark.createDataFrame([("g", 1, 5)], "g string, i long, sz int")
+        with pytest.raises(ValueError, match="budget"):
+            pack_stream_chunks(df, "sz", 0, ["g"], ["i"])
+        with pytest.raises(ValueError, match="budget"):
+            pack_greedy(df, "sz", -3, ["g"], ["i"])
