@@ -41,6 +41,21 @@ from data_quality_check_pipeline_spark.udfs.lexicon import LANGS
 # shared fragments
 # ---------------------------------------------------------------------------
 
+# doc_stratified_sample parameters — shared with tools/make_goldens.py
+# (the pure-Python XXH64 re-derivation must apply the exact same rates
+# and seeds). The rates deliberately downsample the dominant language
+# (en) and keep the low-resource tail whole — the standard
+# mixture-rebalancing shape.
+SAMPLE_RATES = {"en": 0.35, "zh": 0.6, "es": 0.8, "de": 1.0}
+SAMPLE_DEFAULT_RATE = 0.5  # fr + anything unlisted
+SAMPLE_SEED = 7
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 11
+
+# doc_token_packing parameters — shared with the DuckDB window oracle
+PACK_BUDGET = 2000
+
+
 # DuckDB null-or-empty (mirrors functions.exprs.null_or_empty)
 def _sql_missing(col: str) -> str:
     return (
@@ -490,6 +505,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_text_stats"] = doc_text_stats
 
+    def doc_stratified_sample(spark, sf):
+        """Deterministic per-language corpus sampling + stable split
+        assignment (operators/sampling.py) — the training-mixture
+        stage. Both decisions are scan-side xxhash64 filters (no
+        shuffle, no rand()); the oracle is a committed golden from the
+        INDEPENDENT pure-Python XXH64 re-derivation
+        (tools/make_goldens.py), the same cross-check machinery as the
+        minhash signatures."""
+        from data_quality_check_pipeline_spark.operators.sampling import (
+            stratified_sample,
+            with_split,
+        )
+
+        docs = _load(spark, sf, "documents")
+        kept = stratified_sample(
+            docs,
+            "lang",
+            SAMPLE_RATES,
+            "doc_id",
+            default_rate=SAMPLE_DEFAULT_RATE,
+            seed=SAMPLE_SEED,
+        )
+        return with_split(
+            kept, "doc_id", SPLIT_FRACTIONS, seed=SPLIT_SEED
+        ).select("doc_id", "lang", "split")
+
+    q["doc_stratified_sample"] = doc_stratified_sample
+
+    def doc_token_packing(spark, sf):
+        """Token-budget sequence packing (operators/packing.py):
+        whitespace token counts feed concatenated-stream chunk
+        assignment per language (a doc belongs to the chunk where it
+        starts), summarized per chunk. One (lang, doc_id) window sort;
+        at corpus scale the group key gains a hash shard (see
+        packing.py docstring) — per-lang here so DuckDB's window
+        oracle can reproduce chunk ids exactly."""
+        from data_quality_check_pipeline_spark.operators.packing import (
+            chunk_stats,
+            pack_stream_chunks,
+        )
+
+        docs = _load(spark, sf, "documents")
+        toks = docs.select(
+            "doc_id",
+            "lang",
+            F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_tok"),
+        )
+        packed = pack_stream_chunks(
+            toks, "n_tok", PACK_BUDGET, ["lang"], ["doc_id"]
+        )
+        return chunk_stats(packed, "n_tok", ["lang"])
+
+    q["doc_token_packing"] = doc_token_packing
+
     def doc_validation_flags(spark, sf):
         df = _load(spark, sf, "documents")
         norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
@@ -669,28 +738,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_date_profile"] = orders_date_profile
 
     # ---- histograms / sorts / top-k -----------------------------------------
-    def orders_status_histogram(spark, sf):
-        return (
-            _load(spark, sf, "orders")
-            .groupBy("o_orderstatus")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    q["orders_status_histogram"] = orders_status_histogram
-
-    def orders_priority_share(spark, sf):
+    def orders_status_priority_profile(spark, sf):
+        """A4 format histogram + A16 value-clustering share over two
+        columns in ONE surface (formerly orders_status_histogram +
+        orders_priority_share — folded for the driver's 50-slot
+        budget; each dimension keeps its own oracle rows). The share
+        derives from a window sum over the tiny histogram itself, so
+        the corpus is scanned once per dimension with no separate
+        count() job."""
         df = _load(spark, sf, "orders")
-        total = df.count()
-        return (
-            df.groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn(
-                "share",
-                F.round(F.col("n").cast("double") / F.lit(float(total)), 6),
+
+        def hist(col: str, dim: str) -> DataFrame:
+            h = df.groupBy(F.col(col).alias("value")).agg(
+                F.count(F.lit(1)).alias("n")
             )
+            total = F.sum("n").over(Window.partitionBy())
+            return h.select(
+                F.lit(dim).alias("dim"),
+                "value",
+                "n",
+                F.round(
+                    F.col("n").cast("double") / total.cast("double"), 6
+                ).alias("share"),
+            )
+
+        return hist("o_orderstatus", "status").unionByName(
+            hist("o_orderpriority", "priority")
         )
 
-    q["orders_priority_share"] = orders_priority_share
+    q["orders_status_priority_profile"] = orders_status_priority_profile
 
     def events_user_topk(spark, sf):
         df = _load(spark, sf, "events")
@@ -931,16 +1007,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quarantine_anti_join"] = quarantine_anti_join
 
     # ---- windows / event streams ------------------------------------------------
-    def events_hourly(spark, sf):
+    def events_rollup(spark, sf):
+        """Multi-granularity metrics CUBE over (hour, event_type) —
+        the hypertable-rollup shape: the hourly breakdown, each
+        marginal, and the grand total in ONE shuffle (Catalyst expands
+        the grouping sets map-side; four separate aggs would scan the
+        fact table four times — the difference between 1x and 4x at
+        100 TB). grouping_id disambiguates levels (NULL dim =
+        aggregated-out; first cube column = MSB, verified against
+        DuckDB's GROUPING()). Formerly events_hourly +
+        events_type_histogram, whose rows are the gid=0 and gid=2
+        slices."""
         df = _load(spark, sf, "events")
         return (
-            df.groupBy(
+            df.select(
                 F.date_format(
                     F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
                 ).alias("hour"),
                 "event_type",
+                "value",
             )
+            .cube("hour", "event_type")
             .agg(
+                F.grouping_id().cast("int").alias("gid"),
                 F.count(F.lit(1)).alias("n"),
                 # decimal sum -> order-invariant across partitionings
                 F.round(
@@ -951,16 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    q["events_hourly"] = events_hourly
-
-    def events_type_histogram(spark, sf):
-        return (
-            _load(spark, sf, "events")
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    q["events_type_histogram"] = events_type_histogram
+    q["events_rollup"] = events_rollup
 
     def events_sessionized_gap(spark, sf):
         """Per-user event gap stats via a lag window (stream-state shape)."""
@@ -1404,6 +1484,8 @@ GOLDEN_TYPES: dict[str, dict[str, str]] = {
     "clips_audio_neardup":
         {"fp_a": "BIGINT", "fp_b": "BIGINT", "hamming": "INTEGER",
          "n_a": "BIGINT", "n_b": "BIGINT"},
+    "doc_stratified_sample":
+        {"doc_id": "BIGINT", "lang": "VARCHAR", "split": "VARCHAR"},
 }
 
 
@@ -1687,6 +1769,25 @@ def oracle_sql() -> dict[str, str]:
              {quality} AS quality_score
       FROM documents"""
 
+    sql["doc_token_packing"] = f"""
+      WITH t AS (
+        SELECT lang, doc_id,
+               GREATEST(COALESCE({ws_count}, 0), 0) AS sz
+        FROM documents
+      ), o AS (
+        SELECT lang, sz,
+               COALESCE(SUM(sz) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_offset
+        FROM t
+      )
+      SELECT lang,
+             CAST(FLOOR(start_offset / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(sz) AS BIGINT) AS chunk_tokens
+      FROM o GROUP BY 1, 2"""
+
     sql["doc_validation_flags"] = """
       WITH n AS (
         SELECT doc_id, text,
@@ -1814,17 +1915,20 @@ def oracle_sql() -> dict[str, str]:
                AS max_orderdate
       FROM orders"""
 
-    sql["orders_status_histogram"] = (
-        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n "
-        "FROM orders GROUP BY 1"
-    )
-
-    sql["orders_priority_share"] = """
-      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+    sql["orders_status_priority_profile"] = """
+      SELECT 'status' AS dim, o_orderstatus AS value,
+             CAST(count(*) AS BIGINT) AS n,
              round(CAST(count(*) AS DOUBLE)
                    / CAST((SELECT count(*) FROM orders) AS DOUBLE), 6)
                AS share
-      FROM orders GROUP BY 1"""
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'priority' AS dim, o_orderpriority AS value,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(count(*) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM orders) AS DOUBLE), 6)
+               AS share
+      FROM orders GROUP BY 2"""
 
     sql["events_user_topk"] = """
       SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, user_id ASC)
@@ -1925,17 +2029,18 @@ def oracle_sql() -> dict[str, str]:
       WHERE o_custkey NOT IN
             (SELECT c_custkey FROM customer WHERE c_acctbal < 0)"""
 
-    sql["events_hourly"] = """
-      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-             event_type, CAST(count(*) AS BIGINT) AS n,
+    sql["events_rollup"] = """
+      WITH e AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, value
+        FROM events
+      )
+      SELECT hour, event_type,
+             CAST(GROUPING(hour, event_type) AS INTEGER) AS gid,
+             CAST(count(*) AS BIGINT) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE), 4)
                AS sum_value
-      FROM events GROUP BY 1, 2"""
-
-    sql["events_type_histogram"] = (
-        "SELECT event_type, CAST(count(*) AS BIGINT) AS n "
-        "FROM events GROUP BY 1"
-    )
+      FROM e GROUP BY CUBE(hour, event_type)"""
 
     sql["events_sessionized_gap"] = """
       WITH g AS (

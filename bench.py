@@ -111,7 +111,7 @@ def main() -> None:
         "lineitem_pricing_summary",
         "lineitem_iqr_outliers",
         "orders_by_segment",
-        "events_hourly",
+        "events_rollup",
         "embedding_topk",
         "embedding_ivf_ann",
     ]

@@ -208,6 +208,40 @@ def audio_fp_neardup_py(
     return out
 
 
+def stratified_sample_py(docs: pd.DataFrame) -> list[tuple]:
+    """Re-derivation of the doc_stratified_sample harness query:
+    operators.sampling.stratified_sample + with_split with the
+    __spark_entry__ constants — hash fraction = pmod(xxhash64(doc_id,
+    seed), 2^20) / 2^20, per-lang rate threshold, cumulative split
+    bands in insertion order."""
+    import __spark_entry__ as entry
+
+    B = 1 << 20
+    names = list(entry.SPLIT_FRACTIONS)
+    out = []
+    for doc_id, lang in zip(docs["doc_id"], docs["lang"]):
+        if lang is None or (isinstance(lang, float) and pd.isna(lang)):
+            rate, lang_out = entry.SAMPLE_DEFAULT_RATE, None
+        else:
+            lang_out = str(lang)
+            rate = entry.SAMPLE_RATES.get(
+                lang_out, entry.SAMPLE_DEFAULT_RATE
+            )
+        frac = (spark_xxhash64(int(doc_id), entry.SAMPLE_SEED) % B) / B
+        if not frac < rate:
+            continue
+        sfrac = (spark_xxhash64(int(doc_id), entry.SPLIT_SEED) % B) / B
+        split = names[-1]
+        hi = 0.0
+        for name in names[:-1]:
+            hi += entry.SPLIT_FRACTIONS[name]
+            if sfrac < hi:
+                split = name
+                break
+        out.append((int(doc_id), lang_out, split))
+    return sorted(out)
+
+
 def clips_goldens_py() -> dict:
     """clips_* goldens from the pure-pandas oracle over the same synthetic
     corpus the harness queries use."""
@@ -258,7 +292,7 @@ def main() -> int:
     rc = 0
     for sf_dir in sf_dirs:
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
-            ["doc_id", "text"]
+            ["doc_id", "text", "lang"]
         ]
         goldens = {
             "doc_minhash_pairs": {
@@ -268,6 +302,10 @@ def main() -> int:
             "doc_simhash_pairs": {
                 "columns": ["id_a", "id_b", "hamming"],
                 "rows": [list(r) for r in simhash_pairs_py(docs)],
+            },
+            "doc_stratified_sample": {
+                "columns": ["doc_id", "lang", "split"],
+                "rows": [list(r) for r in stratified_sample_py(docs)],
             },
             **clips,
         }
