@@ -142,3 +142,125 @@ def numeric_summary(df: DataFrame, col: str,
         "mean": float(q["mean"]), "std": float(q["std"] or 0.0),
         "lower": q1 - 1.5 * iqr, "upper": q3 + 1.5 * iqr,
     }
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketch profiles (the 100-TB profiling path)
+# ---------------------------------------------------------------------------
+#
+# count_distinct / percentile over the whole corpus re-scans everything
+# on every run; at 10^12 clips the production pattern is: profile each
+# ingest BATCH once into fixed-size mergeable sketches (DataSketches
+# HLL via F.hll_sketch_agg — ~2^lg_k bytes regardless of input size),
+# persist the per-batch sketch rows, and answer corpus-lifetime
+# questions ("distinct speakers ever", "null rate to date") by MERGING
+# sketches (hll_union_agg) — no history rescan, ever. The reference
+# profiler (profiler.py:273-290) recomputes exact distincts per run;
+# this is the scale-correct analogue, with the exact aggregates
+# retained above as the small-SF oracle surface.
+
+
+def sketch_profile(
+    df: DataFrame, cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """ONE-row mergeable profile of a batch: total rows plus, per
+    column, the null count and an HLL sketch (binary) of the non-null
+    values. One hash-agg pass, all map-side partial; values are hashed
+    via their canonical string form so sketches stay mergeable across
+    schema-compatible batches. lg_k=12 -> ~1.6% relative standard
+    error in ~4 KiB per column."""
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.isnull(F.col(c)).cast("long")).alias(f"{c}__nulls")
+        )
+        aggs.append(
+            F.hll_sketch_agg(
+                F.col(c).cast("string"), F.lit(int(lg_k))
+            ).alias(f"{c}__hll")
+        )
+    return df.agg(*aggs)
+
+
+def merge_sketch_profiles(profiles: DataFrame, cols: list[str]) -> DataFrame:
+    """Fold any number of per-batch profile rows into one: counts add,
+    sketches union (register-wise max — commutative, idempotent per
+    distinct value, so re-merging overlapping histories never
+    double-counts distincts). allowDifferentLgConfigK tolerates a
+    tuned lg_k change mid-history."""
+    aggs = [F.sum("rows").alias("rows")]
+    for c in cols:
+        aggs.append(F.sum(f"{c}__nulls").alias(f"{c}__nulls"))
+        aggs.append(
+            F.hll_union_agg(F.col(f"{c}__hll"), F.lit(True)).alias(
+                f"{c}__hll"
+            )
+        )
+    return profiles.agg(*aggs)
+
+
+def profile_estimates(profile: DataFrame, cols: list[str]) -> DataFrame:
+    """Tidy read-out of a (merged) profile row: one row per column with
+    null count/fraction and the HLL distinct estimate."""
+    rows = F.col("rows")
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").alias("nulls"),
+            F.when(rows > 0, F.col(f"{c}__nulls") / rows)
+            .otherwise(F.lit(0.0))
+            .alias("null_frac"),
+            F.when(
+                F.col(f"{c}__hll").isNull(), F.lit(0).cast("long")
+            )
+            .otherwise(
+                F.hll_sketch_estimate(F.col(f"{c}__hll")).cast("long")
+            )
+            .alias("approx_distinct"),
+        )
+        for c in cols
+    ]
+    return profile.select(
+        rows.alias("rows"), F.explode(F.array(*per_col)).alias("s")
+    ).select("rows", "s.*")
+
+
+def incremental_profile_run(
+    store,
+    table: str,
+    new_df: DataFrame,
+    cols: list[str],
+    lg_k: int = 12,
+    source_fingerprint: str | None = None,
+) -> bool:
+    """Append one sketch-profile row for a new batch to a
+    TableStore-backed profile history. Fingerprint-idempotent like the
+    dedup signature histories: an exact replay of an already-profiled
+    batch is skipped (returns False) so at-least-once ingest never
+    double-counts rows/nulls (sketch union would forgive double
+    counting of distincts, but the additive counters would not)."""
+    if (
+        source_fingerprint is not None
+        and store.exists(table)
+        and store.is_unchanged(table, source_fingerprint)
+    ):
+        return False
+    store.write(
+        table,
+        sketch_profile(new_df, cols, lg_k=lg_k),
+        mode="append",
+        properties=(
+            {"source_fingerprint": source_fingerprint}
+            if source_fingerprint is not None
+            else None
+        ),
+    )
+    return True
+
+
+def corpus_profile(store, table: str, cols: list[str]) -> DataFrame:
+    """Corpus-lifetime profile from the persisted per-batch sketch rows:
+    merge + estimate, never rescanning the corpus itself."""
+    return profile_estimates(
+        merge_sketch_profiles(store.read(table), cols), cols
+    )

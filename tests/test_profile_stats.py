@@ -337,3 +337,118 @@ class TestGELibraryAdapter:
         df = spark.createDataFrame([("r1",)], "a string")
         with pytest.raises(RuntimeError, match="great_expectations"):
             evaluate_suite_via_ge(df, self._suite())
+
+
+class TestSketchProfiles:
+    """Mergeable HLL sketch profiles: error bounds vs exact, merge ==
+    whole (within sketch error), double-merge idempotence for
+    distincts, null/empty handling, TableStore incremental run."""
+
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        rows = [
+            (i, f"u{i % 700}", None if i % 10 == 0 else f"v{i}")
+            for i in range(4000)
+        ]
+        return spark.createDataFrame(rows, "id long, user string, val string")
+
+    def test_estimates_within_hll_error(self, spark, frame):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            profile_estimates,
+            sketch_profile,
+        )
+
+        est = {
+            r["column"]: r
+            for r in profile_estimates(
+                sketch_profile(frame, ["id", "user", "val"]),
+                ["id", "user", "val"],
+            ).collect()
+        }
+        assert est["id"]["rows"] == 4000 and est["id"]["nulls"] == 0
+        assert abs(est["id"]["approx_distinct"] - 4000) < 200  # ~5%
+        assert abs(est["user"]["approx_distinct"] - 700) < 35
+        assert est["val"]["nulls"] == 400
+        assert abs(est["val"]["null_frac"] - 0.1) < 1e-9
+        assert abs(est["val"]["approx_distinct"] - 3600) < 180
+
+    def test_merge_matches_whole_and_is_idempotent(self, spark, frame):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            merge_sketch_profiles,
+            profile_estimates,
+            sketch_profile,
+        )
+
+        cols = ["id", "user"]
+        parts = [
+            sketch_profile(frame.filter(F.col("id") % 3 == k), cols)
+            for k in range(3)
+        ]
+        merged = merge_sketch_profiles(
+            parts[0].unionByName(parts[1]).unionByName(parts[2]), cols
+        )
+        est = {
+            r["column"]: r
+            for r in profile_estimates(merged, cols).collect()
+        }
+        assert est["id"]["rows"] == 4000
+        assert abs(est["id"]["approx_distinct"] - 4000) < 200
+        # every batch saw (almost) all 700 users: union must NOT add
+        # them up — distinct stays ~700, the property exact per-batch
+        # counters cannot give without a history rescan
+        assert abs(est["user"]["approx_distinct"] - 700) < 35
+
+    def test_empty_and_allnull_batches(self, spark, frame):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            merge_sketch_profiles,
+            profile_estimates,
+            sketch_profile,
+        )
+
+        empty = sketch_profile(frame.filter(F.lit(False)), ["val"])
+        est0 = profile_estimates(empty, ["val"]).collect()[0]
+        assert est0["rows"] == 0 and est0["approx_distinct"] == 0
+        allnull = sketch_profile(
+            frame.select(F.lit(None).cast("string").alias("val")), ["val"]
+        )
+        merged = merge_sketch_profiles(
+            allnull.unionByName(sketch_profile(frame, ["val"])), ["val"]
+        )
+        est = profile_estimates(merged, ["val"]).collect()[0]
+        assert est["nulls"] == 4000 + 400
+        assert abs(est["approx_distinct"] - 3600) < 180
+
+    def test_incremental_run_and_replay_skip(self, spark, frame, tmp_path):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            corpus_profile,
+            incremental_profile_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        b1 = frame.filter(F.col("id") < 2000)
+        b2 = frame.filter(F.col("id") >= 2000)
+        assert incremental_profile_run(
+            store, "profile_history", b1, ["id", "user"],
+            source_fingerprint="b1",
+        )
+        assert incremental_profile_run(
+            store, "profile_history", b2, ["id", "user"],
+            source_fingerprint="b2",
+        )
+        # exact replay of b2 must not double-count
+        assert not incremental_profile_run(
+            store, "profile_history", b2, ["id", "user"],
+            source_fingerprint="b2",
+        )
+        est = {
+            r["column"]: r
+            for r in corpus_profile(
+                store, "profile_history", ["id", "user"]
+            ).collect()
+        }
+        assert est["id"]["rows"] == 4000
+        assert abs(est["id"]["approx_distinct"] - 4000) < 200
+        assert abs(est["user"]["approx_distinct"] - 700) < 35
