@@ -41,18 +41,32 @@ _log = logging.getLogger("clip_quality.sampling")
 _BUCKETS = 1 << 20
 
 
-def hash_frac(key_col: str | Column, seed: int = 0) -> Column:
-    """Uniform-[0,1) fraction derived from ``xxhash64(key, seed)``.
+def hash_frac(
+    key_col: str | Column, seed: int = 0, domain: str | None = None
+) -> Column:
+    """Uniform-[0,1) fraction derived from ``xxhash64(key[, domain],
+    seed)``.
 
     The seed rides along as a literal hash input (Spark's xxhash64 has
     a fixed internal seed; folding a literal gives the same effect and
     keeps the pure-Python oracle parity of ``oracle_hash.
     spark_xxhash64`` applicable). Stable across partitionings, retries
-    and sessions."""
+    and sessions.
+
+    ``domain`` separates hash universes between DIFFERENT decision
+    kinds over the same keys: without it, a sampling filter and a split
+    assignment given equal seeds would share one fraction, and the
+    sampling survivors (frac < rate) would all fall into the low split
+    bands — every kept row "train". Same-kind decisions (two samples)
+    stay composable via seeds alone."""
     col = F.col(key_col) if isinstance(key_col, str) else key_col
-    # seed folds as a LONG literal so the pure-Python re-derivation
-    # (oracle_hash.spark_xxhash64(key, seed)) matches bit-for-bit
-    h = F.xxhash64(col, F.lit(int(seed)).cast("long"))
+    # literals fold as (string, LONG) so the pure-Python re-derivation
+    # (oracle_hash.spark_xxhash64(key[, domain], seed)) matches
+    # bit-for-bit
+    parts = ([F.lit(domain)] if domain is not None else []) + [
+        F.lit(int(seed)).cast("long")
+    ]
+    h = F.xxhash64(col, *parts)
     return F.pmod(h, F.lit(_BUCKETS)).cast("double") / F.lit(float(_BUCKETS))
 
 
@@ -160,13 +174,16 @@ def with_split(
     fraction lands in cumulative ``fractions`` bands (insertion
     order). Fractions must sum to ~1. A row's split never changes as
     the corpus grows — the property that keeps eval sets uncontaminated
-    across corpus versions (rand()-based splits reshuffle every run)."""
+    across corpus versions (rand()-based splits reshuffle every run).
+    The hash is domain-separated ('split') from sampling decisions, so
+    running sampling and splitting with the SAME seed on the same keys
+    still yields independent outcomes."""
     tot = float(sum(fractions.values()))
     if abs(tot - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1 (got {tot})")
     if any(f < 0 for f in fractions.values()):
         raise ValueError("fractions must be non-negative")
-    frac = hash_frac(key_col, seed)
+    frac = hash_frac(key_col, seed, domain="split")
     expr: Column | None = None
     hi = 0.0
     names = list(fractions)

@@ -116,6 +116,19 @@ class RunConfig:
     # run). None disables. Conflict-safe: compact() aborts rather than
     # clobber a concurrent append, so a lost race just retries next run.
     history_compact_dirs: int | None = 64
+    # deterministic kept-branch mixture sampling + split assignment
+    # (operators/sampling.py), applied AFTER dedup and BEFORE
+    # scrub/write. Decisions hash clip_id (never rand()), so shard
+    # replays, resumes and requeued clips all reach the same verdict.
+    # Sampled-out clips are counted (stats['sampled_out']), NOT
+    # quarantined — they are valid data the mixture did not select.
+    sample_rates: dict | None = None  # lang -> keep rate
+    sample_default_rate: float = 1.0  # unlisted/NULL lang
+    sample_seed: int = 0
+    # split name -> fraction (must sum to 1); adds a 'split' column and
+    # partitions clips_clean by (lang, split)
+    split_fractions: dict | None = None
+    split_seed: int = 0
 
     def __post_init__(self) -> None:
         if not self.run_id:
@@ -407,7 +420,8 @@ def run_pipeline(
             "reason": "source unchanged; all shards committed",
         }
     totals = {
-        "total": 0, "kept": 0, "dropped": 0, "pii_rows": 0,
+        "total": 0, "kept": 0, "dropped": 0, "sampled_out": 0,
+        "pii_rows": 0,
         "pii_emails": 0, "pii_phones": 0, "pii_ssns": 0, "pii_tox": 0,
     }
     gate_overall: GateResult | None = None
@@ -618,6 +632,33 @@ def _run_shard(
             stats["keep_pct"] = 100.0 * stats["kept"] / stats["total"]
         log.record("dedup", "ok", t0, **dd)
         t0 = time.time()
+    # -- MIXTURE SAMPLE + SPLIT (deterministic, operators/sampling.py) -------
+    if cfg.sample_rates is not None:
+        from .operators.sampling import stratified_sample
+
+        kept_src = stratified_sample(
+            kept_src, "lang", cfg.sample_rates, "clip_id",
+            default_rate=cfg.sample_default_rate, seed=cfg.sample_seed,
+        )
+        # kept-before is already known (stats); only after needs a job
+        n_after = kept_src.count()
+        sampled_out = stats["kept"] - n_after
+        stats["sampled_out"] = sampled_out
+        stats["kept"] = n_after
+        if stats.get("total"):
+            stats["keep_pct"] = 100.0 * stats["kept"] / stats["total"]
+        log.record(
+            "sample", "ok", t0,
+            sampled_out=sampled_out, kept=n_after,
+            rates=dict(cfg.sample_rates),
+        )
+        t0 = time.time()
+    if cfg.split_fractions is not None:
+        from .operators.sampling import with_split
+
+        kept_src = with_split(
+            kept_src, "clip_id", cfg.split_fractions, seed=cfg.split_seed
+        )
     kept_pre = scrub_transcripts(kept_src)
     # aggregates below run on kept_pre (pre-repartition): the salted
     # shuffle exists only for the write's file layout, and paying it
@@ -635,7 +676,9 @@ def _run_shard(
             CLEAN_TABLE,
             kept,
             mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
-            partition_by=["lang"],
+            partition_by=(
+                ["lang", "split"] if cfg.split_fractions else ["lang"]
+            ),
             properties={"run_id": cfg.run_id, **shard_props},
         )
         log.record("clean_write", "ok", t0, snapshot=clean_sid)
@@ -955,6 +998,24 @@ def requeue_quarantine(
     kept = scrub_transcripts(
         flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")
     )
+    # a re-driven clip flows through the SAME deterministic sampling /
+    # split as the shard path: the hash-of-clip_id decision is the one
+    # it would have received had it passed validation the first time
+    # (a sampled-out recovered clip still gets its resolution marker —
+    # it is valid data the mixture did not select)
+    if cfg.sample_rates is not None:
+        from .operators.sampling import stratified_sample
+
+        kept = stratified_sample(
+            kept, "lang", cfg.sample_rates, "clip_id",
+            default_rate=cfg.sample_default_rate, seed=cfg.sample_seed,
+        )
+    if cfg.split_fractions is not None:
+        from .operators.sampling import with_split
+
+        kept = with_split(
+            kept, "clip_id", cfg.split_fractions, seed=cfg.split_seed
+        )
     # crash guard (same pattern as the shard commit): a crash between
     # this append and the resolution-marker write below leaves the clips
     # eligible — the rerun must skip the re-append, not duplicate them.
@@ -994,7 +1055,9 @@ def requeue_quarantine(
         store.write(
             CLEAN_TABLE, salted_repartition(kept, cfg.salt_buckets),
             mode="append" if store.exists(CLEAN_TABLE) else "overwrite",
-            partition_by=["lang"],
+            partition_by=(
+                ["lang", "split"] if cfg.split_fractions else ["lang"]
+            ),
             properties={"run_id": cfg.run_id, **requeue_props},
         )
     still_bad = (

@@ -123,7 +123,35 @@ def main() -> None:
                     help="with --dedup-content: keep the within-run dup "
                          "group's argmax of this score column (e.g. "
                          "snr_db) instead of min clip_id")
+    ap.add_argument("--sample-lang", default=None, metavar="L=R,...",
+                    help="deterministic per-language mixture sampling "
+                         "of the kept branch, e.g. en=0.3,de=1.0 — "
+                         "decisions hash clip_id (stable across "
+                         "shards/retries/requeues); sampled-out clips "
+                         "are counted, not quarantined")
+    ap.add_argument("--sample-default-rate", type=float, default=1.0,
+                    metavar="R",
+                    help="with --sample-lang: rate for unlisted/NULL "
+                         "languages (default 1.0 = keep)")
+    ap.add_argument("--sample-seed", type=int, default=0)
+    ap.add_argument("--split", default=None, metavar="NAME=F,...",
+                    help="stable split assignment, e.g. "
+                         "train=0.8,val=0.1,test=0.1 (fractions sum to "
+                         "1): adds a split column and partitions "
+                         "clips_clean by (lang, split); a clip's split "
+                         "never changes as the corpus grows")
+    ap.add_argument("--split-seed", type=int, default=0)
     args = ap.parse_args()
+
+    def _kv_floats(s: str, what: str) -> dict[str, float]:
+        try:
+            return {
+                k: float(v)
+                for k, v in (p.split("=", 1) for p in s.split(","))
+            }
+        except ValueError:
+            ap.error(f"--{what}: expected NAME=FLOAT[,NAME=FLOAT...], "
+                     f"got {s!r}")
 
     from data_quality_check_pipeline_spark.pipeline import (
         RunConfig,
@@ -247,6 +275,16 @@ def main() -> None:
         dedup_audio=args.dedup_audio,
         dedup_audio_max_hamming=args.dedup_audio_max_hamming,
         dedup_quality_col=args.dedup_quality_col,
+        sample_rates=(
+            _kv_floats(args.sample_lang, "sample-lang")
+            if args.sample_lang else None
+        ),
+        sample_default_rate=args.sample_default_rate,
+        sample_seed=args.sample_seed,
+        split_fractions=(
+            _kv_floats(args.split, "split") if args.split else None
+        ),
+        split_seed=args.split_seed,
     )
     if args.requeue:
         from data_quality_check_pipeline_spark.pipeline import (

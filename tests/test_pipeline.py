@@ -1156,3 +1156,74 @@ class TestHistoryAutoCompaction:
         assert m3["quality"]["kept"] == 0
         assert store.read("content_hash_history").count() == m1[
             "quality"]["kept"]
+
+
+class TestMixtureSampleSplit:
+    """--sample-lang / --split pipeline stage: deterministic mixture
+    sampling + stable split labels on the kept branch (operators/
+    sampling.py), with partition layout and accounting."""
+
+    def test_sample_split_deterministic_across_sharding(
+        self, spark, corpus, oracle_df, out_root, tmp_path
+    ):
+        import glob
+
+        _, _, path = corpus
+        rates = {"en": 0.4, "fr": 1.0}
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+        cfg1 = RunConfig(
+            out_root=out_root, run_id="s1", source_fingerprint="fps1",
+            sample_rates=rates, sample_default_rate=0.7, sample_seed=3,
+            split_fractions=splits, split_seed=5,
+        )
+        m1 = run_pipeline(spark, path, cfg1)
+        clean = TableStore(spark, out_root).read(CLEAN_TABLE)
+        assert "split" in clean.columns
+        got1 = {
+            (r["clip_id"], r["split"])
+            for r in clean.select("clip_id", "split").collect()
+        }
+        # accounting: landed + sampled_out == validation-kept; sampling
+        # dropped something but not everything, and never quarantined
+        expected_kept = int(oracle_df["keep"].sum())
+        assert (
+            m1["quality"]["kept"] + m1["quality"]["sampled_out"]
+            == expected_kept
+        )
+        assert 0 < m1["quality"]["sampled_out"] < expected_kept
+        assert m1["quality"]["kept"] == len(got1)
+        assert (
+            m1["quality"]["dropped"] == len(oracle_df) - expected_kept
+        )
+        # physical layout: split is a partition level under lang
+        assert glob.glob(
+            os.path.join(
+                out_root, "clips_clean", "snap_*", "lang=*", "split=*",
+                "*.parquet",
+            )
+        )
+        # the per-lang rates actually bite: en is sampled hardest
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in clean.groupBy("lang").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        base = oracle_df[oracle_df["keep"]]["lang"].value_counts()
+        assert by_lang["en"] / base["en"] < 0.55
+        assert by_lang["fr"] == base["fr"]
+        # a 2-shard run into a fresh root selects the SAME clips with
+        # the SAME splits — the decision is the clip's, not the run's
+        out2 = str(tmp_path / "tables2")
+        cfg2 = RunConfig(
+            out_root=out2, run_id="s2", n_shards=2,
+            source_fingerprint="fps1",
+            sample_rates=rates, sample_default_rate=0.7, sample_seed=3,
+            split_fractions=splits, split_seed=5,
+        )
+        run_pipeline(spark, path, cfg2)
+        got2 = {
+            (r["clip_id"], r["split"])
+            for r in TableStore(spark, out2).read(CLEAN_TABLE)
+            .select("clip_id", "split").collect()
+        }
+        assert got1 == got2

@@ -143,6 +143,24 @@ class TestStratifiedAndMix:
         with pytest.raises(ValueError, match="sum to 1"):
             with_split(corpus_df, "id", {"a": 0.5})
 
+    def test_split_independent_of_sampling_at_equal_seed(
+        self, spark, corpus_df
+    ):
+        """Regression: sample then split with the SAME seed. Without
+        domain separation both decisions share one hash fraction and
+        every sampling survivor (frac < rate) lands in the low split
+        band — all 'train', zero eval data."""
+        from collections import Counter
+
+        kept = hash_sample(corpus_df, "id", 0.5, seed=0)
+        out = with_split(
+            kept, "id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+        )
+        c = Counter(r["split"] for r in out.collect())
+        n = sum(c.values())
+        assert abs(c["train"] / n - 0.8) < 0.05
+        assert c["val"] > 0 and c["test"] > 0
+
 
 class TestCapPerStratum:
     def test_cap_semantics_and_prefilter_equivalence(

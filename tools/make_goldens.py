@@ -230,7 +230,11 @@ def stratified_sample_py(docs: pd.DataFrame) -> list[tuple]:
         frac = (spark_xxhash64(int(doc_id), entry.SAMPLE_SEED) % B) / B
         if not frac < rate:
             continue
-        sfrac = (spark_xxhash64(int(doc_id), entry.SPLIT_SEED) % B) / B
+        # with_split domain-separates its hash ('split' folds before
+        # the seed) so equal sample/split seeds stay independent
+        sfrac = (
+            spark_xxhash64(int(doc_id), "split", entry.SPLIT_SEED) % B
+        ) / B
         split = names[-1]
         hi = 0.0
         for name in names[:-1]:
