@@ -636,6 +636,41 @@ class TestNewQueryPlans:
         assert "InMemoryTableScan" in plan  # fp subtree reused via cache
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+    def test_token_packing_plan_single_shuffle(self, spark):
+        """pack_stream_chunks + chunk_stats must shuffle ONCE: the
+        window partitions by lang, and the per-(lang, chunk) aggregate
+        is satisfied by that same partitioning (hash on a subset of
+        the grouping keys co-locates every group) — a second Exchange
+        would double the packing cost at corpus scale."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        df = entry.queries()["doc_token_packing"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "Window" in plan and "Python" not in plan
+
+    def test_events_rollup_plan_one_shuffle_expand(self, spark):
+        """The CUBE plans as Expand (map-side row replication per
+        grouping set) feeding ONE hash aggregate/shuffle — not four
+        scans of the fact table."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        df = entry.queries()["events_rollup"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan
+        assert plan.count("Exchange") == 1
+        assert plan.count("Scan parquet") == 1
+
     def test_batch_committed_guard(self, spark, tmp_path):
         """Replayed micro-batches (foreachBatch is at-least-once) must not
         double-append: a table whose snapshot history carries the batch id
