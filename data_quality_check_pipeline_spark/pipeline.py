@@ -611,28 +611,16 @@ def _run_shard(
         "source_fingerprint": cfg.source_fingerprint,
     }
 
-    # -- KEEP BRANCH: [cross-run dedup] -> scrub -> salted write -------------
+    # -- KEEP BRANCH: [sample] -> [cross-run dedup] -> scrub -> write --------
     t0 = time.time()
     kept_src = flagged.filter(F.col("keep")).drop(
         "reasons", "severity", "keep"
     )
-    dup_rows = new_hashes = new_fps = None
-    dedup_cached: list[DataFrame] = []
-    if cfg.dedup_content or cfg.dedup_audio:
-        (kept_src, dup_rows, new_hashes, new_fps, dd,
-         dedup_cached) = _dedup_kept_branch(
-            kept_src, cfg, store, shard_props
-        )
-        n_dups = sum(dd.values())
-        # run totals report what LANDED: a deduped clip is dropped (it
-        # quarantines with a terminal reason), not kept
-        stats["kept"] -= n_dups
-        stats["dropped"] += n_dups
-        if stats.get("total"):
-            stats["keep_pct"] = 100.0 * stats["kept"] / stats["total"]
-        log.record("dedup", "ok", t0, **dd)
-        t0 = time.time()
-    # -- MIXTURE SAMPLE + SPLIT (deterministic, operators/sampling.py) -------
+    # -- MIXTURE SAMPLE (deterministic, operators/sampling.py) ---------------
+    # sampling runs BEFORE dedup mining: a sampled-out clip must leave
+    # NO trace in the dedup histories — its content never landed, so a
+    # later re-upload of the same content must not quarantine against a
+    # phantom survivor
     if cfg.sample_rates is not None:
         from .operators.sampling import stratified_sample
 
@@ -652,6 +640,22 @@ def _run_shard(
             sampled_out=sampled_out, kept=n_after,
             rates=dict(cfg.sample_rates),
         )
+        t0 = time.time()
+    dup_rows = new_hashes = new_fps = None
+    dedup_cached: list[DataFrame] = []
+    if cfg.dedup_content or cfg.dedup_audio:
+        (kept_src, dup_rows, new_hashes, new_fps, dd,
+         dedup_cached) = _dedup_kept_branch(
+            kept_src, cfg, store, shard_props
+        )
+        n_dups = sum(dd.values())
+        # run totals report what LANDED: a deduped clip is dropped (it
+        # quarantines with a terminal reason), not kept
+        stats["kept"] -= n_dups
+        stats["dropped"] += n_dups
+        if stats.get("total"):
+            stats["keep_pct"] = 100.0 * stats["kept"] / stats["total"]
+        log.record("dedup", "ok", t0, **dd)
         t0 = time.time()
     if cfg.split_fractions is not None:
         from .operators.sampling import with_split

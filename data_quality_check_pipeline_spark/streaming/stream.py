@@ -321,8 +321,23 @@ def start_quality_stream(
     near_dup_jaccard: float = 0.8,
     audio_near_dup: bool = False,
     audio_max_hamming: int = 6,
+    sample_rates: dict | None = None,
+    sample_default_rate: float = 1.0,
+    sample_seed: int = 0,
+    split_fractions: dict | None = None,
+    split_seed: int = 0,
 ):
     """Start (or drain, with availableNow) the streaming pipeline.
+
+    ``sample_rates`` / ``split_fractions`` mirror the batch pipeline's
+    mixture-sampling + split stage inside the sink: because both sides
+    hash clip_id (operators/sampling.py), a clip reaches the SAME
+    sample/split verdict whether it arrives by stream or batch into
+    this out_root. Sampling runs BEFORE the near-dup mining so a
+    sampled-out clip leaves no signature in either history table (its
+    content never landed — a later re-upload must not quarantine
+    against a phantom survivor); sampled-out clips are simply not
+    selected, never quarantined.
 
     ``near_dup=True`` adds MINHASH near-dup detection within the sink:
     each micro-batch's kept clips are mined against the persisted
@@ -382,6 +397,13 @@ def start_quality_stream(
         new_fps = None
         try:
             kept_src = batch_df.filter(F.col("keep"))
+            if sample_rates is not None:
+                from ..operators.sampling import stratified_sample
+
+                kept_src = stratified_sample(
+                    kept_src, "lang", sample_rates, "clip_id",
+                    default_rate=sample_default_rate, seed=sample_seed,
+                )
             if near_dup:
                 history = _sig_history_before_batch(
                     store, NEARDUP_SIG_TABLE, batch_id, sid
@@ -408,13 +430,23 @@ def start_quality_stream(
                 kept = scrub_transcripts(
                     kept_src.drop("reasons", "severity", "keep")
                 )
+                if split_fractions is not None:
+                    from ..operators.sampling import with_split
+
+                    kept = with_split(
+                        kept, "clip_id", split_fractions,
+                        seed=split_seed,
+                    )
                 store.write(
                     CLEAN_TABLE,
                     kept,
                     mode="append"
                     if store.exists(CLEAN_TABLE)
                     else "overwrite",
-                    partition_by=["lang"],
+                    partition_by=(
+                        ["lang", "split"]
+                        if split_fractions else ["lang"]
+                    ),
                     properties={"stream_batch": batch_id,
                                 "stream_id": sid},
                 )

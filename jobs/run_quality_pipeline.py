@@ -235,6 +235,18 @@ def main() -> None:
             near_dup=args.stream_near_dup,
             audio_near_dup=args.stream_audio_near_dup,
             audio_max_hamming=args.dedup_audio_max_hamming,
+            # same flags as batch: a clip reaches the same hash-derived
+            # sample/split verdict on either path
+            sample_rates=(
+                _kv_floats(args.sample_lang, "sample-lang")
+                if args.sample_lang else None
+            ),
+            sample_default_rate=args.sample_default_rate,
+            sample_seed=args.sample_seed,
+            split_fractions=(
+                _kv_floats(args.split, "split") if args.split else None
+            ),
+            split_seed=args.split_seed,
         )
         q.awaitTermination()
         from data_quality_check_pipeline_spark.pipeline import (

@@ -1227,3 +1227,24 @@ class TestMixtureSampleSplit:
             .select("clip_id", "split").collect()
         }
         assert got1 == got2
+
+    def test_sampled_out_leaves_no_dedup_signature(
+        self, spark, corpus, out_root
+    ):
+        """Sampling runs BEFORE dedup mining: the content-hash history
+        must contain signatures ONLY for clips that actually landed —
+        a sampled-out clip's content never entered the corpus, so a
+        later re-upload must not quarantine against it."""
+        _, _, path = corpus
+        cfg = RunConfig(
+            out_root=out_root, run_id="sd1", source_fingerprint="fpsd",
+            dedup_content=True,
+            sample_rates={}, sample_default_rate=0.5, sample_seed=2,
+        )
+        m = run_pipeline(spark, path, cfg)
+        store = TableStore(spark, out_root)
+        landed = store.read(CLEAN_TABLE).count()
+        hist = store.read("content_hash_history").count()
+        assert m["quality"]["sampled_out"] > 0
+        assert landed == m["quality"]["kept"]
+        assert hist == landed

@@ -788,3 +788,63 @@ class TestNewQueryPlans:
         without = {r.name for r in active_rules(False)}
         assert with_audio - without == set(AUDIO_RULE_NAMES)
         assert set(AUDIO_RULE_NAMES) <= with_audio
+
+
+class TestStreamSampleSplit:
+    def test_stream_sample_split_matches_batch_verdicts(
+        self, spark, corpus, tmp_path
+    ):
+        """Mixture sampling + split inside the streaming sink: the SAME
+        corpus drained via stream and run via batch (equal rates/seeds)
+        must land the IDENTICAL (clip_id, split) set — the hash-derived
+        verdict belongs to the clip, not the ingestion path — and the
+        stream's clean table gains the (lang, split) partition layout."""
+        import glob
+
+        from data_quality_check_pipeline_spark.pipeline import (
+            RunConfig,
+            run_pipeline,
+        )
+
+        _, _, path = corpus
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        os.symlink(path, os.path.join(src, "clips.parquet"))
+        rates = {"en": 0.4, "de": 1.0}
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out_s = str(tmp_path / "out_stream")
+        q = start_quality_stream(
+            spark, src, out_s, str(tmp_path / "ckpt"),
+            available_now=True,
+            sample_rates=rates, sample_default_rate=0.7, sample_seed=4,
+            split_fractions=splits, split_seed=9,
+        )
+        q.awaitTermination(timeout=600)
+        got_stream = {
+            (r["clip_id"], r["split"])
+            for r in TableStore(spark, out_s).read(CLEAN_TABLE)
+            .select("clip_id", "split").collect()
+        }
+        assert glob.glob(
+            os.path.join(
+                out_s, "clips_clean", "snap_*", "lang=*", "split=*",
+                "*.parquet",
+            )
+        )
+        out_b = str(tmp_path / "out_batch")
+        run_pipeline(
+            spark, path,
+            RunConfig(
+                out_root=out_b, run_id="sb1", source_fingerprint="fsb",
+                sample_rates=rates, sample_default_rate=0.7,
+                sample_seed=4,
+                split_fractions=splits, split_seed=9,
+            ),
+        )
+        got_batch = {
+            (r["clip_id"], r["split"])
+            for r in TableStore(spark, out_b).read(CLEAN_TABLE)
+            .select("clip_id", "split").collect()
+        }
+        assert got_stream == got_batch and len(got_stream) > 0
+        assert len({s for _, s in got_stream}) == 3
