@@ -245,9 +245,17 @@ def incremental_profile_run(
         and store.is_unchanged(table, source_fingerprint)
     ):
         return False
+    # monotone batch ordinal so profile_drift can split latest-vs-prior
+    idx = (
+        store.read(table).agg(F.max("batch_idx")).collect()[0][0] + 1
+        if store.exists(table)
+        else 0
+    )
     store.write(
         table,
-        sketch_profile(new_df, cols, lg_k=lg_k),
+        sketch_profile(new_df, cols, lg_k=lg_k).withColumn(
+            "batch_idx", F.lit(int(idx))
+        ),
         mode="append",
         properties=(
             {"source_fingerprint": source_fingerprint}
@@ -264,3 +272,108 @@ def corpus_profile(store, table: str, cols: list[str]) -> DataFrame:
     return profile_estimates(
         merge_sketch_profiles(store.read(table), cols), cols
     )
+
+
+def profile_drift(
+    store,
+    table: str,
+    cols: list[str],
+    null_jump: float = 0.1,
+    rows_band: tuple[float, float] = (0.5, 2.0),
+    novelty_low: float | None = None,
+    novelty_high: float | None = None,
+) -> dict:
+    """Drift check of the LATEST profiled batch against the merged
+    history before it — the schema/values-level analogue of the
+    keep-rate trend alert, answerable entirely from the sketch rows
+    (no corpus rescan):
+
+    * ``null_jump``   — a column's latest-batch null fraction moved
+      more than this from the historical fraction (schema/extract
+      regressions surface here first);
+    * ``rows_band``   — latest batch row count vs the mean historical
+      batch outside [lo, hi]× (a collapsed or doubled ingest);
+    * ``novelty_low`` — fraction of the latest batch's non-null values
+      NEVER seen before (sketch-estimated: distinct(all) −
+      distinct(history), clamped at 0) fell below this: a re-ingest /
+      stuck-upstream signature (everything already known);
+    * ``novelty_high``— novelty above this: a cardinality shift (ids
+      leaking into a categorical column, format change).
+
+    Returns ``{"batches": n, "findings": [...]}``; empty findings =
+    healthy, fewer than 2 batches = nothing to compare (no findings).
+    Driver-side over one tiny row per batch; the only Spark work is
+    the sketch merges."""
+    if not store.exists(table):
+        return {"batches": 0, "findings": []}
+    rows = store.read(table)
+    n_batches = rows.count()
+    if n_batches < 2:
+        return {"batches": n_batches, "findings": []}
+    latest_idx = rows.agg(F.max("batch_idx")).collect()[0][0]
+    latest = rows.filter(F.col("batch_idx") == latest_idx)
+    history = rows.filter(F.col("batch_idx") != latest_idx)
+
+    def _est(df: DataFrame) -> dict:
+        merged = merge_sketch_profiles(df, cols)
+        return {
+            r["column"]: r
+            for r in profile_estimates(merged, cols).collect()
+        }
+    e_latest = _est(latest)
+    e_hist = _est(history)
+    e_all = _est(rows)
+    hist_batches = history.select("rows").collect()
+    mean_rows = sum(r["rows"] for r in hist_batches) / len(hist_batches)
+    findings: list[dict] = []
+    any_col = next(iter(cols))
+    latest_rows = e_latest[any_col]["rows"]
+    ratio = latest_rows / mean_rows if mean_rows else float("inf")
+    if not rows_band[0] <= ratio <= rows_band[1]:
+        findings.append({
+            "column": None, "kind": "rows_out_of_band",
+            "value": round(ratio, 4), "bound": list(rows_band),
+        })
+    for c in cols:
+        dn = abs(e_latest[c]["null_frac"] - e_hist[c]["null_frac"])
+        if dn > null_jump:
+            findings.append({
+                "column": c, "kind": "null_frac_jump",
+                "value": round(dn, 4), "bound": null_jump,
+            })
+        non_null = latest_rows - e_latest[c]["nulls"]
+        if non_null > 0 and (
+            novelty_low is not None or novelty_high is not None
+        ):
+            novel = max(
+                0,
+                e_all[c]["approx_distinct"]
+                - e_hist[c]["approx_distinct"],
+            )
+            frac = novel / non_null
+            if novelty_low is not None and frac < novelty_low:
+                findings.append({
+                    "column": c, "kind": "novelty_collapse",
+                    "value": round(frac, 4), "bound": novelty_low,
+                })
+            if novelty_high is not None and frac > novelty_high:
+                findings.append({
+                    "column": c, "kind": "novelty_spike",
+                    "value": round(frac, 4), "bound": novelty_high,
+                })
+    return {"batches": n_batches, "findings": findings}
+
+
+def alert_profile_drift(drift: dict, severity: str = "HIGH") -> list[str]:
+    """Route non-empty drift findings through the notification
+    transports (same channel as the keep-rate trend alert)."""
+    if not drift.get("findings"):
+        return []
+    from ..notify import notify
+
+    msg = "; ".join(
+        f"{f['kind']}({f['column'] or 'batch'})={f['value']}"
+        f" bound={f['bound']}"
+        for f in drift["findings"]
+    )
+    return notify(severity, f"profile drift: {msg}")

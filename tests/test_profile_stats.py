@@ -452,3 +452,76 @@ class TestSketchProfiles:
         assert est["id"]["rows"] == 4000
         assert abs(est["id"]["approx_distinct"] - 4000) < 200
         assert abs(est["user"]["approx_distinct"] - 700) < 35
+
+
+class TestProfileDrift:
+    """profile_drift over a sketch history: healthy batches are quiet;
+    planted null jumps, duplicate re-ingests (novelty collapse) and
+    batch-size swings each raise their own finding kind."""
+
+    def _batch(self, spark, lo, hi, null_every=0, prefix="v"):
+        rows = [
+            (
+                i,
+                None
+                if (null_every and i % null_every == 0)
+                else f"{prefix}{i}",
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "id long, val string")
+
+    def test_drift_kinds(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            alert_profile_drift,
+            incremental_profile_run,
+            profile_drift,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        cols = ["id", "val"]
+        t = "profile_history"
+        incremental_profile_run(
+            store, t, self._batch(spark, 0, 1000), cols,
+            source_fingerprint="b1",
+        )
+        # single batch: nothing to compare
+        d0 = profile_drift(store, t, cols)
+        assert d0 == {"batches": 1, "findings": []}
+        incremental_profile_run(
+            store, t, self._batch(spark, 1000, 2000), cols,
+            source_fingerprint="b2",
+        )
+        healthy = profile_drift(
+            store, t, cols, novelty_low=0.2, novelty_high=None
+        )
+        assert healthy["findings"] == []
+        assert alert_profile_drift(healthy) == []
+        # drifted batch: re-ingest of b1's values with 25% nulls
+        incremental_profile_run(
+            store, t,
+            self._batch(spark, 0, 1000, null_every=4), cols,
+            source_fingerprint="b3",
+        )
+        d = profile_drift(
+            store, t, cols, null_jump=0.1, novelty_low=0.2
+        )
+        kinds = {(f["column"], f["kind"]) for f in d["findings"]}
+        assert ("val", "null_frac_jump") in kinds
+        assert ("val", "novelty_collapse") in kinds
+        assert ("id", "novelty_collapse") in kinds
+        # ids had no nulls anywhere: no null finding for id
+        assert ("id", "null_frac_jump") not in kinds
+        assert alert_profile_drift(d) is not None
+        # size swing: a 100-row batch against ~1000-row history
+        incremental_profile_run(
+            store, t, self._batch(spark, 5000, 5100), cols,
+            source_fingerprint="b4",
+        )
+        d2 = profile_drift(store, t, cols, rows_band=(0.5, 2.0))
+        assert any(
+            f["kind"] == "rows_out_of_band" for f in d2["findings"]
+        )
