@@ -165,6 +165,12 @@ def _file_may_match(stats: dict, prune: list) -> bool:
     return True
 
 
+class IncrementalReadError(RuntimeError):
+    """read_incremental cannot represent the delta as new-dirs-only
+    (non-append history, expired/foreign anchor): callers fall back to
+    a full read and re-anchor."""
+
+
 class TableStore:
     """Parquet-backed versioned tables under a root directory."""
 
@@ -341,6 +347,24 @@ class TableStore:
         snap = self._snapshot(m, snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
+        return self._union_snapshot_dirs(
+            name, m, snap["read_set"], snap.get("schema"), prune,
+            scan_stats,
+        )
+
+    def _union_snapshot_dirs(
+        self,
+        name: str,
+        m: dict,
+        snap_dirs: list[str],
+        schema_json: str | None,
+        prune: list | None = None,
+        scan_stats: dict | None = None,
+    ) -> DataFrame:
+        """Union the given snapshot dirs (shared by read /
+        read_incremental): filesystem-verified data presence, per-file
+        min/max pruning, partition discovery per dir, allowMissingColumns
+        union, empty-result schema fallback."""
         # skip snapshot dirs that hold no data files (empty writes). The
         # check is against the FILESYSTEM, not surviving manifest entries:
         # expire_snapshots drops expired entries from the manifest while a
@@ -354,7 +378,7 @@ class TableStore:
             return False
 
         dirs = [
-            os.path.join(self._dir(name), d) for d in snap["read_set"]
+            os.path.join(self._dir(name), d) for d in snap_dirs
         ]
         dirs = [p for p in dirs if os.path.isdir(p) and _dir_has_parquet(p)]
         if scan_stats is not None:
@@ -398,8 +422,8 @@ class TableStore:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(
-                json.loads(snap["schema"])
-            ) if snap.get("schema") else StructType([])
+                json.loads(schema_json)
+            ) if schema_json else StructType([])
             return self.spark.createDataFrame([], schema)
         # each snapshot dir is its own partition-discovery root (they may be
         # partitioned); union them by name. allowMissingColumns: an
@@ -413,6 +437,71 @@ class TableStore:
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
             parts[1:],
             parts[0],
+        )
+
+    def read_incremental(
+        self,
+        name: str,
+        since_snapshot_id: str,
+        prune: list | None = None,
+        scan_stats: dict | None = None,
+    ) -> DataFrame:
+        """Rows APPENDED after ``since_snapshot_id`` — the Iceberg
+        incremental-scan analogue, the consumer side of this repo's
+        incremental producers: a downstream training job remembers the
+        snapshot it last exported and reads only the new clips, never
+        rescanning the corpus.
+
+        Honest semantics (matching Iceberg's incremental read): valid
+        ONLY over a pure append chain. If any snapshot since the anchor
+        is an overwrite/compact/rollback product, or the anchor itself
+        expired out of the manifest, the delta is not representable as
+        "new dirs" and this RAISES ``IncrementalReadError`` — the
+        caller falls back to a full read and re-anchors, instead of
+        silently receiving re-delivered or missing rows. Reading since
+        the current snapshot returns an empty frame with the table
+        schema."""
+        m = self._load_manifest(name)
+        cur = self._snapshot(m, None)
+        if cur is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        try:
+            self._snapshot(m, since_snapshot_id)
+        except KeyError:
+            raise IncrementalReadError(
+                f"{name}: anchor snapshot {since_snapshot_id} is not in "
+                "the manifest (expired or foreign) — full read + "
+                "re-anchor required"
+            )
+        chain: list[dict] = []
+        s: dict | None = cur
+        while s is not None and s["id"] != since_snapshot_id:
+            chain.append(s)
+            if s["parent"] is None:
+                s = None
+                break
+            try:
+                s = self._snapshot(m, s["parent"])
+            except KeyError:
+                s = None
+                break
+        if s is None:
+            raise IncrementalReadError(
+                f"{name}: {since_snapshot_id} is not an ancestor of the "
+                "current snapshot (rollback/expire broke the chain) — "
+                "full read + re-anchor required"
+            )
+        non_append = [c["id"] for c in chain if c["mode"] != "append"]
+        if non_append:
+            raise IncrementalReadError(
+                f"{name}: non-append snapshots {non_append} since "
+                f"{since_snapshot_id} (overwrite/compact rewrite "
+                "history) — full read + re-anchor required"
+            )
+        # each append's OWN dir holds exactly its new rows
+        new_dirs = [f"snap_{c['id']}" for c in chain]
+        return self._union_snapshot_dirs(
+            name, m, new_dirs, cur.get("schema"), prune, scan_stats
         )
 
     def compact(

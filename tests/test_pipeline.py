@@ -1248,3 +1248,62 @@ class TestMixtureSampleSplit:
         assert m["quality"]["sampled_out"] > 0
         assert landed == m["quality"]["kept"]
         assert hist == landed
+
+
+class TestIncrementalRead:
+    """TableStore.read_incremental: append-only deltas for downstream
+    consumers, with honest failures whenever the chain cannot express
+    the delta (Iceberg incremental-scan parity)."""
+
+    def test_appends_only_the_delta(self, spark, out_root):
+        from data_quality_check_pipeline_spark.sources.tables import (
+            IncrementalReadError,
+        )
+
+        store = TableStore(spark, out_root)
+        mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+            [(i, f"v{i}") for i in range(lo, hi)], "id long, v string"
+        )
+        s1 = store.write("t", mk(0, 100), mode="overwrite")
+        s2 = store.write("t", mk(100, 150), mode="append")
+        store.write("t", mk(150, 170), mode="append")
+        got = {
+            r["id"] for r in store.read_incremental("t", s1).collect()
+        }
+        assert got == set(range(100, 170))
+        got2 = {
+            r["id"] for r in store.read_incremental("t", s2).collect()
+        }
+        assert got2 == set(range(150, 170))
+        # anchored at current: empty, schema intact
+        cur = store.current_snapshot("t")["id"]
+        empty = store.read_incremental("t", cur)
+        assert empty.count() == 0 and empty.columns == ["id", "v"]
+        # unknown anchor
+        import pytest as _pytest
+
+        with _pytest.raises(IncrementalReadError, match="not in"):
+            store.read_incremental("t", "deadbeef00000000")
+
+    def test_non_append_history_refuses(self, spark, out_root):
+        from data_quality_check_pipeline_spark.sources.tables import (
+            IncrementalReadError,
+        )
+
+        store = TableStore(spark, out_root)
+        mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+            [(i,) for i in range(lo, hi)], "id long"
+        )
+        s1 = store.write("t2", mk(0, 10), mode="overwrite")
+        store.write("t2", mk(10, 20), mode="append")
+        store.write("t2", mk(0, 5), mode="overwrite")  # history rewrite
+        import pytest as _pytest
+
+        with _pytest.raises(IncrementalReadError, match="non-append"):
+            store.read_incremental("t2", s1)
+        # compact also breaks the delta: new dirs would re-deliver
+        s3 = store.current_snapshot("t2")["id"]
+        store.write("t2", mk(5, 8), mode="append")
+        store.compact("t2")
+        with _pytest.raises(IncrementalReadError):
+            store.read_incremental("t2", s3)
