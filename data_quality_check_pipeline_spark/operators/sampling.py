@@ -278,8 +278,15 @@ def cap_per_stratum(
             "fallback for those", len(short), short[:10],
         )
         null_short = any(s is None for s in short)
-        is_short = F.col(strata_col).isin(
-            [s for s in short if s is not None]
+        # coalesce: isin() is NULL (not False) for NULL strata under
+        # three-valued logic — without it a NULL-stratum row fails BOTH
+        # ~is_short and is_short filters and silently vanishes whenever
+        # any other stratum falls back
+        is_short = F.coalesce(
+            F.col(strata_col).isin(
+                [s for s in short if s is not None]
+            ),
+            F.lit(False),
         ) | (F.lit(null_short) & F.col(strata_col).isNull())
         survivors = survivors.filter(~is_short).unionByName(
             df.filter(is_short)

@@ -485,9 +485,16 @@ def run_pipeline(
             # a HALTed run with nothing committed must NOT masquerade as
             # a perfect run: keep_pct None keeps it out of keep-rate
             # consumers (trend history, dashboards) instead of feeding
-            # them a fabricated 100.0
+            # them a fabricated 100.0.
+            # sampled_out counts back INTO the keep rate: keep_pct is a
+            # QUALITY metric (validation + dedup) and mixture selection
+            # must not deflate it — enabling --sample-lang would
+            # otherwise fire a spurious degradation alert and poison
+            # the trailing trend baseline ('kept' alone stays the
+            # landed count)
             "keep_pct": (
-                100.0 * totals["kept"] / totals["total"]
+                100.0 * (totals["kept"] + totals["sampled_out"])
+                / totals["total"]
                 if totals["total"]
                 else (None if halted else 100.0)
             ),
@@ -633,8 +640,11 @@ def _run_shard(
         sampled_out = stats["kept"] - n_after
         stats["sampled_out"] = sampled_out
         stats["kept"] = n_after
-        if stats.get("total"):
-            stats["keep_pct"] = 100.0 * stats["kept"] / stats["total"]
+        # keep_pct deliberately NOT recomputed here: it is the QUALITY
+        # keep rate (validation + dedup drops). Folding mixture
+        # selection in would tank it and fire a spurious
+        # quality-degradation trend alert the first time --sample-lang
+        # is enabled — sampled-out clips are valid data
         log.record(
             "sample", "ok", t0,
             sampled_out=sampled_out, kept=n_after,
@@ -650,11 +660,17 @@ def _run_shard(
         )
         n_dups = sum(dd.values())
         # run totals report what LANDED: a deduped clip is dropped (it
-        # quarantines with a terminal reason), not kept
+        # quarantines with a terminal reason), not kept. keep_pct is
+        # the QUALITY rate: dups count against it, sampled-out clips
+        # (valid data, mixture-excluded) count back in
         stats["kept"] -= n_dups
         stats["dropped"] += n_dups
         if stats.get("total"):
-            stats["keep_pct"] = 100.0 * stats["kept"] / stats["total"]
+            stats["keep_pct"] = (
+                100.0
+                * (stats["kept"] + stats.get("sampled_out", 0))
+                / stats["total"]
+            )
         log.record("dedup", "ok", t0, **dd)
         t0 = time.time()
     if cfg.split_fractions is not None:
@@ -1099,6 +1115,13 @@ def requeue_quarantine(
         properties={"run_id": cfg.run_id, **requeue_props},
     )
     stats = keep_stats(flagged)
+    if cfg.sample_rates is not None:
+        # mirror the shard path's accounting: 'kept' is what LANDED —
+        # a recovered-but-sampled-out clip got its resolution marker
+        # yet wrote no clean row
+        landed = kept.count()
+        stats["sampled_out"] = stats["kept"] - landed
+        stats["kept"] = landed
     flagged.unpersist()
     return {"requeued": n, **stats}
 

@@ -144,11 +144,16 @@ def main() -> None:
     args = ap.parse_args()
 
     def _kv_floats(s: str, what: str) -> dict[str, float]:
+        # strip around names/values: a quoted 'en=0.4, de=1.0' must not
+        # mint a ' de' stratum that silently never matches any lang
         try:
-            return {
-                k: float(v)
+            out = {
+                k.strip(): float(v)
                 for k, v in (p.split("=", 1) for p in s.split(","))
             }
+            if any(not k for k in out):
+                raise ValueError("empty name")
+            return out
         except ValueError:
             ap.error(f"--{what}: expected NAME=FLOAT[,NAME=FLOAT...], "
                      f"got {s!r}")

@@ -1195,6 +1195,12 @@ class TestMixtureSampleSplit:
         assert (
             m1["quality"]["dropped"] == len(oracle_df) - expected_kept
         )
+        # keep_pct stays a QUALITY metric: mixture selection must not
+        # deflate it (a spurious trend-degradation alert otherwise
+        # fires the first time sampling is enabled)
+        assert m1["quality"]["keep_pct"] == pytest.approx(
+            100.0 * expected_kept / len(oracle_df)
+        )
         # physical layout: split is a partition level under lang
         assert glob.glob(
             os.path.join(

@@ -279,3 +279,56 @@ def test_requarantined_clip_visible_and_eligible_again(spark, tmp_path):
         .filter(F.col("rc") < 3)
     )
     assert eligible.count() == 1
+
+
+def test_requeue_with_sampling_accounts_and_resolves(
+    spark, corpus, oracle_df, out_root, tmp_path
+):
+    """Requeue under --sample-lang: recovered clips flow through the
+    SAME deterministic sampling as the shard path — 'kept' reports what
+    LANDED, 'sampled_out' the recovered-but-not-selected remainder, and
+    EVERY recovered clip (landed or not) gets its resolution marker so
+    nothing stays eligible."""
+    import pandas as pd
+
+    _, _, path = corpus
+    out = str(tmp_path / "rq3")
+    store = TableStore(spark, out)
+    good_ids = list(oracle_df[oracle_df["keep"]]["clip_id"].iloc[:20])
+    q_rows = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "clip_id": cid,
+                    "reasons": ["stale_reason"],
+                    "severity": "HIGH",
+                    "stage": "validate",
+                    "run_id": "old",
+                    "retry_count": 0,
+                }
+                for cid in good_ids
+            ]
+        )
+    ).withColumn("ts", F.current_timestamp()).select(
+        "clip_id", "reasons", "severity", "stage", "run_id", "ts",
+        "retry_count",
+    )
+    store.write(QUARANTINE_TABLE, q_rows)
+    cfg = RunConfig(
+        out_root=out, run_id="rq3", source_fingerprint="f3",
+        sample_rates={}, sample_default_rate=0.5, sample_seed=2,
+    )
+    first = requeue_quarantine(spark, cfg, path, max_retries=3)
+    assert first["requeued"] == 20
+    landed = store.read(CLEAN_TABLE).count()
+    assert first["kept"] == landed
+    assert first["sampled_out"] == 20 - landed
+    assert 0 < first["sampled_out"] < 20
+    # every recovered clip is resolved — including the sampled-out ones
+    q = store.read(QUARANTINE_TABLE)
+    assert (
+        q.filter(F.col("stage") == "requeue_resolved").count() == 20
+    )
+    second = requeue_quarantine(spark, cfg, path, max_retries=3)
+    assert second["requeued"] == 0
+    assert store.read(CLEAN_TABLE).count() == landed

@@ -207,6 +207,25 @@ class TestCapPerStratum:
         )
         assert len(stats["prefilter_short_strata"]) > 0
 
+    def test_null_stratum_survives_other_strata_fallback(self, spark):
+        """Regression (three-valued logic): when a NON-null stratum
+        triggers the exact fallback, isin() evaluates to NULL for
+        NULL-stratum rows, and without coalesce they fail BOTH sides
+        of the fallback union and silently vanish."""
+        rows = [(i, "a") for i in range(200)] + [
+            (1000 + i, None) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id long, lang string")
+        fast = cap_per_stratum(df, "lang", 100, "id", margin=0.1)
+        exact = cap_per_stratum(df, "lang", 100, "id", prefilter=False)
+        key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+        fs = sorted(((r["lang"], r["id"]) for r in fast.collect()), key=key)
+        es = sorted(
+            ((r["lang"], r["id"]) for r in exact.collect()), key=key
+        )
+        assert fs == es
+        assert sum(1 for lang, _ in fs if lang is None) == 50
+
 
 def _py_stream_chunks(rows, budget):
     """rows: (group, order, size) — reference fold."""
