@@ -72,6 +72,7 @@ LINEAGE_TABLE = "lineage"
 # _dedup_kept_branch)
 CONTENT_HASH_TABLE = "content_hash_history"
 AUDIO_FP_TABLE = "audio_fp_history"
+PROFILE_TABLE = "profile_history"
 DUP_CONTENT_REASON = "duplicate_content"
 DUP_AUDIO_REASON = "near_duplicate_audio"
 # quarantine reasons that are TERMINAL for the DLQ: a duplicate stays a
@@ -129,6 +130,12 @@ class RunConfig:
     # partitions clips_clean by (lang, split)
     split_fractions: dict | None = None
     split_seed: int = 0
+    # mergeable sketch profiling of the landed kept branch
+    # (operators/profile.py): one fixed-size HLL row per shard into
+    # profile_history, then a run-level drift check (latest-vs-prior
+    # null rates / batch size / value novelty) routed through notify.
+    # The corpus-lifetime profile never rescans data (corpus_profile).
+    profile_cols: list | None = None
 
     def __post_init__(self) -> None:
         if not self.run_id:
@@ -524,6 +531,26 @@ def run_pipeline(
     else:
         metrics["trend"] = {"alert": False, "trailing_avg": None,
                             "runs": 0, "skipped": "halted"}
+    # profile drift over the sketch history (latest shard row vs all
+    # prior rows — hash-sharded shards of one corpus are statistically
+    # identical, so drift stays quiet within a run and fires when a NEW
+    # run's corpus moved). Monitoring side-channel: never fails the run.
+    if cfg.profile_cols and not halted:
+        from .operators.profile import (
+            alert_profile_drift,
+            profile_drift,
+        )
+
+        try:
+            drift = profile_drift(
+                store, PROFILE_TABLE, list(cfg.profile_cols)
+            )
+            metrics["profile_drift"] = drift
+            alert_profile_drift(drift)
+        except Exception as exc:  # noqa: BLE001 — monitoring only
+            _log.warning("profile drift check failed (run continues): %s",
+                         exc)
+            metrics["profile_drift"] = {"error": str(exc)}
     save_metrics(metrics, f"{cfg.out_root}/metrics", cfg.run_id)
     from .metrics import save_alert_rules, save_dashboard
 
@@ -705,6 +732,29 @@ def _run_shard(
     else:
         log.record("clean_write", "skipped_already_committed", t0,
                    snapshot=clean_sid)
+
+    # -- SKETCH PROFILE of what landed (one HLL row per shard; crash
+    # replays skip via the per-shard fingerprint) ----------------------------
+    if cfg.profile_cols:
+        from .operators.profile import incremental_profile_run
+
+        t0 = time.time()
+        wrote = incremental_profile_run(
+            store,
+            PROFILE_TABLE,
+            kept_pre,
+            list(cfg.profile_cols),
+            source_fingerprint=(
+                f"{cfg.source_fingerprint}:shard{shard}"
+                if cfg.source_fingerprint
+                else None
+            ),
+        )
+        log.record(
+            "sketch_profile",
+            "ok" if wrote else "skipped_already_committed",
+            t0, cols=list(cfg.profile_cols),
+        )
 
     # -- DROP BRANCH: quarantine/DLQ (parity: dead_letter_queue.py) ----------
     t0 = time.time()

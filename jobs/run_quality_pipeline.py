@@ -141,6 +141,18 @@ def main() -> None:
                          "clips_clean by (lang, split); a clip's split "
                          "never changes as the corpus grows")
     ap.add_argument("--split-seed", type=int, default=0)
+    ap.add_argument("--profile-cols", default=None, metavar="C1,C2,...",
+                    help="sketch-profile the landed kept branch: one "
+                         "mergeable HLL row per shard into "
+                         "profile_history, plus a run-level drift "
+                         "check (null rates / batch size / novelty) "
+                         "routed through notify")
+    ap.add_argument("--changelog", nargs=2, default=None,
+                    metavar=("TABLE", "SINCE_SNAPSHOT"),
+                    help="admin: print the rows appended to TABLE "
+                         "after SINCE_SNAPSHOT (incremental "
+                         "consumption; errors honestly on non-append "
+                         "history — full-read and re-anchor)")
     args = ap.parse_args()
 
     def _kv_floats(s: str, what: str) -> dict[str, float]:
@@ -176,7 +188,7 @@ def main() -> None:
 
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)
-    if args.list_versions or args.rollback or args.compact:
+    if args.list_versions or args.rollback or args.compact or args.changelog:
         from data_quality_check_pipeline_spark.sources.tables import (
             TableStore,
         )
@@ -198,6 +210,25 @@ def main() -> None:
                 f"compacted {args.compact} -> snap_{sid}" if sid
                 else f"{args.compact}: nothing to compact"
             )
+        if args.changelog:
+            from data_quality_check_pipeline_spark.sources.tables import (
+                IncrementalReadError,
+            )
+
+            table, since = args.changelog
+            try:
+                delta = store.read_incremental(table, since)
+                n = delta.count()
+                print(f"{table}: {n} row(s) appended since {since}")
+                # preview without binary payloads (audio bytes would
+                # flood the terminal)
+                slim = delta.drop(
+                    *[c for c, t in delta.dtypes if t == "binary"]
+                )
+                slim.show(20, truncate=40)
+            except IncrementalReadError as exc:
+                print(f"changelog unavailable: {exc}")
+                raise SystemExit(3)
         spark.stop()
         return
 
@@ -302,6 +333,10 @@ def main() -> None:
             _kv_floats(args.split, "split") if args.split else None
         ),
         split_seed=args.split_seed,
+        profile_cols=(
+            [c.strip() for c in args.profile_cols.split(",") if c.strip()]
+            if args.profile_cols else None
+        ),
     )
     if args.requeue:
         from data_quality_check_pipeline_spark.pipeline import (

@@ -1313,3 +1313,40 @@ class TestIncrementalRead:
         store.compact("t2")
         with _pytest.raises(IncrementalReadError):
             store.read_incremental("t2", s3)
+
+
+class TestSketchProfileStage:
+    def test_profile_rows_drift_and_corpus_estimates(
+        self, spark, corpus, out_root
+    ):
+        """--profile-cols: one sketch row lands per shard; run-level
+        drift is quiet across hash-sharded shards of one corpus; the
+        corpus-lifetime profile answers from sketch rows alone with
+        rows == landed clips exactly."""
+        from data_quality_check_pipeline_spark.operators.profile import (
+            corpus_profile,
+        )
+        from data_quality_check_pipeline_spark.pipeline import (
+            PROFILE_TABLE,
+        )
+
+        _, _, path = corpus
+        cfg = RunConfig(
+            out_root=out_root, run_id="pp1", source_fingerprint="fpp",
+            n_shards=2, profile_cols=["lang", "codec"],
+        )
+        m = run_pipeline(spark, path, cfg)
+        store = TableStore(spark, out_root)
+        assert store.read(PROFILE_TABLE).count() == 2
+        assert m["profile_drift"]["batches"] == 2
+        assert m["profile_drift"]["findings"] == []
+        est = {
+            r["column"]: r
+            for r in corpus_profile(
+                store, PROFILE_TABLE, ["lang", "codec"]
+            ).collect()
+        }
+        assert est["lang"]["rows"] == m["quality"]["kept"]
+        assert 0 < est["lang"]["approx_distinct"] <= 10
+        assert 0 < est["codec"]["approx_distinct"] <= 10
+        assert est["lang"]["nulls"] == 0
