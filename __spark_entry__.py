@@ -742,28 +742,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """A4 format histogram + A16 value-clustering share over two
         columns in ONE surface (formerly orders_status_histogram +
         orders_priority_share — folded for the driver's 50-slot
-        budget; each dimension keeps its own oracle rows). The share
-        derives from a window sum over the tiny histogram itself, so
-        the corpus is scanned once per dimension with no separate
-        count() job."""
+        budget; each dimension keeps its own oracle rows). ONE corpus
+        scan: the two columns melt into (dim, value) rows via explode
+        and partial-aggregate map-side — at 100 TB a second full scan
+        costs more than doubling the pre-agg row count ever could.
+        The share derives from a window sum over the tiny per-dim
+        histogram (no separate count() job)."""
         df = _load(spark, sf, "orders")
-
-        def hist(col: str, dim: str) -> DataFrame:
-            h = df.groupBy(F.col(col).alias("value")).agg(
-                F.count(F.lit(1)).alias("n")
-            )
-            total = F.sum("n").over(Window.partitionBy())
-            return h.select(
-                F.lit(dim).alias("dim"),
-                "value",
-                "n",
-                F.round(
-                    F.col("n").cast("double") / total.cast("double"), 6
-                ).alias("share"),
-            )
-
-        return hist("o_orderstatus", "status").unionByName(
-            hist("o_orderpriority", "priority")
+        melted = df.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("status").alias("dim"),
+                        F.col("o_orderstatus").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("priority").alias("dim"),
+                        F.col("o_orderpriority").alias("value"),
+                    ),
+                )
+            ).alias("p")
+        )
+        h = melted.groupBy("p.dim", "p.value").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        total = F.sum("n").over(Window.partitionBy("dim"))
+        return h.select(
+            "dim",
+            "value",
+            "n",
+            F.round(
+                F.col("n").cast("double") / total.cast("double"), 6
+            ).alias("share"),
         )
 
     q["orders_status_priority_profile"] = orders_status_priority_profile
