@@ -305,3 +305,132 @@ class TestIncrementalInvariants:
         assert {
             (r["node"], r["comp"]) for r in inc.collect()
         } == full
+
+
+class TestSamplingPackingProperties:
+    """Hypothesis invariants for the deterministic sampling and packing
+    operators: Spark decisions == the pure-Python re-derivation on
+    arbitrary keys/rates/seeds, split stability under subsetting, and
+    the greedy-packing fold vs a reference implementation on
+    adversarial shapes (all-oversized, zeros, NULLs, many groups)."""
+
+    @given(
+        ids=st.lists(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            min_size=1, max_size=50, unique=True,
+        ),
+        rate=st.floats(min_value=0.0, max_value=1.0),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    @_SETTINGS
+    def test_hash_sample_matches_python_for_any_rate_seed(
+        self, spark, ids, rate, seed
+    ):
+        from data_quality_check_pipeline_spark.operators.sampling import (
+            hash_sample,
+        )
+        from data_quality_check_pipeline_spark.oracle_hash import (
+            spark_xxhash64,
+        )
+
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        got = {
+            r["id"]
+            for r in hash_sample(
+                df.repartition(3), "id", rate, seed
+            ).collect()
+        }
+        B = 1 << 20
+        exp = {
+            i for i in ids
+            if (spark_xxhash64(i, seed) % B) / B < rate
+        }
+        assert got == exp
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),      # group
+                st.integers(min_value=0, max_value=10**6),  # order key
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=0, max_value=2500),
+                ),
+            ),
+            min_size=1, max_size=60,
+            unique_by=lambda t: (t[0], t[1]),
+        ),
+        budget=st.integers(min_value=1, max_value=1000),
+    )
+    @_SETTINGS
+    def test_packing_folds_match_python(self, spark, rows, budget):
+        from data_quality_check_pipeline_spark.operators.packing import (
+            pack_greedy,
+            pack_stream_chunks,
+        )
+
+        df = spark.createDataFrame(
+            [(f"g{g}", i, s) for g, i, s in rows],
+            "g string, i long, sz int",
+        )
+        packed = pack_stream_chunks(df, "sz", budget, ["g"], ["i"])
+        by_g: dict = {}
+        for g, i, s in rows:
+            by_g.setdefault(g, []).append((i, s or 0))
+        exp_off = {}
+        for g, items in by_g.items():
+            off = 0
+            for i, s in sorted(items):
+                exp_off[(f"g{g}", i)] = (off, off // budget)
+                off += s
+        for r in packed.collect():
+            assert (
+                r["start_offset"], r["chunk_id"]
+            ) == exp_off[(r["g"], r["i"])]
+        greedy = pack_greedy(df, "sz", budget, ["g"], ["i"])
+        exp_bin = {}
+        for g, items in by_g.items():
+            b, fill = 0, 0
+            for i, s in sorted(items):
+                if fill > 0 and fill + s > budget:
+                    b, fill = b + 1, 0
+                exp_bin[(f"g{g}", i)] = b
+                fill += s
+                if fill >= budget:
+                    b, fill = b + 1, 0
+        got_bin = {
+            (r["g"], r["i"]): r["bin_id"] for r in greedy.collect()
+        }
+        assert got_bin == exp_bin
+
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=10**9),
+            min_size=2, max_size=40, unique=True,
+        ),
+        seed=st.integers(min_value=0, max_value=10**6),
+        cut=st.integers(min_value=1, max_value=39),
+    )
+    @_SETTINGS
+    def test_split_stable_under_any_subset(self, spark, ids, seed, cut):
+        from data_quality_check_pipeline_spark.operators.sampling import (
+            with_split,
+        )
+
+        fr = {"train": 0.7, "val": 0.2, "test": 0.1}
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        full = {
+            r["id"]: r["split"]
+            for r in with_split(df, "id", fr, seed).collect()
+        }
+        subset_ids = ids[: min(cut, len(ids))]
+        sub = {
+            r["id"]: r["split"]
+            for r in with_split(
+                spark.createDataFrame(
+                    [(i,) for i in subset_ids], "id long"
+                ),
+                "id", fr, seed,
+            ).collect()
+        }
+        assert all(full[i] == s for i, s in sub.items())
