@@ -114,6 +114,11 @@ def main() -> None:
         "events_rollup",
         "embedding_topk",
         "embedding_ivf_ann",
+        # round-4 training-data operator families (suite definition
+        # reset this round anyway — DESIGN #24): deterministic
+        # stratified sampling + splits, token-budget packing
+        "doc_stratified_sample",
+        "doc_token_packing",
     ]
 
     # Per-query MIN over >=3 INTERLEAVED passes, with the spread
