@@ -172,7 +172,11 @@ def sketch_profile(
     aggs = [F.count(F.lit(1)).alias("rows")]
     for c in cols:
         aggs.append(
-            F.sum(F.isnull(F.col(c)).cast("long")).alias(f"{c}__nulls")
+            # coalesce: sum over an EMPTY batch is SQL NULL, which
+            # would poison the additive merge counters downstream
+            F.coalesce(
+                F.sum(F.isnull(F.col(c)).cast("long")), F.lit(0)
+            ).alias(f"{c}__nulls")
         )
         aggs.append(
             F.hll_sketch_agg(

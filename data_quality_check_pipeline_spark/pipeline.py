@@ -755,6 +755,16 @@ def _run_shard(
             "ok" if wrote else "skipped_already_committed",
             t0, cols=list(cfg.profile_cols),
         )
+        # same small-file maintenance as the dedup histories: one tiny
+        # dir accretes per shard/batch (stream batches share this
+        # table); compact folds the view, carrying the fingerprint
+        # guard and batch_idx rows through
+        if cfg.history_compact_dirs is not None and store.exists(
+            PROFILE_TABLE
+        ):
+            cur = store.current_snapshot(PROFILE_TABLE)
+            if cur and len(cur["read_set"]) > cfg.history_compact_dirs:
+                store.compact(PROFILE_TABLE)
 
     # -- DROP BRANCH: quarantine/DLQ (parity: dead_letter_queue.py) ----------
     t0 = time.time()

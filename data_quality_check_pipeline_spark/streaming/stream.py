@@ -326,8 +326,14 @@ def start_quality_stream(
     sample_seed: int = 0,
     split_fractions: dict | None = None,
     split_seed: int = 0,
+    profile_cols: list | None = None,
 ):
     """Start (or drain, with availableNow) the streaming pipeline.
+
+    ``profile_cols`` appends one mergeable HLL sketch-profile row per
+    micro-batch (what LANDED) to the shared profile_history table —
+    batch shards and stream batches merge into one corpus profile /
+    drift surface.
 
     ``sample_rates`` / ``split_fractions`` mirror the batch pipeline's
     mixture-sampling + split stage inside the sink: because both sides
@@ -426,20 +432,20 @@ def start_quality_stream(
                 kept_src = kept_src.join(
                     a_dup_ids, "clip_id", "left_anti"
                 )
-            if not batch_committed(store, CLEAN_TABLE, batch_id, sid):
-                kept = scrub_transcripts(
-                    kept_src.drop("reasons", "severity", "keep")
-                )
-                if split_fractions is not None:
-                    from ..operators.sampling import with_split
+            kept_final = scrub_transcripts(
+                kept_src.drop("reasons", "severity", "keep")
+            )
+            if split_fractions is not None:
+                from ..operators.sampling import with_split
 
-                    kept = with_split(
-                        kept, "clip_id", split_fractions,
-                        seed=split_seed,
-                    )
+                kept_final = with_split(
+                    kept_final, "clip_id", split_fractions,
+                    seed=split_seed,
+                )
+            if not batch_committed(store, CLEAN_TABLE, batch_id, sid):
                 store.write(
                     CLEAN_TABLE,
-                    kept,
+                    kept_final,
                     mode="append"
                     if store.exists(CLEAN_TABLE)
                     else "overwrite",
@@ -449,6 +455,22 @@ def start_quality_stream(
                     ),
                     properties={"stream_batch": batch_id,
                                 "stream_id": sid},
+                )
+            # skip EMPTY batches: availableNow drains emit a trailing
+            # empty micro-batch, and an all-zero profile row would trip
+            # the drift monitor's batch-size band on every drain
+            if profile_cols and not kept_final.isEmpty():
+                from ..operators.profile import incremental_profile_run
+
+                # foreachBatch replays re-deliver the LAST batch, so
+                # the last-commit fingerprint check is exactly the
+                # replay guard needed here (same table as batch shards
+                # — stream and batch profiles merge into one corpus
+                # profile)
+                incremental_profile_run(
+                    store, "profile_history", kept_final,
+                    list(profile_cols),
+                    source_fingerprint=f"{sid}:batch{batch_id}",
                 )
             if not batch_committed(store, QUARANTINE_TABLE, batch_id, sid):
                 quarantined = batch_df.filter(~F.col("keep")).select(

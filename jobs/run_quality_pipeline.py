@@ -283,6 +283,13 @@ def main() -> None:
                 _kv_floats(args.split, "split") if args.split else None
             ),
             split_seed=args.split_seed,
+            profile_cols=(
+                [
+                    c.strip()
+                    for c in args.profile_cols.split(",") if c.strip()
+                ]
+                if args.profile_cols else None
+            ),
         )
         q.awaitTermination()
         from data_quality_check_pipeline_spark.pipeline import (

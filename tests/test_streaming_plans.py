@@ -671,6 +671,22 @@ class TestNewQueryPlans:
         assert plan.count("Exchange") == 1
         assert plan.count("Scan parquet") == 1
 
+    def test_status_priority_profile_single_scan(self, spark):
+        """The two-dimension histogram melts via explode into ONE
+        corpus scan (a second scan of orders at 100 TB costs more than
+        doubling the pre-agg row count)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        df = entry.queries()["orders_status_priority_profile"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        assert "Generate" in plan  # the melt-explode
+
     def test_batch_committed_guard(self, spark, tmp_path):
         """Replayed micro-batches (foreachBatch is at-least-once) must not
         double-append: a table whose snapshot history carries the batch id
@@ -848,3 +864,49 @@ class TestStreamSampleSplit:
         }
         assert got_stream == got_batch and len(got_stream) > 0
         assert len({s for _, s in got_stream}) == 3
+
+
+class TestStreamProfileRows:
+    def test_stream_profile_rows_land_once_and_merge(
+        self, spark, corpus, tmp_path
+    ):
+        """profile_cols in the stream sink: one sketch row per drained
+        micro-batch covering exactly what LANDED; a re-drain with no
+        new files appends nothing; the corpus profile answers from the
+        sketch rows alone."""
+        from data_quality_check_pipeline_spark.operators.profile import (
+            corpus_profile,
+        )
+        from data_quality_check_pipeline_spark.pipeline import (
+            PROFILE_TABLE,
+        )
+
+        _, _, path = corpus
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        os.symlink(path, os.path.join(src, "clips.parquet"))
+        out = str(tmp_path / "out")
+        q = start_quality_stream(
+            spark, src, out, str(tmp_path / "ckpt"),
+            available_now=True, profile_cols=["lang", "codec"],
+        )
+        q.awaitTermination(timeout=600)
+        store = TableStore(spark, out)
+        n_rows = store.read(PROFILE_TABLE).count()
+        assert n_rows >= 1
+        landed = store.read(CLEAN_TABLE).count()
+        est = {
+            r["column"]: r
+            for r in corpus_profile(
+                store, PROFILE_TABLE, ["lang", "codec"]
+            ).collect()
+        }
+        assert est["lang"]["rows"] == landed
+        assert 0 < est["lang"]["approx_distinct"] <= 10
+        # re-drain: no new source files -> no new batches -> no rows
+        q2 = start_quality_stream(
+            spark, src, out, str(tmp_path / "ckpt"),
+            available_now=True, profile_cols=["lang", "codec"],
+        )
+        q2.awaitTermination(timeout=600)
+        assert store.read(PROFILE_TABLE).count() == n_rows
