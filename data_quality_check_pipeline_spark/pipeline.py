@@ -136,6 +136,14 @@ class RunConfig:
     # null rates / batch size / value novelty) routed through notify.
     # The corpus-lifetime profile never rescans data (corpus_profile).
     profile_cols: list | None = None
+    # token-budget sequence packing of the clean output
+    # (operators/packing.py): assign each kept clip a
+    # (pack_shard, chunk_id) over its scrubbed-transcript token count
+    # so the clean table is directly consumable as training chunks.
+    # Chunk identity includes the pipeline shard (DESIGN #25 / packing
+    # contract: the shard IS the parallel unit — chunk ids restart per
+    # shard and stay deterministic under resume/replay).
+    pack_budget: int | None = None
 
     def __post_init__(self) -> None:
         if not self.run_id:
@@ -707,6 +715,28 @@ def _run_shard(
             kept_src, "clip_id", cfg.split_fractions, seed=cfg.split_seed
         )
     kept_pre = scrub_transcripts(kept_src)
+    # -- TOKEN PACKING (optional): chunk assignment over the scrubbed
+    # transcript's whitespace tokens. Grouped by (lang[, split]) within
+    # THIS shard; pack_shard rides along so (lang[, split], pack_shard,
+    # chunk_id) is globally unique and replay-deterministic
+    if cfg.pack_budget is not None:
+        from .operators.packing import pack_stream_chunks
+
+        group = ["lang"] + (
+            ["split"] if cfg.split_fractions is not None else []
+        ) + ["pack_shard"]
+        kept_pre = pack_stream_chunks(
+            kept_pre.withColumn(
+                "_tok",
+                F.regexp_count(
+                    F.col("transcript_scrubbed"), F.lit(r"\S+")
+                ),
+            ).withColumn("pack_shard", F.lit(shard)),
+            "_tok",
+            cfg.pack_budget,
+            group,
+            ["clip_id"],
+        ).withColumnRenamed("_tok", "n_tokens")
     # aggregates below run on kept_pre (pre-repartition): the salted
     # shuffle exists only for the write's file layout, and paying it
     # again for two scalar aggs would re-shuffle the audio bytes twice

@@ -147,6 +147,11 @@ def main() -> None:
                          "profile_history, plus a run-level drift "
                          "check (null rates / batch size / novelty) "
                          "routed through notify")
+    ap.add_argument("--pack-tokens", type=int, default=None, metavar="N",
+                    help="assign each kept clip a training-chunk id "
+                         "(pack_shard, chunk_id) by packing scrubbed-"
+                         "transcript tokens into N-token concatenated-"
+                         "stream chunks per (lang[, split])")
     ap.add_argument("--changelog", nargs=2, default=None,
                     metavar=("TABLE", "SINCE_SNAPSHOT"),
                     help="admin: print the rows appended to TABLE "
@@ -344,6 +349,7 @@ def main() -> None:
             [c.strip() for c in args.profile_cols.split(",") if c.strip()]
             if args.profile_cols else None
         ),
+        pack_budget=args.pack_tokens,
     )
     if args.requeue:
         from data_quality_check_pipeline_spark.pipeline import (

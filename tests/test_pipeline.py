@@ -1350,3 +1350,41 @@ class TestSketchProfileStage:
         assert 0 < est["lang"]["approx_distinct"] <= 10
         assert 0 < est["codec"]["approx_distinct"] <= 10
         assert est["lang"]["nulls"] == 0
+
+
+class TestTokenPackingStage:
+    def test_pack_assignments_rederivable(
+        self, spark, corpus, out_root
+    ):
+        """--pack-tokens: every (lang, split, pack_shard) group's
+        chunk/offset assignments must equal the deterministic
+        clip_id-ordered prefix-sum fold over n_tokens — globally
+        unique chunk identity, replay-derivable from the output
+        alone."""
+        _, _, path = corpus
+        cfg = RunConfig(
+            out_root=out_root, run_id="pk", source_fingerprint="fpk",
+            n_shards=2, pack_budget=400,
+            split_fractions={"train": 0.9, "val": 0.1},
+        )
+        run_pipeline(spark, path, cfg)
+        rows = (
+            TableStore(spark, out_root).read(CLEAN_TABLE)
+            .select(
+                "clip_id", "lang", "split", "pack_shard", "chunk_id",
+                "start_offset", "n_tokens",
+            )
+            .collect()
+        )
+        assert len(rows) > 0
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(
+                (r["lang"], r["split"], r["pack_shard"]), []
+            ).append(r)
+        for key, g in groups.items():
+            off = 0
+            for r in sorted(g, key=lambda r: r["clip_id"]):
+                assert r["start_offset"] == off, (key, r["clip_id"])
+                assert r["chunk_id"] == off // 400
+                off += r["n_tokens"]
