@@ -131,3 +131,35 @@ def chunk_stats(
             )
         ).alias("chunk_tokens"),
     )
+
+
+def with_training_chunks(
+    df: DataFrame,
+    budget: int,
+    pack_run: str,
+    pack_shard: int,
+    include_split: bool,
+    token_col: str = "transcript_scrubbed",
+) -> DataFrame:
+    """Stamp clip rows with training-chunk identity — shared by the
+    batch shard and streaming micro-batch paths so both emit the same
+    schema: (pack_run, pack_shard, chunk_id, start_offset, n_tokens).
+    ``pack_run`` scopes chunk ids to one producer run/stream (chunk 0
+    of two different runs appended to the same table must never read
+    as one chunk); ``pack_shard`` is the parallel unit (pipeline shard
+    or stream batch id) within it."""
+    group = ["lang"] + (["split"] if include_split else []) + [
+        "pack_shard"
+    ]
+    return pack_stream_chunks(
+        df.withColumn(
+            "_tok",
+            F.regexp_count(F.col(token_col), F.lit(r"\S+")),
+        )
+        .withColumn("pack_shard", F.lit(int(pack_shard)))
+        .withColumn("pack_run", F.lit(str(pack_run))),
+        "_tok",
+        budget,
+        group,
+        ["clip_id"],
+    ).withColumnRenamed("_tok", "n_tokens")

@@ -186,6 +186,38 @@ def sketch_profile(
     return df.agg(*aggs)
 
 
+def _require_profile_cols(profiles: DataFrame, cols: list[str]) -> None:
+    """Refuse to merge a history whose rows were profiled with
+    DIFFERENT columns: allowMissingColumns reads fill absent counters
+    with NULL, sum() would skip them while ``rows`` still counts every
+    row, and the resulting null fractions UNDERSTATE reality — masking
+    exactly the drift the monitor exists to catch. sketch_profile
+    coalesces real counters to 0, so a NULL counter can only mean the
+    column was not profiled for that row."""
+    missing = [c for c in cols if f"{c}__nulls" not in profiles.columns]
+    if missing:
+        raise ValueError(
+            f"profile history has no counters for {missing} — these "
+            "columns were never profiled; re-profile or query the "
+            "recorded columns"
+        )
+    import functools
+    import operator
+
+    bad = profiles.filter(
+        functools.reduce(
+            operator.or_,
+            [F.col(f"{c}__nulls").isNull() for c in cols],
+        )
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} profile-history row(s) lack counters for some of "
+            f"{cols} (profile_cols changed mid-history) — re-profile "
+            "or query the common column subset"
+        )
+
+
 def merge_sketch_profiles(profiles: DataFrame, cols: list[str]) -> DataFrame:
     """Fold any number of per-batch profile rows into one: counts add,
     sketches union (register-wise max — commutative, idempotent per
@@ -272,10 +304,12 @@ def incremental_profile_run(
 
 def corpus_profile(store, table: str, cols: list[str]) -> DataFrame:
     """Corpus-lifetime profile from the persisted per-batch sketch rows:
-    merge + estimate, never rescanning the corpus itself."""
-    return profile_estimates(
-        merge_sketch_profiles(store.read(table), cols), cols
-    )
+    merge + estimate, never rescanning the corpus itself. Raises if the
+    history was profiled with different columns (see
+    _require_profile_cols)."""
+    rows = store.read(table)
+    _require_profile_cols(rows, cols)
+    return profile_estimates(merge_sketch_profiles(rows, cols), cols)
 
 
 def profile_drift(
@@ -314,6 +348,7 @@ def profile_drift(
     n_batches = rows.count()
     if n_batches < 2:
         return {"batches": n_batches, "findings": []}
+    _require_profile_cols(rows, cols)
     latest_idx = rows.agg(F.max("batch_idx")).collect()[0][0]
     latest = rows.filter(F.col("batch_idx") == latest_idx)
     history = rows.filter(F.col("batch_idx") != latest_idx)

@@ -716,27 +716,19 @@ def _run_shard(
         )
     kept_pre = scrub_transcripts(kept_src)
     # -- TOKEN PACKING (optional): chunk assignment over the scrubbed
-    # transcript's whitespace tokens. Grouped by (lang[, split]) within
-    # THIS shard; pack_shard rides along so (lang[, split], pack_shard,
-    # chunk_id) is globally unique and replay-deterministic
+    # transcript's whitespace tokens, grouped by (lang[, split]) within
+    # THIS shard. Chunk identity is (pack_run, lang[, split],
+    # pack_shard, chunk_id): pack_run scopes it to this producer run —
+    # a later incremental run appended to the same table restarts its
+    # own chunk ids, and a consumer grouping without pack_run would
+    # otherwise concatenate unrelated documents into one "chunk"
     if cfg.pack_budget is not None:
-        from .operators.packing import pack_stream_chunks
+        from .operators.packing import with_training_chunks
 
-        group = ["lang"] + (
-            ["split"] if cfg.split_fractions is not None else []
-        ) + ["pack_shard"]
-        kept_pre = pack_stream_chunks(
-            kept_pre.withColumn(
-                "_tok",
-                F.regexp_count(
-                    F.col("transcript_scrubbed"), F.lit(r"\S+")
-                ),
-            ).withColumn("pack_shard", F.lit(shard)),
-            "_tok",
-            cfg.pack_budget,
-            group,
-            ["clip_id"],
-        ).withColumnRenamed("_tok", "n_tokens")
+        kept_pre = with_training_chunks(
+            kept_pre, cfg.pack_budget, cfg.run_id, shard,
+            include_split=cfg.split_fractions is not None,
+        )
     # aggregates below run on kept_pre (pre-repartition): the salted
     # shuffle exists only for the write's file layout, and paying it
     # again for two scalar aggs would re-shuffle the audio bytes twice
@@ -763,28 +755,45 @@ def _run_shard(
         log.record("clean_write", "skipped_already_committed", t0,
                    snapshot=clean_sid)
 
-    # -- SKETCH PROFILE of what landed (one HLL row per shard; crash
-    # replays skip via the per-shard fingerprint) ----------------------------
-    if cfg.profile_cols:
-        from .operators.profile import incremental_profile_run
+    # -- SKETCH PROFILE of what landed (one HLL row per shard). The
+    # replay guard scans ALL committed property records
+    # (_find_committed_write), NOT the last-commit fingerprint —
+    # profile_history is shared with stream batches, so an interleaved
+    # writer between a crash and its replay must not defeat the skip
+    # (double-appending would double-count the additive row/null
+    # counters). Empty shards (all-dup / fully sampled-out) append
+    # nothing: a rows=0 row would trip the drift batch-size band.
+    if cfg.profile_cols and stats["kept"] > 0:
+        from .operators.profile import sketch_profile
 
         t0 = time.time()
-        wrote = incremental_profile_run(
-            store,
-            PROFILE_TABLE,
-            kept_pre,
-            list(cfg.profile_cols),
-            source_fingerprint=(
-                f"{cfg.source_fingerprint}:shard{shard}"
-                if cfg.source_fingerprint
-                else None
-            ),
+        already = (
+            _find_committed_write(store, PROFILE_TABLE, shard_props)
+            if cfg.source_fingerprint and not cfg.force
+            else None
         )
-        log.record(
-            "sketch_profile",
-            "ok" if wrote else "skipped_already_committed",
-            t0, cols=list(cfg.profile_cols),
-        )
+        if already is None:
+            idx = (
+                store.read(PROFILE_TABLE)
+                .agg(F.max("batch_idx")).collect()[0][0] + 1
+                if store.exists(PROFILE_TABLE)
+                else 0
+            )
+            store.write(
+                PROFILE_TABLE,
+                sketch_profile(
+                    kept_pre, list(cfg.profile_cols)
+                ).withColumn("batch_idx", F.lit(int(idx))),
+                mode="append"
+                if store.exists(PROFILE_TABLE)
+                else "overwrite",
+                properties={"run_id": cfg.run_id, **shard_props},
+            )
+            log.record("sketch_profile", "ok", t0,
+                       cols=list(cfg.profile_cols))
+        else:
+            log.record("sketch_profile", "skipped_already_committed",
+                       t0, cols=list(cfg.profile_cols))
         # same small-file maintenance as the dedup histories: one tiny
         # dir accretes per shard/batch (stream batches share this
         # table); compact folds the view, carrying the fingerprint

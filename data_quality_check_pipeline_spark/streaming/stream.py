@@ -27,6 +27,7 @@ from ..pipeline import (
     AUDIO_FP_TABLE,
     CLEAN_TABLE,
     DUP_AUDIO_REASON,
+    PROFILE_TABLE,
     QUARANTINE_TABLE,
     flag_clips,
     score_clips,
@@ -327,6 +328,7 @@ def start_quality_stream(
     split_fractions: dict | None = None,
     split_seed: int = 0,
     profile_cols: list | None = None,
+    pack_budget: int | None = None,
 ):
     """Start (or drain, with availableNow) the streaming pipeline.
 
@@ -401,6 +403,7 @@ def start_quality_stream(
         a_dup_ids = None
         new_sigs = None
         new_fps = None
+        kept_final = None
         try:
             kept_src = batch_df.filter(F.col("keep"))
             if sample_rates is not None:
@@ -442,6 +445,21 @@ def start_quality_stream(
                     kept_final, "clip_id", split_fractions,
                     seed=split_seed,
                 )
+            if pack_budget is not None:
+                from ..operators.packing import with_training_chunks
+
+                # pack_run = the stream identity, pack_shard = the
+                # micro-batch id: same chunk-identity contract as the
+                # batch path (run scopes it, the parallel unit shards
+                # it), same output schema
+                kept_final = with_training_chunks(
+                    kept_final, pack_budget, sid, int(batch_id),
+                    include_split=split_fractions is not None,
+                )
+            # the write, the emptiness probe and the profile agg all
+            # consume kept_final — cache it so the near-dup mining
+            # joins and scrub run once per batch, not three times
+            kept_final = kept_final.cache()
             if not batch_committed(store, CLEAN_TABLE, batch_id, sid):
                 store.write(
                     CLEAN_TABLE,
@@ -458,19 +476,35 @@ def start_quality_stream(
                 )
             # skip EMPTY batches: availableNow drains emit a trailing
             # empty micro-batch, and an all-zero profile row would trip
-            # the drift monitor's batch-size band on every drain
-            if profile_cols and not kept_final.isEmpty():
-                from ..operators.profile import incremental_profile_run
+            # the drift monitor's batch-size band on every drain.
+            # Exactly-once via the SAME (stream_id, batch) all-records
+            # guard as every other sink write — a last-commit
+            # fingerprint check would break the moment a batch run
+            # appends to the shared table between a crash and its
+            # replay (the additive counters would double-count)
+            if (
+                profile_cols
+                and not batch_committed(store, PROFILE_TABLE, batch_id, sid)
+                and not kept_final.isEmpty()
+            ):
+                from ..operators.profile import sketch_profile
 
-                # foreachBatch replays re-deliver the LAST batch, so
-                # the last-commit fingerprint check is exactly the
-                # replay guard needed here (same table as batch shards
-                # — stream and batch profiles merge into one corpus
-                # profile)
-                incremental_profile_run(
-                    store, "profile_history", kept_final,
-                    list(profile_cols),
-                    source_fingerprint=f"{sid}:batch{batch_id}",
+                idx = (
+                    store.read(PROFILE_TABLE)
+                    .agg(F.max("batch_idx")).collect()[0][0] + 1
+                    if store.exists(PROFILE_TABLE)
+                    else 0
+                )
+                store.write(
+                    PROFILE_TABLE,
+                    sketch_profile(
+                        kept_final, list(profile_cols)
+                    ).withColumn("batch_idx", F.lit(int(idx))),
+                    mode="append"
+                    if store.exists(PROFILE_TABLE)
+                    else "overwrite",
+                    properties={"stream_batch": batch_id,
+                                "stream_id": sid},
                 )
             if not batch_committed(store, QUARANTINE_TABLE, batch_id, sid):
                 quarantined = batch_df.filter(~F.col("keep")).select(
@@ -554,7 +588,8 @@ def start_quality_stream(
                                 "stream_id": sid},
                 )
         finally:
-            for frame in (dup_ids, a_dup_ids, new_sigs, new_fps):
+            for frame in (dup_ids, a_dup_ids, new_sigs, new_fps,
+                          kept_final):
                 if frame is not None:
                     frame.unpersist()
             batch_df.unpersist()

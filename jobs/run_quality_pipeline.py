@@ -149,9 +149,11 @@ def main() -> None:
                          "routed through notify")
     ap.add_argument("--pack-tokens", type=int, default=None, metavar="N",
                     help="assign each kept clip a training-chunk id "
-                         "(pack_shard, chunk_id) by packing scrubbed-"
-                         "transcript tokens into N-token concatenated-"
-                         "stream chunks per (lang[, split])")
+                         "(pack_run, pack_shard, chunk_id) by packing "
+                         "scrubbed-transcript tokens into N-token "
+                         "concatenated-stream chunks per "
+                         "(lang[, split]); batch AND --stream (stream: "
+                         "pack_run=stream id, pack_shard=batch id)")
     ap.add_argument("--changelog", nargs=2, default=None,
                     metavar=("TABLE", "SINCE_SNAPSHOT"),
                     help="admin: print the rows appended to TABLE "
@@ -231,8 +233,13 @@ def main() -> None:
                     *[c for c, t in delta.dtypes if t == "binary"]
                 )
                 slim.show(20, truncate=40)
-            except IncrementalReadError as exc:
+            except (
+                IncrementalReadError, FileNotFoundError, KeyError
+            ) as exc:
+                # unknown table / empty table / bad anchor all get the
+                # honest one-liner, not a traceback
                 print(f"changelog unavailable: {exc}")
+                spark.stop()
                 raise SystemExit(3)
         spark.stop()
         return
@@ -295,6 +302,7 @@ def main() -> None:
                 ]
                 if args.profile_cols else None
             ),
+            pack_budget=args.pack_tokens,
         )
         q.awaitTermination()
         from data_quality_check_pipeline_spark.pipeline import (

@@ -525,3 +525,32 @@ class TestProfileDrift:
         assert any(
             f["kind"] == "rows_out_of_band" for f in d2["findings"]
         )
+
+    def test_mixed_column_history_refuses(self, spark, tmp_path):
+        """A history written with DIFFERENT profile_cols must refuse to
+        merge: NULL-filled counters from allowMissingColumns would
+        silently understate null fractions."""
+        from data_quality_check_pipeline_spark.operators.profile import (
+            corpus_profile,
+            incremental_profile_run,
+            profile_drift,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        b = self._batch(spark, 0, 50)
+        incremental_profile_run(store, "ph", b, ["id"],
+                                source_fingerprint="x1")
+        incremental_profile_run(store, "ph", b, ["id", "val"],
+                                source_fingerprint="x2")
+        with pytest.raises(ValueError, match="changed mid-history"):
+            corpus_profile(store, "ph", ["id", "val"])
+        with pytest.raises(ValueError, match="never profiled"):
+            corpus_profile(store, "ph", ["id", "nope"])
+        with pytest.raises(ValueError, match="changed mid-history"):
+            profile_drift(store, "ph", ["id", "val"])
+        # the common subset still answers
+        est = corpus_profile(store, "ph", ["id"]).collect()
+        assert est[0]["rows"] == 100
