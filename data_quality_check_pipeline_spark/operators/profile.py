@@ -274,7 +274,13 @@ def incremental_profile_run(
     dedup signature histories: an exact replay of an already-profiled
     batch is skipped (returns False) so at-least-once ingest never
     double-counts rows/nulls (sketch union would forgive double
-    counting of distincts, but the additive counters would not)."""
+    counting of distincts, but the additive counters would not).
+
+    The guard checks the LAST commit only — sufficient for a
+    single-writer history. When several writers share one table
+    (batch shards + stream batches), use a commit-record scan instead
+    (the pipeline and stream sink both do: _find_committed_write /
+    batch_committed), or an interleaved append defeats the skip."""
     if (
         source_fingerprint is not None
         and store.exists(table)
