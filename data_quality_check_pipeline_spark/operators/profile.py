@@ -355,6 +355,11 @@ def profile_drift(
     if n_batches < 2:
         return {"batches": n_batches, "findings": []}
     _require_profile_cols(rows, cols)
+    # batch_idx is assigned outside the manifest lock, so two writers
+    # committing concurrently (a stream batch racing a pipeline shard)
+    # can mint the same idx; the split below then treats the colliding
+    # batches as ONE latest group — a granularity artifact, not a
+    # counter corruption (their rows merge, nothing double-counts)
     latest_idx = rows.agg(F.max("batch_idx")).collect()[0][0]
     latest = rows.filter(F.col("batch_idx") == latest_idx)
     history = rows.filter(F.col("batch_idx") != latest_idx)
