@@ -194,6 +194,8 @@ def _require_profile_cols(profiles: DataFrame, cols: list[str]) -> None:
     exactly the drift the monitor exists to catch. sketch_profile
     coalesces real counters to 0, so a NULL counter can only mean the
     column was not profiled for that row."""
+    if not cols:
+        return
     missing = [c for c in cols if f"{c}__nulls" not in profiles.columns]
     if missing:
         raise ValueError(
@@ -287,7 +289,33 @@ def incremental_profile_run(
         and store.is_unchanged(table, source_fingerprint)
     ):
         return False
-    # monotone batch ordinal so profile_drift can split latest-vs-prior
+    append_profile_row(
+        store, table, new_df, cols, lg_k=lg_k,
+        properties=(
+            {"source_fingerprint": source_fingerprint}
+            if source_fingerprint is not None
+            else None
+        ),
+    )
+    return True
+
+
+def append_profile_row(
+    store,
+    table: str,
+    new_df: DataFrame,
+    cols: list[str],
+    lg_k: int = 12,
+    properties: dict | None = None,
+) -> None:
+    """The ONE profile-append implementation (callers bring their own
+    replay guard: last-commit fingerprint here, commit-record scans in
+    the pipeline/stream sinks): stamp a monotone batch ordinal so
+    profile_drift can split latest-vs-prior, and ALWAYS append —
+    TableStore treats an append with no current snapshot as creation
+    under the manifest lock, whereas a conditional exists()/overwrite
+    would let two concurrent first writers (stream batch racing a
+    pipeline shard into a fresh out_root) clobber each other's row."""
     idx = (
         store.read(table).agg(F.max("batch_idx")).collect()[0][0] + 1
         if store.exists(table)
@@ -299,13 +327,8 @@ def incremental_profile_run(
             "batch_idx", F.lit(int(idx))
         ),
         mode="append",
-        properties=(
-            {"source_fingerprint": source_fingerprint}
-            if source_fingerprint is not None
-            else None
-        ),
+        properties=properties,
     )
-    return True
 
 
 def corpus_profile(store, table: str, cols: list[str]) -> DataFrame:

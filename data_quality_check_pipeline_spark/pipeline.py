@@ -764,7 +764,7 @@ def _run_shard(
     # counters). Empty shards (all-dup / fully sampled-out) append
     # nothing: a rows=0 row would trip the drift batch-size band.
     if cfg.profile_cols and stats["kept"] > 0:
-        from .operators.profile import sketch_profile
+        from .operators.profile import append_profile_row
 
         t0 = time.time()
         already = (
@@ -773,20 +773,9 @@ def _run_shard(
             else None
         )
         if already is None:
-            idx = (
-                store.read(PROFILE_TABLE)
-                .agg(F.max("batch_idx")).collect()[0][0] + 1
-                if store.exists(PROFILE_TABLE)
-                else 0
-            )
-            store.write(
-                PROFILE_TABLE,
-                sketch_profile(
-                    kept_pre, list(cfg.profile_cols)
-                ).withColumn("batch_idx", F.lit(int(idx))),
-                mode="append"
-                if store.exists(PROFILE_TABLE)
-                else "overwrite",
+            append_profile_row(
+                store, PROFILE_TABLE, kept_pre,
+                list(cfg.profile_cols),
                 properties={"run_id": cfg.run_id, **shard_props},
             )
             log.record("sketch_profile", "ok", t0,

@@ -487,22 +487,11 @@ def start_quality_stream(
                 and not batch_committed(store, PROFILE_TABLE, batch_id, sid)
                 and not kept_final.isEmpty()
             ):
-                from ..operators.profile import sketch_profile
+                from ..operators.profile import append_profile_row
 
-                idx = (
-                    store.read(PROFILE_TABLE)
-                    .agg(F.max("batch_idx")).collect()[0][0] + 1
-                    if store.exists(PROFILE_TABLE)
-                    else 0
-                )
-                store.write(
-                    PROFILE_TABLE,
-                    sketch_profile(
-                        kept_final, list(profile_cols)
-                    ).withColumn("batch_idx", F.lit(int(idx))),
-                    mode="append"
-                    if store.exists(PROFILE_TABLE)
-                    else "overwrite",
+                append_profile_row(
+                    store, PROFILE_TABLE, kept_final,
+                    list(profile_cols),
                     properties={"stream_batch": batch_id,
                                 "stream_id": sid},
                 )

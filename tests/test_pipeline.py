@@ -1388,3 +1388,51 @@ class TestTokenPackingStage:
                 assert r["start_offset"] == off, (key, r["clip_id"])
                 assert r["chunk_id"] == off // 400
                 off += r["n_tokens"]
+
+    def test_pack_run_scopes_chunk_identity_across_runs(
+        self, spark, corpus, out_root
+    ):
+        """Two runs appended to one out_root each restart chunk ids;
+        without pack_run in the group key their chunks would alias —
+        with it, every (pack_run, lang, pack_shard) group's
+        assignments stay independently re-derivable."""
+        _, _, path = corpus
+        for run_id, fp in (("pr1", "fp_a"), ("pr2", "fp_b")):
+            run_pipeline(
+                spark, path,
+                RunConfig(
+                    out_root=out_root, run_id=run_id,
+                    source_fingerprint=fp, force=True,
+                    pack_budget=400,
+                ),
+            )
+        rows = (
+            TableStore(spark, out_root).read(CLEAN_TABLE)
+            .select(
+                "clip_id", "lang", "pack_run", "pack_shard",
+                "chunk_id", "start_offset", "n_tokens",
+            )
+            .collect()
+        )
+        runs = {r["pack_run"] for r in rows}
+        assert runs == {"pr1", "pr2"}
+        # the SAME (lang, pack_shard, chunk_id) exists under both runs:
+        # the aliasing pack_run exists to disambiguate
+        bare = {}
+        for r in rows:
+            bare.setdefault(
+                (r["lang"], r["pack_shard"], r["chunk_id"]), set()
+            ).add(r["pack_run"])
+        assert any(len(v) == 2 for v in bare.values())
+        # per (pack_run, lang, pack_shard): assignments re-derivable
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(
+                (r["pack_run"], r["lang"], r["pack_shard"]), []
+            ).append(r)
+        for key, g in groups.items():
+            off = 0
+            for r in sorted(g, key=lambda r: r["clip_id"]):
+                assert r["start_offset"] == off, key
+                assert r["chunk_id"] == off // 400
+                off += r["n_tokens"]

@@ -910,3 +910,41 @@ class TestStreamProfileRows:
         )
         q2.awaitTermination(timeout=600)
         assert store.read(PROFILE_TABLE).count() == n_rows
+
+
+class TestStreamPacking:
+    def test_stream_pack_chunks_rederivable(self, spark, corpus, tmp_path):
+        """--pack-tokens under --stream: chunk identity is (pack_run =
+        stream id, pack_shard = micro-batch id); assignments re-derive
+        from the written rows exactly as in batch."""
+        _, _, path = corpus
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        os.symlink(path, os.path.join(src, "clips.parquet"))
+        out = str(tmp_path / "out")
+        q = start_quality_stream(
+            spark, src, out, str(tmp_path / "ckpt"),
+            available_now=True, pack_budget=500,
+        )
+        q.awaitTermination(timeout=600)
+        rows = (
+            TableStore(spark, out).read(CLEAN_TABLE)
+            .select(
+                "clip_id", "lang", "pack_run", "pack_shard",
+                "chunk_id", "start_offset", "n_tokens",
+            )
+            .collect()
+        )
+        assert len(rows) > 0
+        assert len({r["pack_run"] for r in rows}) == 1  # one stream id
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(
+                (r["lang"], r["pack_shard"]), []
+            ).append(r)
+        for key, g in groups.items():
+            off = 0
+            for r in sorted(g, key=lambda r: r["clip_id"]):
+                assert r["start_offset"] == off, key
+                assert r["chunk_id"] == off // 500
+                off += r["n_tokens"]
