@@ -116,9 +116,12 @@ def main() -> None:
         "embedding_ivf_ann",
         # round-4 training-data operator families (suite definition
         # reset this round anyway — DESIGN #24): deterministic
-        # stratified sampling + splits, token-budget packing
+        # stratified sampling + splits, token-budget packing, and the
+        # as-of join (union+running-last over one sort — the custom
+        # temporal operator)
         "doc_stratified_sample",
         "doc_token_packing",
+        "events_asof_clicks",
     ]
 
     # Per-query MIN over >=3 INTERLEAVED passes, with the spread
