@@ -161,14 +161,25 @@ def numeric_summary(df: DataFrame, col: str,
 
 
 def sketch_profile(
-    df: DataFrame, cols: list[str], lg_k: int = 12
+    df: DataFrame,
+    cols: list[str],
+    lg_k: int = 12,
+    numeric_bins: dict | None = None,
 ) -> DataFrame:
     """ONE-row mergeable profile of a batch: total rows plus, per
     column, the null count and an HLL sketch (binary) of the non-null
     values. One hash-agg pass, all map-side partial; values are hashed
     via their canonical string form so sketches stay mergeable across
     schema-compatible batches. lg_k=12 -> ~1.6% relative standard
-    error in ~4 KiB per column."""
+    error in ~4 KiB per column.
+
+    ``numeric_bins`` = {col: (lo, hi, nbins)} additionally records,
+    per numeric column, EXACTLY-mergeable distribution state: count /
+    sum / sum-of-squares (mean+std via moments), min / max, and a
+    fixed-bin histogram with underflow/overflow buckets (nbins+2 longs
+    — vector-ADD mergeable, unlike a quantile sketch, and enough for
+    the PSI distribution-shift test in profile_drift). Bin edges are
+    part of the history contract: every batch must use the same spec."""
     aggs = [F.count(F.lit(1)).alias("rows")]
     for c in cols:
         aggs.append(
@@ -182,6 +193,47 @@ def sketch_profile(
             F.hll_sketch_agg(
                 F.col(c).cast("string"), F.lit(int(lg_k))
             ).alias(f"{c}__hll")
+        )
+    for c, (lo, hi, nbins) in (numeric_bins or {}).items():
+        if not hi > lo or nbins < 1:
+            raise ValueError(
+                f"numeric_bins[{c!r}]: need hi > lo and nbins >= 1, "
+                f"got ({lo}, {hi}, {nbins})"
+            )
+        v = F.col(c).cast("double")
+        width = (float(hi) - float(lo)) / int(nbins)
+        # bucket 0 = underflow, 1..nbins = in-range, nbins+1 = overflow
+        idx = (
+            F.when(v < F.lit(float(lo)), F.lit(0))
+            .when(v >= F.lit(float(hi)), F.lit(int(nbins) + 1))
+            .otherwise(
+                F.floor((v - F.lit(float(lo))) / F.lit(width)).cast(
+                    "int"
+                )
+                + F.lit(1)
+            )
+        )
+        aggs.append(
+            F.coalesce(F.count(v), F.lit(0)).alias(f"{c}__count")
+        )
+        aggs.append(
+            F.coalesce(F.sum(v), F.lit(0.0)).alias(f"{c}__sum")
+        )
+        aggs.append(
+            F.coalesce(F.sum(v * v), F.lit(0.0)).alias(f"{c}__sumsq")
+        )
+        aggs.append(F.min(v).alias(f"{c}__min"))
+        aggs.append(F.max(v).alias(f"{c}__max"))
+        aggs.append(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.sum((idx == F.lit(b)).cast("long")),
+                        F.lit(0),
+                    )
+                    for b in range(int(nbins) + 2)
+                ]
+            ).alias(f"{c}__hist")
         )
     return df.agg(*aggs)
 
@@ -220,12 +272,18 @@ def _require_profile_cols(profiles: DataFrame, cols: list[str]) -> None:
         )
 
 
-def merge_sketch_profiles(profiles: DataFrame, cols: list[str]) -> DataFrame:
+def merge_sketch_profiles(
+    profiles: DataFrame,
+    cols: list[str],
+    numeric_bins: dict | None = None,
+) -> DataFrame:
     """Fold any number of per-batch profile rows into one: counts add,
     sketches union (register-wise max — commutative, idempotent per
     distinct value, so re-merging overlapping histories never
-    double-counts distincts). allowDifferentLgConfigK tolerates a
-    tuned lg_k change mid-history."""
+    double-counts distincts), numeric moments add and histograms
+    vector-add (EXACT merges — merged-of-splits equals whole to the
+    bit). allowDifferentLgConfigK tolerates a tuned lg_k change
+    mid-history."""
     aggs = [F.sum("rows").alias("rows")]
     for c in cols:
         aggs.append(F.sum(f"{c}__nulls").alias(f"{c}__nulls"))
@@ -234,7 +292,74 @@ def merge_sketch_profiles(profiles: DataFrame, cols: list[str]) -> DataFrame:
                 f"{c}__hll"
             )
         )
+    for c, (lo, hi, nbins) in (numeric_bins or {}).items():
+        aggs.append(F.sum(f"{c}__count").alias(f"{c}__count"))
+        aggs.append(F.sum(f"{c}__sum").alias(f"{c}__sum"))
+        aggs.append(F.sum(f"{c}__sumsq").alias(f"{c}__sumsq"))
+        aggs.append(F.min(f"{c}__min").alias(f"{c}__min"))
+        aggs.append(F.max(f"{c}__max").alias(f"{c}__max"))
+        zeros = F.array(
+            *[F.lit(0).cast("long") for _ in range(int(nbins) + 2)]
+        )
+        aggs.append(
+            F.aggregate(
+                F.collect_list(f"{c}__hist"),
+                zeros,
+                lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+            ).alias(f"{c}__hist")
+        )
     return profiles.agg(*aggs)
+
+
+def numeric_profile_estimates(
+    profile: DataFrame, numeric_bins: dict
+) -> DataFrame:
+    """Tidy read-out of the numeric state in a (merged) profile row:
+    one row per column with count / mean / std (from moments) / min /
+    max and the histogram (underflow + nbins + overflow longs)."""
+    per_col = []
+    for c in numeric_bins:
+        n = F.col(f"{c}__count")
+        mean = F.when(n > 0, F.col(f"{c}__sum") / n)
+        var = F.when(
+            n > 1,
+            F.greatest(
+                (F.col(f"{c}__sumsq") - F.col(f"{c}__sum") * mean)
+                / (n - 1),
+                F.lit(0.0),
+            ),
+        )
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                n.alias("count"),
+                F.round(mean, 6).alias("mean"),
+                F.round(F.sqrt(var), 6).alias("std"),
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.col(f"{c}__hist").alias("hist"),
+            )
+        )
+    return profile.select(
+        F.explode(F.array(*per_col)).alias("s")
+    ).select("s.*")
+
+
+def psi(latest_hist: list, prior_hist: list, eps: float = 1e-4) -> float:
+    """Population stability index between two histogram counts over the
+    SAME bins: sum((p-q)*ln(p/q)) with epsilon smoothing. Convention:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major shift."""
+    import math
+
+    lt, pt = float(sum(latest_hist)), float(sum(prior_hist))
+    if lt == 0 or pt == 0:
+        return 0.0
+    out = 0.0
+    for a, b in zip(latest_hist, prior_hist):
+        p = max(a / lt, eps)
+        q = max(b / pt, eps)
+        out += (p - q) * math.log(p / q)
+    return out
 
 
 def profile_estimates(profile: DataFrame, cols: list[str]) -> DataFrame:
@@ -270,6 +395,7 @@ def incremental_profile_run(
     cols: list[str],
     lg_k: int = 12,
     source_fingerprint: str | None = None,
+    numeric_bins: dict | None = None,
 ) -> bool:
     """Append one sketch-profile row for a new batch to a
     TableStore-backed profile history. Fingerprint-idempotent like the
@@ -291,6 +417,7 @@ def incremental_profile_run(
         return False
     append_profile_row(
         store, table, new_df, cols, lg_k=lg_k,
+        numeric_bins=numeric_bins,
         properties=(
             {"source_fingerprint": source_fingerprint}
             if source_fingerprint is not None
@@ -307,6 +434,7 @@ def append_profile_row(
     cols: list[str],
     lg_k: int = 12,
     properties: dict | None = None,
+    numeric_bins: dict | None = None,
 ) -> None:
     """The ONE profile-append implementation (callers bring their own
     replay guard: last-commit fingerprint here, commit-record scans in
@@ -323,22 +451,74 @@ def append_profile_row(
     )
     store.write(
         table,
-        sketch_profile(new_df, cols, lg_k=lg_k).withColumn(
-            "batch_idx", F.lit(int(idx))
-        ),
+        sketch_profile(
+            new_df, cols, lg_k=lg_k, numeric_bins=numeric_bins
+        ).withColumn("batch_idx", F.lit(int(idx))),
         mode="append",
         properties=properties,
     )
 
 
-def corpus_profile(store, table: str, cols: list[str]) -> DataFrame:
+def corpus_profile(
+    store,
+    table: str,
+    cols: list[str],
+    numeric_bins: dict | None = None,
+) -> DataFrame:
     """Corpus-lifetime profile from the persisted per-batch sketch rows:
     merge + estimate, never rescanning the corpus itself. Raises if the
     history was profiled with different columns (see
-    _require_profile_cols)."""
+    _require_profile_cols). With ``numeric_bins``, returns the numeric
+    read-out (count/mean/std/min/max/hist) for those columns instead."""
     rows = store.read(table)
     _require_profile_cols(rows, cols)
+    if numeric_bins:
+        _require_numeric_cols(rows, numeric_bins)
+        return numeric_profile_estimates(
+            merge_sketch_profiles(
+                rows, [], numeric_bins=numeric_bins
+            ),
+            numeric_bins,
+        )
     return profile_estimates(merge_sketch_profiles(rows, cols), cols)
+
+
+def _require_numeric_cols(profiles: DataFrame, numeric_bins: dict) -> None:
+    """Same mid-history-change guard as _require_profile_cols, for the
+    numeric state (a NULL count counter or a missing/short histogram
+    means the column or its bin spec changed)."""
+    if not numeric_bins:
+        return
+    missing = [
+        c for c in numeric_bins if f"{c}__hist" not in profiles.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"profile history has no numeric state for {missing} — "
+            "re-profile or query the recorded columns"
+        )
+    import functools
+    import operator
+
+    bad = profiles.filter(
+        functools.reduce(
+            operator.or_,
+            [
+                F.col(f"{c}__count").isNull()
+                | (
+                    F.size(f"{c}__hist")
+                    != F.lit(int(spec[2]) + 2)
+                )
+                for c, spec in numeric_bins.items()
+            ],
+        )
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} profile-history row(s) lack numeric state (or use "
+            f"a different bin spec) for some of {list(numeric_bins)} — "
+            "the bin edges are part of the history contract"
+        )
 
 
 def profile_drift(
@@ -349,6 +529,8 @@ def profile_drift(
     rows_band: tuple[float, float] = (0.5, 2.0),
     novelty_low: float | None = None,
     novelty_high: float | None = None,
+    numeric_bins: dict | None = None,
+    psi_threshold: float | None = 0.25,
 ) -> dict:
     """Drift check of the LATEST profiled batch against the merged
     history before it — the schema/values-level analogue of the
@@ -365,7 +547,12 @@ def profile_drift(
       distinct(history), clamped at 0) fell below this: a re-ingest /
       stuck-upstream signature (everything already known);
     * ``novelty_high``— novelty above this: a cardinality shift (ids
-      leaking into a categorical column, format change).
+      leaking into a categorical column, format change);
+    * ``numeric_bins``/``psi_threshold`` — PSI between the latest
+      batch's fixed-bin histogram and the merged prior histogram per
+      numeric column (industry convention: > 0.25 = major
+      distribution shift) — the numeric-shape test null rates and
+      distinct counts cannot see (e.g. SNR silently degrading).
 
     Returns ``{"batches": n, "findings": [...]}``; empty findings =
     healthy, fewer than 2 batches = nothing to compare (no findings).
@@ -433,6 +620,24 @@ def profile_drift(
                 findings.append({
                     "column": c, "kind": "novelty_spike",
                     "value": round(frac, 4), "bound": novelty_high,
+                })
+    if numeric_bins and psi_threshold is not None:
+        _require_numeric_cols(rows, numeric_bins)
+
+        def _hists(df: DataFrame) -> dict:
+            row = merge_sketch_profiles(
+                df, [], numeric_bins=numeric_bins
+            ).collect()[0]
+            return {c: list(row[f"{c}__hist"]) for c in numeric_bins}
+
+        h_latest = _hists(latest)
+        h_prior = _hists(history)
+        for c in numeric_bins:
+            v = psi(h_latest[c], h_prior[c])
+            if v > psi_threshold:
+                findings.append({
+                    "column": c, "kind": "distribution_psi",
+                    "value": round(v, 4), "bound": psi_threshold,
                 })
     return {"batches": n_batches, "findings": findings}
 

@@ -136,6 +136,12 @@ class RunConfig:
     # null rates / batch size / value novelty) routed through notify.
     # The corpus-lifetime profile never rescans data (corpus_profile).
     profile_cols: list | None = None
+    # numeric distribution state alongside: {col: (lo, hi, nbins)} —
+    # exact mergeable moments + fixed-bin histograms, PSI
+    # distribution-shift drift (the numeric-shape regression null
+    # rates cannot see, e.g. SNR silently degrading). Bin edges are
+    # part of the history contract.
+    profile_numeric: dict | None = None
     # token-budget sequence packing of the clean output
     # (operators/packing.py): assign each kept clip a
     # (pack_shard, chunk_id) over its scrubbed-transcript token count
@@ -551,7 +557,8 @@ def run_pipeline(
 
         try:
             drift = profile_drift(
-                store, PROFILE_TABLE, list(cfg.profile_cols)
+                store, PROFILE_TABLE, list(cfg.profile_cols),
+                numeric_bins=cfg.profile_numeric,
             )
             metrics["profile_drift"] = drift
             alert_profile_drift(drift)
@@ -776,6 +783,7 @@ def _run_shard(
             append_profile_row(
                 store, PROFILE_TABLE, kept_pre,
                 list(cfg.profile_cols),
+                numeric_bins=cfg.profile_numeric,
                 properties={"run_id": cfg.run_id, **shard_props},
             )
             log.record("sketch_profile", "ok", t0,

@@ -328,6 +328,7 @@ def start_quality_stream(
     split_fractions: dict | None = None,
     split_seed: int = 0,
     profile_cols: list | None = None,
+    profile_numeric: dict | None = None,
     pack_budget: int | None = None,
 ):
     """Start (or drain, with availableNow) the streaming pipeline.
@@ -492,6 +493,7 @@ def start_quality_stream(
                 append_profile_row(
                     store, PROFILE_TABLE, kept_final,
                     list(profile_cols),
+                    numeric_bins=profile_numeric,
                     properties={"stream_batch": batch_id,
                                 "stream_id": sid},
                 )

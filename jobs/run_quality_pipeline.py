@@ -147,6 +147,15 @@ def main() -> None:
                          "profile_history, plus a run-level drift "
                          "check (null rates / batch size / novelty) "
                          "routed through notify")
+    ap.add_argument("--profile-numeric", default=None,
+                    metavar="C=LO:HI[:BINS],...",
+                    help="with --profile-cols: also record exact "
+                         "mergeable numeric distribution state "
+                         "(moments + fixed-bin histogram, e.g. "
+                         "snr_db=0:60,dur_ms=0:20000:40; default 20 "
+                         "bins) and run a PSI distribution-shift "
+                         "check per run — bin edges are part of the "
+                         "history contract")
     ap.add_argument("--pack-tokens", type=int, default=None, metavar="N",
                     help="assign each kept clip a training-chunk id "
                          "(pack_run, pack_shard, chunk_id) by packing "
@@ -176,6 +185,22 @@ def main() -> None:
         except ValueError:
             ap.error(f"--{what}: expected NAME=FLOAT[,NAME=FLOAT...], "
                      f"got {s!r}")
+
+    def _numeric_bins(s: str) -> dict:
+        try:
+            out = {}
+            for p in s.split(","):
+                k, spec = p.split("=", 1)
+                parts = spec.split(":")
+                if len(parts) not in (2, 3) or not k.strip():
+                    raise ValueError(p)
+                lo, hi = float(parts[0]), float(parts[1])
+                bins = int(parts[2]) if len(parts) == 3 else 20
+                out[k.strip()] = (lo, hi, bins)
+            return out
+        except ValueError:
+            ap.error("--profile-numeric: expected "
+                     f"COL=LO:HI[:BINS][,...], got {s!r}")
 
     from data_quality_check_pipeline_spark.pipeline import (
         RunConfig,
@@ -302,6 +327,10 @@ def main() -> None:
                 ]
                 if args.profile_cols else None
             ),
+            profile_numeric=(
+                _numeric_bins(args.profile_numeric)
+                if args.profile_numeric else None
+            ),
             pack_budget=args.pack_tokens,
         )
         q.awaitTermination()
@@ -356,6 +385,10 @@ def main() -> None:
         profile_cols=(
             [c.strip() for c in args.profile_cols.split(",") if c.strip()]
             if args.profile_cols else None
+        ),
+        profile_numeric=(
+            _numeric_bins(args.profile_numeric)
+            if args.profile_numeric else None
         ),
         pack_budget=args.pack_tokens,
     )

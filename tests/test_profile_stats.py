@@ -554,3 +554,124 @@ class TestProfileDrift:
         # the common subset still answers
         est = corpus_profile(store, "ph", ["id"]).collect()
         assert est[0]["rows"] == 100
+
+
+class TestNumericSketchProfiles:
+    """Mergeable numeric distribution state: exact moments/histograms,
+    merged-of-splits == whole to the bit, and PSI distribution-shift
+    drift that null rates and distinct counts cannot see."""
+
+    BINS = {"x": (0.0, 100.0, 10)}
+
+    def _frame(self, spark, seed, shift=0.0, n=3000):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        vals = rng.normal(50.0 + shift, 12.0, n)
+        rows = [(i, float(v)) for i, v in enumerate(vals)]
+        rows.append((n, None))  # a null rides along
+        return spark.createDataFrame(rows, "id long, x double")
+
+    def test_moments_and_hist_match_numpy(self, spark):
+        import numpy as np
+
+        from data_quality_check_pipeline_spark.operators.profile import (
+            numeric_profile_estimates,
+            sketch_profile,
+        )
+
+        df = self._frame(spark, 1)
+        vals = np.array(
+            [r["x"] for r in df.collect() if r["x"] is not None]
+        )
+        est = numeric_profile_estimates(
+            sketch_profile(df, [], numeric_bins=self.BINS), self.BINS
+        ).collect()[0]
+        assert est["count"] == len(vals)
+        assert abs(est["mean"] - vals.mean()) < 1e-6
+        assert abs(est["std"] - vals.std(ddof=1)) < 1e-6
+        assert est["min"] == vals.min() and est["max"] == vals.max()
+        hist = est["hist"]
+        assert len(hist) == 12 and sum(hist) == len(vals)
+        # underflow/overflow buckets count exactly
+        assert hist[0] == (vals < 0).sum()
+        assert hist[11] == (vals >= 100).sum()
+        edges = np.linspace(0, 100, 11)
+        np_hist, _ = np.histogram(
+            vals[(vals >= 0) & (vals < 100)], bins=edges
+        )
+        assert list(hist[1:11]) == list(np_hist)
+
+    def test_merge_of_splits_is_exact(self, spark):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            merge_sketch_profiles,
+            sketch_profile,
+        )
+        from pyspark.sql import functions as F
+
+        df = self._frame(spark, 2)
+        whole = sketch_profile(
+            df, [], numeric_bins=self.BINS
+        ).collect()[0]
+        parts = [
+            sketch_profile(
+                df.filter(F.col("id") % 3 == k), [],
+                numeric_bins=self.BINS,
+            )
+            for k in range(3)
+        ]
+        merged = merge_sketch_profiles(
+            parts[0].unionByName(parts[1]).unionByName(parts[2]),
+            [], numeric_bins=self.BINS,
+        ).collect()[0]
+        assert merged["x__count"] == whole["x__count"]
+        assert abs(merged["x__sum"] - whole["x__sum"]) < 1e-9
+        assert merged["x__min"] == whole["x__min"]
+        assert merged["x__max"] == whole["x__max"]
+        assert list(merged["x__hist"]) == list(whole["x__hist"])
+
+    def test_psi_drift_fires_on_shift_only(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            corpus_profile,
+            incremental_profile_run,
+            profile_drift,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        t = "ph_num"
+        for k, seed in ((0, 10), (1, 11)):
+            incremental_profile_run(
+                store, t, self._frame(spark, seed), ["x"],
+                source_fingerprint=f"b{k}", numeric_bins=self.BINS,
+            )
+        quiet = profile_drift(
+            store, t, ["x"], numeric_bins=self.BINS
+        )
+        assert not any(
+            f["kind"] == "distribution_psi" for f in quiet["findings"]
+        )
+        # +25 mean shift: a major PSI shift, invisible to null rates
+        incremental_profile_run(
+            store, t, self._frame(spark, 12, shift=25.0), ["x"],
+            source_fingerprint="b2", numeric_bins=self.BINS,
+        )
+        d = profile_drift(store, t, ["x"], numeric_bins=self.BINS)
+        kinds = {f["kind"] for f in d["findings"]}
+        assert "distribution_psi" in kinds
+        assert "null_frac_jump" not in kinds
+        # the numeric corpus read-out answers from sketch rows alone
+        est = corpus_profile(
+            store, t, ["x"], numeric_bins=self.BINS
+        ).collect()[0]
+        assert est["count"] == 3 * 3000
+        # changed bin spec refuses
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bin spec|numeric state"):
+            profile_drift(
+                store, t, ["x"],
+                numeric_bins={"x": (0.0, 100.0, 20)},
+            )
