@@ -200,27 +200,44 @@ def sketch_profile(
                 f"numeric_bins[{c!r}]: need hi > lo and nbins >= 1, "
                 f"got ({lo}, {hi}, {nbins})"
             )
-        v = F.col(c).cast("double")
+        raw = F.col(c).cast("double")
+        # NaN is treated as MISSING for the numeric state: one NaN
+        # would otherwise poison the additive sum/sumsq for the life
+        # of the history (NaN + x = NaN survives every merge)
+        v = F.when(~F.isnan(raw), raw)
+        # moments are lo-SHIFTED before squaring (mean adds lo back at
+        # read-out, variance is shift-invariant): naive sumsq on a
+        # large-magnitude column (epoch millis: mean ~1.7e12) loses
+        # ~16 digits to cancellation and reads std as 0/garbage
+        s = v - F.lit(float(lo))
         width = (float(hi) - float(lo)) / int(nbins)
-        # bucket 0 = underflow, 1..nbins = in-range, nbins+1 = overflow
+        # bucket 0 = underflow, 1..nbins = in-range, nbins+1 =
+        # overflow. least() clamps the float edge where a value just
+        # below hi still floors to nbins (width not exactly
+        # representable) — an in-range value must never count as
+        # overflow
         idx = (
-            F.when(v < F.lit(float(lo)), F.lit(0))
+            # explicit NULL short-circuit: least() SKIPS nulls, so
+            # without it a NULL value would fall through to
+            # least(NULL, nbins) = nbins and count as in-range
+            F.when(v.isNull(), F.lit(None).cast("int"))
+            .when(v < F.lit(float(lo)), F.lit(0))
             .when(v >= F.lit(float(hi)), F.lit(int(nbins) + 1))
             .otherwise(
-                F.floor((v - F.lit(float(lo))) / F.lit(width)).cast(
-                    "int"
+                F.least(
+                    F.floor(s / F.lit(width)).cast("int") + F.lit(1),
+                    F.lit(int(nbins)),
                 )
-                + F.lit(1)
             )
         )
         aggs.append(
             F.coalesce(F.count(v), F.lit(0)).alias(f"{c}__count")
         )
         aggs.append(
-            F.coalesce(F.sum(v), F.lit(0.0)).alias(f"{c}__sum")
+            F.coalesce(F.sum(s), F.lit(0.0)).alias(f"{c}__sum")
         )
         aggs.append(
-            F.coalesce(F.sum(v * v), F.lit(0.0)).alias(f"{c}__sumsq")
+            F.coalesce(F.sum(s * s), F.lit(0.0)).alias(f"{c}__sumsq")
         )
         aggs.append(F.min(v).alias(f"{c}__min"))
         aggs.append(F.max(v).alias(f"{c}__max"))
@@ -234,6 +251,14 @@ def sketch_profile(
                     for b in range(int(nbins) + 2)
                 ]
             ).alias(f"{c}__hist")
+        )
+        # the FULL spec rides in every row so the history guard can
+        # detect changed lo/hi even at an unchanged bin count
+        # (max-of-literal keeps the projection a legal aggregate)
+        aggs.append(
+            F.max(
+                F.lit(f"{float(lo)}:{float(hi)}:{int(nbins)}")
+            ).alias(f"{c}__spec")
         )
     return df.agg(*aggs)
 
@@ -298,6 +323,7 @@ def merge_sketch_profiles(
         aggs.append(F.sum(f"{c}__sumsq").alias(f"{c}__sumsq"))
         aggs.append(F.min(f"{c}__min").alias(f"{c}__min"))
         aggs.append(F.max(f"{c}__max").alias(f"{c}__max"))
+        aggs.append(F.max(f"{c}__spec").alias(f"{c}__spec"))
         zeros = F.array(
             *[F.lit(0).cast("long") for _ in range(int(nbins) + 2)]
         )
@@ -318,13 +344,15 @@ def numeric_profile_estimates(
     one row per column with count / mean / std (from moments) / min /
     max and the histogram (underflow + nbins + overflow longs)."""
     per_col = []
-    for c in numeric_bins:
+    for c, (lo, _hi, _nb) in numeric_bins.items():
         n = F.col(f"{c}__count")
-        mean = F.when(n > 0, F.col(f"{c}__sum") / n)
+        # stored moments are lo-shifted (see sketch_profile): mean
+        # adds lo back; variance is shift-invariant
+        smean = F.when(n > 0, F.col(f"{c}__sum") / n)
         var = F.when(
             n > 1,
             F.greatest(
-                (F.col(f"{c}__sumsq") - F.col(f"{c}__sum") * mean)
+                (F.col(f"{c}__sumsq") - F.col(f"{c}__sum") * smean)
                 / (n - 1),
                 F.lit(0.0),
             ),
@@ -333,7 +361,7 @@ def numeric_profile_estimates(
             F.struct(
                 F.lit(c).alias("column"),
                 n.alias("count"),
-                F.round(mean, 6).alias("mean"),
+                F.round(smean + F.lit(float(lo)), 6).alias("mean"),
                 F.round(F.sqrt(var), 6).alias("std"),
                 F.col(f"{c}__min").alias("min"),
                 F.col(f"{c}__max").alias("max"),
@@ -490,7 +518,13 @@ def _require_numeric_cols(profiles: DataFrame, numeric_bins: dict) -> None:
     if not numeric_bins:
         return
     missing = [
-        c for c in numeric_bins if f"{c}__hist" not in profiles.columns
+        c
+        for c in numeric_bins
+        # __spec too: a history written before spec stamping existed
+        # must degrade via ValueError, not die on an unresolved-column
+        # AnalysisException in the filter below
+        if f"{c}__hist" not in profiles.columns
+        or f"{c}__spec" not in profiles.columns
     ]
     if missing:
         raise ValueError(
@@ -505,9 +539,14 @@ def _require_numeric_cols(profiles: DataFrame, numeric_bins: dict) -> None:
             operator.or_,
             [
                 F.col(f"{c}__count").isNull()
+                # the stamped spec detects changed lo/hi even when
+                # nbins (and so the array length) stayed the same
                 | (
-                    F.size(f"{c}__hist")
-                    != F.lit(int(spec[2]) + 2)
+                    F.coalesce(F.col(f"{c}__spec"), F.lit(""))
+                    != F.lit(
+                        f"{float(spec[0])}:{float(spec[1])}:"
+                        f"{int(spec[2])}"
+                    )
                 )
                 for c, spec in numeric_bins.items()
             ],
@@ -515,8 +554,8 @@ def _require_numeric_cols(profiles: DataFrame, numeric_bins: dict) -> None:
     ).count()
     if bad:
         raise ValueError(
-            f"{bad} profile-history row(s) lack numeric state (or use "
-            f"a different bin spec) for some of {list(numeric_bins)} — "
+            f"{bad} profile-history row(s) lack numeric state or use "
+            f"a different bin spec for some of {list(numeric_bins)} — "
             "the bin edges are part of the history contract"
         )
 
@@ -560,7 +599,22 @@ def profile_drift(
     the sketch merges."""
     if not store.exists(table):
         return {"batches": 0, "findings": []}
-    rows = store.read(table)
+    # one tiny row per batch, consumed by ~8 actions below (counts,
+    # guards, three merges, the PSI merges): cache for the call
+    rows = store.read(table).cache()
+    try:
+        return _profile_drift_impl(
+            rows, cols, null_jump, rows_band, novelty_low,
+            novelty_high, numeric_bins, psi_threshold,
+        )
+    finally:
+        rows.unpersist()
+
+
+def _profile_drift_impl(
+    rows, cols, null_jump, rows_band, novelty_low, novelty_high,
+    numeric_bins, psi_threshold,
+) -> dict:
     n_batches = rows.count()
     if n_batches < 2:
         return {"batches": n_batches, "findings": []}
@@ -622,23 +676,38 @@ def profile_drift(
                     "value": round(frac, 4), "bound": novelty_high,
                 })
     if numeric_bins and psi_threshold is not None:
-        _require_numeric_cols(rows, numeric_bins)
+        # an incompatible numeric history (pre-flag rows, changed bin
+        # spec, a writer configured without numeric state) must NOT
+        # discard the categorical findings already computed above —
+        # it surfaces as its own finding so the alert names the
+        # problem instead of drift silently never running again
+        try:
+            _require_numeric_cols(rows, numeric_bins)
+        except ValueError as exc:
+            findings.append({
+                "column": None,
+                "kind": "numeric_history_incompatible",
+                "value": str(exc), "bound": None,
+            })
+        else:
 
-        def _hists(df: DataFrame) -> dict:
-            row = merge_sketch_profiles(
-                df, [], numeric_bins=numeric_bins
-            ).collect()[0]
-            return {c: list(row[f"{c}__hist"]) for c in numeric_bins}
+            def _hists(df: DataFrame) -> dict:
+                row = merge_sketch_profiles(
+                    df, [], numeric_bins=numeric_bins
+                ).collect()[0]
+                return {
+                    c: list(row[f"{c}__hist"]) for c in numeric_bins
+                }
 
-        h_latest = _hists(latest)
-        h_prior = _hists(history)
-        for c in numeric_bins:
-            v = psi(h_latest[c], h_prior[c])
-            if v > psi_threshold:
-                findings.append({
-                    "column": c, "kind": "distribution_psi",
-                    "value": round(v, 4), "bound": psi_threshold,
-                })
+            h_latest = _hists(latest)
+            h_prior = _hists(history)
+            for c in numeric_bins:
+                v = psi(h_latest[c], h_prior[c])
+                if v > psi_threshold:
+                    findings.append({
+                        "column": c, "kind": "distribution_psi",
+                        "value": round(v, 4), "bound": psi_threshold,
+                    })
     return {"batches": n_batches, "findings": findings}
 
 

@@ -667,11 +667,109 @@ class TestNumericSketchProfiles:
             store, t, ["x"], numeric_bins=self.BINS
         ).collect()[0]
         assert est["count"] == 3 * 3000
-        # changed bin spec refuses
+        # changed bin spec: corpus_profile refuses outright; drift
+        # DEGRADES — categorical monitoring keeps running and the
+        # incompatibility surfaces as its own finding (an alert that
+        # names the problem beats monitoring silently dying)
         import pytest as _pytest
 
         with _pytest.raises(ValueError, match="bin spec|numeric state"):
-            profile_drift(
+            corpus_profile(
                 store, t, ["x"],
                 numeric_bins={"x": (0.0, 100.0, 20)},
             )
+        # changed nbins AND changed lo/hi at the SAME nbins both trip
+        # the stamped-spec guard
+        for bad_spec in ((0.0, 100.0, 20), (0.0, 200.0, 10)):
+            d_bad = profile_drift(
+                store, t, ["x"], numeric_bins={"x": bad_spec}
+            )
+            assert any(
+                f["kind"] == "numeric_history_incompatible"
+                for f in d_bad["findings"]
+            ), bad_spec
+            assert not any(
+                f["kind"] == "distribution_psi"
+                for f in d_bad["findings"]
+            )
+
+    def test_nan_counts_as_missing_not_poison(self, spark):
+        """One NaN must not NaN-poison the additive sum/sumsq for the
+        life of the history: it is counted as missing, like NULL."""
+        import math
+
+        from data_quality_check_pipeline_spark.operators.profile import (
+            numeric_profile_estimates,
+            sketch_profile,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 10.0), (1, float("nan")), (2, 30.0), (3, None)],
+            "id long, x double",
+        )
+        est = numeric_profile_estimates(
+            sketch_profile(df, [], numeric_bins=self.BINS), self.BINS
+        ).collect()[0]
+        assert est["count"] == 2
+        assert abs(est["mean"] - 20.0) < 1e-9
+        assert math.isfinite(est["std"])
+        assert sum(est["hist"]) == 2
+
+    def test_large_magnitude_moments_stay_accurate(self, spark):
+        """Epoch-millis-scale columns (mean ~1.7e12, std ~1e3): naive
+        sumsq cancels ~16 digits and reads std as 0/garbage. The
+        lo-shifted moments must recover the true std."""
+        import numpy as np
+
+        from data_quality_check_pipeline_spark.operators.profile import (
+            numeric_profile_estimates,
+            sketch_profile,
+        )
+
+        base = 1.7e12
+        bins = {"t": (base, base + 86_400_000.0, 24)}
+        rng = np.random.RandomState(7)
+        vals = base + 43_200_000.0 + rng.normal(0.0, 1e3, 4000)
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "id long, t double",
+        )
+        est = numeric_profile_estimates(
+            sketch_profile(df, [], numeric_bins=bins), bins
+        ).collect()[0]
+        true_std = vals.std(ddof=1)
+        assert abs(est["std"] - true_std) / true_std < 1e-6
+        assert abs(est["mean"] - vals.mean()) < 1e-3
+
+    def test_pre_spec_history_degrades_not_crashes(self, spark, tmp_path):
+        """A history written before spec stamping existed (no __spec
+        column at all) must degrade drift via its own finding — not die
+        on an unresolved-column AnalysisException."""
+        import pytest as _pytest
+
+        from data_quality_check_pipeline_spark.operators.profile import (
+            corpus_profile,
+            profile_drift,
+            sketch_profile,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+        from pyspark.sql import functions as F
+
+        store = TableStore(spark, str(tmp_path))
+        t = "ph_prespec"
+        for k, seed in ((0, 20), (1, 21)):
+            row = sketch_profile(
+                self._frame(spark, seed).withColumn(
+                    "lang", F.lit("en")
+                ),
+                ["lang"], numeric_bins=self.BINS,
+            ).drop("x__spec").withColumn("batch_idx", F.lit(k))
+            store.write(t, row, mode="append")
+        d = profile_drift(store, t, ["lang"], numeric_bins=self.BINS)
+        kinds = {f["kind"] for f in d["findings"]}
+        assert "numeric_history_incompatible" in kinds
+        assert "distribution_psi" not in kinds
+        with _pytest.raises(ValueError, match="numeric state"):
+            corpus_profile(store, t, ["lang"], numeric_bins=self.BINS)
