@@ -531,6 +531,11 @@ def run_pipeline(
         "performance": {
             "wall_seconds": wall,
             "clips_per_sec": totals["total"] / wall if wall else 0.0,
+            # the EFFECTIVE master, from the live context: a deploy that
+            # silently fell back from local-cluster to local[N] is
+            # visible in every report (get_spark once overrode
+            # spark-submit's --master; this line keeps that honest)
+            "master": spark.sparkContext.master,
         },
     }
     # trend check runs BEFORE save_metrics so the trailing window never

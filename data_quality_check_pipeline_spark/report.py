@@ -39,6 +39,7 @@ def render_run_report(metrics: dict) -> str:
         "PERFORMANCE",
         f"  wall seconds:  {perf.get('wall_seconds', 0.0):.2f}",
         f"  clips/sec:     {perf.get('clips_per_sec', 0.0):.1f}",
+        f"  master:        {perf.get('master', 'n/a')}",
         "",
         "STAGES",
     ]

@@ -20,14 +20,26 @@ def get_spark(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = (
             int(cores) * 2 if str(cores).isdigit() else 32
         )
+    # Under spark-submit the JVM gateway already exists and --master was
+    # decided at launch (local-cluster[...], yarn, k8s); builder.master()
+    # would OVERRIDE it back to local[N] and silently turn a
+    # multi-executor deploy into a single JVM (observed: --master
+    # local-cluster[2,2,2048] ran as local[4]). PythonRunner exports the
+    # gateway port/secret, so their presence = externally-launched JVM =
+    # never touch master or driver memory (both fixed at JVM launch).
+    under_submit = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or "PYSPARK_GATEWAY_SECRET" in os.environ
+    )
+    b = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         # AQE: runtime re-plan, skew-join splitting, partition coalescing —
         # the engine-level half of the skew story (salting is the other half)
         .config("spark.sql.adaptive.enabled", "true")
@@ -48,9 +60,12 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory",
-                driver_memory or os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if not under_submit:
+        b = b.config(
+            "spark.driver.memory",
+            driver_memory or os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

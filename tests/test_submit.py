@@ -147,6 +147,11 @@ class TestSparkSubmitDeploy:
             "submit-cluster",
         )
         assert proc.returncode == 0, proc.stderr[-4000:]
+        # the report prints the EFFECTIVE master from the live context —
+        # get_spark once silently overrode spark-submit's --master back
+        # to local[N]; this pin makes that downgrade loudly visible
+        assert re.search(r"master:\s+local-cluster\[2,2,2048\]",
+                         proc.stdout), proc.stdout
         m = re.search(r"kept:\s+([\d,]+)", proc.stdout)
         assert m, proc.stdout
         kept = int(m.group(1).replace(",", ""))
