@@ -81,7 +81,12 @@ def asof_join(
             right.select(rpay).schema["_rpay"].dataType
         ).alias("_rpay"),
     )
-    rt = right.select(
+    # a NULL-timestamped right row can never be "nearest in time" — and
+    # unfiltered it is a live hazard: asc sorts nulls FIRST, so in
+    # backward mode it would act as a match-everything state-since
+    # -infinity row (DuckDB/pandas ASOF both treat NULL order keys as
+    # non-matching)
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_src"),
@@ -106,7 +111,12 @@ def asof_join(
     matched = F.last("_rpay", ignorenulls=True).over(w)
     out = (
         lt.unionByName(rt)
-        .withColumn("_m", matched)
+        # a NULL-timestamped LEFT row has no position on the time axis:
+        # keep the row, null the match (without this, desc sorts nulls
+        # LAST and forward mode would hand it the oldest right state)
+        .withColumn(
+            "_m", F.when(F.col("_ats").isNotNull(), matched)
+        )
         .filter(F.col("_src") == 1)
     )
     if tolerance_s is not None:

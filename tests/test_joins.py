@@ -149,6 +149,39 @@ class TestAsofJoin:
         with pytest.raises(ValueError, match="payload"):
             asof_join(left, right.select("user"), ["user"], "ts", "rts")
 
+    def test_null_timestamps_never_match(self, spark):
+        """DuckDB/pandas ASOF contract: NULL order keys match nothing.
+        Unguarded, a NULL-ts right row sorts nulls-FIRST under asc and
+        becomes a match-everything state row in backward mode, and a
+        NULL-ts left row sorts nulls-LAST under desc and picks up the
+        oldest state in forward mode."""
+        left, right = self._frames(spark)
+        left = left.unionByName(
+            spark.createDataFrame(
+                [(6, "u", None, "p6")],
+                "event_id long, user string, ts double, tag string",
+            )
+        )
+        right = right.unionByName(
+            spark.createDataFrame(
+                [("v", None, "z")],
+                "user string, rts double, rtag string",
+            )
+        )
+        for direction in ("backward", "forward"):
+            out = {
+                r["event_id"]: (r["rts_r"], r["rtag_r"])
+                for r in asof_join(
+                    left, right, ["user"], "ts", "rts",
+                    direction=direction,
+                ).collect()
+            }
+            # key v's only right row has a NULL ts: still no match
+            assert out[4] == (None, None), direction
+            # the NULL-ts left row is kept, with NULL right columns
+            assert out[6] == (None, None), direction
+            assert len(out) == 6, direction
+
 
 class TestIntervalJoin:
     def test_containment_and_boundaries(self, spark):
