@@ -80,12 +80,24 @@ class TestAsofJoin:
 
     def test_matches_python_oracle_on_random_data(self, spark):
         rng = random.Random(11)
+        # ~10% NULL timestamps on both sides: the oracle below treats
+        # them as non-matching order keys (the DuckDB/pandas contract)
         left_rows = [
-            (i, f"k{rng.randrange(5)}", float(rng.randrange(1000)))
+            (
+                i,
+                f"k{rng.randrange(5)}",
+                None if rng.random() < 0.1
+                else float(rng.randrange(1000)),
+            )
             for i in range(80)
         ]
         right_rows = [
-            (f"k{rng.randrange(5)}", float(rng.randrange(1000)), i)
+            (
+                f"k{rng.randrange(5)}",
+                None if rng.random() < 0.1
+                else float(rng.randrange(1000)),
+                i,
+            )
             for i in range(60)
         ]
         left = spark.createDataFrame(
@@ -99,8 +111,11 @@ class TestAsofJoin:
             for r in asof_join(left, right, ["k"], "ts", "rts").collect()
         }
         for lid, k, ts in left_rows:
-            cand = [rts for rk, rts, _ in right_rows
-                    if rk == k and rts <= ts]
+            cand = [
+                rts for rk, rts, _ in right_rows
+                if rk == k and ts is not None and rts is not None
+                and rts <= ts
+            ]
             assert got[lid] == (max(cand) if cand else None), lid
 
     def test_timestamp_inputs_and_tolerance(self, spark):
