@@ -1237,3 +1237,66 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str,
+    text_col: str,
+    heldout_text_col: str | None = None,
+    shingle_k: int = 8,
+    min_hits: int = 1,
+    broadcast_heldout: bool = True,
+) -> DataFrame:
+    """Benchmark/eval-set decontamination: returns ``(id_col, hits)``
+    for every corpus doc sharing at least ``min_hits`` DISTINCT word
+    ``shingle_k``-grams with ANY heldout doc (the classic n-gram-overlap
+    contamination test used to keep eval sets out of training corpora;
+    the reference engine has no analogue — this is training-data-
+    pipeline surface, like the dedup family above).
+
+    Scale shape: the heldout side (an eval benchmark: typically 1e3-1e5
+    docs) collapses to its DISTINCT shingle set and is broadcast, so the
+    corpus is ONE scan + explode + broadcast-hash semi-join — the corpus
+    itself never shuffles; the only shuffle is the hits groupBy over
+    MATCHED rows (bounded by actual contamination, normally a sliver).
+    Set ``broadcast_heldout=False`` for an unusually large heldout side
+    and the join falls back to a shuffle join (AQE may still broadcast).
+
+    Shingling is ``_shingle_expr`` — the SAME normalization and
+    short-doc fallback as the n-gram/minhash dedup family, so a
+    contamination threshold and a dedup threshold refer to the same
+    token universe. Null text on either side contributes no shingles
+    (never contaminates, never contaminated).
+
+    ``hits`` counts distinct shared shingles (corpus-doc shingles are
+    distinct by construction, the heldout set is made distinct): a doc
+    quoting one heldout passage twice scores the passage once.
+    """
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1 (got {min_hits})")
+    held_sh = (
+        heldout.select(
+            F.explode(
+                _shingle_expr(heldout_text_col or text_col, shingle_k)
+            ).alias("_sh")
+        ).distinct()
+    )
+    if broadcast_heldout:
+        held_sh = F.broadcast(held_sh)
+    corp_sh = corpus.select(
+        F.col(id_col),
+        F.explode(_shingle_expr(text_col, shingle_k)).alias("_sh"),
+    )
+    return (
+        corp_sh.join(held_sh, "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )

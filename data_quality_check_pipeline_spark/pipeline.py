@@ -75,13 +75,16 @@ AUDIO_FP_TABLE = "audio_fp_history"
 PROFILE_TABLE = "profile_history"
 DUP_CONTENT_REASON = "duplicate_content"
 DUP_AUDIO_REASON = "near_duplicate_audio"
+CONTAMINATION_REASON = "eval_contamination"
 # quarantine reasons that are TERMINAL for the DLQ: a duplicate stays a
-# duplicate on retry (its survivor is already in the corpus), so requeue
-# must never re-drive it into clips_clean — unlike transient validation
+# duplicate on retry (its survivor is already in the corpus), and a
+# clip overlapping the eval set stays contaminated, so requeue must
+# never re-drive either into clips_clean — unlike transient validation
 # failures. stream_near_duplicate is the streaming sink's analogue.
 TERMINAL_REASONS = (
     DUP_CONTENT_REASON,
     DUP_AUDIO_REASON,
+    CONTAMINATION_REASON,
     "stream_near_duplicate",
 )
 
@@ -112,6 +115,16 @@ class RunConfig:
     # argmax of this numeric column (ties -> min clip_id) instead of min
     # clip_id. Cross-run stays greedy (dedup_exact_incremental docs).
     dedup_quality_col: str | None = None
+    # eval-set decontamination: parquet of heldout/benchmark texts —
+    # kept clips whose transcript shares >= decontam_min_hits distinct
+    # word decontam_k-grams with any heldout row quarantine with the
+    # TERMINAL eval_contamination reason. Runs BEFORE dedup so a
+    # contaminated clip leaves no signature in the dedup history (the
+    # sampling-ordering argument: what never lands must leave no trace)
+    decontam_heldout: str | None = None
+    decontam_text_col: str = "text"
+    decontam_k: int = 8
+    decontam_min_hits: int = 1
     # compact a dedup history table once its current view fragments past
     # this many snapshot dirs (one small dir accretes per shard per
     # run). None disables. Conflict-safe: compact() aborts rather than
@@ -699,12 +712,56 @@ def _run_shard(
         )
         t0 = time.time()
     dup_rows = new_hashes = new_fps = None
+    # -- DECONTAMINATION (optional): BEFORE dedup, so a contaminated
+    # clip never lands a signature in the dedup history (a later
+    # re-upload of the same contaminated audio must be judged on its
+    # own, not deduped against a clip that never entered the corpus)
+    if cfg.decontam_heldout:
+        from .operators.dedup import decontaminate
+
+        heldout = kept_src.sparkSession.read.parquet(
+            cfg.decontam_heldout
+        )
+        cont_ids = decontaminate(
+            kept_src, heldout, "clip_id", "transcript",
+            heldout_text_col=cfg.decontam_text_col,
+            shingle_k=cfg.decontam_k,
+            min_hits=cfg.decontam_min_hits,
+        ).select("clip_id")
+        n_cont = cont_ids.count()
+        if n_cont:
+            dup_rows = cont_ids.withColumn(
+                "reason", F.lit(CONTAMINATION_REASON)
+            )
+            kept_src = kept_src.join(cont_ids, "clip_id", "left_anti")
+            # contamination is a QUALITY drop: unlike sampling it
+            # counts against keep_pct (and quarantines terminally)
+            stats["kept"] -= n_cont
+            stats["dropped"] += n_cont
+            if stats.get("total"):
+                stats["keep_pct"] = (
+                    100.0
+                    * (stats["kept"] + stats.get("sampled_out", 0))
+                    / stats["total"]
+                )
+        log.record(
+            "decontaminate", "ok", t0,
+            contaminated=n_cont, k=cfg.decontam_k,
+            min_hits=cfg.decontam_min_hits,
+        )
+        t0 = time.time()
     dedup_cached: list[DataFrame] = []
     if cfg.dedup_content or cfg.dedup_audio:
-        (kept_src, dup_rows, new_hashes, new_fps, dd,
+        (kept_src, dedup_rows, new_hashes, new_fps, dd,
          dedup_cached) = _dedup_kept_branch(
             kept_src, cfg, store, shard_props
         )
+        if dedup_rows is not None:
+            # decontamination rows (if any) accumulate, never overwrite
+            dup_rows = (
+                dedup_rows if dup_rows is None
+                else dup_rows.unionByName(dedup_rows)
+            )
         n_dups = sum(dd.values())
         # run totals report what LANDED: a deduped clip is dropped (it
         # quarantines with a terminal reason), not kept. keep_pct is
@@ -827,7 +884,10 @@ def _run_shard(
                 "clip_id",
                 F.array("reason").alias("reasons"),
                 F.lit("MEDIUM").alias("severity"),
-                F.lit("dedup").alias("stage"),
+                F.when(
+                    F.col("reason") == CONTAMINATION_REASON,
+                    F.lit("decontaminate"),
+                ).otherwise(F.lit("dedup")).alias("stage"),
                 F.lit(cfg.run_id).alias("run_id"),
                 F.current_timestamp().alias("ts"),
                 # terminal from the start: duplicates never requeue

@@ -123,6 +123,23 @@ def main() -> None:
                     help="with --dedup-content: keep the within-run dup "
                          "group's argmax of this score column (e.g. "
                          "snr_db) instead of min clip_id")
+    ap.add_argument("--decontam-heldout", default=None, metavar="PATH",
+                    help="batch runs: parquet of heldout/benchmark "
+                         "texts; kept clips whose transcript shares a "
+                         "word n-gram with any heldout row quarantine "
+                         "terminally (reason eval_contamination; runs "
+                         "BEFORE dedup so contaminated clips leave no "
+                         "signature history)")
+    ap.add_argument("--decontam-text-col", default="text", metavar="COL",
+                    help="text column in the --decontam-heldout parquet "
+                         "(default: text)")
+    ap.add_argument("--decontam-k", type=int, default=8, metavar="K",
+                    help="contamination n-gram length in words "
+                         "(default 8)")
+    ap.add_argument("--decontam-min-hits", type=int, default=1,
+                    metavar="N",
+                    help="distinct shared n-grams needed to flag a clip "
+                         "(default 1)")
     ap.add_argument("--sample-lang", default=None, metavar="L=R,...",
                     help="deterministic per-language mixture sampling "
                          "of the kept branch, e.g. en=0.3,de=1.0 — "
@@ -372,6 +389,10 @@ def main() -> None:
         dedup_audio=args.dedup_audio,
         dedup_audio_max_hamming=args.dedup_audio_max_hamming,
         dedup_quality_col=args.dedup_quality_col,
+        decontam_heldout=args.decontam_heldout,
+        decontam_text_col=args.decontam_text_col,
+        decontam_k=args.decontam_k,
+        decontam_min_hits=args.decontam_min_hits,
         sample_rates=(
             _kv_floats(args.sample_lang, "sample-lang")
             if args.sample_lang else None

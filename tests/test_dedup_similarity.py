@@ -1315,3 +1315,137 @@ class TestIncrementalComponents:
             store, "comps", e2, source_fingerprint="b2"
         ) is None
         assert self._labels(store.read("comps")) == want
+
+
+class TestDecontaminate:
+    """Eval-set decontamination: n-gram overlap vs a heldout set."""
+
+    K = 4
+
+    def _frames(self, spark):
+        eval_passage = "alpha bravo charlie delta echo foxtrot"
+        corpus = spark.createDataFrame(
+            [
+                # quotes a full heldout 4-gram (twice: hits stay distinct)
+                (1, "intro text alpha bravo charlie delta more words "
+                    "and again alpha bravo charlie delta end"),
+                # clean doc, same vocabulary but never 4 in a row
+                (2, "bravo alpha delta charlie echo words foxtrot jumble"),
+                # quotes TWO distinct heldout 4-grams
+                (3, "x alpha bravo charlie delta echo y"),
+                (4, None),  # null text: never contaminated
+                (5, "tiny doc"),  # shorter than k, not in heldout
+            ],
+            "doc_id long, text string",
+        )
+        heldout = spark.createDataFrame(
+            [(eval_passage,), (None,)], "text string"
+        )
+        return corpus, heldout
+
+    def test_planted_overlap_and_min_hits(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            decontaminate,
+        )
+
+        corpus, heldout = self._frames(spark)
+        got = {
+            r["doc_id"]: r["hits"]
+            for r in decontaminate(
+                corpus, heldout, "doc_id", "text", shingle_k=self.K
+            ).collect()
+        }
+        # doc 1 shares exactly one distinct 4-gram (quoted twice),
+        # doc 3 spans 'alpha..echo' = two heldout 4-grams
+        assert got == {1: 1, 3: 2}
+        strict = {
+            r["doc_id"]
+            for r in decontaminate(
+                corpus, heldout, "doc_id", "text",
+                shingle_k=self.K, min_hits=2,
+            ).collect()
+        }
+        assert strict == {3}
+
+    def test_short_heldout_matches_only_whole_text(self, spark):
+        """A heldout doc shorter than k collapses to its whole text
+        (the _shingle_expr fallback): it flags only corpus docs whose
+        own shingle set contains that exact string — i.e. equally-short
+        identical docs — not every doc containing the words."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            decontaminate,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "this tiny doc sits inside a longer "
+                                  "sentence with many more words here")],
+            "doc_id long, text string",
+        )
+        heldout = spark.createDataFrame([("tiny doc",)], "text string")
+        got = {
+            r["doc_id"]
+            for r in decontaminate(
+                corpus, heldout, "doc_id", "text", shingle_k=self.K
+            ).collect()
+        }
+        assert got == {1}
+
+    def test_matches_python_oracle_on_random_data(self, spark):
+        import random
+
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            decontaminate,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+
+        def doc():
+            return " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(2, 25))
+            )
+
+        corpus_rows = [(i, doc()) for i in range(120)]
+        heldout_rows = [(doc(),) for _ in range(15)]
+
+        def shingles(text):
+            toks = text.split()
+            if len(toks) < self.K:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[i:i + self.K])
+                for i in range(len(toks) - self.K + 1)
+            }
+
+        held = set().union(*(shingles(t) for (t,) in heldout_rows))
+        expect = {
+            i: len(shingles(t) & held)
+            for i, t in corpus_rows
+            if shingles(t) & held
+        }
+        got = {
+            r["doc_id"]: r["hits"]
+            for r in decontaminate(
+                spark.createDataFrame(
+                    corpus_rows, "doc_id long, text string"
+                ),
+                spark.createDataFrame(heldout_rows, "text string"),
+                "doc_id", "text", shingle_k=self.K,
+            ).collect()
+        }
+        assert got == expect
+
+    def test_plan_broadcasts_heldout_not_corpus(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            decontaminate,
+        )
+
+        corpus, heldout = self._frames(spark)
+        q = decontaminate(corpus, heldout, "doc_id", "text")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        with pytest.raises(ValueError, match="min_hits"):
+            decontaminate(
+                corpus, heldout, "doc_id", "text", min_hits=0
+            )

@@ -1436,3 +1436,106 @@ class TestTokenPackingStage:
                 assert r["start_offset"] == off, key
                 assert r["chunk_id"] == off // 400
                 off += r["n_tokens"]
+
+
+class TestDecontaminationStage:
+    """--decontam-heldout: kept clips overlapping an eval set in word
+    n-grams quarantine terminally, BEFORE dedup (no history signature),
+    and the flagged set matches a pure-Python shingle oracle exactly."""
+
+    K = 4
+
+    @staticmethod
+    def _shingles(text, k):
+        toks = text.strip().lower().split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    def test_contaminated_clips_quarantine_terminally(
+        self, spark, tmp_path
+    ):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_quality_check_pipeline_spark.pipeline import (
+            flag_clips,
+            requeue_quarantine,
+            score_clips,
+        )
+        from data_quality_check_pipeline_spark.synth import generate_clips
+
+        pdf, _ = generate_clips(40)
+        sdf = spark.createDataFrame(pdf)
+        valid = {
+            r["clip_id"]: r["transcript"]
+            for r in flag_clips(score_clips(sdf))
+            .filter("keep").select("clip_id", "transcript").collect()
+        }
+        assert len(valid) >= 3
+        ids = sorted(valid)
+        a, b = ids[0], ids[1]
+        # heldout: clip a's full transcript, a 4-word snippet from the
+        # middle of clip b's, and an unrelated row
+        b_toks = valid[b].split()
+        assert len(b_toks) >= self.K
+        mid = max(0, len(b_toks) // 2 - self.K // 2)
+        snippet = " ".join(b_toks[mid:mid + self.K])
+        heldout = pd.DataFrame(
+            {"text": [valid[a], snippet, "zz unrelated heldout row zz"]}
+        )
+        hpath = str(tmp_path / "heldout.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(heldout, preserve_index=False), hpath
+        )
+        # the exact expected flag set, from an independent shingle oracle
+        held_sh = set().union(
+            *(self._shingles(t, self.K) for t in heldout["text"])
+        )
+        expected = {
+            cid for cid, t in valid.items()
+            if self._shingles(t, self.K) & held_sh
+        }
+        assert a in expected and b in expected
+
+        cpath = str(tmp_path / "clips.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), cpath
+        )
+        out = str(tmp_path / "tables")
+        cfg = RunConfig(
+            out_root=out, run_id="rdc", source_fingerprint="fpD",
+            dedup_content=True, module_reports=False,
+            decontam_heldout=hpath, decontam_k=self.K,
+        )
+        m = run_pipeline(spark, cpath, cfg)
+        store = TableStore(spark, out)
+        clean_ids = {
+            r["clip_id"] for r in store.read(CLEAN_TABLE).collect()
+        }
+        assert clean_ids == set(valid) - expected
+        assert m["quality"]["kept"] == len(valid) - len(expected)
+        q = {
+            r["clip_id"]: (list(r["reasons"]), r["stage"])
+            for r in store.read(QUARANTINE_TABLE)
+            .filter(F.array_contains("reasons", "eval_contamination"))
+            .collect()
+        }
+        assert set(q) == expected
+        assert all(
+            stage == "decontaminate" for _, stage in q.values()
+        )
+        # BEFORE dedup: contaminated clips left no signature history
+        hist_n = store.read("content_hash_history").count()
+        assert hist_n == len(valid) - len(expected)
+        # terminal: requeue never re-drives a contaminated clip
+        res = requeue_quarantine(spark, cfg, cpath)
+        assert store.read(CLEAN_TABLE).count() == len(clean_ids)
+        assert not (
+            expected
+            & {r["clip_id"] for r in store.read(CLEAN_TABLE).collect()}
+        )
+        assert "requeued" in res
