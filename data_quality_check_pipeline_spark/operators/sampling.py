@@ -163,6 +163,88 @@ def corpus_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    key_col: str,
+    total_rows: int | None = None,
+    seed: int = 0,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Temperature-based mixture resampling: stratum ``s`` should supply
+    a share proportional to ``count(s) ** alpha`` — the standard
+    multilingual rebalance (alpha=1 keeps the natural distribution,
+    alpha=0 targets uniform, alpha~0.3-0.7 up-weights tail languages
+    without drowning the head). Unlike ``corpus_mix`` the weights come
+    from the corpus itself, so no per-stratum weight list is needed —
+    the right default when the stratum set is open-ended (hundreds of
+    languages/sources).
+
+    ``total_rows=None`` picks the LARGEST corpus achievable without
+    upsampling (T = min_s count(s)/p(s)): every stratum meets its target
+    exactly and no rate clamps. An explicit larger ``total_rows`` clamps
+    over-asked strata to rate 1.0 and reports the shortfall in
+    ``stats_out['unmet']`` (corpus_mix's no-silent-rebalance rule).
+
+    Same execution shape as ``stratified_sample``: one tiny count
+    aggregate fixes the rates on the driver, then a single scan-side
+    hash filter applies them — no shuffle of the corpus. NULL-stratum
+    rows are dropped (rate 0) and counted in
+    ``stats_out['null_stratum_rows']``; a mixture needs a stratum
+    label. Hash decisions share the sampling domain/seed universe:
+    temperature_mix at seed k and with_split at seed k stay independent
+    (the 'split' domain literal), while two temperature samples need
+    distinct seeds to be independent."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if total_rows is not None and total_rows <= 0:
+        raise ValueError(f"total_rows must be > 0, got {total_rows}")
+    rows = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r[strata_col]: r["n"] for r in rows}
+    null_rows = counts.pop(None, 0)
+    if not counts:
+        if stats_out is not None:
+            stats_out.update(
+                {"rates": {}, "unmet": {}, "total_rows": 0,
+                 "null_stratum_rows": null_rows}
+            )
+        return df.filter(F.lit(False))
+    shares = {s: float(n) ** alpha for s, n in counts.items()}
+    ssum = sum(shares.values())
+    shares = {s: w / ssum for s, w in shares.items()}
+    # largest achievable-without-upsampling corpus: the binding stratum
+    # is the one whose natural count falls shortest of its target share
+    t_max = min(counts[s] / p for s, p in shares.items())
+    t = t_max if total_rows is None else float(total_rows)
+    rates: dict[str, float] = {}
+    unmet: dict[str, int] = {}
+    for s, p in shares.items():
+        target = t * p
+        have = counts[s]
+        if target > have:
+            unmet[s] = int(round(target - have))
+        rates[s] = min(1.0, target / have)
+    if stats_out is not None:
+        stats_out["rates"] = dict(rates)
+        stats_out["unmet"] = unmet
+        stats_out["total_rows"] = int(round(t))
+        stats_out["null_stratum_rows"] = null_rows
+    if unmet:
+        _log.warning(
+            "temperature_mix(alpha=%s): %d strata cannot meet their "
+            "target (%s); keeping all their rows", alpha, len(unmet),
+            unmet,
+        )
+    return stratified_sample(
+        df, strata_col, rates, key_col, default_rate=0.0, seed=seed
+    )
+
+
 def with_split(
     df: DataFrame,
     key_col: str,

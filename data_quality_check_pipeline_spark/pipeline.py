@@ -139,6 +139,14 @@ class RunConfig:
     sample_rates: dict | None = None  # lang -> keep rate
     sample_default_rate: float = 1.0  # unlisted/NULL lang
     sample_seed: int = 0
+    # temperature-based mixture instead of explicit rates: per-lang
+    # keep rates derived from count(lang)**alpha over THIS SHARD's kept
+    # branch (shards are a hash split, so per-shard proportions match
+    # the corpus in expectation; the derived rates are logged per
+    # shard). Mutually exclusive with sample_rates. Streaming runs need
+    # explicit rates — a micro-batch is not a corpus to derive a
+    # mixture from.
+    sample_temperature: float | None = None
     # split name -> fraction (must sum to 1); adds a 'split' column and
     # partitions clips_clean by (lang, split)
     split_fractions: dict | None = None
@@ -167,6 +175,11 @@ class RunConfig:
     def __post_init__(self) -> None:
         if not self.run_id:
             self.run_id = uuid.uuid4().hex[:12]
+        if self.sample_temperature is not None and self.sample_rates:
+            raise ValueError(
+                "sample_temperature and sample_rates are mutually "
+                "exclusive mixture policies — pick one"
+            )
 
 
 def score_clips(df: DataFrame, with_audio: bool = True) -> DataFrame:
@@ -688,13 +701,23 @@ def _run_shard(
     # NO trace in the dedup histories — its content never landed, so a
     # later re-upload of the same content must not quarantine against a
     # phantom survivor
-    if cfg.sample_rates is not None:
-        from .operators.sampling import stratified_sample
+    if cfg.sample_rates is not None or cfg.sample_temperature is not None:
+        sample_stats: dict = {}
+        if cfg.sample_temperature is not None:
+            from .operators.sampling import temperature_mix
 
-        kept_src = stratified_sample(
-            kept_src, "lang", cfg.sample_rates, "clip_id",
-            default_rate=cfg.sample_default_rate, seed=cfg.sample_seed,
-        )
+            kept_src = temperature_mix(
+                kept_src, "lang", cfg.sample_temperature, "clip_id",
+                seed=cfg.sample_seed, stats_out=sample_stats,
+            )
+        else:
+            from .operators.sampling import stratified_sample
+
+            kept_src = stratified_sample(
+                kept_src, "lang", cfg.sample_rates, "clip_id",
+                default_rate=cfg.sample_default_rate, seed=cfg.sample_seed,
+            )
+            sample_stats["rates"] = dict(cfg.sample_rates)
         # kept-before is already known (stats); only after needs a job
         n_after = kept_src.count()
         sampled_out = stats["kept"] - n_after
@@ -708,7 +731,12 @@ def _run_shard(
         log.record(
             "sample", "ok", t0,
             sampled_out=sampled_out, kept=n_after,
-            rates=dict(cfg.sample_rates),
+            rates=sample_stats.get("rates", {}),
+            **(
+                {"temperature": cfg.sample_temperature,
+                 "unmet": sample_stats.get("unmet", {})}
+                if cfg.sample_temperature is not None else {}
+            ),
         )
         t0 = time.time()
     dup_rows = new_hashes = new_fps = None

@@ -151,6 +151,16 @@ def main() -> None:
                     help="with --sample-lang: rate for unlisted/NULL "
                          "languages (default 1.0 = keep)")
     ap.add_argument("--sample-seed", type=int, default=0)
+    ap.add_argument("--sample-temperature", type=float, default=None,
+                    metavar="ALPHA",
+                    help="temperature mixture instead of explicit "
+                         "rates: per-lang keep rates derived from "
+                         "count(lang)**ALPHA over the kept branch "
+                         "(0=uniform, 1=natural; 0.3-0.7 up-weights "
+                         "tail languages). Batch only — streaming "
+                         "micro-batches have no corpus to derive a "
+                         "mixture from; mutually exclusive with "
+                         "--sample-lang")
     ap.add_argument("--split", default=None, metavar="NAME=F,...",
                     help="stable split assignment, e.g. "
                          "train=0.8,val=0.1,test=0.1 (fractions sum to "
@@ -187,6 +197,14 @@ def main() -> None:
                          "consumption; errors honestly on non-append "
                          "history — full-read and re-anchor)")
     args = ap.parse_args()
+    if args.sample_temperature is not None:
+        if args.sample_lang:
+            ap.error("--sample-temperature and --sample-lang are "
+                     "mutually exclusive mixture policies")
+        if args.stream:
+            ap.error("--sample-temperature is batch-only (a streaming "
+                     "micro-batch is not a corpus to derive a mixture "
+                     "from); use explicit --sample-lang rates")
 
     def _kv_floats(s: str, what: str) -> dict[str, float]:
         # strip around names/values: a quoted 'en=0.4, de=1.0' must not
@@ -399,6 +417,7 @@ def main() -> None:
         ),
         sample_default_rate=args.sample_default_rate,
         sample_seed=args.sample_seed,
+        sample_temperature=args.sample_temperature,
         split_fractions=(
             _kv_floats(args.split, "split") if args.split else None
         ),

@@ -1234,6 +1234,41 @@ class TestMixtureSampleSplit:
         }
         assert got1 == got2
 
+    def test_temperature_mix_stage(
+        self, spark, corpus, oracle_df, out_root
+    ):
+        """--sample-temperature 0 (uniform mixture): every language
+        lands ~the rarest language's count, accounting still balances,
+        and mixing policies are mutually exclusive."""
+        _, _, path = corpus
+        cfg = RunConfig(
+            out_root=out_root, run_id="t0",
+            sample_temperature=0.0, sample_seed=3,
+        )
+        m = run_pipeline(spark, path, cfg)
+        expected_kept = int(oracle_df["keep"].sum())
+        assert (
+            m["quality"]["kept"] + m["quality"]["sampled_out"]
+            == expected_kept
+        )
+        assert 0 < m["quality"]["sampled_out"] < expected_kept
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in TableStore(spark, out_root).read(CLEAN_TABLE)
+            .groupBy("lang").count().withColumnRenamed("count", "n")
+            .collect()
+        }
+        # uniform target: every lang within Bernoulli noise of the
+        # rarest (the corpus langs are Zipfian, so without the mixture
+        # the head lang would dominate by >5x)
+        n_min = min(by_lang.values())
+        assert max(by_lang.values()) < 1.6 * n_min
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            RunConfig(
+                out_root=out_root, sample_temperature=0.5,
+                sample_rates={"en": 0.4},
+            )
+
     def test_sampled_out_leaves_no_dedup_signature(
         self, spark, corpus, out_root
     ):

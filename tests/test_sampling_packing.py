@@ -19,6 +19,7 @@ from data_quality_check_pipeline_spark.operators.sampling import (
     hash_frac,
     hash_sample,
     stratified_sample,
+    temperature_mix,
     with_split,
 )
 
@@ -126,6 +127,96 @@ class TestStratifiedAndMix:
         assert abs(got["en"] - 300) < 60 and abs(got["de"] - 300) < 60
         assert stats["rates"]["sw"] == 1.0 and "sw" in stats["unmet"]
         assert "fr" not in got  # unweighted stratum dropped
+
+    def test_temperature_alpha_one_keeps_everything(
+        self, spark, corpus_df
+    ):
+        """alpha=1 targets the natural distribution: every rate is
+        exactly 1.0 and no row is sampled out."""
+        stats = {}
+        out = temperature_mix(
+            corpus_df, "lang", 1.0, "id", stats_out=stats
+        )
+        assert all(r == 1.0 for r in stats["rates"].values())
+        assert stats["unmet"] == {}
+        assert out.count() == corpus_df.count()
+
+    def test_temperature_zero_targets_uniform(self, spark, corpus_df):
+        """alpha=0 = uniform mixture: the default total is bounded by
+        the rarest stratum, so every stratum keeps ~count(min)."""
+        base = {
+            r["lang"]: r["n"]
+            for r in corpus_df.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_min = min(base.values())
+        stats = {}
+        out = temperature_mix(
+            corpus_df, "lang", 0.0, "id", stats_out=stats
+        )
+        got = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert stats["unmet"] == {}  # default total never upsamples
+        # the binding (rarest) stratum keeps everything; the rest land
+        # near n_min (Bernoulli noise)
+        binding = min(base, key=base.get)
+        assert got[binding] == n_min
+        for s, n in got.items():
+            assert abs(n - n_min) < 0.35 * n_min, (s, n, n_min)
+        # exact-rate math: rate_s = n_min / n_s
+        for s, r in stats["rates"].items():
+            assert abs(r - n_min / base[s]) < 1e-9
+
+    def test_temperature_partial_upweights_tail(self, spark, corpus_df):
+        """0<alpha<1 shifts share from head to tail: the tail stratum's
+        kept fraction strictly exceeds the head's."""
+        stats = {}
+        out = temperature_mix(
+            corpus_df, "lang", 0.5, "id", stats_out=stats
+        )
+        base = {
+            r["lang"]: r["n"]
+            for r in corpus_df.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert stats["rates"]["sw"] == 1.0  # rarest keeps all
+        assert stats["rates"]["en"] < stats["rates"]["sw"]
+        # shares follow n^0.5 renormalized: check en's derived rate
+        import math
+
+        shares = {s: math.sqrt(n) for s, n in base.items()}
+        ssum = sum(shares.values())
+        shares = {s: w / ssum for s, w in shares.items()}
+        t = min(base[s] / p for s, p in shares.items())
+        assert abs(stats["rates"]["en"] - t * shares["en"] / base["en"]) \
+            < 1e-9
+        assert stats["total_rows"] == int(round(t))
+        assert abs(out.count() - t) < 0.1 * t
+
+    def test_temperature_explicit_total_and_nulls(self, spark):
+        """An over-asked explicit total clamps + reports unmet; NULL
+        strata drop and are counted."""
+        rows = [(i, "en" if i % 4 else None) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, lang string")
+        stats = {}
+        out = temperature_mix(
+            df, "lang", 0.0, "id", total_rows=1000, stats_out=stats
+        )
+        assert stats["rates"]["en"] == 1.0
+        assert stats["unmet"]["en"] == 700
+        assert stats["null_stratum_rows"] == 100
+        assert out.filter(F.col("lang").isNull()).count() == 0
+        assert out.count() == 300
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mix(df, "lang", -0.1, "id")
+        with pytest.raises(ValueError, match="total_rows"):
+            temperature_mix(df, "lang", 0.5, "id", total_rows=0)
 
     def test_split_stable_under_growth(self, spark, corpus_df):
         fr = {"train": 0.8, "val": 0.1, "test": 0.1}
