@@ -142,6 +142,18 @@ def _argmax_quality(id_expr, quality_col: str):
     return F.min_by(id_expr, F.struct(nq.alias("_nq"), id_expr.alias("_i")))
 
 
+def content_hash_expr(text_col: str):
+    """The text-identity hash whose values populate the exact-dedup
+    content_hash_history table: xxhash64 over the lowercased,
+    whitespace-normalized text. dedup_exact / dedup_exact_incremental
+    and the takedown purge/block paths (takedown.py) MUST all derive
+    hashes through this one expression — a drift here would purge or
+    block the wrong history rows. NULL text hashes to NULL (callers
+    treat missing text as not-duplicate-evidence)."""
+    t = norm_text(F.lower(F.col(text_col)))
+    return F.when(t.isNotNull(), F.xxhash64(t))
+
+
 def dedup_exact(
     df: DataFrame, id_col: str, text_col: str,
     quality_col: str | None = None,
@@ -160,9 +172,9 @@ def dedup_exact(
     Rows with NULL text all SURVIVE: missing text is not evidence of
     shared content (xxhash64(NULL) is a constant — grouping on it would
     silently discard all-but-one of every null-text row)."""
-    t = norm_text(F.lower(F.col(text_col)))
-    cols = [F.col(id_col).alias("_id"), F.xxhash64(t).alias("_h"),
-            t.isNull().alias("_null")]
+    h = content_hash_expr(text_col)
+    cols = [F.col(id_col).alias("_id"), h.alias("_h"),
+            h.isNull().alias("_null")]
     if quality_col is not None:
         cols.append(F.col(quality_col))
     keyed = df.select(*cols)
@@ -207,11 +219,11 @@ def dedup_exact_incremental(
 
     NULL-text rows all survive and contribute no hash (missing text is
     not duplicate evidence — dedup_exact's rule)."""
-    t = norm_text(F.lower(F.col(text_col)))
+    h = content_hash_expr(text_col)
     keyed = new_df.select(
         F.col(id_col).alias("_id"),
-        F.xxhash64(t).alias("_h"),
-        t.isNull().alias("_null"),
+        h.alias("_h"),
+        h.isNull().alias("_null"),
         *([F.col(quality_col)] if quality_col is not None else []),
     )
     pick = (

@@ -86,6 +86,8 @@ TERMINAL_REASONS = (
     DUP_AUDIO_REASON,
     CONTAMINATION_REASON,
     "stream_near_duplicate",
+    # a takedown order (takedown.py) is never retried back in
+    "takedown",
 )
 
 
@@ -1318,7 +1320,12 @@ def requeue_quarantine(
 def _completed_shards(
     spark: SparkSession, store: TableStore, cfg: RunConfig
 ) -> set[int]:
-    if not store.exists(LINEAGE_TABLE):
+    # resume guards exist only when the run is STAMPED (same rule as
+    # the per-table commit guards): without a fingerprint, a second
+    # unstamped run into the same out_root would false-match the first
+    # run's lineage rows (fingerprint '' == '') and silently skip every
+    # shard — processing nothing while reporting success
+    if not cfg.source_fingerprint or not store.exists(LINEAGE_TABLE):
         return set()
     rows = (
         store.read(LINEAGE_TABLE)

@@ -31,6 +31,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _log = logging.getLogger("clip_quality.tables")
 
@@ -595,6 +596,166 @@ class TableStore:
             m["current"] = sid
             self._save_manifest(name, m)
         return sid
+
+    def delete_where(
+        self,
+        name: str,
+        key_col: str,
+        keys,
+        properties: dict | None = None,
+        stats_out: dict | None = None,
+    ) -> dict:
+        """Copy-on-write row delete: remove every row whose ``key_col``
+        is in ``keys`` (the Iceberg delete-and-rewrite shape, the
+        primitive under compliance takedowns). Surgical at snapshot-dir
+        granularity: dirs whose per-file min/max stats provably cannot
+        contain any key carry FORWARD into the new snapshot's read_set
+        untouched (zero IO — on an id-clustered 100 TB table a small
+        takedown batch rewrites a handful of dirs, not the corpus);
+        only overlapping dirs are read, anti-joined and rewritten.
+        NULL-key rows always survive (a key set never names NULL).
+
+        Commits a mode='delete' snapshot — NON-append, so
+        read_incremental consumers honestly fail and full-resync
+        instead of silently missing the retraction. The rewritten dirs
+        land in the entry's ``absorbed_read_set`` (compact's
+        convention), keeping _find_committed_write's crash/replay
+        closure intact for shard appends whose dir was rewritten away.
+        Old snapshots still reference the pre-delete dirs until
+        expire_snapshots reclaims them — PHYSICAL deletion needs that
+        expiry pass (takedown's ``hard`` mode).
+
+        Concurrency mirrors compact: rewrite outside the lock,
+        optimistic commit — if 'current' moved, abort (returns
+        ``aborted=True``, orphan dir left for the grace sweep) and the
+        caller re-runs. Returns {snapshot, n_deleted, dirs_rewritten,
+        dirs_untouched, aborted}.
+
+        ``keys`` is a bounded driver-side list (takedown batches are
+        small relative to the corpus); capped at 1M — batch larger
+        sets. Pruning normalizes keys via the stats rules; any
+        non-normalizable key degrades to rewrite-everything
+        (conservative, never wrong)."""
+        from bisect import bisect_left
+
+        keys = set(keys)
+        if any(k is None for k in keys):
+            raise ValueError("delete_where: keys must be non-NULL")
+        keys = sorted(keys)
+        if len(keys) > 1_000_000:
+            raise ValueError(
+                f"delete_where: {len(keys)} keys — batch below 1M "
+                "(the key list is a driver-side plan literal)"
+            )
+        out = {
+            "snapshot": None, "n_deleted": 0, "dirs_rewritten": 0,
+            "dirs_untouched": 0, "aborted": False,
+        }
+        if stats_out is not None:
+            stats_out.update(out)
+        if not keys:
+            return out
+        m0 = self._load_manifest(name)
+        base = self._snapshot(m0, None)
+        if base is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        nkeys = [_norm_stat_value(k) for k in keys]
+        prunable = all(v is not None for v in nkeys)
+        nkeys = sorted(nkeys) if prunable else None
+
+        def _dir_overlaps(finfo) -> bool:
+            if finfo is None or not prunable:
+                return True  # legacy dir / unprunable keys: rewrite
+            for f in finfo:
+                s = f["stats"].get(key_col)
+                if not s:
+                    return True  # file lacks stats for the key column
+                lo, hi = s
+                try:
+                    i = bisect_left(nkeys, lo)
+                except TypeError:
+                    return True  # incomparable types: conservative
+                if i < len(nkeys) and nkeys[i] <= hi:
+                    return True
+            return False
+
+        stats_by_dir = {
+            f"snap_{s['id']}": s.get("files") for s in m0["snapshots"]
+        }
+        affected = [
+            d for d in base["read_set"]
+            if _dir_overlaps(stats_by_dir.get(d))
+        ]
+        untouched = [d for d in base["read_set"] if d not in affected]
+        out["dirs_rewritten"] = len(affected)
+        out["dirs_untouched"] = len(untouched)
+        if not affected:
+            if stats_out is not None:
+                stats_out.update(out)
+            return out  # keys provably absent: nothing to commit
+        df = self._union_snapshot_dirs(
+            name, m0, affected, base.get("schema")
+        )
+        hit = F.col(key_col).isin(keys)
+        n_deleted = df.filter(hit).count()
+        out["n_deleted"] = n_deleted
+        if n_deleted == 0:
+            if stats_out is not None:
+                stats_out.update(out)
+            return out  # stats overlapped but no real rows: no-op
+        survivors = df.filter(F.col(key_col).isNull() | ~hit)
+        partition_by = base.get("partition_by") or None
+        sid = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._dir(name), f"snap_{sid}")
+        w = survivors.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        files = _collect_file_stats(data_dir)
+        props = {
+            "delete_key": key_col,
+            "n_deleted": n_deleted,
+            "absorbed_read_set": list(affected),
+            **(properties or {}),
+        }
+        fp = base.get("properties", {}).get("source_fingerprint")
+        if fp is not None and "source_fingerprint" not in props:
+            props["source_fingerprint"] = fp
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if m["current"] != base["id"]:
+                _log.warning(
+                    "delete_where(%s): current moved %s -> %s during "
+                    "the rewrite (concurrent commit); aborting — "
+                    "orphan dir snap_%s left for expire_snapshots' "
+                    "grace sweep; re-run",
+                    name, base["id"], m["current"], sid,
+                )
+                out["aborted"] = True
+                out["n_deleted"] = 0
+                if stats_out is not None:
+                    stats_out.update(out)
+                return out
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": "delete",
+                    "parent": base["id"],
+                    "read_set": untouched + [f"snap_{sid}"],
+                    "partition_by": partition_by or [],
+                    "properties": props,
+                    "schema": survivors.schema.json(),
+                    "has_data": bool(files) or bool(untouched),
+                    "files": files,
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+        out["snapshot"] = sid
+        if stats_out is not None:
+            stats_out.update(out)
+        return out
 
     def exists(self, name: str) -> bool:
         return self._load_manifest(name)["current"] is not None

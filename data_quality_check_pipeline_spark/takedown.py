@@ -1,0 +1,240 @@
+"""Compliance takedown: remove named clips from the corpus and
+propagate through every table that remembers them.
+
+A production 100-TB training corpus receives removal orders — GDPR
+erasure, DMCA, abusive-content takedowns. Dropping the rows from
+``clips_clean`` is the easy part; the engine also keeps per-clip STATE
+that must be handled deliberately:
+
+* ``content_hash_history`` — exact-dedup memory (text hashes of every
+  retained clip; dedup.py:content_hash_expr is the shared identity),
+* ``audio_fp_history`` — audio near-dup memory (clip_id, audio_fp),
+* ``minhash_sig_history`` — the streaming near-dup signature table
+  (clip_id, sig),
+* ``clips_quarantine`` — the routing/audit table.
+
+Two policies, matching the two real-world orders:
+
+``mode='purge'`` (GDPR erasure): the clip AND its signatures go. A
+later re-upload of the same content is judged on its own — the corpus
+has genuinely forgotten it. Physical deletion is two-phase, exactly as
+in Iceberg: the delete snapshots stop the data being readable NOW;
+``hard=True`` additionally expires old snapshots so the bytes leave
+disk (until then, time-travel reads can still see them — the
+documented COW contract).
+
+``mode='block'`` (DMCA / abusive content): the clip goes, but its
+signatures STAY (and the transcript hash is force-registered if the
+table predates dedup), so any re-upload quarantines terminally as a
+duplicate. Blocking is signature-based: clips whose transcript was
+NULL cannot be content-blocked (reported in the result).
+
+Both modes append a terminal ``takedown`` quarantine marker per
+requested clip_id (TERMINAL_REASONS: requeue never re-drives it) and
+are idempotent per ``takedown_id`` (derived from mode + the id set;
+re-running the same order is a no-op — the marker commit is checked
+first, and it is written LAST, so a crash mid-takedown re-runs the
+table rewrites, which are themselves no-ops on already-deleted rows).
+
+Streaming exact-dedup state (watermark state inside the stream's
+checkpoint) is NOT purgeable here — it ages out with the watermark; a
+checkpoint reset clears it. Reports/metrics artifacts hold aggregates,
+not per-clip content, and are left alone.
+
+Reference parity: the reference engine has no takedown analogue (its
+rollback_manager.py only moves version pointers); this is part of the
+round brief's "operations a large-scale training-data pipeline would
+need".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import content_hash_expr
+from .pipeline import (
+    AUDIO_FP_TABLE,
+    CLEAN_TABLE,
+    CONTENT_HASH_TABLE,
+    QUARANTINE_TABLE,
+    _find_committed_write,
+)
+from .sources.tables import TableStore
+from .streaming.stream import NEARDUP_SIG_TABLE
+
+_log = logging.getLogger("clip_quality.takedown")
+
+TAKEDOWN_REASON = "takedown"
+TAKEDOWN_STAGE = "takedown"
+
+
+def takedown_id_for(clip_ids, mode: str) -> str:
+    """Deterministic order id: the same (mode, id set) is the same
+    takedown, however the caller batches or orders it."""
+    h = hashlib.sha256()
+    h.update(mode.encode())
+    for c in sorted(set(clip_ids)):
+        h.update(b"\x00")
+        h.update(str(c).encode())
+    return h.hexdigest()[:16]
+
+
+def apply_takedown(
+    spark: SparkSession,
+    out_root: str,
+    clip_ids,
+    mode: str = "purge",
+    takedown_id: str | None = None,
+    hard: bool = False,
+    orphan_grace_s: float = 3600.0,
+    keep_last: int = 1,
+) -> dict:
+    """Execute one takedown order against an out_root. Returns a JSON-
+    able report; see the module docstring for the policy semantics.
+
+    ``hard`` (purge only): after the delete snapshots commit, expire
+    all but ``keep_last`` snapshots of every rewritten table so the
+    removed rows physically leave disk. ``orphan_grace_s`` follows
+    expire_snapshots' contract — pass 0 only with no concurrent
+    writers. Soft purge first + a scheduled hard pass is the
+    production shape (Iceberg: delete + expire_snapshots +
+    remove_orphan_files)."""
+    if mode not in ("purge", "block"):
+        raise ValueError(f"mode must be 'purge' or 'block', got {mode!r}")
+    ids = sorted({c for c in clip_ids if c is not None})
+    if not ids:
+        raise ValueError("takedown: empty clip_id set")
+    tid = takedown_id or takedown_id_for(ids, mode)
+    store = TableStore(spark, out_root)
+    report: dict = {
+        "takedown_id": tid, "mode": mode, "requested": len(ids),
+        "tables": {}, "skipped_already_applied": False,
+    }
+    # idempotency: the quarantine marker is the LAST commit of a
+    # takedown, so its presence proves the whole order applied
+    if _find_committed_write(
+        store, QUARANTINE_TABLE, {"takedown_id": tid}
+    ):
+        _log.info("takedown %s already applied; skipping", tid)
+        report["skipped_already_applied"] = True
+        return report
+
+    if not store.exists(CLEAN_TABLE):
+        raise FileNotFoundError(
+            f"takedown: no {CLEAN_TABLE} table under {out_root}"
+        )
+    clean = store.read(CLEAN_TABLE)
+    # capture the targets BEFORE the delete rewrites them away: the
+    # content hashes drive the history purge/block, and null-transcript
+    # targets are reported as unblockable
+    target = clean.filter(F.col("clip_id").isin(ids)).select(
+        "clip_id", content_hash_expr("transcript").alias("_h")
+    )
+    rows = target.collect()
+    found_ids = {r["clip_id"] for r in rows}
+    hashes = sorted({r["_h"] for r in rows if r["_h"] is not None})
+    null_text = sorted(
+        r["clip_id"] for r in rows if r["_h"] is None
+    )
+    report["found_in_clean"] = len(found_ids)
+    report["not_in_clean"] = len(ids) - len(found_ids)
+
+    rewritten: list[str] = []
+
+    def _delete(table: str, key_col: str, keys) -> None:
+        if not keys or not store.exists(table):
+            report["tables"][table] = {"n_deleted": 0, "snapshot": None}
+            return
+        res = store.delete_where(
+            table, key_col, keys,
+            properties={"takedown_id": tid, "takedown_mode": mode},
+        )
+        if res["aborted"]:
+            raise RuntimeError(
+                f"takedown {tid}: {table} delete lost a commit race — "
+                "re-run the takedown (it is idempotent)"
+            )
+        report["tables"][table] = {
+            "n_deleted": res["n_deleted"],
+            "snapshot": res["snapshot"],
+            "dirs_rewritten": res["dirs_rewritten"],
+            "dirs_untouched": res["dirs_untouched"],
+        }
+        if res["snapshot"]:
+            rewritten.append(table)
+
+    _delete(CLEAN_TABLE, "clip_id", list(found_ids))
+    if mode == "purge":
+        _delete(CONTENT_HASH_TABLE, "text_hash", hashes)
+        _delete(AUDIO_FP_TABLE, "clip_id", ids)
+        _delete(NEARDUP_SIG_TABLE, "clip_id", ids)
+    else:
+        # block: signatures stay; force-register the transcript hashes
+        # that are not already in the exact-dedup history (a table that
+        # predates --dedup-content, or a clip ingested before it was
+        # enabled) so re-uploads quarantine as duplicate_content
+        missing = hashes
+        if store.exists(CONTENT_HASH_TABLE) and hashes:
+            present = {
+                r["text_hash"]
+                for r in store.read(CONTENT_HASH_TABLE)
+                .filter(F.col("text_hash").isin(hashes))
+                .collect()
+            }
+            missing = [h for h in hashes if h not in present]
+        if missing:
+            store.write(
+                CONTENT_HASH_TABLE,
+                spark.createDataFrame(
+                    [(h,) for h in missing], "text_hash long"
+                ),
+                mode=(
+                    "append" if store.exists(CONTENT_HASH_TABLE)
+                    else "overwrite"
+                ),
+                properties={"takedown_id": tid, "takedown_mode": mode},
+            )
+        report["blocked_hashes_registered"] = len(missing)
+        report["blocked_hashes_total"] = len(hashes)
+        report["unblockable_null_transcript"] = null_text
+
+    # terminal marker rows for EVERY requested id (also the ones not
+    # currently in clips_clean: the order still applies to them — in
+    # block mode their signatures may already guard re-uploads, and the
+    # audit trail must show the order was processed)
+    marker = spark.createDataFrame(
+        [(c,) for c in ids], "clip_id string"
+    ).select(
+        "clip_id",
+        F.array(F.lit(TAKEDOWN_REASON)).alias("reasons"),
+        F.lit("HIGH").alias("severity"),
+        F.lit(TAKEDOWN_STAGE).alias("stage"),
+        F.lit(tid).alias("run_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit(0).alias("retry_count"),
+    )
+    store.write(
+        QUARANTINE_TABLE,
+        marker,
+        mode="append" if store.exists(QUARANTINE_TABLE) else "overwrite",
+        properties={"takedown_id": tid, "takedown_mode": mode},
+    )
+
+    if hard and mode == "purge":
+        expired: dict = {}
+        for table in rewritten:
+            expired[table] = store.expire_snapshots(
+                table, keep_last=keep_last,
+                orphan_grace_s=orphan_grace_s,
+            )
+        report["hard_expired"] = expired
+    _log.info(
+        "takedown %s (%s): %d requested, %d removed from %s",
+        tid, mode, len(ids),
+        report["tables"][CLEAN_TABLE]["n_deleted"], CLEAN_TABLE,
+    )
+    return report

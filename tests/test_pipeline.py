@@ -137,6 +137,26 @@ class TestRunPipeline:
             lin.agg(F.sum("dup_count")).collect()[0][0] == exp_dups
         )
 
+    def test_unstamped_runs_never_false_match_lineage(
+        self, spark, corpus, out_root
+    ):
+        """Regression: two UNstamped runs (source_fingerprint='') into
+        the same out_root used to false-match each other's lineage rows
+        ('' == '') and the second run silently skipped every shard —
+        processing nothing while reporting success. Resume guards exist
+        only when the run is stamped."""
+        _, _, path = corpus
+        m1 = run_pipeline(
+            spark, path,
+            RunConfig(out_root=out_root, run_id="u1", with_audio=False),
+        )
+        m2 = run_pipeline(
+            spark, path,
+            RunConfig(out_root=out_root, run_id="u2", with_audio=False),
+        )
+        assert m2.get("skipped") is None
+        assert m2["quality"]["total"] == m1["quality"]["total"] > 0
+
     def test_pushgateway_transport_called(self, spark, corpus, out_root):
         _, _, path = corpus
         seen = []

@@ -1,0 +1,322 @@
+"""Takedown propagation (takedown.py) + the TableStore.delete_where
+primitive under it: surgical COW deletes with dir-level stat pruning,
+purge-vs-block signature semantics, terminal markers, idempotency,
+and physical erasure under hard expiry."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_pipeline_spark.pipeline import (
+    AUDIO_FP_TABLE,
+    CLEAN_TABLE,
+    CONTENT_HASH_TABLE,
+    QUARANTINE_TABLE,
+    RunConfig,
+    _find_committed_write,
+    active_quarantine,
+    run_pipeline,
+)
+from data_quality_check_pipeline_spark.operators.dedup import (
+    content_hash_expr,
+)
+from data_quality_check_pipeline_spark.sources.tables import (
+    IncrementalReadError,
+    TableStore,
+)
+from data_quality_check_pipeline_spark.takedown import (
+    TAKEDOWN_REASON,
+    apply_takedown,
+    takedown_id_for,
+)
+
+
+class TestDeleteWhere:
+    @pytest.fixture()
+    def store3(self, spark, tmp_path):
+        """Three id-clustered appends: [0,100) [100,200) [200,300)."""
+        store = TableStore(spark, str(tmp_path / "t"))
+        for lo in (0, 100, 200):
+            df = spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 100)],
+                "id long, v string",
+            )
+            store.write(
+                "tab", df,
+                mode="append" if store.exists("tab") else "overwrite",
+                properties={"batch": lo},
+            )
+        return store
+
+    def test_surgical_rewrite_prunes_untouched_dirs(self, spark, store3):
+        pre = store3.current_snapshot("tab")["id"]
+        res = store3.delete_where("tab", "id", [150, 160, 199])
+        assert res["n_deleted"] == 3
+        # only the [100,200) dir overlaps the keys
+        assert res["dirs_rewritten"] == 1
+        assert res["dirs_untouched"] == 2
+        cur = store3.current_snapshot("tab")
+        assert cur["mode"] == "delete" and cur["id"] == res["snapshot"]
+        got = {r["id"] for r in store3.read("tab").collect()}
+        assert got == set(range(300)) - {150, 160, 199}
+        # time travel still sees the pre-delete rows (COW contract)
+        assert store3.read("tab", pre).count() == 300
+        # incremental consumers honestly fail over the delete
+        with pytest.raises(IncrementalReadError, match="non-append"):
+            store3.read_incremental("tab", pre)
+
+    def test_absent_keys_commit_nothing(self, spark, store3):
+        cur = store3.current_snapshot("tab")["id"]
+        # provably absent (outside every dir's min/max): zero IO
+        res = store3.delete_where("tab", "id", [5000])
+        assert res == {
+            "snapshot": None, "n_deleted": 0, "dirs_rewritten": 0,
+            "dirs_untouched": 3, "aborted": False,
+        }
+        assert store3.current_snapshot("tab")["id"] == cur
+        # in-range but nonexistent: dirs overlap, still no commit
+        store3.delete_where("tab", "id", [150])
+        res2 = store3.delete_where("tab", "id", [150])
+        assert res2["n_deleted"] == 0 and res2["snapshot"] is None
+        assert res2["dirs_rewritten"] == 1  # stats can't disprove it
+        with pytest.raises(ValueError, match="non-NULL"):
+            store3.delete_where("tab", "id", [1, None])
+        assert store3.delete_where("tab", "id", [])["n_deleted"] == 0
+
+    def test_null_keys_survive_and_replay_guard_holds(
+        self, spark, tmp_path
+    ):
+        store = TableStore(spark, str(tmp_path / "t2"))
+        df = spark.createDataFrame(
+            [(None, "a"), ("k1", "b"), ("k2", "c")], "id string, v string"
+        )
+        store.write("tab", df, properties={"marker": "m1"})
+        res = store.delete_where("tab", "id", ["k1"])
+        assert res["n_deleted"] == 1
+        got = {(r["id"], r["v"]) for r in store.read("tab").collect()}
+        # the NULL-id row survives (three-valued logic trap)
+        assert got == {(None, "a"), ("k2", "c")}
+        # the rewritten dir is absorbed: the crash/replay guard still
+        # sees the original commit as part of the current view
+        assert _find_committed_write(store, "tab", {"marker": "m1"})
+
+    def test_hard_expiry_physically_removes_rows(self, spark, store3):
+        store3.delete_where("tab", "id", [150])
+        store3.expire_snapshots("tab", keep_last=1, orphan_grace_s=0)
+        root = os.path.join(store3.root, "tab")
+        files = glob.glob(
+            os.path.join(root, "snap_*", "**", "*.parquet"),
+            recursive=True,
+        )
+        assert files
+        import duckdb
+
+        n = duckdb.sql(
+            f"select count(*) n from read_parquet({files!r}) "
+            "where id = 150"
+        ).fetchone()[0]
+        assert n == 0  # the bytes are gone, not just unreferenced
+        assert store3.read("tab").count() == 299
+
+
+def _write_parquet(pdf, path):
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+@pytest.fixture(scope="module")
+def small_corpus(corpus, tmp_path_factory):
+    """~600-clip stride sample (the synthetic corpus front-loads its
+    planted defects — a head slice would be all drops, DESIGN #22)."""
+    df, _, _ = corpus
+    sub = df.iloc[::5].reset_index(drop=True)
+    d = tmp_path_factory.mktemp("takedown_corpus")
+    path = str(d / "clips.parquet")
+    _write_parquet(sub, path)
+    return sub, path
+
+
+class TestTakedownPurge:
+    @pytest.fixture()
+    def rooted(self, spark, small_corpus, tmp_path):
+        _, path = small_corpus
+        root = str(tmp_path / "tables")
+        cfg = RunConfig(
+            out_root=root, run_id="p1", dedup_content=True,
+            dedup_audio=True, dedup_audio_max_hamming=0,
+        )
+        run_pipeline(spark, path, cfg)
+        return root
+
+    def _pick_targets(self, spark, root, n=3):
+        store = TableStore(spark, root)
+        rows = (
+            store.read(CLEAN_TABLE)
+            .select("clip_id", "transcript",
+                    content_hash_expr("transcript").alias("h"))
+            .orderBy("clip_id")
+            .limit(n)
+            .collect()
+        )
+        return store, rows
+
+    def test_purge_forgets_and_readmits(
+        self, spark, small_corpus, rooted, tmp_path
+    ):
+        pdf, _ = small_corpus
+        store, rows = self._pick_targets(spark, rooted)
+        ids = [r["clip_id"] for r in rows]
+        hashes = {r["h"] for r in rows}
+        rep = apply_takedown(spark, rooted, ids, mode="purge")
+        assert rep["tables"][CLEAN_TABLE]["n_deleted"] == 3
+        assert rep["found_in_clean"] == 3 and rep["not_in_clean"] == 0
+        clean = store.read(CLEAN_TABLE)
+        assert clean.filter(F.col("clip_id").isin(ids)).count() == 0
+        # every per-clip memory is gone
+        assert (
+            store.read(CONTENT_HASH_TABLE)
+            .filter(F.col("text_hash").isin(list(hashes)))
+            .count() == 0
+        )
+        assert (
+            store.read(AUDIO_FP_TABLE)
+            .filter(F.col("clip_id").isin(ids))
+            .count() == 0
+        )
+        # terminal markers landed
+        q = store.read(QUARANTINE_TABLE).filter(
+            F.col("clip_id").isin(ids)
+        )
+        assert (
+            q.filter(F.array_contains("reasons", TAKEDOWN_REASON))
+            .count() == 3
+        )
+        # a re-upload of the SAME content under new ids is judged on
+        # its own and re-admitted — the corpus genuinely forgot it
+        re_pdf = pdf[pdf["clip_id"].isin(ids)].copy()
+        re_pdf["clip_id"] = ["re_" + c for c in re_pdf["clip_id"]]
+        re_path = str(tmp_path / "reupload.parquet")
+        _write_parquet(re_pdf, re_path)
+        cfg2 = RunConfig(
+            out_root=rooted, run_id="p2", dedup_content=True,
+            dedup_audio=True, dedup_audio_max_hamming=0,
+        )
+        m2 = run_pipeline(spark, re_path, cfg2)
+        assert m2["quality"]["kept"] == 3
+        # idempotency: the same order is a no-op on re-run
+        pre = store.current_snapshot(CLEAN_TABLE)["id"]
+        rep2 = apply_takedown(spark, rooted, list(reversed(ids)),
+                              mode="purge")
+        assert rep2["skipped_already_applied"]
+        assert rep2["takedown_id"] == takedown_id_for(ids, "purge")
+        assert store.current_snapshot(CLEAN_TABLE)["id"] == pre
+
+    def test_requeue_never_resurrects_takedown(
+        self, spark, small_corpus, rooted
+    ):
+        from data_quality_check_pipeline_spark.pipeline import (
+            requeue_quarantine,
+        )
+
+        _, path = small_corpus
+        store, rows = self._pick_targets(spark, rooted, n=2)
+        ids = [r["clip_id"] for r in rows]
+        apply_takedown(spark, rooted, ids, mode="purge")
+        cfg = RunConfig(
+            out_root=rooted, run_id="rq", dedup_content=True,
+            dedup_audio=True, dedup_audio_max_hamming=0,
+        )
+        out = requeue_quarantine(spark, cfg, path, max_retries=3)
+        assert (
+            store.read(CLEAN_TABLE)
+            .filter(F.col("clip_id").isin(ids)).count() == 0
+        ), out
+        # and the takedown rows stay visible to quarantine consumers
+        act = active_quarantine(store.read(QUARANTINE_TABLE))
+        assert (
+            act.filter(
+                F.col("clip_id").isin(ids)
+                & F.array_contains("reasons", TAKEDOWN_REASON)
+            ).count() == 2
+        )
+
+    def test_hard_purge_physically_erases(self, spark, rooted):
+        store, rows = self._pick_targets(spark, rooted, n=1)
+        cid = rows[0]["clip_id"]
+        rep = apply_takedown(
+            spark, rooted, [cid], mode="purge", hard=True,
+            orphan_grace_s=0,
+        )
+        assert CLEAN_TABLE in rep["hard_expired"]
+        files = glob.glob(
+            os.path.join(rooted, CLEAN_TABLE, "snap_*", "**",
+                         "*.parquet"),
+            recursive=True,
+        )
+        assert files
+        import duckdb
+
+        n = duckdb.sql(
+            f"select count(*) n from read_parquet({files!r}, "
+            f"union_by_name=true) where clip_id = '{cid}'"
+        ).fetchone()[0]
+        assert n == 0
+
+
+class TestTakedownBlock:
+    def test_block_registers_hashes_and_blocks_reuploads(
+        self, spark, small_corpus, tmp_path
+    ):
+        """Pipeline ran WITHOUT --dedup-content (no hash history):
+        block force-registers the transcript hashes, so a later
+        dedup-enabled run quarantines the re-upload terminally."""
+        pdf, path = small_corpus
+        root = str(tmp_path / "tables")
+        run_pipeline(spark, path, RunConfig(out_root=root, run_id="b1"))
+        store = TableStore(spark, root)
+        rows = (
+            store.read(CLEAN_TABLE)
+            .select("clip_id", content_hash_expr("transcript").alias("h"))
+            .orderBy("clip_id").limit(2).collect()
+        )
+        ids = [r["clip_id"] for r in rows]
+        hashes = [r["h"] for r in rows]
+        rep = apply_takedown(spark, root, ids, mode="block")
+        assert rep["blocked_hashes_registered"] == 2
+        assert rep["unblockable_null_transcript"] == []
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id").isin(ids)
+        ).count() == 0
+        # the signatures STAYED (were created): that's the whole point
+        assert store.read(CONTENT_HASH_TABLE).filter(
+            F.col("text_hash").isin(hashes)
+        ).count() == 2
+        re_pdf = pdf[pdf["clip_id"].isin(ids)].copy()
+        re_pdf["clip_id"] = ["re_" + c for c in re_pdf["clip_id"]]
+        re_path = str(tmp_path / "reupload.parquet")
+        _write_parquet(re_pdf, re_path)
+        m2 = run_pipeline(
+            spark, re_path,
+            RunConfig(out_root=root, run_id="b2", dedup_content=True),
+        )
+        assert m2["quality"]["kept"] == 0  # both blocked
+        q = store.read(QUARANTINE_TABLE)
+        assert q.filter(
+            F.col("clip_id").isin([f"re_{c}" for c in ids])
+            & F.array_contains("reasons", "duplicate_content")
+        ).count() == 2
+
+    def test_block_and_purge_are_distinct_orders(self, spark):
+        assert takedown_id_for(["a", "b"], "purge") != takedown_id_for(
+            ["a", "b"], "block"
+        )
+        assert takedown_id_for(["b", "a"], "purge") == takedown_id_for(
+            ["a", "b"], "purge"
+        )
+        with pytest.raises(ValueError, match="mode"):
+            apply_takedown(None, "/nonexistent", ["x"], mode="nuke")
+        with pytest.raises(ValueError, match="empty"):
+            apply_takedown(None, "/nonexistent", [None], mode="purge")
