@@ -1,0 +1,234 @@
+"""Training-shard export: deterministic global shuffle + manifest.
+
+The last hop of a training-data pipeline: the clean table leaves the
+warehouse as N shuffled shards a trainer streams directly. Three
+properties matter at 100 TB and are easy to get wrong:
+
+* **Shuffled, not clustered.** The clean table is partitioned by
+  (lang[, split]) for warehouse reads; feeding it to a trainer in that
+  order would present hours of one language at a time. The export
+  orders rows by a keyed hash — a deterministic global shuffle.
+* **Deterministic.** Shard membership and within-shard order derive
+  from ``xxhash64(key, domain, seed)`` — never ``rand()`` — so a
+  re-export after a crash, on different cluster sizes or input
+  partitionings, produces bit-identical shards (the repo invariant;
+  shard assignment and shuffle order are separate decision KINDS and
+  get separate domain literals, DESIGN #23).
+* **Verifiable.** A manifest records per-shard row counts, token sums
+  and an order-invariant XOR checksum over the key hashes; the trainer
+  (or a later integrity pass) re-derives them from the files alone —
+  a truncated copy or a lost file is caught before it silently skews
+  training (``verify_export``).
+
+Scale shape: one projection adds (shard, order); one
+``repartition(n_shards, shard)`` shuffle co-locates each shard in
+exactly one task (a shard value hashes to one partition);
+``sortWithinPartitions`` orders it (sort is per-shard local, never a
+global sort); the partitioned write emits one file per shard. The
+manifest aggregate is a map-side-combinable groupBy over (shard) —
+row-count-sized, not data-sized. n_shards is the trainer's read
+parallelism: pick ~corpus_bytes / 256 MB.
+
+The reference engine has no export analogue; this is part of the
+round brief's training-data operations.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_log = logging.getLogger("clip_quality.export")
+
+# decision-kind domain literals (DESIGN #23: every hash-derived
+# decision KIND over the same keys gets its own domain so equal seeds
+# across kinds stay independent)
+_SHARD_DOMAIN = "export_shard"
+_ORDER_DOMAIN = "export_order"
+_CKSUM_DOMAIN = "export_cksum"
+
+MANIFEST_NAME = "manifest.json"
+
+
+def _kh(key_col: str, domain: str, seed: int):
+    return F.xxhash64(
+        F.col(key_col), F.lit(domain), F.lit(int(seed)).cast("long")
+    )
+
+
+def with_export_shard(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 0,
+    shard_col: str = "shard", order_col: str = "_export_order",
+) -> DataFrame:
+    """Add deterministic (shard, order) columns: shard =
+    pmod(xxhash64(key,'export_shard',seed), n), order = an independent
+    hash for the within-shard shuffle. Pure projection — callers that
+    only need membership (e.g. an oracle) pay no shuffle."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    return df.withColumn(
+        shard_col,
+        F.pmod(_kh(key_col, _SHARD_DOMAIN, seed), F.lit(n_shards))
+        .cast("int"),
+    ).withColumn(order_col, _kh(key_col, _ORDER_DOMAIN, seed))
+
+
+def export_training_shards(
+    df: DataFrame,
+    key_col: str,
+    out_dir: str,
+    n_shards: int,
+    seed: int = 0,
+    token_col: str | None = None,
+    drop_cols: tuple = (),
+) -> dict:
+    """Write ``df`` as ``out_dir/shard=K/*.parquet`` (one file per
+    shard, globally shuffled) plus ``out_dir/manifest.json``; returns
+    the manifest. ``key_col`` must be unique non-NULL (the clean
+    table's clip_id); NULL keys are refused — a NULL cannot be
+    assigned a stable shard. ``token_col`` (e.g. packing's n_tokens)
+    adds per-shard token sums so a trainer can budget steps per shard
+    without a read. ``drop_cols``: columns to leave behind (e.g. the
+    audio ``bytes`` when exporting a text-only corpus)."""
+    nulls = df.filter(F.col(key_col).isNull()).limit(1).count()
+    if nulls:
+        raise ValueError(
+            f"export_training_shards: NULL {key_col} rows cannot be "
+            "sharded deterministically — filter or key them first"
+        )
+    staged = with_export_shard(
+        df.drop(*drop_cols), key_col, n_shards, seed
+    )
+    (
+        staged.repartition(n_shards, F.col("shard"))
+        # shard leads the sort so the partitioned write's required
+        # ordering is already satisfied — no second (unstable) sort
+        # between here and the files
+        .sortWithinPartitions("shard", "_export_order", key_col)
+        .drop("_export_order")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    # the manifest derives from the WRITTEN files (not the input
+    # frame): one upstream scan total, and the recorded counts describe
+    # what is actually on disk — verify_export then catches anything
+    # that changes the files afterwards
+    manifest = _manifest_from(
+        df.sparkSession.read.parquet(out_dir),
+        key_col, n_shards, seed, token_col,
+    )
+    # the manifest commits LAST: its presence marks a complete export
+    # (a crash mid-write leaves data files but no manifest — consumers
+    # gate on the manifest, so partial exports are never consumed)
+    tmp = os.path.join(out_dir, f"{MANIFEST_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+    _log.info(
+        "exported %d rows into %d shards under %s",
+        manifest["total_rows"], n_shards, out_dir,
+    )
+    return manifest
+
+
+def _manifest_from(
+    staged: DataFrame, key_col: str, n_shards: int, seed: int,
+    token_col: str | None,
+) -> dict:
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        # order-invariant, overflow-free integrity checksum over an
+        # INDEPENDENT hash domain (reusing the order hash would make
+        # the checksum blind to order-hash bugs)
+        F.expr(
+            f"bit_xor(xxhash64({key_col}, '{_CKSUM_DOMAIN}', "
+            f"{int(seed)}L))"
+        ).alias("checksum"),
+    ]
+    if token_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.col(token_col), F.lit(0)))
+            .cast("long").alias("tokens")
+        )
+    rows = staged.groupBy("shard").agg(*aggs).collect()
+    by_shard = {r["shard"]: r for r in rows}
+    shards = []
+    for k in range(n_shards):
+        r = by_shard.get(k)
+        entry = {
+            "shard": k,
+            "path": f"shard={k}",
+            "rows": r["rows"] if r else 0,
+            "checksum": int(r["checksum"]) if r else 0,
+        }
+        if token_col is not None:
+            entry["tokens"] = int(r["tokens"]) if r else 0
+        shards.append(entry)
+    out = {
+        "format": "clip-quality-export-v1",
+        "key_col": key_col,
+        "n_shards": n_shards,
+        "seed": seed,
+        "total_rows": sum(s["rows"] for s in shards),
+        "shards": shards,
+    }
+    if token_col is not None:
+        out["token_col"] = token_col
+        out["total_tokens"] = sum(s["tokens"] for s in shards)
+    return out
+
+
+def verify_export(spark: SparkSession, out_dir: str) -> dict:
+    """Trainer-side integrity check: re-derive every shard's row count
+    (+ token sum + checksum) FROM THE FILES and compare to the
+    manifest. Returns {ok, mismatches: [...]}: a lost/truncated/
+    duplicated file shows up as a row or checksum mismatch on its
+    shard. One scan of the export, aggregate-only."""
+    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    key_col, seed = manifest["key_col"], manifest["seed"]
+    token_col = manifest.get("token_col")
+    # shard=* glob: a bare read of out_dir would trip over
+    # manifest.json itself (only underscore/dot files are ignored)
+    df = spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "shard=*")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.expr(
+            f"bit_xor(xxhash64({key_col}, '{_CKSUM_DOMAIN}', "
+            f"{int(seed)}L))"
+        ).alias("checksum"),
+    ]
+    if token_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.col(token_col), F.lit(0)))
+            .cast("long").alias("tokens")
+        )
+    got = {r["shard"]: r for r in df.groupBy("shard").agg(*aggs).collect()}
+    mismatches = []
+    for s in manifest["shards"]:
+        g = got.pop(s["shard"], None)
+        checks = {
+            "rows": (s["rows"], g["rows"] if g else 0),
+            "checksum": (s["checksum"], int(g["checksum"]) if g else 0),
+        }
+        if token_col is not None:
+            checks["tokens"] = (s["tokens"], int(g["tokens"]) if g else 0)
+        for what, (want, have) in checks.items():
+            if want != have:
+                mismatches.append(
+                    {"shard": s["shard"], "field": what,
+                     "manifest": want, "files": have}
+                )
+    for k in got:  # files for a shard the manifest doesn't know
+        mismatches.append(
+            {"shard": k, "field": "rows", "manifest": 0,
+             "files": got[k]["rows"]}
+        )
+    return {"ok": not mismatches, "mismatches": mismatches}
