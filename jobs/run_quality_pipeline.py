@@ -196,6 +196,44 @@ def main() -> None:
                          "after SINCE_SNAPSHOT (incremental "
                          "consumption; errors honestly on non-append "
                          "history — full-read and re-anchor)")
+    ap.add_argument("--takedown", default=None, metavar="IDS_OR_PATH",
+                    help="compliance takedown: comma-separated clip_ids "
+                         "or a parquet path with a clip_id column. "
+                         "Removes the clips from clips_clean and "
+                         "handles dedup-signature state per "
+                         "--takedown-mode; appends terminal quarantine "
+                         "markers; idempotent per (mode, id set)")
+    ap.add_argument("--takedown-mode", default="purge",
+                    choices=["purge", "block"],
+                    help="purge = GDPR erasure (signatures go too; a "
+                         "re-upload is re-admitted); block = DMCA-style "
+                         "(signatures stay + transcript hashes are "
+                         "force-registered so re-uploads quarantine as "
+                         "duplicates)")
+    ap.add_argument("--takedown-hard", action="store_true",
+                    help="with --takedown-mode purge: expire old "
+                         "snapshots of every rewritten table so the "
+                         "removed rows physically leave disk (otherwise "
+                         "time-travel reads can still see them until a "
+                         "scheduled expire pass)")
+    ap.add_argument("--export-dir", default=None, metavar="PATH",
+                    help="export clips_clean as deterministically "
+                         "shuffled training shards (one file per "
+                         "shard) + an integrity manifest; trainers "
+                         "stream the shards directly")
+    ap.add_argument("--export-shards", type=int, default=16,
+                    metavar="N",
+                    help="shard count for --export-dir (the trainer's "
+                         "read parallelism; ~corpus_bytes/256MB)")
+    ap.add_argument("--export-split", default=None, metavar="NAME",
+                    help="with --export-dir: export only this split "
+                         "(requires a --split run)")
+    ap.add_argument("--export-seed", type=int, default=0)
+    ap.add_argument("--verify-export", default=None, metavar="PATH",
+                    help="integrity-check an export dir against its "
+                         "manifest (re-derives per-shard rows/tokens/"
+                         "checksums from the files); exit 3 on "
+                         "mismatch")
     args = ap.parse_args()
     if args.sample_temperature is not None:
         if args.sample_lang:
@@ -255,7 +293,9 @@ def main() -> None:
 
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)
-    if args.list_versions or args.rollback or args.compact or args.changelog:
+    if (args.list_versions or args.rollback or args.compact
+            or args.changelog or args.takedown or args.export_dir
+            or args.verify_export):
         from data_quality_check_pipeline_spark.sources.tables import (
             TableStore,
         )
@@ -277,6 +317,73 @@ def main() -> None:
                 f"compacted {args.compact} -> snap_{sid}" if sid
                 else f"{args.compact}: nothing to compact"
             )
+        if args.takedown:
+            import json as _json
+
+            from data_quality_check_pipeline_spark.takedown import (
+                apply_takedown,
+            )
+
+            if os.path.exists(args.takedown):
+                ids = [
+                    r["clip_id"]
+                    for r in spark.read.parquet(args.takedown)
+                    .select("clip_id").collect()
+                ]
+            else:
+                ids = [
+                    c.strip() for c in args.takedown.split(",")
+                    if c.strip()
+                ]
+            rep = apply_takedown(
+                spark, args.out, ids, mode=args.takedown_mode,
+                hard=args.takedown_hard,
+            )
+            print(_json.dumps(rep, indent=2, default=str))
+        if args.export_dir:
+            from data_quality_check_pipeline_spark.operators.export import (
+                export_training_shards,
+            )
+            from pyspark.sql import functions as F
+
+            clean = store.read("clips_clean")
+            if args.export_split:
+                if "split" not in clean.columns:
+                    print("export unavailable: clips_clean has no "
+                          "split column (run with --split first)")
+                    spark.stop()
+                    raise SystemExit(3)
+                clean = clean.filter(
+                    F.col("split") == args.export_split
+                )
+            mf = export_training_shards(
+                clean, "clip_id", args.export_dir, args.export_shards,
+                seed=args.export_seed,
+                token_col=(
+                    "n_tokens" if "n_tokens" in clean.columns else None
+                ),
+            )
+            print(
+                f"exported {mf['total_rows']} rows"
+                + (
+                    f" / {mf['total_tokens']} tokens"
+                    if "total_tokens" in mf else ""
+                )
+                + f" into {mf['n_shards']} shards under "
+                f"{args.export_dir}"
+            )
+        if args.verify_export:
+            from data_quality_check_pipeline_spark.operators.export import (
+                verify_export,
+            )
+
+            res = verify_export(spark, args.verify_export)
+            if res["ok"]:
+                print(f"export ok: {args.verify_export}")
+            else:
+                print(f"export CORRUPT: {res['mismatches']}")
+                spark.stop()
+                raise SystemExit(3)
         if args.changelog:
             from data_quality_check_pipeline_spark.sources.tables import (
                 IncrementalReadError,
