@@ -89,17 +89,16 @@ def export_training_shards(
     """Write ``df`` as ``out_dir/shard=K/*.parquet`` (one file per
     shard, globally shuffled) plus ``out_dir/manifest.json``; returns
     the manifest. ``key_col`` must be unique non-NULL (the clean
-    table's clip_id); NULL keys are refused — a NULL cannot be
-    assigned a stable shard. ``token_col`` (e.g. packing's n_tokens)
+    table's clip_id). ``token_col`` (e.g. packing's n_tokens)
     adds per-shard token sums so a trainer can budget steps per shard
     without a read. ``drop_cols``: columns to leave behind (e.g. the
-    audio ``bytes`` when exporting a text-only corpus)."""
-    nulls = df.filter(F.col(key_col).isNull()).limit(1).count()
-    if nulls:
-        raise ValueError(
-            f"export_training_shards: NULL {key_col} rows cannot be "
-            "sharded deterministically — filter or key them first"
-        )
+    audio ``bytes`` when exporting a text-only corpus).
+
+    NULL keys are refused — a NULL cannot be assigned a meaningful
+    stable shard. The check rides in the manifest aggregate over the
+    WRITTEN files (no second scan of the expensive upstream); on
+    refusal the manifest is never written, so the partial output is
+    never consumable (consumers gate on the manifest)."""
     staged = with_export_shard(
         df.drop(*drop_cols), key_col, n_shards, seed
     )
@@ -142,6 +141,7 @@ def _manifest_from(
 ) -> dict:
     aggs = [
         F.count(F.lit(1)).alias("rows"),
+        F.count_if(F.col(key_col).isNull()).alias("null_keys"),
         # order-invariant, overflow-free integrity checksum over an
         # INDEPENDENT hash domain (reusing the order hash would make
         # the checksum blind to order-hash bugs)
@@ -156,6 +156,14 @@ def _manifest_from(
             .cast("long").alias("tokens")
         )
     rows = staged.groupBy("shard").agg(*aggs).collect()
+    n_null = sum(r["null_keys"] for r in rows)
+    if n_null:
+        raise ValueError(
+            f"export_training_shards: {n_null} NULL {key_col} rows "
+            "cannot be sharded deterministically — filter or key them "
+            "first (no manifest written; the partial output is not "
+            "consumable)"
+        )
     by_shard = {r["shard"]: r for r in rows}
     shards = []
     for k in range(n_shards):

@@ -746,7 +746,9 @@ class TableStore:
                     "partition_by": partition_by or [],
                     "properties": props,
                     "schema": survivors.schema.json(),
-                    "has_data": bool(files) or bool(untouched),
+                    # own-dir convention (matches write/compact): does
+                    # THIS snapshot's dir hold data, not the whole view
+                    "has_data": bool(files),
                     "files": files,
                 }
             )
