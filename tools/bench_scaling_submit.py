@@ -171,7 +171,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-clips", type=int, default=160000)
     ap.add_argument("--base-executors", type=int, default=2)
-    ap.add_argument("--cores-per-executor", type=int, default=2)
+    # 1 core/exec is the committed-evidence shape (DESIGN: 2 cores/exec
+    # at 8 executors oversubscribes the 32-thread host once pandas-UDF
+    # python workers overlap the JVM task threads) — keep the default
+    # equal to what BENCH/submit_scaling.json records
+    ap.add_argument("--cores-per-executor", type=int, default=1)
     ap.add_argument("--executor-mem-mb", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--repeats", type=int, default=2)
@@ -258,7 +262,7 @@ def _rewrite_baseline_section(result, lo, hi, n_lo, n_hi, args) -> None:
         "Same job, deployed the way the north rule words it: "
         "`spark-submit --py-files pkg.zip` on a `local-cluster[N,c,mem]` "
         f"master — N separate executor JVMs ({args.cores_per_executor} "
-        f"cores / {args.executor_mem_mb} MB each), scaled N -> 4N in the "
+        f"core(s) / {args.executor_mem_mb} MB each), scaled N -> 4N in the "
         "EXECUTOR COUNT (fresh cluster per config, warm-up excluded, "
         f"configs interleaved x{args.rounds}, per-config minima; "
         f"{args.n_clips} clips):",
@@ -281,6 +285,25 @@ def _rewrite_baseline_section(result, lo, hi, n_lo, n_hi, args) -> None:
         f"normalized efficiency {result['normalized_efficiency']}** "
         "(target >= 0.8 per BASELINE.json). Reproduce: "
         "`python tools/bench_scaling_submit.py`",
+        "",
+        "The same single-host caveat as the thread-scaling table "
+        "applies, and it is why 1 core/executor is the honest shape "
+        "here: each executor's pandas-UDF python worker overlaps its "
+        "JVM task thread, so a 2-cores/executor variant at 8 executors "
+        "wants 16 JVM + 16 python threads = the whole 32-thread host, "
+        "and measures pure oversubscription, not scaling (measured: "
+        "`--cores-per-executor 2` gives 2->8 executors speedup 1.85x, "
+        "delivered core ratio 2.85x — the host physically could not "
+        "deliver 4x more cores). On a real cluster each added node "
+        "ships its own cores, so the delivered ratio IS 4x and the "
+        "normalized figure is the predictor — same conclusion as the "
+        "thread-scaling table. The per-clip CPU cost stays flat across "
+        f"the executor configs ({lo['busy_core_s']:.1f} busy-core-s at "
+        f"{n_lo} executors vs {hi['busy_core_s']:.1f} at {n_hi}, the "
+        "gap being fixed per-JVM overhead x4 more JVMs), i.e. adding "
+        "executors adds no per-core algorithmic cost: the plan is one "
+        "embarrassingly parallel scan+score+scrub pass plus the "
+        "bounded key-only dup-check shuffle.",
         "",
     ]
     with open(md) as f:
