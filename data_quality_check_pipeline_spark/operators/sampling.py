@@ -171,6 +171,7 @@ def temperature_mix(
     total_rows: int | None = None,
     seed: int = 0,
     stats_out: dict | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based mixture resampling: stratum ``s`` should supply
     a share proportional to ``count(s) ** alpha`` — the standard
@@ -195,18 +196,39 @@ def temperature_mix(
     label. Hash decisions share the sampling domain/seed universe:
     temperature_mix at seed k and with_split at seed k stay independent
     (the 'split' domain literal), while two temperature samples need
-    distinct seeds to be independent."""
+    distinct seeds to be independent.
+
+    ``weight_col`` switches the mixture's unit from clips to a per-row
+    weight — in practice the token count (packing's ``n_tokens``):
+    language share in TRAINING is token share, and clip-count mixing
+    over-serves languages with short clips. Stratum mass becomes
+    ``sum(weight)`` (NULL weights count 0), shares become
+    ``mass**alpha``, and ``total_rows`` is then a TOKEN budget. The
+    per-row keep decision stays a Bernoulli hash filter at the
+    stratum's rate, so the sampled token mass meets the target in
+    expectation with no per-row weighting shuffle."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     if total_rows is not None and total_rows <= 0:
         raise ValueError(f"total_rows must be > 0, got {total_rows}")
+    mass = (
+        F.count(F.lit(1)).cast("double")
+        if weight_col is None
+        else F.sum(
+            F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+        )
+    )
     rows = (
         df.groupBy(strata_col)
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(mass.alias("n"))
         .collect()
     )
-    counts = {r[strata_col]: r["n"] for r in rows}
+    counts = {r[strata_col]: (r["n"] or 0.0) for r in rows}
     null_rows = counts.pop(None, 0)
+    # strata with zero mass can't supply anything — rate 0 (guards the
+    # division below; only reachable with weight_col when every weight
+    # in a stratum is NULL/0)
+    counts = {s: n for s, n in counts.items() if n > 0}
     if not counts:
         if stats_out is not None:
             stats_out.update(
@@ -234,6 +256,8 @@ def temperature_mix(
         stats_out["unmet"] = unmet
         stats_out["total_rows"] = int(round(t))
         stats_out["null_stratum_rows"] = null_rows
+        # total_rows/unmet are in this unit (token budget vs clip count)
+        stats_out["unit"] = weight_col or "rows"
     if unmet:
         _log.warning(
             "temperature_mix(alpha=%s): %d strata cannot meet their "
@@ -243,6 +267,27 @@ def temperature_mix(
     return stratified_sample(
         df, strata_col, rates, key_col, default_rate=0.0, seed=seed
     )
+
+
+def _split_band_expr(frac: Column, fractions: dict[str, float]) -> Column:
+    """Map a uniform-[0,1) fraction onto cumulative ``fractions`` bands
+    (insertion order)."""
+    tot = float(sum(fractions.values()))
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {tot})")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    expr: Column | None = None
+    hi = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += fractions[name]
+        cond = frac < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
 
 
 def with_split(
@@ -260,24 +305,105 @@ def with_split(
     The hash is domain-separated ('split') from sampling decisions, so
     running sampling and splitting with the SAME seed on the same keys
     still yields independent outcomes."""
-    tot = float(sum(fractions.values()))
-    if abs(tot - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1 (got {tot})")
-    if any(f < 0 for f in fractions.values()):
-        raise ValueError("fractions must be non-negative")
     frac = hash_frac(key_col, seed, domain="split")
-    expr: Column | None = None
-    hi = 0.0
-    names = list(fractions)
-    for name in names[:-1]:
-        hi += fractions[name]
-        cond = frac < F.lit(hi)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
-            cond, F.lit(name)
-        )
-    last = F.lit(names[-1])
-    out = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, out)
+    return df.withColumn(out_col, _split_band_expr(frac, fractions))
+
+
+def group_aware_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    components: DataFrame,
+    seed: int = 0,
+    out_col: str = "split",
+    node_col: str = "node",
+    comp_col: str = "comp",
+) -> DataFrame:
+    """``with_split`` that never tears a duplicate group across splits.
+
+    Per-row splits leak evaluation data: two near-duplicate clips (one
+    hash each) can land on opposite sides of the train/test boundary,
+    and the model is then evaluated on paraphrases of its own training
+    rows. The fix is to key the split hash on the duplicate GROUP, not
+    the clip: ``components`` is the (node, comp) labeling that
+    ``graph.connected_components`` derives from any union of dedup pair
+    miners (exact / minhash / simhash / audio), and every member of a
+    component hashes its component label. Clips absent from
+    ``components`` (the vast majority — singletons with no dup
+    evidence) hash their own key, which is bit-for-bit the
+    ``with_split`` assignment: group-awareness REFINES the per-row
+    split (same 'split' hash domain, same decision kind — singletons
+    keep their labels; only dup-group members move, coherently, to
+    their representative's band).
+
+    Stability: labels change only when new dup EVIDENCE arrives. An
+    edge that merges two groups re-keys the merged group to the new
+    min-id representative — the whole group moves together, which is
+    forced: two groups previously in different splits must end up in
+    one.
+
+    Scale shape: ``components`` holds only clips with dup evidence (a
+    small fraction of the corpus, bounded by the miners' caps), so the
+    left join is AQE-broadcastable; the split expression itself stays a
+    pure projection. NULL component labels (shouldn't occur — CC labels
+    are min ids) fall back to the row key via coalesce rather than
+    hashing NULL."""
+    comp = components.select(
+        F.col(node_col).alias("__ga_node"),
+        F.col(comp_col).alias("__ga_comp"),
+    )
+    rep = F.coalesce(F.col("__ga_comp"), F.col(key_col))
+    frac = hash_frac(rep, seed, domain="split")
+    return (
+        df.join(comp, F.col(key_col) == F.col("__ga_node"), "left")
+        .withColumn(out_col, _split_band_expr(frac, fractions))
+        .drop("__ga_node", "__ga_comp")
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    edges: DataFrame,
+    key_col: str,
+    split_col: str = "split",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> dict:
+    """Count duplicate-pair edges that straddle split boundaries — the
+    eval-contamination audit for a split assignment. Returns
+    ``{"edges": N, "leaking": M, "by_split_pair": {...}}`` where
+    ``leaking`` counts edges whose two endpoints carry different
+    ``split_col`` labels (endpoints missing from ``df`` — e.g. clips
+    quarantined after pair mining — don't count: there is nothing to
+    leak). ``group_aware_split`` over the components of ``edges``
+    makes this 0 by construction; ``with_split`` does not.
+
+    Aggregate-only and edge-bounded: two joins of the (bounded) edge
+    set against a (key, split) projection, then a #split²-row groupBy —
+    never a corpus shuffle."""
+    lab = df.select(
+        F.col(key_col).alias("__sl_key"), F.col(split_col).alias("__sl_split")
+    )
+    a = lab.select(
+        F.col("__sl_key").alias(src), F.col("__sl_split").alias("__sl_a")
+    )
+    b = lab.select(
+        F.col("__sl_key").alias(dst), F.col("__sl_split").alias("__sl_b")
+    )
+    joined = edges.select(src, dst).join(a, src).join(b, dst)
+    rows = (
+        joined.groupBy("__sl_a", "__sl_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in rows)
+    leaking = sum(r["n"] for r in rows if r["__sl_a"] != r["__sl_b"])
+    pairs = {
+        f"{r['__sl_a']}->{r['__sl_b']}": r["n"]
+        for r in rows
+        if r["__sl_a"] != r["__sl_b"]
+    }
+    return {"edges": total, "leaking": leaking, "by_split_pair": pairs}
 
 
 def cap_per_stratum(

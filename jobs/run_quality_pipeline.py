@@ -234,6 +234,18 @@ def main() -> None:
                          "manifest (re-derives per-shard rows/tokens/"
                          "checksums from the files); exit 3 on "
                          "mismatch")
+    ap.add_argument("--audit-split-leakage", nargs="?", const=0.8,
+                    type=float, default=None, metavar="JACCARD",
+                    help="maintenance op: mine near-dup pairs (minhash, "
+                         "est_jaccard >= JACCARD, default 0.8) within "
+                         "clips_clean and report pairs whose members "
+                         "straddle train/val/test — eval contamination "
+                         "a per-clip split can't see; prints a JSON "
+                         "report (assign leakage-free splits with the "
+                         "library's group_aware_split)")
+    ap.add_argument("--fail-on-leakage", action="store_true",
+                    help="with --audit-split-leakage: exit 3 when any "
+                         "leaking pair is found (CI gate)")
     args = ap.parse_args()
     if args.sample_temperature is not None:
         if args.sample_lang:
@@ -295,7 +307,8 @@ def main() -> None:
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
             or args.changelog or args.takedown or args.export_dir
-            or args.verify_export):
+            or args.verify_export
+            or args.audit_split_leakage is not None):
         from data_quality_check_pipeline_spark.sources.tables import (
             TableStore,
         )
@@ -382,6 +395,43 @@ def main() -> None:
                 print(f"export ok: {args.verify_export}")
             else:
                 print(f"export CORRUPT: {res['mismatches']}")
+                spark.stop()
+                raise SystemExit(3)
+        if args.audit_split_leakage is not None:
+            import json as _json
+
+            from data_quality_check_pipeline_spark.operators.dedup import (
+                minhash_lsh_pairs,
+            )
+            from data_quality_check_pipeline_spark.operators.sampling import (
+                split_leakage,
+            )
+
+            clean = store.read("clips_clean")
+            if "split" not in clean.columns:
+                print("leakage audit unavailable: clips_clean has no "
+                      "split column (run with --split first)")
+                spark.stop()
+                raise SystemExit(3)
+            text_col = (
+                "transcript_scrubbed"
+                if "transcript_scrubbed" in clean.columns
+                else "transcript"
+            )
+            mine_stats: dict = {}
+            pairs = minhash_lsh_pairs(
+                clean.select("clip_id", text_col, "split"),
+                "clip_id", text_col,
+                min_est_jaccard=args.audit_split_leakage,
+                stats_out=mine_stats,
+            )
+            rep = split_leakage(clean, pairs, "clip_id")
+            rep["min_est_jaccard"] = args.audit_split_leakage
+            rep["hot_band_buckets"] = mine_stats.get(
+                "hot_band_buckets", 0
+            )
+            print(_json.dumps(rep, indent=2, default=str))
+            if args.fail_on_leakage and rep["leaking"]:
                 spark.stop()
                 raise SystemExit(3)
         if args.changelog:

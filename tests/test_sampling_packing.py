@@ -16,8 +16,10 @@ from data_quality_check_pipeline_spark.operators.packing import (
 from data_quality_check_pipeline_spark.operators.sampling import (
     cap_per_stratum,
     corpus_mix,
+    group_aware_split,
     hash_frac,
     hash_sample,
+    split_leakage,
     stratified_sample,
     temperature_mix,
     with_split,
@@ -251,6 +253,175 @@ class TestStratifiedAndMix:
         n = sum(c.values())
         assert abs(c["train"] / n - 0.8) < 0.05
         assert c["val"] > 0 and c["test"] > 0
+
+
+class TestGroupAwareSplit:
+    """Leakage-safe splits: dup-group members share one split; clips
+    without dup evidence keep their exact with_split label."""
+
+    FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def _edges(self, spark, groups):
+        rows = [
+            (g[i], g[i + 1]) for g in groups for i in range(len(g) - 1)
+        ]
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def test_groups_cohere_and_singletons_unchanged(
+        self, spark, corpus_df
+    ):
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        groups = [[0, 1, 2, 3], [10, 11], [100, 101, 102]]
+        comps = connected_components(self._edges(spark, groups))
+        out = group_aware_split(corpus_df, "id", self.FR, comps)
+        labels = {r["id"]: r["split"] for r in out.collect()}
+        # no rows lost or duplicated by the left join
+        assert len(labels) == corpus_df.count()
+        for g in groups:
+            assert len({labels[i] for i in g}) == 1, g
+        # every group carries its representative's (min id) band, and
+        # singletons carry bit-for-bit the per-row with_split label
+        base = {
+            r["id"]: r["split"]
+            for r in with_split(corpus_df, "id", self.FR).collect()
+        }
+        grouped = {i for g in groups for i in g}
+        for i, s in labels.items():
+            want = base[min(g for g in groups if i in g)[0] if i in grouped else i]
+            assert s == want, i
+
+    def test_matches_pure_python_rederivation(self, spark, corpus_df):
+        """The group split is the same committed-golden hash machinery:
+        band(pmod(xxhash64(rep, 'split', seed), 2^20)/2^20)."""
+        from data_quality_check_pipeline_spark.oracle_hash import (
+            spark_xxhash64,
+        )
+
+        groups = [[5, 6, 7], [42, 43]]
+        comps = self._edges(spark, groups)
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        comps = connected_components(comps)
+        out = group_aware_split(corpus_df, "id", self.FR, comps, seed=3)
+        labels = {r["id"]: r["split"] for r in out.collect()}
+        rep = {i: min(g) for g in groups for i in g}
+
+        def band(key):
+            f = (spark_xxhash64(key, "split", 3) % (1 << 20)) / float(1 << 20)
+            return "train" if f < 0.8 else ("val" if f < 0.9 else "test")
+
+        for i in [5, 6, 7, 42, 43, 8, 9, 1000]:
+            assert labels[i] == band(rep.get(i, i)), i
+
+    def test_leakage_audit(self, spark, corpus_df):
+        """with_split tears big dup groups across splits (the audit
+        catches it); group_aware_split measures 0 by construction."""
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        # many 2-clip groups: P(all coherent under per-row split) ~ 0
+        groups = [[2 * k, 2 * k + 1] for k in range(200)]
+        edges = self._edges(spark, groups)
+        naive = with_split(corpus_df, "id", self.FR)
+        leak = split_leakage(naive, edges, "id")
+        assert leak["edges"] == 200 and leak["leaking"] > 0
+        assert sum(leak["by_split_pair"].values()) == leak["leaking"]
+        comps = connected_components(edges)
+        safe = group_aware_split(corpus_df, "id", self.FR, comps)
+        leak2 = split_leakage(safe, edges, "id")
+        assert leak2 == {"edges": 200, "leaking": 0, "by_split_pair": {}}
+        # endpoints absent from df (quarantined after mining) don't count
+        part = split_leakage(
+            safe.filter(F.col("id") != 0), edges, "id"
+        )
+        assert part["edges"] == 199
+
+    def test_stable_under_corpus_growth(self, spark, corpus_df):
+        """Adding new clips (and new dup evidence touching only them)
+        never moves existing labels."""
+        from data_quality_check_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        old_edges = self._edges(spark, [[0, 1, 2]])
+        comps_old = connected_components(old_edges)
+        small = corpus_df.filter(F.col("id") < 1000)
+        old = {
+            r["id"]: r["split"]
+            for r in group_aware_split(
+                small, "id", self.FR, comps_old
+            ).collect()
+        }
+        new_edges = self._edges(spark, [[0, 1, 2], [3000, 3001]])
+        comps_new = connected_components(new_edges)
+        new = {
+            r["id"]: r["split"]
+            for r in group_aware_split(
+                corpus_df, "id", self.FR, comps_new
+            ).collect()
+        }
+        assert all(new[i] == s for i, s in old.items())
+        assert new[3000] == new[3001]
+
+
+class TestTemperatureWeighted:
+    def test_token_weighted_rates_exact(self, spark):
+        """alpha=0 with a token weight: rates derive from token MASS,
+        not clip counts — verified against hand arithmetic."""
+        # en: 100 clips x 10 tok = 1000; sw: 50 clips x 4 tok = 200
+        rows = [(i, "en", 10) for i in range(100)] + [
+            (1000 + i, "sw", 4) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id long, lang string, n_tok int")
+        stats = {}
+        temperature_mix(
+            df, "lang", 0.0, "id", stats_out=stats, weight_col="n_tok"
+        )
+        # uniform token target: T = min(1000/0.5, 200/0.5) = 400 tokens
+        assert stats["unit"] == "n_tok"
+        assert stats["total_rows"] == 400
+        assert stats["rates"]["en"] == pytest.approx(200 / 1000)
+        assert stats["rates"]["sw"] == pytest.approx(1.0)
+        # clip-count mixing would instead give en rate 50/100
+        stats2 = {}
+        temperature_mix(df, "lang", 0.0, "id", stats_out=stats2)
+        assert stats2["unit"] == "rows"
+        assert stats2["rates"]["en"] == pytest.approx(0.5)
+
+    def test_unit_weight_matches_row_count_semantics(
+        self, spark, corpus_df
+    ):
+        ones = corpus_df.withColumn("w", F.lit(1))
+        s_w, s_n = {}, {}
+        a = temperature_mix(
+            ones, "lang", 0.4, "id", stats_out=s_w, weight_col="w"
+        )
+        b = temperature_mix(ones, "lang", 0.4, "id", stats_out=s_n)
+        assert s_w["rates"] == pytest.approx(s_n["rates"])
+        assert {r["id"] for r in a.collect()} == {
+            r["id"] for r in b.collect()
+        }
+
+    def test_null_and_zero_weights(self, spark):
+        """NULL weights count 0; an all-zero-mass stratum supplies
+        nothing (its rows drop at rate 0)."""
+        rows = [(i, "en", 10) for i in range(40)] + [
+            (100 + i, "xx", None) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "id long, lang string, n_tok int")
+        stats = {}
+        out = temperature_mix(
+            df, "lang", 0.5, "id", stats_out=stats, weight_col="n_tok"
+        )
+        assert "xx" not in stats["rates"]
+        assert out.filter(F.col("lang") == "xx").count() == 0
+        assert out.filter(F.col("lang") == "en").count() == 40
 
 
 class TestCapPerStratum:
