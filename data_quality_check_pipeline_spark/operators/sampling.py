@@ -71,14 +71,19 @@ def hash_frac(
 
 
 def hash_sample(
-    df: DataFrame, key_col: str, rate: float, seed: int = 0
+    df: DataFrame, key_col: str, rate: float, seed: int = 0,
+    domain: str | None = None,
 ) -> DataFrame:
     """Keep a deterministic ~``rate`` fraction of rows, keyed on
     ``key_col``. Pure filter: no shuffle, no state, codegen-friendly —
-    the 100 TB shape (a sample is a scan predicate, not a job)."""
+    the 100 TB shape (a sample is a scan predicate, not a job).
+    ``domain``: set when a DIFFERENT sampling decision kind composes
+    with this one over the same keys (DESIGN #23) — two undomained
+    filters at one seed share a fraction, and the composed keep rate
+    silently becomes min(r1, r2) instead of r1*r2."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.filter(hash_frac(key_col, seed) < rate)
+    return df.filter(hash_frac(key_col, seed, domain=domain) < rate)
 
 
 def stratified_sample(
@@ -88,12 +93,16 @@ def stratified_sample(
     key_col: str,
     default_rate: float = 0.0,
     seed: int = 0,
+    domain: str | None = None,
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling: stratum ``s`` keeps a
     deterministic ~``rates[s]`` fraction (``default_rate`` for
     unlisted strata, NULL stratum included). Still one scan-side
     filter — the per-stratum thresholds compile into a CASE chain, so
-    sampling a 100-language corpus stays shuffle-free."""
+    sampling a 100-language corpus stays shuffle-free. ``domain``: see
+    ``hash_sample`` — required when a second sampling decision KIND
+    composes over the same keys (e.g. the pipeline's quality-curriculum
+    filter after its language-mixture filter)."""
     for s, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
@@ -104,7 +113,7 @@ def stratified_sample(
         rate_expr = F.when(
             F.col(strata_col) == F.lit(s), F.lit(float(r))
         ).otherwise(rate_expr)
-    return df.filter(hash_frac(key_col, seed) < rate_expr)
+    return df.filter(hash_frac(key_col, seed, domain=domain) < rate_expr)
 
 
 def corpus_mix(
@@ -267,6 +276,119 @@ def temperature_mix(
     return stratified_sample(
         df, strata_col, rates, key_col, default_rate=0.0, seed=seed
     )
+
+
+def with_quality_bin(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    out_col: str = "quality_bin",
+    exact: bool = False,
+    relative_error: float = 1e-4,
+    edges: list[float] | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Assign each row a quantile bin of ``score_col`` (0 = lowest
+    scores .. up to n_bins-1) — the strata for quality-curriculum
+    sampling: compose with ``stratified_sample`` (per-bin keep rates,
+    e.g. down-weight the bottom deciles) or ``cap_per_stratum``. NULL
+    scores get a NULL bin (no quality evidence is not "lowest
+    quality"); filter or rate them explicitly.
+
+    Bin edges are the (1/n .. (n-1)/n) quantiles, computed once
+    driver-side (``percentile_approx`` one-pass aggregate; ``exact=
+    True`` switches to exact ``percentile`` for small/oracle corpora —
+    at 10^12 rows exact quantiles mean a global sort, approx is the
+    only sane default). Assignment is then a pure CASE-chain
+    projection over the scan — no shuffle, no second pass, and the
+    edges land in ``stats_out['bin_edges']`` so the binning is
+    reproducible/auditable. Bin k covers edge[k-1] < x <= edge[k]
+    (value-threshold semantics: a row equal to an edge takes the lower
+    bin), and heavily-tied score distributions collapse duplicate
+    edges: mass concentrated on one value yields fewer occupied bins
+    rather than an arbitrary tie split (deterministic,
+    partition-invariant — a rank-based ntile would tie-break by row
+    order, which retries can change).
+
+    ``edges`` pins the thresholds explicitly (len == n_bins-1,
+    ascending) and skips the quantile job entirely — the production
+    shape once a curriculum is calibrated: derived edges depend on the
+    corpus slice they were computed from (a different shard count or a
+    micro-batch sees different quantiles), pinned edges make the
+    verdict a pure function of the row, identical across shardings,
+    batch/stream paths and corpus growth."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if edges is not None:
+        if len(edges) != n_bins - 1:
+            raise ValueError(
+                f"need n_bins-1={n_bins - 1} pinned edges, "
+                f"got {len(edges)}"
+            )
+        edges = [float(e) for e in edges]
+        if any(a > b for a, b in zip(edges, edges[1:])):
+            raise ValueError(f"pinned edges must be ascending: {edges}")
+    else:
+        qs = [i / n_bins for i in range(1, n_bins)]
+        arr = f"array({', '.join(map(str, qs))})"
+        edges_row = df.select(
+            F.expr(
+                f"percentile({score_col}, {arr})"
+                if exact
+                else f"percentile_approx({score_col}, {arr}, "
+                f"{int(1.0 / relative_error)})"
+            ).alias("e")
+        ).first()
+        edges = [float(e) for e in (edges_row["e"] or [])]
+    if stats_out is not None:
+        stats_out["bin_edges"] = list(edges)
+    if not edges:  # empty / all-NULL input: every bin is NULL anyway
+        return df.withColumn(
+            out_col,
+            F.when(F.col(score_col).isNotNull(), F.lit(0)).cast("int"),
+        )
+    expr: Column = F.lit(len(edges))  # top bin
+    for k in range(len(edges) - 1, -1, -1):
+        expr = F.when(
+            F.col(score_col) <= F.lit(edges[k]), F.lit(k)
+        ).otherwise(expr)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(score_col).isNotNull(), expr).cast("int"),
+    )
+
+
+def curriculum_filter(
+    df: DataFrame,
+    score_col: str,
+    rates: list[float],
+    key_col: str,
+    seed: int = 0,
+    edges: list[float] | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Quality-curriculum keep filter: quantile-bin ``score_col`` into
+    ``len(rates)`` bins (``edges`` pins them; see ``with_quality_bin``)
+    and keep bin k at ``rates[k]`` — the one entry point both the batch
+    shard and the streaming sink call, so a clip reaches the same
+    curriculum verdict on either path when edges are pinned.
+
+    The keep decision hashes ``key_col`` in its own ``'curriculum'``
+    domain (DESIGN #23): it composes independently with the language
+    mixture / split decisions at equal seeds. NULL scores keep
+    (default_rate 1.0): absent quality evidence is not evidence of low
+    quality — rate them explicitly by filtering upstream if desired."""
+    for k, r in enumerate(rates):
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for bin {k} must be in [0,1], got {r}")
+    binned = with_quality_bin(
+        df, score_col, n_bins=len(rates), edges=edges, stats_out=stats_out
+    )
+    return stratified_sample(
+        binned, "quality_bin",
+        {k: float(r) for k, r in enumerate(rates)},
+        key_col, default_rate=1.0, seed=seed, domain="curriculum",
+    ).drop("quality_bin")
 
 
 def _split_band_expr(frac: Column, fractions: dict[str, float]) -> Column:

@@ -149,6 +149,26 @@ class RunConfig:
     # explicit rates — a micro-batch is not a corpus to derive a
     # mixture from.
     sample_temperature: float | None = None
+    # quality-curriculum sampling (operators/sampling.py
+    # with_quality_bin): bin the kept branch by quantiles of
+    # curriculum_col (n_bins = len(curriculum_rates)) and keep bin k at
+    # curriculum_rates[k] (bin 0 = lowest scores). Composes with the
+    # language mixture above — the curriculum filter hashes in its own
+    # 'curriculum' domain, so equal seeds stay independent (DESIGN
+    # #23/#29-class: an undomained second filter at the same seed
+    # would share the mixture's fraction and collapse the composed
+    # rate to min instead of product). NULL scores keep (rate 1.0):
+    # absent quality evidence is not evidence of low quality.
+    # curriculum_edges pins the bin thresholds (len(rates)-1 ascending
+    # values): without it the edges are derived per shard — each
+    # shard's own quantiles, logged for audit, verdicts deterministic
+    # given (corpus, n_shards) but NOT across shard counts; pinned
+    # edges make the verdict a pure row function (shard-invariant, and
+    # the only form the streaming sink accepts — a micro-batch is not
+    # a corpus to derive quantiles from).
+    curriculum_col: str | None = None
+    curriculum_rates: list | None = None  # rate per quantile bin
+    curriculum_edges: list | None = None  # pinned thresholds (optional)
     # split name -> fraction (must sum to 1); adds a 'split' column and
     # partitions clips_clean by (lang, split)
     split_fractions: dict | None = None
@@ -182,6 +202,28 @@ class RunConfig:
                 "sample_temperature and sample_rates are mutually "
                 "exclusive mixture policies — pick one"
             )
+        if (self.curriculum_col is None) != (self.curriculum_rates is None):
+            raise ValueError(
+                "curriculum_col and curriculum_rates go together"
+            )
+        if self.curriculum_rates is not None and (
+            len(self.curriculum_rates) < 2
+            or any(not 0.0 <= r <= 1.0 for r in self.curriculum_rates)
+        ):
+            raise ValueError(
+                "curriculum_rates: need >= 2 per-bin rates in [0, 1]"
+            )
+        if self.curriculum_edges is not None:
+            if self.curriculum_rates is None:
+                raise ValueError(
+                    "curriculum_edges without curriculum_col/rates"
+                )
+            if len(self.curriculum_edges) != len(self.curriculum_rates) - 1:
+                raise ValueError(
+                    "curriculum_edges: need len(curriculum_rates)-1 "
+                    f"= {len(self.curriculum_rates) - 1} thresholds, "
+                    f"got {len(self.curriculum_edges)}"
+                )
 
 
 def score_clips(df: DataFrame, with_audio: bool = True) -> DataFrame:
@@ -739,6 +781,31 @@ def _run_shard(
                  "unmet": sample_stats.get("unmet", {})}
                 if cfg.sample_temperature is not None else {}
             ),
+        )
+        t0 = time.time()
+    # -- QUALITY CURRICULUM (optional): quantile-bin the score column,
+    # keep bin k at rate k. Before dedup for the same reason as the
+    # mixture sample: a curriculum-dropped clip leaves no signature.
+    # Own hash domain — composes independently with the mixture filter
+    # at equal seeds (pinned by a joint-distribution test).
+    if cfg.curriculum_col is not None:
+        from .operators.sampling import curriculum_filter
+
+        cur_stats: dict = {}
+        kept_src = curriculum_filter(
+            kept_src, cfg.curriculum_col, list(cfg.curriculum_rates),
+            "clip_id", seed=cfg.sample_seed, edges=cfg.curriculum_edges,
+            stats_out=cur_stats,
+        )
+        n_after = kept_src.count()
+        cur_out = stats["kept"] - n_after
+        stats["sampled_out"] = stats.get("sampled_out", 0) + cur_out
+        stats["kept"] = n_after
+        log.record(
+            "curriculum", "ok", t0,
+            col=cfg.curriculum_col, curriculum_out=cur_out,
+            kept=n_after, rates=list(cfg.curriculum_rates),
+            bin_edges=[round(e, 4) for e in cur_stats["bin_edges"]],
         )
         t0 = time.time()
     dup_rows = new_hashes = new_fps = None

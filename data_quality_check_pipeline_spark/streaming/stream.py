@@ -325,6 +325,9 @@ def start_quality_stream(
     sample_rates: dict | None = None,
     sample_default_rate: float = 1.0,
     sample_seed: int = 0,
+    curriculum_col: str | None = None,
+    curriculum_rates: list | None = None,
+    curriculum_edges: list | None = None,
     split_fractions: dict | None = None,
     split_seed: int = 0,
     profile_cols: list | None = None,
@@ -347,6 +350,13 @@ def start_quality_stream(
     content never landed — a later re-upload must not quarantine
     against a phantom survivor); sampled-out clips are simply not
     selected, never quarantined.
+
+    ``curriculum_col``/``curriculum_rates`` add the quality-curriculum
+    filter (operators/sampling.py curriculum_filter) after the mixture
+    sample. ``curriculum_edges`` is REQUIRED here: a micro-batch is not
+    a corpus to derive quantile bins from — pinned edges make the
+    verdict a pure row function, so stream and batch arrivals of the
+    same clip reach the same curriculum verdict.
 
     ``near_dup=True`` adds MINHASH near-dup detection within the sink:
     each micro-batch's kept clips are mined against the persisted
@@ -374,6 +384,11 @@ def start_quality_stream(
     reason; survivor fingerprints append under the same exactly-once
     guard. A clip dropped by the audio stage leaves NO signature in
     either history table (its text sig is withheld too)."""
+    if curriculum_col is not None and curriculum_edges is None:
+        raise ValueError(
+            "streaming curriculum requires pinned curriculum_edges — "
+            "a micro-batch is not a corpus to derive quantiles from"
+        )
     store = TableStore(spark, out_root)
     sid = stream_identity(checkpoint_dir, spark)
     flagged = build_streaming_flags(
@@ -413,6 +428,16 @@ def start_quality_stream(
                 kept_src = stratified_sample(
                     kept_src, "lang", sample_rates, "clip_id",
                     default_rate=sample_default_rate, seed=sample_seed,
+                )
+            if curriculum_col is not None:
+                from ..operators.sampling import curriculum_filter
+
+                # before the near-dup mining, same rationale as the
+                # mixture sample: a curriculum-dropped clip leaves no
+                # signature in either history table
+                kept_src = curriculum_filter(
+                    kept_src, curriculum_col, list(curriculum_rates),
+                    "clip_id", seed=sample_seed, edges=curriculum_edges,
                 )
             if near_dup:
                 history = _sig_history_before_batch(

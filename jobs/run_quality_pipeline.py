@@ -161,6 +161,25 @@ def main() -> None:
                          "micro-batches have no corpus to derive a "
                          "mixture from; mutually exclusive with "
                          "--sample-lang")
+    ap.add_argument("--curriculum", default=None,
+                    metavar="COL=R0,R1,...",
+                    help="quality-curriculum sampling of the kept "
+                         "branch: quantile-bin COL into len(rates) "
+                         "bins (bin 0 = lowest scores) and keep bin k "
+                         "at rate Rk, e.g. snr_db=0,0.5,1,1 drops the "
+                         "bottom quartile and halves the second. "
+                         "Composes independently with --sample-lang/"
+                         "--sample-temperature (own hash domain). "
+                         "NULL scores keep. With --stream, "
+                         "--curriculum-edges is required")
+    ap.add_argument("--curriculum-edges", default=None,
+                    metavar="E0,E1,...",
+                    help="pin the curriculum bin thresholds (len(rates)"
+                         "-1 ascending values) instead of deriving "
+                         "quantiles per shard: the verdict becomes a "
+                         "pure row function — identical across shard "
+                         "counts and the batch/stream paths (required "
+                         "with --stream)")
     ap.add_argument("--split", default=None, metavar="NAME=F,...",
                     help="stable split assignment, e.g. "
                          "train=0.8,val=0.1,test=0.1 (fractions sum to "
@@ -247,6 +266,35 @@ def main() -> None:
                     help="with --audit-split-leakage: exit 3 when any "
                          "leaking pair is found (CI gate)")
     args = ap.parse_args()
+    curriculum_col = curriculum_rates = curriculum_edges = None
+    if args.curriculum:
+        try:
+            curriculum_col, rates_s = args.curriculum.split("=", 1)
+            curriculum_col = curriculum_col.strip()
+            curriculum_rates = [float(r) for r in rates_s.split(",")]
+            if not curriculum_col or len(curriculum_rates) < 2:
+                raise ValueError(args.curriculum)
+        except ValueError:
+            ap.error("--curriculum: expected COL=R0,R1[,R2...], got "
+                     f"{args.curriculum!r}")
+        if args.curriculum_edges:
+            try:
+                curriculum_edges = [
+                    float(e) for e in args.curriculum_edges.split(",")
+                ]
+            except ValueError:
+                ap.error("--curriculum-edges: expected E0[,E1...], "
+                         f"got {args.curriculum_edges!r}")
+            if len(curriculum_edges) != len(curriculum_rates) - 1:
+                ap.error("--curriculum-edges: need len(rates)-1 = "
+                         f"{len(curriculum_rates) - 1} thresholds, got "
+                         f"{len(curriculum_edges)}")
+        if args.stream and curriculum_edges is None:
+            ap.error("--curriculum with --stream requires "
+                     "--curriculum-edges (a micro-batch is not a "
+                     "corpus to derive quantile bins from)")
+    elif args.curriculum_edges:
+        ap.error("--curriculum-edges without --curriculum")
     if args.sample_temperature is not None:
         if args.sample_lang:
             ap.error("--sample-temperature and --sample-lang are "
@@ -508,6 +556,9 @@ def main() -> None:
             ),
             sample_default_rate=args.sample_default_rate,
             sample_seed=args.sample_seed,
+            curriculum_col=curriculum_col,
+            curriculum_rates=curriculum_rates,
+            curriculum_edges=curriculum_edges,
             split_fractions=(
                 _kv_floats(args.split, "split") if args.split else None
             ),
@@ -575,6 +626,9 @@ def main() -> None:
         sample_default_rate=args.sample_default_rate,
         sample_seed=args.sample_seed,
         sample_temperature=args.sample_temperature,
+        curriculum_col=curriculum_col,
+        curriculum_rates=curriculum_rates,
+        curriculum_edges=curriculum_edges,
         split_fractions=(
             _kv_floats(args.split, "split") if args.split else None
         ),

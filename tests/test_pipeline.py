@@ -1289,6 +1289,98 @@ class TestMixtureSampleSplit:
                 sample_rates={"en": 0.4},
             )
 
+    def test_quality_curriculum_drops_bottom_bin(
+        self, spark, corpus, oracle_df, out_root, tmp_path
+    ):
+        """--curriculum snr_db=0,1: quantile-bin the kept branch by SNR
+        and drop bin 0 entirely. The landed set is exactly the clips
+        above the recorded median edge (value-threshold semantics), the
+        drop is accounted as sampled_out (valid data, never
+        quarantined), and the stage log carries the audit trail."""
+        _, _, path = corpus
+        base = RunConfig(out_root=str(tmp_path / "base"), run_id="b")
+        mb = run_pipeline(spark, path, base)
+        base_clean = TableStore(spark, base.out_root).read(CLEAN_TABLE)
+        snr = {
+            r["clip_id"]: r["snr_db"]
+            for r in base_clean.select("clip_id", "snr_db").collect()
+        }
+
+        cfg = RunConfig(
+            out_root=out_root, run_id="c1",
+            curriculum_col="snr_db", curriculum_rates=[0.0, 1.0],
+        )
+        m = run_pipeline(spark, path, cfg)
+        stage = next(
+            s for s in m["stages"] if s["stage"] == "curriculum"
+        )
+        (edge,) = stage["bin_edges"]
+        landed = {
+            r["clip_id"]
+            for r in TableStore(spark, out_root).read(CLEAN_TABLE)
+            .select("clip_id").collect()
+        }
+        expected_kept = int(oracle_df["keep"].sum())
+        assert mb["quality"]["kept"] == expected_kept
+        assert (
+            m["quality"]["kept"] + m["quality"]["sampled_out"]
+            == expected_kept
+        )
+        assert m["quality"]["kept"] == len(landed) > 0
+        assert stage["curriculum_out"] == m["quality"]["sampled_out"] > 0
+        # value-threshold semantics: kept iff snr_db strictly above the
+        # median edge (rows equal to an edge take the lower bin ->
+        # dropped). The logged edges are rounded to 4 decimals, so the
+        # per-side checks carry slack; the separation check is exact.
+        kept_snr = [snr[c] for c in landed]
+        drop_snr = [s for c, s in snr.items() if c not in landed]
+        assert all(s > edge - 1e-3 for s in kept_snr)
+        assert all(s <= edge + 1e-3 for s in drop_snr)
+        assert min(kept_snr) > max(drop_snr)
+        with pytest.raises(ValueError, match="go together"):
+            RunConfig(out_root=out_root, curriculum_col="snr_db")
+        with pytest.raises(ValueError, match="curriculum_rates"):
+            RunConfig(
+                out_root=out_root, curriculum_col="snr_db",
+                curriculum_rates=[0.5],
+            )
+        with pytest.raises(ValueError, match="curriculum_edges"):
+            RunConfig(
+                out_root=out_root, curriculum_col="snr_db",
+                curriculum_rates=[0.0, 0.5, 1.0],
+                curriculum_edges=[36.0],
+            )
+
+    def test_curriculum_pinned_edges_shard_invariant(
+        self, spark, corpus, tmp_path
+    ):
+        """With pinned curriculum_edges the verdict is a pure row
+        function: 1-shard and 2-shard runs land the IDENTICAL clip set
+        (derived edges are per-shard quantiles and can't promise this —
+        the log carries them for audit instead)."""
+        _, _, path = corpus
+
+        def run(tag, shards):
+            out = str(tmp_path / tag)
+            run_pipeline(
+                spark, path,
+                RunConfig(
+                    out_root=out, run_id=tag, n_shards=shards,
+                    source_fingerprint=f"fp{tag}",
+                    curriculum_col="snr_db",
+                    curriculum_rates=[0.3, 1.0],
+                    curriculum_edges=[36.0],
+                ),
+            )
+            return {
+                r["clip_id"]
+                for r in TableStore(spark, out).read(CLEAN_TABLE)
+                .select("clip_id").collect()
+            }
+
+        one, two = run("cs1", 1), run("cs2", 2)
+        assert one == two and len(one) > 0
+
     def test_sampled_out_leaves_no_dedup_signature(
         self, spark, corpus, out_root
     ):

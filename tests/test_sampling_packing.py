@@ -16,12 +16,14 @@ from data_quality_check_pipeline_spark.operators.packing import (
 from data_quality_check_pipeline_spark.operators.sampling import (
     cap_per_stratum,
     corpus_mix,
+    curriculum_filter,
     group_aware_split,
     hash_frac,
     hash_sample,
     split_leakage,
     stratified_sample,
     temperature_mix,
+    with_quality_bin,
     with_split,
 )
 
@@ -422,6 +424,189 @@ class TestTemperatureWeighted:
         assert "xx" not in stats["rates"]
         assert out.filter(F.col("lang") == "xx").count() == 0
         assert out.filter(F.col("lang") == "en").count() == 40
+
+
+class TestQualityBins:
+    def test_exact_bins_match_duckdb_oracle(self, spark):
+        """exact=True edges == DuckDB quantile_cont; per-row bins match
+        the same value-threshold rule applied independently."""
+        import duckdb
+
+        rng = random.Random(11)
+        rows = [(i, rng.uniform(0.0, 60.0)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, snr double")
+        stats = {}
+        out = with_quality_bin(df, "snr", 4, exact=True, stats_out=stats)
+        got = {r["id"]: r["quality_bin"] for r in out.collect()}
+        con = duckdb.connect()
+        con.execute(
+            "create table t as select * from (values "
+            + ", ".join(f"({i}, {s!r})" for i, s in rows)
+            + ") v(id, snr)"
+        )
+        edges = [
+            float(e)
+            for e in con.execute(
+                "select quantile_cont(snr::double, [0.25, 0.5, 0.75]) "
+                "from t"
+            ).fetchone()[0]
+        ]
+        assert stats["bin_edges"] == pytest.approx(list(edges))
+
+        def bin_of(x):
+            for k, e in enumerate(edges):
+                if x <= e:
+                    return k
+            return len(edges)
+
+        assert got == {i: bin_of(s) for i, s in rows}
+
+    def test_approx_bins_balanced_and_partition_invariant(
+        self, spark, corpus_df
+    ):
+        scored = corpus_df.withColumn(
+            "score", hash_frac("id", seed=5) * 100
+        )
+        out = with_quality_bin(scored, "score", 10)
+        from collections import Counter
+
+        c = Counter(r["quality_bin"] for r in out.collect())
+        assert set(c) == set(range(10))
+        n = sum(c.values())
+        assert all(abs(v / n - 0.1) < 0.03 for v in c.values())
+        again = {
+            r["id"]: r["quality_bin"]
+            for r in with_quality_bin(
+                scored.repartition(13, "lang"), "score", 10
+            ).collect()
+        }
+        assert again == {r["id"]: r["quality_bin"] for r in out.collect()}
+
+    def test_nulls_ties_and_errors(self, spark):
+        rows = [(0, None), (1, 5.0), (2, 5.0), (3, 5.0), (4, 5.0)]
+        df = spark.createDataFrame(rows, "id long, s double")
+        out = {
+            r["id"]: r["quality_bin"]
+            for r in with_quality_bin(df, "s", 4, exact=True).collect()
+        }
+        # NULL score -> NULL bin; an all-ties distribution collapses
+        # its duplicate edges into ONE occupied bin (bin 0)
+        assert out[0] is None
+        assert {out[i] for i in (1, 2, 3, 4)} == {0}
+        allnull = spark.createDataFrame(
+            [(0, None), (1, None)], "id long, s double"
+        )
+        assert all(
+            r["quality_bin"] is None
+            for r in with_quality_bin(allnull, "s", 3).collect()
+        )
+        with pytest.raises(ValueError, match="n_bins"):
+            with_quality_bin(df, "s", 1)
+
+    def test_curriculum_composition(self, spark, corpus_df):
+        """The intended use: bin by quality, then per-bin keep rates —
+        dropping the bottom quintile entirely keeps exactly the rows
+        above edge[0]."""
+        scored = corpus_df.withColumn(
+            "score", hash_frac("id", seed=8) * 100
+        )
+        stats = {}
+        binned = with_quality_bin(scored, "score", 5, stats_out=stats)
+        rates = {0: 0.0, 1: 0.5, 2: 1.0, 3: 1.0, 4: 1.0}
+        kept = stratified_sample(binned, "quality_bin", rates, "id")
+        assert kept.filter(F.col("quality_bin") == 0).count() == 0
+        assert (
+            kept.filter(F.col("score") <= stats["bin_edges"][0]).count()
+            == 0
+        )
+        n2 = binned.filter(F.col("quality_bin") == 1).count()
+        k2 = kept.filter(F.col("quality_bin") == 1).count()
+        assert abs(k2 / n2 - 0.5) < 0.08
+        for b in (2, 3, 4):
+            assert kept.filter(F.col("quality_bin") == b).count() == (
+                binned.filter(F.col("quality_bin") == b).count()
+            )
+
+    def test_pinned_edges_skip_derivation_and_match(self, spark):
+        """edges=... pins the thresholds: same assignment rule as
+        derived edges (feeding derived edges back in reproduces the
+        bins bit-for-bit), no quantile job, validation errors."""
+        rng = random.Random(3)
+        rows = [(i, rng.uniform(0.0, 60.0)) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, s double")
+        stats = {}
+        derived = with_quality_bin(df, "s", 4, exact=True, stats_out=stats)
+        pinned = with_quality_bin(df, "s", 4, edges=stats["bin_edges"])
+        assert {(r["id"], r["quality_bin"]) for r in pinned.collect()} == {
+            (r["id"], r["quality_bin"]) for r in derived.collect()
+        }
+        # manual rule on hand-pinned edges
+        out = {
+            r["id"]: r["quality_bin"]
+            for r in with_quality_bin(df, "s", 3, edges=[20.0, 40.0])
+            .collect()
+        }
+        for i, s in rows:
+            assert out[i] == (0 if s <= 20.0 else 1 if s <= 40.0 else 2)
+        with pytest.raises(ValueError, match="n_bins-1"):
+            with_quality_bin(df, "s", 4, edges=[1.0])
+        with pytest.raises(ValueError, match="ascending"):
+            with_quality_bin(df, "s", 3, edges=[40.0, 20.0])
+
+    def test_curriculum_filter_helper(self, spark, corpus_df):
+        """curriculum_filter == with_quality_bin + domained
+        stratified_sample composition, with rate validation."""
+        scored = corpus_df.withColumn(
+            "score", hash_frac("id", seed=8) * 100
+        )
+        out = curriculum_filter(
+            scored, "score", [0.0, 1.0], "id", edges=[50.0]
+        )
+        got = {r["id"] for r in out.select("id").collect()}
+        assert got == {
+            r["id"]
+            for r in scored.filter(F.col("score") > 50.0).collect()
+        }
+        assert "quality_bin" not in out.columns
+        with pytest.raises(ValueError, match="bin 1"):
+            curriculum_filter(scored, "score", [0.5, 1.5], "id")
+
+    def test_curriculum_domain_independent_at_equal_seed(
+        self, spark, corpus_df
+    ):
+        """DESIGN #23 pin: the curriculum filter is a new hash-decision
+        KIND. Composed with an undomained mixture sample at the SAME
+        seed, the joint keep rate must be the product (0.5*0.5=0.25);
+        without the 'curriculum' domain the two filters share one
+        fraction and the composition collapses to min (0.5)."""
+        scored = corpus_df.withColumn(
+            "score", hash_frac("id", seed=8) * 100
+        )
+        binned = with_quality_bin(scored, "score", 2)
+        mixed = hash_sample(binned, "id", 0.5, seed=0)
+        n = corpus_df.count()
+        rates = {0: 0.5, 1: 0.5}
+        both = stratified_sample(
+            mixed, "quality_bin", rates, "id", seed=0,
+            domain="curriculum",
+        )
+        assert abs(both.count() / n - 0.25) < 0.03
+        # the hazard the domain exists for: undomained at equal seed
+        # the second filter is a no-op over the first's survivors
+        collapsed = stratified_sample(
+            mixed, "quality_bin", rates, "id", seed=0
+        )
+        assert collapsed.count() == mixed.count()
+
+    def test_plan_is_pure_projection_after_edges(self, spark, corpus_df):
+        """Assignment itself adds no shuffle and no Python: one CASE
+        chain over the scan (the quantile agg is a separate tiny job)."""
+        scored = corpus_df.withColumn(
+            "score", hash_frac("id", seed=5) * 100
+        )
+        out = with_quality_bin(scored, "score", 10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
 
 
 class TestCapPerStratum:

@@ -810,11 +810,13 @@ class TestStreamSampleSplit:
     def test_stream_sample_split_matches_batch_verdicts(
         self, spark, corpus, tmp_path
     ):
-        """Mixture sampling + split inside the streaming sink: the SAME
-        corpus drained via stream and run via batch (equal rates/seeds)
-        must land the IDENTICAL (clip_id, split) set — the hash-derived
-        verdict belongs to the clip, not the ingestion path — and the
-        stream's clean table gains the (lang, split) partition layout."""
+        """Mixture sampling + pinned-edge quality curriculum + split
+        inside the streaming sink: the SAME corpus drained via stream
+        and run via batch (equal rates/seeds/edges) must land the
+        IDENTICAL (clip_id, split) set — the hash-derived verdict
+        belongs to the clip, not the ingestion path — and the stream's
+        clean table gains the (lang, split) partition layout. Derived
+        (unpinned) curriculum edges are refused by the stream."""
         import glob
 
         from data_quality_check_pipeline_spark.pipeline import (
@@ -829,10 +831,17 @@ class TestStreamSampleSplit:
         rates = {"en": 0.4, "de": 1.0}
         splits = {"train": 0.8, "val": 0.1, "test": 0.1}
         out_s = str(tmp_path / "out_stream")
+        with pytest.raises(ValueError, match="pinned curriculum_edges"):
+            start_quality_stream(
+                spark, src, out_s, str(tmp_path / "ckpt_bad"),
+                curriculum_col="snr_db", curriculum_rates=[0.0, 1.0],
+            )
         q = start_quality_stream(
             spark, src, out_s, str(tmp_path / "ckpt"),
             available_now=True,
             sample_rates=rates, sample_default_rate=0.7, sample_seed=4,
+            curriculum_col="snr_db", curriculum_rates=[0.4, 1.0],
+            curriculum_edges=[35.0],
             split_fractions=splits, split_seed=9,
         )
         q.awaitTermination(timeout=600)
@@ -854,6 +863,8 @@ class TestStreamSampleSplit:
                 out_root=out_b, run_id="sb1", source_fingerprint="fsb",
                 sample_rates=rates, sample_default_rate=0.7,
                 sample_seed=4,
+                curriculum_col="snr_db", curriculum_rates=[0.4, 1.0],
+                curriculum_edges=[35.0],
                 split_fractions=splits, split_seed=9,
             ),
         )
