@@ -484,8 +484,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         driver's 50-slot correctness budget; each column keeps its own
         oracle expression, so per-operator evidence is undiminished.
         One pass over the corpus is also the 100-TB shape: these are
-        all narrow per-row exprs sharing the scan."""
+        all narrow per-row exprs sharing the scan. The Gopher-family
+        boilerplate/repetition signals (operators/text.py) ride the
+        same projection: the line-based fractions are trivially 0.0 on
+        this single-line corpus (oracle still matches the zero), their
+        non-trivial behavior is pinned by planted multi-line docs in
+        test_text_multimodal."""
         from data_quality_check_pipeline_spark.operators.text import (
+            alpha_word_fraction_expr,
+            bullet_line_fraction_expr,
+            dup_line_fraction_expr,
+            ellipsis_line_fraction_expr,
+            mean_word_length_expr,
             stopword_ratio_expr,
         )
 
@@ -501,6 +511,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stopword_ratio_expr("text").alias("stopword_ratio"),
             lang_guess_expr(F.col("text")).alias("lang_guess"),
             quality_score_expr(F.col("text")).alias("quality_score"),
+            dup_line_fraction_expr(F.col("text")).alias("dup_line_frac"),
+            bullet_line_fraction_expr(F.col("text")).alias(
+                "bullet_line_frac"
+            ),
+            ellipsis_line_fraction_expr(F.col("text")).alias(
+                "ellipsis_line_frac"
+            ),
+            mean_word_length_expr(F.col("text")).alias("mean_word_len"),
+            alpha_word_fraction_expr(F.col("text")).alias(
+                "alpha_word_frac"
+            ),
         )
 
     q["doc_text_stats"] = doc_text_stats
@@ -1764,6 +1785,28 @@ def oracle_sql() -> dict[str, str]:
 
     _norm_low = _SQL_NORM.format(c="lower(text)")
     _sw_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    _norm_raw = _SQL_NORM.format(c="text")
+    _ne_lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "l -> trim(l)), l -> l <> '')"
+    )
+
+    def _line_frac(hit_filter: str) -> str:
+        # fraction of non-empty trimmed lines matching (0.0 on missing
+        # text / no lines) — mirrors operators/text.py line signals
+        return f"""
+             CASE WHEN {_sql_missing('text')}
+                       OR len({_ne_lines}) <= 0 THEN 0.0
+                  ELSE round(
+                    CAST(len(list_filter({_ne_lines}, {hit_filter}))
+                         AS DOUBLE)
+                    / CAST(len({_ne_lines}) AS DOUBLE), 6)
+             END"""
+
+    _bullet_frac = _line_frac("l -> regexp_matches(l, '^[-*•]')")
+    _ellipsis_frac = _line_frac(
+        "l -> regexp_matches(l, '(" + "\\.\\.\\." + "|…)$')"
+    )
     sql["doc_text_stats"] = f"""
       SELECT doc_id,
              CAST({ws_count} AS BIGINT) AS ws_tokens,
@@ -1776,7 +1819,33 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(len(string_split({_norm_low}, ' ')) AS DOUBLE), 6)
              END AS stopword_ratio,
              {_sql_lang_guess('text')} AS lang_guess,
-             {quality} AS quality_score
+             {quality} AS quality_score,
+             CASE WHEN {_sql_missing('text')}
+                       OR len({_ne_lines}) <= 0 THEN 0.0
+                  ELSE round(1.0
+                    - CAST(len(list_distinct({_ne_lines})) AS DOUBLE)
+                    / CAST(len({_ne_lines}) AS DOUBLE), 6)
+             END AS dup_line_frac,
+             {_bullet_frac}
+               AS bullet_line_frac,
+             {_ellipsis_frac}
+               AS ellipsis_line_frac,
+             CASE WHEN {_sql_missing('text')}
+                       OR len(string_split({_norm_raw}, ' ')) <= 0 THEN 0.0
+                  ELSE round(
+                    (CAST(length({_norm_raw}) AS DOUBLE)
+                     - CAST(len(string_split({_norm_raw}, ' ')) AS DOUBLE)
+                     + 1.0)
+                    / CAST(len(string_split({_norm_raw}, ' ')) AS DOUBLE), 6)
+             END AS mean_word_len,
+             CASE WHEN {_sql_missing('text')}
+                       OR len(string_split({_norm_raw}, ' ')) <= 0 THEN 0.0
+                  ELSE round(
+                    CAST(len(list_filter(string_split({_norm_raw}, ' '),
+                              t -> regexp_matches(t, '[A-Za-z]')))
+                         AS DOUBLE)
+                    / CAST(len(string_split({_norm_raw}, ' ')) AS DOUBLE), 6)
+             END AS alpha_word_frac
       FROM documents"""
 
     sql["doc_token_packing"] = f"""

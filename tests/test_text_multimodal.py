@@ -91,6 +91,157 @@ class TestStopwordRatio:
         assert v == pytest.approx(0.75)  # 3 of 4 tokens are stopwords
 
 
+class TestBoilerplateSignals:
+    """Gopher-family repetition/boilerplate signals: pure-Python oracle
+    over planted multi-line docs + random corpora (the harness corpus
+    is single-line, so the non-trivial behavior is pinned HERE)."""
+
+    @staticmethod
+    def _oracle(text):
+        import re
+
+        if text is None or text.strip() == "" or text.strip().lower() == "nan":
+            return (0.0,) * 5
+        lines = [l.strip() for l in text.split("\n")]
+        lines = [l for l in lines if l != ""]
+        norm = re.sub(r"\s+", " ", text.strip(), flags=re.ASCII)
+        toks = norm.split(" ")
+        dup = (
+            round(1.0 - len(set(lines)) / len(lines), 6) if lines else 0.0
+        )
+        bullet = (
+            round(
+                sum(1 for l in lines if re.match(r"^[-*•]", l)) / len(lines),
+                6,
+            )
+            if lines else 0.0
+        )
+        ell = (
+            round(
+                sum(
+                    1 for l in lines
+                    if re.search(r"(\.\.\.|…)$", l, flags=re.ASCII)
+                ) / len(lines),
+                6,
+            )
+            if lines else 0.0
+        )
+        mwl = round((len(norm) - len(toks) + 1.0) / len(toks), 6)
+        awf = round(
+            sum(1 for t in toks if re.search("[A-Za-z]", t)) / len(toks), 6
+        )
+        return dup, bullet, ell, mwl, awf
+
+    def test_planted_and_random_docs_match_python_oracle(self, spark):
+        import random as rnd
+
+        from data_quality_check_pipeline_spark.operators.text import (
+            alpha_word_fraction_expr,
+            bullet_line_fraction_expr,
+            dup_line_fraction_expr,
+            ellipsis_line_fraction_expr,
+            mean_word_length_expr,
+        )
+
+        r = rnd.Random(17)
+        words = ["the", "cat", "sat", "42", "!!", "•", "wait..."]
+        docs = [
+            "header\nbody one\nbody two\nheader\nfooter\nfooter",
+            "- item one\n- item two\nprose line\n* third",
+            "teaser one...\nteaser two…\nreal sentence here",
+            "single line no structure",
+            "  \n\n   \n",  # whitespace-only lines
+            None,
+            "12 34 56 !! ??",
+        ] + [
+            "\n".join(
+                " ".join(r.choice(words) for _ in range(r.randint(1, 8)))
+                for _ in range(r.randint(1, 6))
+            )
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "id long, c string"
+        )
+        got = {
+            row["id"]: (
+                row["dup"], row["bul"], row["ell"], row["mwl"], row["awf"]
+            )
+            for row in df.select(
+                "id",
+                dup_line_fraction_expr("c").alias("dup"),
+                bullet_line_fraction_expr("c").alias("bul"),
+                ellipsis_line_fraction_expr("c").alias("ell"),
+                mean_word_length_expr("c").alias("mwl"),
+                alpha_word_fraction_expr("c").alias("awf"),
+            ).collect()
+        }
+        for i, d in enumerate(docs):
+            assert got[i] == pytest.approx(self._oracle(d)), (i, d)
+        # the planted docs exercise every signal away from zero
+        assert got[0][0] == pytest.approx(round(1 - 4 / 6, 6))  # dup lines
+        assert got[1][1] == pytest.approx(0.75)       # bullets
+        assert got[2][2] == pytest.approx(round(2 / 3, 6))  # ellipses
+        assert got[6][4] == 0.0                       # no alpha words
+
+    def test_signals_are_one_projection(self, spark):
+        """The whole bundle (incl. the five new signals) stays a single
+        shuffle-free, Python-free projection over the scan."""
+        df = spark.createDataFrame([("a\nb",), ("c",)], "text string")
+        plan = (
+            with_text_stats(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_top_ngram_fraction_vs_bruteforce(self, spark):
+        import random as rnd
+        from collections import Counter
+
+        from data_quality_check_pipeline_spark.operators.text import (
+            top_ngram_fraction,
+        )
+
+        r = rnd.Random(5)
+        words = ["a", "b", "c", "d"]
+        docs = [
+            (0, "spam spam spam spam ham"),   # top bigram 3/5*2
+            (1, "all words differ here ok"),
+            (2, "x"),                          # < n tokens -> 0.0
+            (3, None),
+            (4, ""),
+        ] + [
+            (i, " ".join(r.choice(words) for _ in range(r.randint(1, 30))))
+            for i in range(5, 150)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            row["doc_id"]: row["top_ngram_frac"]
+            for row in top_ngram_fraction(df, n=2).collect()
+        }
+
+        def brute(text, n=2):
+            import re
+
+            if text is None or text.strip() == "":
+                return 0.0
+            toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            if len(toks) < n:
+                return 0.0
+            grams = Counter(
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            )
+            return round(max(grams.values()) * n / len(toks), 6)
+
+        assert len(got) == len(docs)
+        for i, d in docs:
+            assert got[i] == pytest.approx(brute(d)), (i, d)
+        assert got[0] == pytest.approx(1.2)  # repetition can exceed 1
+        with pytest.raises(ValueError, match="n must be"):
+            top_ngram_fraction(df, n=0)
+
+
 class TestFingerprint:
     def test_normalization_invariance(self, spark):
         a = one(spark, "  Hello   World ", doc_fingerprint("c"))
