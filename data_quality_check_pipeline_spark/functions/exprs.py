@@ -66,6 +66,34 @@ def norm_text(c: Column | str) -> Column:
     return F.regexp_replace(F.trim(col), r"\s+", " ")
 
 
+def speech_rate_expr(
+    transcript: Column | str = "transcript",
+    dur_ms: Column | str = "dur_ms",
+) -> Column:
+    """Advisory words-per-second of the clip: whitespace tokens of the
+    normalized transcript over the claimed audio duration — the
+    continuous text↔audio alignment signal (natural speech sits around
+    1.5-4 wps; far outside that band the transcript likely belongs to
+    different audio, or is truncated/padded).
+
+    ADVISORY by design: the keep/drop decision is pinned to reference
+    parity (the binary chars/sec length_ratio rule, validate.py), so
+    this never gates — it feeds the quality curriculum
+    (``--curriculum speech_rate=...``) and numeric drift profiles
+    (``--profile-numeric speech_rate=...``). NULL (not 0) when the
+    transcript or a positive duration is missing: no evidence is not a
+    rate of zero, and the curriculum/profile NULL contracts (NULL bin
+    keeps; NaN-as-missing) rely on the distinction."""
+    t = F.col(transcript) if isinstance(transcript, str) else transcript
+    d = F.col(dur_ms) if isinstance(dur_ms, str) else dur_ms
+    words = F.array_size(F.split(norm_text(t), " ")).cast("double")
+    secs = d.cast("double") / F.lit(1000.0)
+    return F.when(
+        null_or_empty(t) | d.isNull() | (secs <= 0.0),
+        F.lit(None).cast("double"),
+    ).otherwise(F.round(words / secs, 6))
+
+
 # ---------------------------------------------------------------------------
 # Scrub chain (transcript PII / toxicity)
 # ---------------------------------------------------------------------------

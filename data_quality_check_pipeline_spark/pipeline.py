@@ -227,8 +227,17 @@ class RunConfig:
 
 
 def score_clips(df: DataFrame, with_audio: bool = True) -> DataFrame:
-    """clean + the three vectorized scorers. Lazy — no action triggered."""
+    """clean + the three vectorized scorers. Lazy — no action triggered.
+
+    Also stamps the advisory ``speech_rate`` column (words/sec,
+    exprs.speech_rate_expr): a pure expr over cleaned columns, shared
+    by the batch shard and the streaming path (both route through
+    here), so curriculum/profile decisions keyed on it agree across
+    ingestion paths. Never a keep rule — keep/drop is reference-pinned."""
+    from .functions.exprs import speech_rate_expr
+
     out = clean_clips(df)
+    out = out.withColumn("speech_rate", speech_rate_expr())
     out = with_langid(out)
     out = with_perplexity(out)
     if with_audio:

@@ -190,3 +190,72 @@ class TestScrub:
         assert s["total_hits"] == 3
         assert (s["pii_emails"], s["pii_phones"], s["pii_ssns"],
                 s["pii_tox"]) == (1, 1, 0, 1)
+
+
+class TestSpeechRate:
+    def test_values_and_null_contract(self, spark):
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            speech_rate_expr,
+        )
+
+        rows = [
+            (0, "one two three four", 2000),   # 4 words / 2 s
+            (1, "  spaced   out  ", 1000),     # norm -> 2 words / 1 s
+            (2, None, 1000),                   # no transcript -> NULL
+            (3, "", 1000),                     # empty -> NULL
+            (4, "nan", 1000),                  # literal nan -> NULL
+            (5, "words here", None),           # no duration -> NULL
+            (6, "words here", 0),              # non-positive -> NULL
+            (7, "w", 100),                     # 1 word / 0.1 s
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, transcript string, dur_ms int"
+        )
+        got = {
+            r["id"]: r["sr"]
+            for r in df.select(
+                "id", speech_rate_expr().alias("sr")
+            ).collect()
+        }
+        assert got[0] == pytest.approx(2.0)
+        assert got[1] == pytest.approx(2.0)
+        assert got[2] is None and got[3] is None and got[4] is None
+        assert got[5] is None and got[6] is None
+        assert got[7] == pytest.approx(10.0)
+
+    def test_rides_score_path_into_clean_table(
+        self, spark, corpus, out_root
+    ):
+        """score_clips stamps speech_rate, so the clean table carries
+        it and a curriculum keyed on it works end-to-end (NULL rates
+        keep per the curriculum NULL contract)."""
+        from data_quality_check_pipeline_spark.pipeline import (
+            CLEAN_TABLE,
+            RunConfig,
+            run_pipeline,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        run_pipeline(
+            spark, corpus[2],
+            RunConfig(
+                out_root=out_root, run_id="sr1",
+                curriculum_col="speech_rate",
+                curriculum_rates=[0.0, 1.0],
+                curriculum_edges=[2.5],
+            ),
+        )
+        rows = (
+            TableStore(spark, out_root).read(CLEAN_TABLE)
+            .select("clip_id", "transcript", "dur_ms", "speech_rate")
+            .collect()
+        )
+        assert len(rows) > 0
+        for r in rows:
+            expected = round(
+                len(r["transcript"].split()) / (r["dur_ms"] / 1000.0), 6
+            )
+            assert r["speech_rate"] == pytest.approx(expected)
+            assert r["speech_rate"] > 2.5  # curriculum dropped bin 0
