@@ -328,6 +328,10 @@ def start_quality_stream(
     curriculum_col: str | None = None,
     curriculum_rates: list | None = None,
     curriculum_edges: list | None = None,
+    decontam_heldout: str | None = None,
+    decontam_text_col: str = "text",
+    decontam_k: int = 8,
+    decontam_min_hits: int = 1,
     split_fractions: dict | None = None,
     split_seed: int = 0,
     profile_cols: list | None = None,
@@ -357,6 +361,19 @@ def start_quality_stream(
     a corpus to derive quantile bins from — pinned edges make the
     verdict a pure row function, so stream and batch arrivals of the
     same clip reach the same curriculum verdict.
+
+    ``decontam_heldout`` mirrors the batch pipeline's eval-set
+    decontamination inside the sink: each micro-batch's kept clips are
+    n-gram-overlap-checked against the heldout parquet
+    (operators/dedup.decontaminate — heldout side broadcast, the batch
+    never shuffles) and contaminated arrivals route to quarantine with
+    the TERMINAL ``eval_contamination`` reason. Runs after
+    sample/curriculum (a sampled-out clip needs no contamination scan)
+    and BEFORE the near-dup mining, so a contaminated clip leaves no
+    signature in either history table — batch-path parity. The heldout
+    frame is cached for the stream's lifetime (eval sets are small by
+    contract); its shingle explode re-derives per batch from the
+    cached rows.
 
     ``near_dup=True`` adds MINHASH near-dup detection within the sink:
     each micro-batch's kept clips are mined against the persisted
@@ -391,6 +408,10 @@ def start_quality_stream(
         )
     store = TableStore(spark, out_root)
     sid = stream_identity(checkpoint_dir, spark)
+    heldout_df = (
+        spark.read.parquet(decontam_heldout).cache()
+        if decontam_heldout else None
+    )
     flagged = build_streaming_flags(
         read_clip_stream(spark, source_path), with_audio,
         content_dedup=content_dedup,
@@ -417,6 +438,7 @@ def start_quality_stream(
         batch_df = batch_df.cache()
         dup_ids = None
         a_dup_ids = None
+        cont_ids = None
         new_sigs = None
         new_fps = None
         kept_final = None
@@ -439,6 +461,16 @@ def start_quality_stream(
                     kept_src, curriculum_col, list(curriculum_rates),
                     "clip_id", seed=sample_seed, edges=curriculum_edges,
                 )
+            if heldout_df is not None:
+                from ..operators.dedup import decontaminate
+
+                cont_ids = decontaminate(
+                    kept_src, heldout_df, "clip_id", "transcript",
+                    heldout_text_col=decontam_text_col,
+                    shingle_k=decontam_k,
+                    min_hits=decontam_min_hits,
+                ).select("clip_id").cache()
+                kept_src = kept_src.join(cont_ids, "clip_id", "left_anti")
             if near_dup:
                 history = _sig_history_before_batch(
                     store, NEARDUP_SIG_TABLE, batch_id, sid
@@ -545,6 +577,13 @@ def start_quality_stream(
                         )
                     )
 
+                if cont_ids is not None:
+                    from ..pipeline import CONTAMINATION_REASON
+
+                    quarantined = quarantined.unionByName(_near_rows(
+                        cont_ids, CONTAMINATION_REASON,
+                        "stream_decontaminate",
+                    ))
                 if dup_ids is not None:
                     quarantined = quarantined.unionByName(_near_rows(
                         dup_ids, NEARDUP_REASON, "stream_near_dup"
@@ -604,8 +643,8 @@ def start_quality_stream(
                                 "stream_id": sid},
                 )
         finally:
-            for frame in (dup_ids, a_dup_ids, new_sigs, new_fps,
-                          kept_final):
+            for frame in (dup_ids, a_dup_ids, cont_ids, new_sigs,
+                          new_fps, kept_final):
                 if frame is not None:
                     frame.unpersist()
             batch_df.unpersist()

@@ -559,6 +559,10 @@ def main() -> None:
             curriculum_col=curriculum_col,
             curriculum_rates=curriculum_rates,
             curriculum_edges=curriculum_edges,
+            decontam_heldout=args.decontam_heldout,
+            decontam_text_col=args.decontam_text_col,
+            decontam_k=args.decontam_k,
+            decontam_min_hits=args.decontam_min_hits,
             split_fractions=(
                 _kv_floats(args.split, "split") if args.split else None
             ),

@@ -415,6 +415,75 @@ class TestStreaming:
         }
         assert "z_dup_later" not in sig_ids2 and base_id in sig_ids2
 
+    def test_stream_decontaminates_against_heldout(self, spark, tmp_path):
+        """decontam_heldout in the sink: a streamed clip overlapping
+        the heldout/benchmark set never reaches the clean table — it
+        quarantines with the TERMINAL eval_contamination reason (stage
+        stream_decontaminate) and, because decontamination runs before
+        the near-dup mining, leaves NO signature in the history table
+        (batch-path parity: a later re-upload is judged on its own)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_quality_check_pipeline_spark.pipeline import (
+            CONTAMINATION_REASON,
+            flag_clips,
+            score_clips,
+        )
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            NEARDUP_SIG_TABLE,
+        )
+        from data_quality_check_pipeline_spark.synth import generate_clips
+
+        pdf, _ = generate_clips(40)
+        pdf["clip_id"] = [f"c{i:03d}" for i in range(len(pdf))]
+        flagged = flag_clips(score_clips(spark.createDataFrame(pdf)))
+        kept = sorted(
+            r["clip_id"] for r in flagged.filter("keep")
+            .select("clip_id").collect()
+        )
+        target = kept[1]
+        target_text = pdf[pdf.clip_id == target].iloc[0]["transcript"]
+        held = tmp_path / "heldout.parquet"
+        pq.write_table(
+            pa.table({"text": [str(target_text)]}), str(held)
+        )
+        src = tmp_path / "src"
+        os.makedirs(src)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / "clips.parquet"),
+        )
+        out = str(tmp_path / "out")
+        q = start_quality_stream(
+            spark, str(src), out, str(tmp_path / "ckpt"),
+            available_now=True, near_dup=True,
+            decontam_heldout=str(held), decontam_k=4,
+        )
+        q.awaitTermination(timeout=600)
+        store = TableStore(spark, out)
+        clean = {
+            r["clip_id"]
+            for r in store.read(CLEAN_TABLE).select("clip_id").collect()
+        }
+        assert target not in clean
+        assert set(kept) - {target} <= clean
+        quar = {
+            r["clip_id"]: (r["reasons"], r["stage"])
+            for r in store.read(QUARANTINE_TABLE)
+            .select("clip_id", "reasons", "stage").collect()
+        }
+        reasons, stage = quar[target]
+        assert CONTAMINATION_REASON in reasons
+        assert stage == "stream_decontaminate"
+        # no history signature for the contaminated clip; survivors keep
+        sig_ids = {
+            r["clip_id"]
+            for r in store.read(NEARDUP_SIG_TABLE)
+            .select("clip_id").collect()
+        }
+        assert target not in sig_ids and kept[0] in sig_ids
+
     def test_content_dedup_bag_mode_key_semantics(self, spark):
         """bag mode: reordered/repeated word sets share a key; exact
         mode distinguishes them. Distinct word sets never collide in
