@@ -265,6 +265,19 @@ def main() -> None:
     ap.add_argument("--fail-on-leakage", action="store_true",
                     help="with --audit-split-leakage: exit 3 when any "
                          "leaking pair is found (CI gate)")
+    ap.add_argument("--release-check", action="store_true",
+                    help="pre-release QA gate over --out: data-contract "
+                         "expectations on the full clean table, "
+                         "clean-vs-quarantine consistency, profile "
+                         "drift (when a profile history exists), and "
+                         "optionally split leakage; prints one JSON "
+                         "verdict, exit 3 unless every check passes")
+    ap.add_argument("--release-leakage", type=float, default=None,
+                    metavar="JACCARD",
+                    help="with --release-check: include the split-"
+                         "leakage check at this minhash jaccard "
+                         "threshold (fails if clips_clean has no split "
+                         "column)")
     args = ap.parse_args()
     curriculum_col = curriculum_rates = curriculum_edges = None
     if args.curriculum:
@@ -355,7 +368,7 @@ def main() -> None:
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
             or args.changelog or args.takedown or args.export_dir
-            or args.verify_export
+            or args.verify_export or args.release_check
             or args.audit_split_leakage is not None):
         from data_quality_check_pipeline_spark.sources.tables import (
             TableStore,
@@ -504,6 +517,21 @@ def main() -> None:
                 # unknown table / empty table / bad anchor all get the
                 # honest one-liner, not a traceback
                 print(f"changelog unavailable: {exc}")
+                spark.stop()
+                raise SystemExit(3)
+        if args.release_check:
+            import json as _json
+
+            from data_quality_check_pipeline_spark.release import (
+                release_check,
+            )
+
+            verdict = release_check(
+                spark, args.out,
+                leakage_jaccard=args.release_leakage,
+            )
+            print(_json.dumps(verdict, indent=2, default=str))
+            if not verdict["ok"]:
                 spark.stop()
                 raise SystemExit(3)
         spark.stop()
