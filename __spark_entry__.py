@@ -526,6 +526,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_text_stats"] = doc_text_stats
 
+    def doc_quality_bins(spark, sf):
+        """Quality-curriculum binning (operators/sampling.py
+        with_quality_bin, exact mode): each doc's quartile bin of its
+        whitespace token count — the strata the curriculum's per-bin
+        keep rates act on. The score is an INTEGER column on purpose:
+        quantile edges interpolate at exact binary fractions
+        (0.25/0.5/0.75), so a last-ulp interpolation difference between
+        engines can never flip an integer score across an edge — the
+        bin assignment is bit-stable cross-engine (doubles would make
+        edge-adjacent rows a coin flip). The hash-filter HALF of the
+        curriculum is golden-checked via doc_stratified_sample's
+        xxhash64 re-derivation; this query puts the binning half under
+        the same driver-checked oracle evidence."""
+        from data_quality_check_pipeline_spark.operators.sampling import (
+            with_quality_bin,
+        )
+
+        df = _load(spark, sf, "documents").select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(r"\S+"))
+            .cast("long")
+            .alias("ws_tokens"),
+        )
+        return with_quality_bin(
+            df, "ws_tokens", n_bins=4, exact=True
+        ).select("doc_id", "ws_tokens", "quality_bin")
+
+    q["doc_quality_bins"] = doc_quality_bins
+
     def doc_stratified_sample(spark, sf):
         """Deterministic per-language corpus sampling + stable split
         assignment (operators/sampling.py) — the training-mixture
@@ -838,14 +867,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["threshold_gate_sim"] = threshold_gate_sim
 
     # ---- statistics (A13-A15) ------------------------------------------------
-    def lineitem_iqr_outliers(spark, sf):
-        """IQR bounds + Tukey-fence outlier count in one surface (the
-        former lineitem_iqr_bounds query folded in — same operators,
-        one driver slot; the freed slot hosts events_asof_clicks).
-        Two passes by construction (exact percentile bounds -> literal
-        fence flags); cached between them so the second pass reads
-        columnar blocks instead of re-scanning (~2x on the bench).
-        Fences use the UNROUNDED bounds; rounding is output-only."""
+    def lineitem_outlier_summary(spark, sf):
+        """IQR bounds + Tukey-fence AND z-score outlier counts in one
+        surface (former lineitem_iqr_bounds, lineitem_iqr_outliers and
+        lineitem_zscore_outliers folded — same operators, ONE driver
+        slot; per-operator evidence lives in the distinct columns. The
+        freed slot hosts doc_quality_bins). Exactly two passes: ONE
+        stats aggregate (exact percentiles + moments share the scan),
+        then ONE combined fence/z flag aggregate; cached between so the
+        second pass reads columnar blocks. Fences and z-scores use the
+        UNROUNDED stats; rounding is output-only."""
         df = _load(spark, sf, "lineitem", rebalance=True).select(
             "l_extendedprice"
         ).cache()
@@ -853,36 +884,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
             F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
             F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+            F.avg("l_extendedprice").alias("m"),
+            F.stddev("l_extendedprice").alias("s"),
         ).collect()[0]
         iqr = b["q3"] - b["q1"]
         lo, hi = b["q1"] - 1.5 * iqr, b["q3"] + 1.5 * iqr
+        z = (F.col("l_extendedprice") - F.lit(b["m"])) / F.lit(b["s"])
         return df.agg(
             F.sum(
                 (~F.col("l_extendedprice").between(lo, hi)).cast("long")
-            ).alias("n_outliers")
+            ).alias("n_iqr_outliers"),
+            F.sum((F.abs(z) > 3.0).cast("long")).alias(
+                "n_zscore_outliers"
+            ),
         ).select(
             F.round(F.lit(b["q1"]), 4).alias("q1"),
             F.round(F.lit(b["med"]), 4).alias("median"),
             F.round(F.lit(b["q3"]), 4).alias("q3"),
-            "n_outliers",
+            "n_iqr_outliers",
+            "n_zscore_outliers",
         )
 
-    q["lineitem_iqr_outliers"] = lineitem_iqr_outliers
-
-    def lineitem_zscore_outliers(spark, sf):
-        df = _load(spark, sf, "lineitem", rebalance=True).select(
-            "l_extendedprice"
-        ).cache()
-        s = df.agg(
-            F.avg("l_extendedprice").alias("m"),
-            F.stddev("l_extendedprice").alias("s"),
-        ).collect()[0]
-        z = (F.col("l_extendedprice") - F.lit(s["m"])) / F.lit(s["s"])
-        return df.agg(
-            F.sum((F.abs(z) > 3.0).cast("long")).alias("n_outliers")
-        )
-
-    q["lineitem_zscore_outliers"] = lineitem_zscore_outliers
+    q["lineitem_outlier_summary"] = lineitem_outlier_summary
 
     # ---- aggregation / pricing summary (TPC-H Q1 shape) ----------------------
     def lineitem_pricing_summary(spark, sf):
@@ -1803,6 +1826,24 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(len({_ne_lines}) AS DOUBLE), 6)
              END"""
 
+    sql["doc_quality_bins"] = f"""
+      WITH s AS (
+        SELECT doc_id,
+               CAST({ws_count} AS BIGINT) AS ws_tokens
+        FROM documents
+      ), e AS (
+        SELECT quantile_cont(CAST(ws_tokens AS DOUBLE),
+                             [0.25, 0.5, 0.75]) AS q
+        FROM s
+      )
+      SELECT doc_id, ws_tokens,
+             CAST(CASE WHEN ws_tokens IS NULL THEN NULL
+                       WHEN ws_tokens <= q[1] THEN 0
+                       WHEN ws_tokens <= q[2] THEN 1
+                       WHEN ws_tokens <= q[3] THEN 2
+                       ELSE 3 END AS INT) AS quality_bin
+      FROM s, e"""
+
     _bullet_frac = _line_frac("l -> regexp_matches(l, '^[-*•]')")
     _ellipsis_frac = _line_frac(
         "l -> regexp_matches(l, '(" + "\\.\\.\\." + "|…)$')"
@@ -2033,11 +2074,13 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'quarantine' END AS decision
       FROM a"""
 
-    sql["lineitem_iqr_outliers"] = """
+    sql["lineitem_outlier_summary"] = """
       WITH b AS (
         SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
                quantile_cont(l_extendedprice, 0.5) AS med,
-               quantile_cont(l_extendedprice, 0.75) AS q3
+               quantile_cont(l_extendedprice, 0.75) AS q3,
+               avg(l_extendedprice) AS m,
+               stddev(l_extendedprice) AS sd
         FROM lineitem
       )
       SELECT round(q1, 4) AS q1,
@@ -2045,8 +2088,10 @@ def oracle_sql() -> dict[str, str]:
              round(q3, 4) AS q3,
              CAST(sum(CASE WHEN l_extendedprice NOT BETWEEN
                   q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-      FROM lineitem, b GROUP BY q1, med, q3"""
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr_outliers,
+             CAST(sum(CASE WHEN abs((l_extendedprice - m) / sd) > 3.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_zscore_outliers
+      FROM lineitem, b GROUP BY q1, med, q3, m, sd"""
 
     sql["events_asof_clicks"] = """
       SELECT p.event_id,
@@ -2056,15 +2101,6 @@ def oracle_sql() -> dict[str, str]:
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts"""
-
-    sql["lineitem_zscore_outliers"] = """
-      WITH s AS (
-        SELECT avg(l_extendedprice) AS m, stddev(l_extendedprice) AS sd
-        FROM lineitem
-      )
-      SELECT CAST(sum(CASE WHEN abs((l_extendedprice - m) / sd) > 3.0
-                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-      FROM lineitem, s"""
 
     sql["lineitem_pricing_summary"] = """
       SELECT l_returnflag, l_linestatus,

@@ -109,7 +109,7 @@ def main() -> None:
         "doc_dup_components",
         "customer_clean",
         "lineitem_pricing_summary",
-        "lineitem_iqr_outliers",
+        "lineitem_outlier_summary",
         "orders_by_segment",
         "events_rollup",
         "embedding_topk",
