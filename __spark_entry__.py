@@ -489,7 +489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         same projection: the line-based fractions are trivially 0.0 on
         this single-line corpus (oracle still matches the zero), their
         non-trivial behavior is pinned by planted multi-line docs in
-        test_text_multimodal."""
+        test_text_multimodal. rebalance=True: the signal bundle (HOF
+        token/line filters + the regex family) is compute-heavy enough
+        that the single-row-group scan's ONE task serializes it — at
+        10x sf0.1 that measured 27 s on one core vs ~2 s spread (the
+        _load docstring trap; a real multi-split layout needs no
+        rebalance)."""
         from data_quality_check_pipeline_spark.operators.text import (
             alpha_word_fraction_expr,
             bullet_line_fraction_expr,
@@ -499,7 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stopword_ratio_expr,
         )
 
-        df = _load(spark, sf, "documents")
+        df = _load(spark, sf, "documents", rebalance=True)
         return df.select(
             "doc_id",
             F.regexp_count(F.col("text"), F.lit(r"\S+"))
@@ -876,17 +881,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stats aggregate (exact percentiles + moments share the scan),
         then ONE combined fence/z flag aggregate; cached between so the
         second pass reads columnar blocks. Fences and z-scores use the
-        UNROUNDED stats; rounding is output-only."""
+        UNROUNDED stats; rounding is output-only. The three quantiles
+        go through a SINGLE percentile(col, array(...)) call: separate
+        percentile(col, p) aggregates each buffer the full value set
+        independently — measured 3.1 s vs 1.2 s for the array form at
+        sf0.1/local[32]."""
         df = _load(spark, sf, "lineitem", rebalance=True).select(
             "l_extendedprice"
         ).cache()
         b = df.agg(
-            F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
-            F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+            ).alias("q"),
             F.avg("l_extendedprice").alias("m"),
             F.stddev("l_extendedprice").alias("s"),
         ).collect()[0]
+        q1, med, q3 = (float(x) for x in b["q"])
+        b = {"q1": q1, "med": med, "q3": q3, "m": b["m"], "s": b["s"]}
         iqr = b["q3"] - b["q1"]
         lo, hi = b["q1"] - 1.5 * iqr, b["q3"] + 1.5 * iqr
         z = (F.col("l_extendedprice") - F.lit(b["m"])) / F.lit(b["s"])
