@@ -45,6 +45,11 @@ _FFT_N = 2048
 _N_WINDOWS = 4  # Welch windows averaged per clip
 _PEAK_BAND = 3  # bins summed around the spectral peak as "signal"
 _CLIP_THRESHOLD = 32700
+# A window whose RMS sits below ~-40 dBFS (1% of int16 full scale) counts
+# as silent for the activity signals. Absolute, not relative to the clip's
+# loudest window: a uniformly quiet recording IS mostly silence, and a
+# relative threshold would degenerate on constant-level clips.
+_SILENCE_RMS = 327.67
 
 AUDIO_STATS_SCHEMA = StructType(
     [
@@ -52,6 +57,8 @@ AUDIO_STATS_SCHEMA = StructType(
         StructField("rms", FloatType()),
         StructField("clip_frac", FloatType()),
         StructField("snr_db", FloatType()),
+        StructField("silence_frac", FloatType()),
+        StructField("dyn_range_db", FloatType()),
     ]
 )
 
@@ -120,10 +127,14 @@ def _window_take_starts(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _reduce_windows(
     raw: np.ndarray, take: np.ndarray, rows: np.ndarray, n_rows: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, ...]:
     """Shared reductions over the gathered (R, W, _FFT_N) int16-valued
     window tensor (float32 storage; positions >= take are zero):
-    rms / clip_frac over window samples, Welch spectral SNR.
+    rms / clip_frac over window samples, Welch spectral SNR, and the
+    activity signals silence_frac (share of windows whose RMS is below
+    _SILENCE_RMS; empty/undecodable clips are all-silence = 1.0) and
+    dyn_range_db (20*log10 of the loudest/quietest window RMS, +1 in
+    both to stay finite — 0 for constant-level or empty clips).
 
     All statistics are WINDOW estimates — at 10^12-clip scale the full
     payload never crosses to Python (the JVM ships only these windows,
@@ -132,8 +143,10 @@ def _reduce_windows(
     rms = np.zeros(n_rows, dtype=np.float64)
     clip_frac = np.zeros(n_rows, dtype=np.float64)
     snr_db = np.zeros(n_rows, dtype=np.float64)
+    silence_frac = np.ones(n_rows, dtype=np.float64)
+    dyn_range_db = np.zeros(n_rows, dtype=np.float64)
     if raw.size == 0:
-        return rms, clip_frac, snr_db
+        return rms, clip_frac, snr_db, silence_frac, dyn_range_db
 
     offs = np.arange(_FFT_N, dtype=np.int64)
     mask = offs[None, None, :] < take[:, None, None]
@@ -141,9 +154,16 @@ def _reduce_windows(
 
     clip_mask = (raw >= _CLIP_THRESHOLD) | (raw <= -_CLIP_THRESHOLD)
     clip_frac[rows] = clip_mask.sum(axis=(1, 2)) / np.maximum(valid, 1.0)
+    # per-window sum of squares once; clip RMS is its window sum (same
+    # arithmetic as the former axis=(1,2) reduction, bit-for-bit)
+    w_sumsq = np.square(raw).sum(axis=2, dtype=np.float64)  # (R, W)
     rms[rows] = np.sqrt(
-        np.square(raw).sum(axis=(1, 2), dtype=np.float64)
-        / np.maximum(valid, 1.0)
+        w_sumsq.sum(axis=1) / np.maximum(valid, 1.0)
+    )
+    w_rms = np.sqrt(w_sumsq / np.maximum(take, 1)[:, None].astype(np.float64))
+    silence_frac[rows] = (w_rms < _SILENCE_RMS).mean(axis=1)
+    dyn_range_db[rows] = 20.0 * np.log10(
+        (w_rms.max(axis=1) + 1.0) / (w_rms.min(axis=1) + 1.0)
     )
 
     fft_ok = take >= 64
@@ -173,7 +193,7 @@ def _reduce_windows(
         snr_db[rows[fft_ok]] = 10.0 * np.log10(
             np.maximum(sig, 1e-12) / noise
         )
-    return rms, clip_frac, snr_db
+    return rms, clip_frac, snr_db, silence_frac, dyn_range_db
 
 
 def stats_batch(payloads, codecs) -> pd.DataFrame:
@@ -204,13 +224,17 @@ def stats_batch(payloads, codecs) -> pd.DataFrame:
             samples[np.where(mask, idx, 0)].astype(np.float32),
             np.float32(0.0),
         )
-    rms, clip_frac, snr_db = _reduce_windows(raw, take, rows, n_rows)
+    rms, clip_frac, snr_db, silence_frac, dyn_range_db = _reduce_windows(
+        raw, take, rows, n_rows
+    )
     return pd.DataFrame(
         {
             "n_samples": lengths.astype(np.int32),
             "rms": rms.astype(np.float32),
             "clip_frac": clip_frac.astype(np.float32),
             "snr_db": snr_db.astype(np.float32),
+            "silence_frac": silence_frac.astype(np.float32),
+            "dyn_range_db": dyn_range_db.astype(np.float32),
         }
     )
 
@@ -220,6 +244,8 @@ WINDOW_STATS_SCHEMA = StructType(
         StructField("rms", FloatType()),
         StructField("clip_frac", FloatType()),
         StructField("snr_db", FloatType()),
+        StructField("silence_frac", FloatType()),
+        StructField("dyn_range_db", FloatType()),
     ]
 )
 
@@ -233,12 +259,16 @@ def audio_stats_windows_udf(
     (R, W, _FFT_N) tensor, runs the shared reductions."""
     n = len(win_bytes)
     raw, take, rows = _parse_window_blobs(win_bytes, n_samples.to_numpy())
-    rms, clip_frac, snr_db = _reduce_windows(raw, take, rows, n)
+    rms, clip_frac, snr_db, silence_frac, dyn_range_db = _reduce_windows(
+        raw, take, rows, n
+    )
     return pd.DataFrame(
         {
             "rms": rms.astype(np.float32),
             "clip_frac": clip_frac.astype(np.float32),
             "snr_db": snr_db.astype(np.float32),
+            "silence_frac": silence_frac.astype(np.float32),
+            "dyn_range_db": dyn_range_db.astype(np.float32),
         }
     )
 
@@ -431,10 +461,16 @@ def audio_window_exprs(bytes_col: str = "bytes", codec: str = "codec"):
 
 
 def with_audio_stats(df, bytes_col: str = "bytes", codec: str = "codec"):
-    """Attach n_samples/rms/clip_frac/snr_db. n_samples is computed
-    JVM-side; only the Welch windows cross to Python (one Arrow
-    round-trip of ~16 KB/clip). The ``bytes`` column is only read here —
-    column pruning keeps it out of every other stage's scan."""
+    """Attach n_samples/rms/clip_frac/snr_db plus the ADVISORY activity
+    signals silence_frac/dyn_range_db (window-estimate share of
+    near-silent windows and loudest/quietest window ratio — curriculum
+    and drift-profile axes like speech_rate, never keep rules: keep/drop
+    stays reference-pinned). n_samples is computed JVM-side; only the
+    Welch windows cross to Python (one Arrow round-trip of ~16 KB/clip),
+    and the new signals ride the SAME windows — no extra transfer, still
+    exactly three pandas UDFs in the hot path. The ``bytes`` column is
+    only read here — column pruning keeps it out of every other stage's
+    scan."""
     win_bytes, n_samples = audio_window_exprs(bytes_col, codec)
     return (
         df.withColumns(
@@ -448,6 +484,8 @@ def with_audio_stats(df, bytes_col: str = "bytes", codec: str = "codec"):
                 "rms": F.col("_ast.rms"),
                 "clip_frac": F.col("_ast.clip_frac"),
                 "snr_db": F.col("_ast.snr_db"),
+                "silence_frac": F.col("_ast.silence_frac"),
+                "dyn_range_db": F.col("_ast.dyn_range_db"),
             }
         )
         .drop("_ast", "_win")

@@ -479,10 +479,81 @@ class TestAudio:
             rows, "clip_id string, bytes binary, codec string"
         )
         got = {
-            r["clip_id"]: (r["n_samples"], r["rms"], r["snr_db"])
+            r["clip_id"]: (
+                r["n_samples"], r["rms"], r["snr_db"],
+                r["silence_frac"], r["dyn_range_db"],
+            )
             for r in with_audio_stats(df).collect()
         }
         local = stats_batch([r[1] for r in rows], [r[2] for r in rows])
         for i, cid in enumerate(["a", "b", "c"]):
             assert got[cid][0] == int(local["n_samples"][i])
             assert got[cid][1] == pytest.approx(float(local["rms"][i]), abs=0)
+            # activity signals ride the same windows: bit-for-bit parity
+            assert got[cid][3] == pytest.approx(
+                float(local["silence_frac"][i]), abs=0
+            )
+            assert got[cid][4] == pytest.approx(
+                float(local["dyn_range_db"][i]), abs=0
+            )
+
+
+class TestAudioActivity:
+    """silence_frac / dyn_range_db — advisory window-estimate activity
+    signals (curriculum/profile axes, never keep rules)."""
+
+    def test_planted_silent_window(self):
+        # zero out exactly the region the extractor reads for window 1:
+        # starts are integer-exact floor(span*i/(W-1)) in sample domain
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            _FFT_N, _N_WINDOWS,
+        )
+
+        n = 10_000
+        x = sine_pcm(n=n, amp=8000.0)
+        take = min(n, _FFT_N)
+        span = n - take
+        s1 = (span * 1) // (_N_WINDOWS - 1)
+        x[s1:s1 + _FFT_N] = 0
+        out = stats_batch([x.tobytes()], ["pcm_s16le"])
+        assert out["silence_frac"][0] == pytest.approx(0.25)
+        assert out["dyn_range_db"][0] > 40.0  # loud vs silent window
+
+    def test_all_silence_and_empty_rows(self):
+        zeros = np.zeros(8000, dtype="<i2")
+        out = stats_batch(
+            [zeros.tobytes(), None, b"", sine_pcm().tobytes()],
+            ["pcm_s16le"] * 4,
+        )
+        # digital silence and undecodable/empty rows are all-silence
+        assert list(out["silence_frac"]) == [1.0, 1.0, 1.0, 0.0]
+        # constant-level rows have zero dynamic range
+        assert out["dyn_range_db"][0] == 0.0
+        assert out["dyn_range_db"][3] == pytest.approx(0.0, abs=0.1)
+
+    def test_quiet_clip_is_silent_by_absolute_threshold(self):
+        # uniformly ~-45 dBFS: every window under _SILENCE_RMS
+        quiet = sine_pcm(amp=250.0)
+        out = stats_batch([quiet.tobytes()], ["pcm_s16le"])
+        assert out["silence_frac"][0] == 1.0
+
+    def test_advisory_columns_flow_to_scored_clips(self, spark):
+        from data_quality_check_pipeline_spark.pipeline import score_clips
+
+        df = spark.createDataFrame(
+            [
+                (
+                    "c1",
+                    sine_pcm(n=16000, sr=16000).tobytes(),
+                    16000,
+                    1000,
+                    "pcm_s16le",
+                    "a perfectly normal sentence here",
+                )
+            ],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+            " codec string, transcript string",
+        )
+        row = score_clips(df).collect()[0]
+        assert 0.0 <= row["silence_frac"] <= 1.0
+        assert row["dyn_range_db"] >= 0.0
