@@ -1,0 +1,295 @@
+"""Domain-targeted data selection (DSIR-style importance resampling).
+
+A web-scale training corpus is rarely used uniformly: given a small
+high-quality TARGET sample (a trusted eval-adjacent corpus, a curated
+domain set), production pipelines up-select raw-corpus documents whose
+n-gram profile looks like the target — "Data Selection via Importance
+Resampling" (Xie et al., 2023): score every raw doc with the
+log-likelihood ratio of two bag-of-hashed-n-grams models (target vs raw
+corpus) and resample proportionally to the ratio via the Gumbel top-k
+trick. The reference engine has no analogue — this is round-brief
+training-data-pipeline surface, like the dedup/sampling families.
+
+Scale shape (the 100 TB contract):
+
+* Feature histograms are BOUNDED: hashed n-grams live in ``n_features``
+  buckets, so both the target and the raw-corpus histograms are one
+  map-side-combined groupBy that returns <= n_features rows regardless
+  of corpus size. The log-ratio table is therefore always broadcastable.
+* Per-doc scoring is ONE scan: explode hashed n-grams, broadcast-join
+  the log-ratio table, sum per doc (map-side partial agg). No corpus
+  self-join, no signature state.
+* Selection: ``mode="top_k"`` is an exact global top-k
+  (TakeOrdered-style sort+limit — fine up to millions of keeps);
+  ``mode="threshold"`` is the 100-TB shape — one ``percentile_approx``
+  pass fixes a score cutoff and the keep decision becomes a scan-side
+  filter (approximately n_keep rows, no global sort).
+
+Determinism: the Gumbel noise derives from ``xxhash64(id, 'dsir_gumbel',
+seed)`` — never ``rand()`` (repo invariant; task retries and
+repartitioning reproduce the same selected set), and the feature hash
+folds a ``'dsir_feat'`` domain literal so the feature universe is
+independent of every other hash-derived decision at equal seeds
+(DESIGN #23).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exprs import norm_text
+from .sampling import _BUCKETS
+
+_log = logging.getLogger("clip_quality.selection")
+
+_FEAT_DOMAIN = "dsir_feat"
+_GUMBEL_DOMAIN = "dsir_gumbel"
+
+
+def _ngram_feature_expr(
+    text_col: str, ks: tuple[int, ...], n_features: int
+) -> Column:
+    """Array of hashed n-gram feature ids (one entry PER OCCURRENCE —
+    DSIR models raw counts, not the distinct sets the dedup family
+    uses). Tokenization matches the dedup/decontamination families
+    (norm_text + lower + single-space split) so a selection model and a
+    dedup threshold refer to the same token universe. A doc shorter
+    than k tokens contributes its whole token sequence as one k-gram
+    (the family's short-doc fallback); null text -> null array (explode
+    drops the doc: no features, no weight, excluded from selection)."""
+    toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
+    n = F.array_size(toks)
+
+    def _gram_hash(k: int):
+        # single-parameter lambda, k bound in the enclosing scope: a
+        # 2-arg callable would make F.transform pass (element, INDEX)
+        # and the gram width would silently become the array position
+        return lambda i: F.xxhash64(
+            F.slice(toks, i + 1, k), F.lit(_FEAT_DOMAIN)
+        )
+
+    per_k = []
+    for k in ks:
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        grams = F.when(
+            n >= k,
+            F.transform(idx, _gram_hash(k)),
+        ).otherwise(F.array(F.xxhash64(toks, F.lit(_FEAT_DOMAIN))))
+        per_k.append(grams)
+    feats = F.concat(*per_k) if len(per_k) > 1 else per_k[0]
+    return F.when(
+        toks.isNotNull(),
+        F.transform(feats, lambda h: F.pmod(h, F.lit(n_features))),
+    )
+
+
+def _feature_hist(
+    df: DataFrame, text_col: str, ks: tuple[int, ...], n_features: int
+) -> DataFrame:
+    """(feat, n) histogram — at most n_features rows whatever the input
+    size (map-side combine does the heavy lifting)."""
+    return (
+        df.select(
+            F.explode(_ngram_feature_expr(text_col, ks, n_features)).alias(
+                "feat"
+            )
+        )
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ngram_log_ratio(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    target_text_col: str | None = None,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+    smoothing: float = 1.0,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(feat, log_ratio) — log p_target(feat) − log p_corpus(feat) under
+    add-``smoothing`` bag-of-hashed-n-grams models. <= n_features rows:
+    always broadcastable. Features seen in neither side are irrelevant
+    (no corpus doc can contain them); features seen only in the target
+    get the corpus smoothing floor and vice versa."""
+    if n_features < 2:
+        raise ValueError(f"n_features must be >= 2, got {n_features}")
+    if smoothing <= 0:
+        raise ValueError(
+            f"smoothing must be > 0 (zero counts need mass), got {smoothing}"
+        )
+    t_hist = _feature_hist(target, target_text_col or text_col, ks, n_features)
+    c_hist = _feature_hist(corpus, text_col, ks, n_features)
+    t_total = (t_hist.agg(F.sum("n")).collect()[0][0]) or 0
+    c_total = (c_hist.agg(F.sum("n")).collect()[0][0]) or 0
+    if stats_out is not None:
+        stats_out["target_tokens"] = int(t_total)
+        stats_out["corpus_tokens"] = int(c_total)
+    lam = float(smoothing)
+    denom_t = float(t_total) + lam * n_features
+    denom_c = float(c_total) + lam * n_features
+    joined = t_hist.withColumnRenamed("n", "nt").join(
+        c_hist.withColumnRenamed("n", "nc"), "feat", "full_outer"
+    )
+    return joined.select(
+        "feat",
+        (
+            F.log((F.coalesce(F.col("nt"), F.lit(0)) + F.lit(lam))
+                  / F.lit(denom_t))
+            - F.log((F.coalesce(F.col("nc"), F.lit(0)) + F.lit(lam))
+                    / F.lit(denom_c))
+        ).alias("log_ratio"),
+    )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_text_col: str | None = None,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+    smoothing: float = 1.0,
+    log_ratio: DataFrame | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(id, logw) — per-doc log importance weight: sum over the doc's
+    hashed-n-gram OCCURRENCES of the feature's log ratio. One corpus
+    scan: explode + broadcast join on the bounded log-ratio table +
+    groupBy(id) sum (map-side partials). Docs with NULL/empty-feature
+    text are absent from the result — they carry no evidence either way
+    and are excluded from selection (quality validation owns them).
+
+    Pass a precomputed ``log_ratio`` (from :func:`ngram_log_ratio`) to
+    score several corpora / shards against one fixed target model —
+    the calibrated-production shape (model derived once, applied
+    everywhere, shard-invariant)."""
+    if log_ratio is None:
+        log_ratio = ngram_log_ratio(
+            corpus, target, text_col, target_text_col, ks, n_features,
+            smoothing, stats_out,
+        )
+    exploded = corpus.select(
+        F.col(id_col),
+        F.explode(_ngram_feature_expr(text_col, ks, n_features)).alias(
+            "feat"
+        ),
+    )
+    return (
+        exploded.join(F.broadcast(log_ratio), "feat")
+        .groupBy(id_col)
+        .agg(F.sum("log_ratio").alias("logw"))
+    )
+
+
+def _gumbel_key(id_col: str, seed: int, temperature: float) -> Column:
+    """logw/temperature + Gumbel(0,1) noise, the Gumbel top-k trick:
+    taking the n_keep largest keys samples n_keep docs WITHOUT
+    replacement with probability proportional to exp(logw/temperature).
+    Noise is hash-derived ((h + 0.5)/buckets keeps u strictly inside
+    (0,1) — Spark's ln() returns NULL at 0) and domain-separated."""
+    h = F.xxhash64(
+        F.col(id_col), F.lit(_GUMBEL_DOMAIN), F.lit(int(seed)).cast("long")
+    )
+    u = (F.pmod(h, F.lit(_BUCKETS)).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    gumbel = -F.log(-F.log(u))
+    return F.col("logw") / F.lit(float(temperature)) + gumbel
+
+
+def importance_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_keep: int | None = None,
+    target_text_col: str | None = None,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+    smoothing: float = 1.0,
+    temperature: float = 1.0,
+    seed: int = 0,
+    mode: str = "top_k",
+    keep_frac: float | None = None,
+    log_ratio: DataFrame | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Select corpus rows that look like ``target``: Gumbel top-k over
+    the importance weights (sampling without replacement proportional
+    to exp(logw/temperature); temperature > 1 flattens toward uniform,
+    << 1 approaches arg-top-k by weight). Returns the selected corpus
+    rows (all columns). Budget: exactly one of ``n_keep`` (absolute)
+    or ``keep_frac`` (fraction of scored docs; threshold mode only).
+
+    ``mode="top_k"``: exact — global sort+limit over the (id, key)
+    frame (two slim columns, never the full rows). ``mode="threshold"``:
+    the 100-TB shape — ``percentile_approx`` fixes the key cutoff in one
+    pass and selection becomes a scan-side filter; the kept count is
+    approximate (percentile_approx accuracy), the decision per doc is
+    still deterministic. With ``keep_frac`` the count pass is skipped
+    entirely (one quantile job + one filter). Both modes end with one
+    left_semi join of the corpus against the selected id set."""
+    if (n_keep is None) == (keep_frac is None):
+        raise ValueError("exactly one of n_keep / keep_frac required")
+    if n_keep is not None and n_keep <= 0:
+        raise ValueError(f"n_keep must be > 0, got {n_keep}")
+    if keep_frac is not None and not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if mode not in ("top_k", "threshold"):
+        raise ValueError(f"mode must be top_k|threshold, got {mode!r}")
+    if keep_frac is not None and mode != "threshold":
+        raise ValueError("keep_frac requires mode='threshold'")
+    weights = importance_weights(
+        corpus, target, id_col, text_col, target_text_col, ks, n_features,
+        smoothing, log_ratio, stats_out,
+    )
+    keyed = weights.select(
+        id_col, _gumbel_key(id_col, seed, temperature).alias("_key")
+    )
+    if mode == "top_k":
+        chosen = keyed.orderBy(F.col("_key").desc(), F.col(id_col)).limit(
+            n_keep
+        )
+    else:
+        if keep_frac is not None:
+            # count-free: the quantile IS the budget
+            keyed = keyed.persist()  # two references: quantile, filter
+            frac_drop = 1.0 - float(keep_frac)
+            n_scored = None
+        else:
+            keyed = keyed.persist()  # three refs: count, quantile, filter
+            n_scored = keyed.count()
+            frac_drop = (
+                max(0.0, 1.0 - float(n_keep) / n_scored) if n_scored else 0.0
+            )
+        tau = keyed.agg(
+            F.percentile_approx("_key", F.lit(frac_drop))
+        ).collect()[0][0]
+        if tau is None:  # nothing scored (e.g. all-null text corpus)
+            chosen = keyed
+            tau = float("nan")
+        else:
+            chosen = keyed.filter(F.col("_key") >= F.lit(float(tau)))
+        if stats_out is not None:
+            stats_out["threshold_key"] = float(tau)
+            if n_scored is not None:
+                stats_out["scored_docs"] = int(n_scored)
+    selected = corpus.join(
+        chosen.select(id_col), id_col, "left_semi"
+    )
+    if stats_out is not None:
+        stats_out["mode"] = mode
+        if n_keep is not None:
+            stats_out["n_keep_requested"] = int(n_keep)
+        else:
+            stats_out["keep_frac_requested"] = float(keep_frac)
+    return selected

@@ -169,6 +169,20 @@ class RunConfig:
     curriculum_col: str | None = None
     curriculum_rates: list | None = None  # rate per quantile bin
     curriculum_edges: list | None = None  # pinned thresholds (optional)
+    # DSIR-style domain-targeted selection (operators/selection.py):
+    # keep the dsir_frac of the kept branch whose hashed-n-gram profile
+    # best matches the dsir_target parquet (importance resampling,
+    # Gumbel-threshold mode — one quantile pass + a scan-side filter,
+    # no count job). Like the mixture/curriculum stages it runs BEFORE
+    # dedup (selected-out clips leave no signature history) and
+    # composes at equal seeds via its own hash domains. Per-shard model
+    # + cutoff derivation (the curriculum-unpinned-edges precedent:
+    # deterministic given (corpus, n_shards), not across shard counts).
+    # Batch-only — a micro-batch is not a corpus to fit a model on.
+    dsir_target: str | None = None  # parquet of target-domain texts
+    dsir_frac: float | None = None  # kept fraction of scored clips
+    dsir_text_col: str = "text"  # text column IN THE TARGET parquet
+    dsir_temperature: float = 1.0
     # split name -> fraction (must sum to 1); adds a 'split' column and
     # partitions clips_clean by (lang, split)
     split_fractions: dict | None = None
@@ -212,6 +226,12 @@ class RunConfig:
         ):
             raise ValueError(
                 "curriculum_rates: need >= 2 per-bin rates in [0, 1]"
+            )
+        if (self.dsir_target is None) != (self.dsir_frac is None):
+            raise ValueError("dsir_target and dsir_frac go together")
+        if self.dsir_frac is not None and not 0.0 < self.dsir_frac <= 1.0:
+            raise ValueError(
+                f"dsir_frac must be in (0, 1], got {self.dsir_frac}"
             )
         if self.curriculum_edges is not None:
             if self.curriculum_rates is None:
@@ -790,6 +810,35 @@ def _run_shard(
                  "unmet": sample_stats.get("unmet", {})}
                 if cfg.sample_temperature is not None else {}
             ),
+        )
+        t0 = time.time()
+    # -- DSIR DOMAIN SELECTION (optional): keep the dsir_frac of kept
+    # clips whose hashed-n-gram transcript profile best matches the
+    # target parquet. BEFORE dedup for the sampling-ordering reason
+    # (selected-out clips leave no signature history); own hash
+    # domains ('dsir_feat'/'dsir_gumbel'), so it composes with the
+    # mixture and curriculum filters at equal seeds (DESIGN #23).
+    if cfg.dsir_target is not None:
+        from .operators.selection import importance_resample
+
+        dsir_stats: dict = {}
+        target_df = kept_src.sparkSession.read.parquet(cfg.dsir_target)
+        kept_src = importance_resample(
+            kept_src, target_df, "clip_id", "transcript",
+            target_text_col=cfg.dsir_text_col,
+            temperature=cfg.dsir_temperature, seed=cfg.sample_seed,
+            mode="threshold", keep_frac=cfg.dsir_frac,
+            stats_out=dsir_stats,
+        )
+        n_after = kept_src.count()
+        dsir_out = stats["kept"] - n_after
+        stats["sampled_out"] = stats.get("sampled_out", 0) + dsir_out
+        stats["kept"] = n_after
+        log.record(
+            "dsir_select", "ok", t0,
+            target=cfg.dsir_target, keep_frac=cfg.dsir_frac,
+            dsir_out=dsir_out, kept=n_after,
+            threshold_key=round(dsir_stats["threshold_key"], 6),
         )
         t0 = time.time()
     # -- QUALITY CURRICULUM (optional): quantile-bin the score column,

@@ -161,6 +161,28 @@ def main() -> None:
                          "micro-batches have no corpus to derive a "
                          "mixture from; mutually exclusive with "
                          "--sample-lang")
+    ap.add_argument("--sample-dsir-target", default=None, metavar="PARQUET",
+                    help="DSIR domain-targeted selection: keep the "
+                         "--sample-dsir-frac of kept clips whose hashed-"
+                         "n-gram transcript profile best matches this "
+                         "target-domain parquet (importance resampling, "
+                         "Gumbel-threshold mode). Runs before dedup; "
+                         "composes with the mixture/curriculum filters "
+                         "(own hash domains). Batch only — a micro-batch "
+                         "is not a corpus to fit a model on")
+    ap.add_argument("--sample-dsir-frac", type=float, default=None,
+                    metavar="F",
+                    help="with --sample-dsir-target: fraction of scored "
+                         "clips to keep, in (0, 1]")
+    ap.add_argument("--sample-dsir-text-col", default="text",
+                    metavar="COL",
+                    help="text column in the target parquet "
+                         "(default: text)")
+    ap.add_argument("--sample-dsir-temperature", type=float, default=1.0,
+                    metavar="T",
+                    help="selection sharpness: >1 flattens toward "
+                         "uniform, <<1 approaches arg-top-k by weight "
+                         "(default 1.0)")
     ap.add_argument("--curriculum", default=None,
                     metavar="COL=R0,R1,...",
                     help="quality-curriculum sampling of the kept "
@@ -316,6 +338,12 @@ def main() -> None:
             ap.error("--sample-temperature is batch-only (a streaming "
                      "micro-batch is not a corpus to derive a mixture "
                      "from); use explicit --sample-lang rates")
+    if (args.sample_dsir_target is None) != (args.sample_dsir_frac is None):
+        ap.error("--sample-dsir-target and --sample-dsir-frac go together")
+    if args.sample_dsir_target is not None and args.stream:
+        ap.error("--sample-dsir-target is batch-only (a streaming "
+                 "micro-batch is not a corpus to fit an importance "
+                 "model on)")
 
     def _kv_floats(s: str, what: str) -> dict[str, float]:
         # strip around names/values: a quoted 'en=0.4, de=1.0' must not
@@ -661,6 +689,10 @@ def main() -> None:
         curriculum_col=curriculum_col,
         curriculum_rates=curriculum_rates,
         curriculum_edges=curriculum_edges,
+        dsir_target=args.sample_dsir_target,
+        dsir_frac=args.sample_dsir_frac,
+        dsir_text_col=args.sample_dsir_text_col,
+        dsir_temperature=args.sample_dsir_temperature,
         split_fractions=(
             _kv_floats(args.split, "split") if args.split else None
         ),

@@ -1289,6 +1289,68 @@ class TestMixtureSampleSplit:
                 sample_rates={"en": 0.4},
             )
 
+    def test_dsir_selection_stage(
+        self, spark, corpus, oracle_df, out_root, tmp_path
+    ):
+        """--sample-dsir-target/--sample-dsir-frac: the landed set is
+        enriched toward the target domain (an English-only target over
+        the multilingual corpus), the drop is accounted as sampled_out
+        (valid data, never quarantined), and the stage log carries the
+        selection audit trail."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _, _, path = corpus
+        # target domain: kept English transcripts (language is a clean
+        # n-gram-profile proxy on the synthetic corpus)
+        en = oracle_df[
+            oracle_df["keep"] & (oracle_df["lang"] == "en")
+        ]["transcript_clean"].head(60)
+        tgt_path = str(tmp_path / "dsir_target.parquet")
+        pq.write_table(
+            pa.table({"text": list(en)}), tgt_path
+        )
+
+        base = RunConfig(out_root=str(tmp_path / "base"), run_id="b")
+        run_pipeline(spark, path, base)
+        base_langs = {
+            r["lang"]: r["n"]
+            for r in TableStore(spark, base.out_root).read(CLEAN_TABLE)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        base_en_share = base_langs["en"] / sum(base_langs.values())
+
+        cfg = RunConfig(
+            out_root=out_root, run_id="d1",
+            dsir_target=tgt_path, dsir_frac=0.5,
+        )
+        m = run_pipeline(spark, path, cfg)
+        expected_kept = int(oracle_df["keep"].sum())
+        assert (
+            m["quality"]["kept"] + m["quality"]["sampled_out"]
+            == expected_kept
+        )
+        assert 0 < m["quality"]["sampled_out"] < expected_kept
+        stage = next(
+            s for s in m["stages"] if s["stage"] == "dsir_select"
+        )
+        assert stage["keep_frac"] == 0.5
+        assert "threshold_key" in stage
+        sel_langs = {
+            r["lang"]: r["n"]
+            for r in TableStore(spark, out_root).read(CLEAN_TABLE)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        sel_en_share = sel_langs["en"] / sum(sel_langs.values())
+        assert sel_en_share > base_en_share + 0.15
+        # config contract: target and frac go together; frac in (0, 1]
+        with pytest.raises(ValueError, match="go together"):
+            RunConfig(out_root=out_root, dsir_frac=0.5)
+        with pytest.raises(ValueError, match="dsir_frac"):
+            RunConfig(
+                out_root=out_root, dsir_target=tgt_path, dsir_frac=1.5
+            )
+
     def test_quality_curriculum_drops_bottom_bin(
         self, spark, corpus, oracle_df, out_root, tmp_path
     ):
