@@ -1426,9 +1426,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         flagged = flag_clips(score_clips(df))
+        # activity-signal aggregates are integer-exact by construction:
+        # silence_frac is a float32 multiple of 1/_N_WINDOWS (round(x*4)
+        # is exact) and dyn_range_db is bit-identical between the Spark
+        # path and the golden's stats_batch re-derivation (shared
+        # _reduce_windows), so floor() agrees bit-for-bit
         return flagged.agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum(F.round(F.col("silence_frac") * 4).cast("long")).alias(
+                "silent_windows"
+            ),
+            F.sum(F.floor("dyn_range_db")).alias("dyn_floor_sum"),
         )
 
     q["clips_keep_stats"] = clips_keep_stats
@@ -1543,7 +1552,10 @@ GOLDEN_TYPES: dict[str, dict[str, str]] = {
         {"id_a": "BIGINT", "id_b": "BIGINT", "est_jaccard": "DOUBLE"},
     "doc_simhash_pairs":
         {"id_a": "BIGINT", "id_b": "BIGINT", "hamming": "INTEGER"},
-    "clips_keep_stats": {"total": "BIGINT", "kept": "BIGINT"},
+    "clips_keep_stats": {
+        "total": "BIGINT", "kept": "BIGINT",
+        "silent_windows": "BIGINT", "dyn_floor_sum": "BIGINT",
+    },
     "clips_reason_histogram": {"reason": "VARCHAR", "n": "BIGINT"},
     "clips_langid_distribution": {"lang": "VARCHAR", "n": "BIGINT"},
     "clips_audio_neardup":

@@ -31,6 +31,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 from data_quality_check_pipeline_spark.oracle_hash import (  # noqa: E402
@@ -260,7 +261,23 @@ def clips_goldens_py() -> dict:
         write_corpus(os.path.dirname(path), entry._CLIPS_N)
     pdf = pd.read_parquet(path)
     orc = run_oracle(pdf)
-    keep_stats = [[int(len(orc)), int(orc["keep"].sum())]]
+    # activity-signal aggregates (integer-exact: silence_frac is a
+    # float32 multiple of 1/_N_WINDOWS; dyn_range_db is bit-identical to
+    # the Spark path via the shared _reduce_windows — see the harness
+    # query's comment)
+    from data_quality_check_pipeline_spark.udfs.audio import stats_batch
+
+    astats = stats_batch(list(pdf["bytes"]), list(pdf["codec"]))
+    silent_windows = int(
+        (astats["silence_frac"].to_numpy() * 4).round().sum()
+    )
+    dyn_floor_sum = int(
+        np.floor(astats["dyn_range_db"].to_numpy()).sum()
+    )
+    keep_stats = [[
+        int(len(orc)), int(orc["keep"].sum()), silent_windows,
+        dyn_floor_sum,
+    ]]
     reasons: dict[str, int] = {}
     for rs in orc["drop_reasons"]:
         for r in rs:
@@ -271,8 +288,11 @@ def clips_goldens_py() -> dict:
         [None if pd.isna(k) else str(k), int(v)] for k, v in langs.items()
     ]
     return {
-        "clips_keep_stats": {"columns": ["total", "kept"],
-                             "rows": keep_stats},
+        "clips_keep_stats": {
+            "columns": ["total", "kept", "silent_windows",
+                        "dyn_floor_sum"],
+            "rows": keep_stats,
+        },
         "clips_reason_histogram": {"columns": ["reason", "n"],
                                    "rows": reason_rows},
         "clips_langid_distribution": {"columns": ["lang", "n"],
