@@ -511,6 +511,95 @@ def corpus_profile(
     return profile_estimates(merge_sketch_profiles(rows, cols), cols)
 
 
+def quantile_edges_from_history(
+    profiles: DataFrame, col: str, n_bins: int,
+    probs: list[float] | None = None,
+) -> list[float]:
+    """Derive PINNED quality-curriculum bin edges for ``col`` from a
+    sketch-profile history's numeric distribution state — the
+    principled source for ``curriculum_filter(edges=...)`` /
+    ``--curriculum-edges`` once a corpus has been profiled: the
+    streaming sink REQUIRES pinned edges (a micro-batch is not a corpus
+    to derive quantiles from), and until now they had to be chosen by
+    hand. With this, yesterday's corpus profile calibrates today's
+    curriculum, shard- and path-invariantly, WITHOUT rescanning any
+    data — the history rows are fixed-size mergeable state, so the
+    derivation cost is independent of corpus size (the 10^12-clip
+    shape).
+
+    Edges are the (1/n .. (n-1)/n) quantiles (``probs`` overrides) of
+    the EXACTLY-merged fixed-bin histogram, linearly interpolated
+    within the containing bucket; the underflow/overflow buckets
+    interpolate against the recorded true min/max. Accuracy is bounded
+    by the recorded bin width (the ``--profile-numeric lo:hi:nbins``
+    contract) — tighten nbins when calibrating curricula. Heavily
+    concentrated distributions can yield duplicate edges; the
+    curriculum's non-descending-edges contract collapses them into
+    fewer occupied bins, same as derived quantiles would.
+
+    Raises ValueError when the history carries no (consistent) numeric
+    state for ``col`` — same contract as the drift guard."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if probs is None:
+        probs = [i / n_bins for i in range(1, n_bins)]
+    if any(not 0.0 < p < 1.0 for p in probs):
+        raise ValueError(f"probs must lie strictly in (0, 1): {probs}")
+    if (
+        f"{col}__hist" not in profiles.columns
+        or f"{col}__spec" not in profiles.columns
+    ):
+        raise ValueError(
+            f"profile history has no numeric state for {col!r} — "
+            "profile it with numeric_bins/--profile-numeric first"
+        )
+    specs = [
+        r[0]
+        for r in profiles.select(f"{col}__spec").distinct().collect()
+    ]
+    if len(specs) != 1 or not specs[0]:
+        raise ValueError(
+            f"profile history holds {len(specs)} distinct bin specs for "
+            f"{col!r} ({specs}) — the bin edges are part of the history "
+            "contract"
+        )
+    lo_s, hi_s, nb_s = specs[0].split(":")
+    lo, hi, nbins = float(lo_s), float(hi_s), int(nb_s)
+    merged = merge_sketch_profiles(
+        profiles, [], {col: (lo, hi, nbins)}
+    ).collect()[0]
+    cnt = int(merged[f"{col}__count"] or 0)
+    if cnt == 0:
+        raise ValueError(
+            f"profile history records no non-null values for {col!r}"
+        )
+    hist = list(merged[f"{col}__hist"])
+    vmin = float(merged[f"{col}__min"])
+    vmax = float(merged[f"{col}__max"])
+    width = (hi - lo) / nbins
+    # bucket b spans [bounds[b], bounds[b+1]): underflow against the
+    # true min, overflow against the true max
+    bounds = (
+        [min(vmin, lo), lo]
+        + [lo + width * i for i in range(1, nbins)]
+        + [hi, max(vmax, hi)]
+    )
+    edges: list[float] = []
+    for p in probs:
+        rank = p * cnt
+        cum = 0.0
+        edge = vmax
+        for b, h in enumerate(hist):
+            if h and cum + h >= rank:
+                frac = (rank - cum) / h
+                left, right = bounds[b], bounds[b + 1]
+                edge = left + frac * (right - left)
+                break
+            cum += h
+        edges.append(float(edge))
+    return edges
+
+
 def _require_numeric_cols(profiles: DataFrame, numeric_bins: dict) -> None:
     """Same mid-history-change guard as _require_profile_cols, for the
     numeric state (a NULL count counter or a missing/short histogram

@@ -202,6 +202,16 @@ def main() -> None:
                          "pure row function — identical across shard "
                          "counts and the batch/stream paths (required "
                          "with --stream)")
+    ap.add_argument("--curriculum-edges-from-history", action="store_true",
+                    help="derive the pinned curriculum thresholds from "
+                         "the out-root's profile_history numeric state "
+                         "(profile.quantile_edges_from_history) instead "
+                         "of passing them by hand — requires the "
+                         "curriculum column to have been profiled with "
+                         "--profile-numeric in a prior run; satisfies "
+                         "--stream's pinned-edges requirement (derived "
+                         "edges are logged). Mutually exclusive with "
+                         "--curriculum-edges")
     ap.add_argument("--split", default=None, metavar="NAME=F,...",
                     help="stable split assignment, e.g. "
                          "train=0.8,val=0.1,test=0.1 (fractions sum to "
@@ -324,12 +334,49 @@ def main() -> None:
                 ap.error("--curriculum-edges: need len(rates)-1 = "
                          f"{len(curriculum_rates) - 1} thresholds, got "
                          f"{len(curriculum_edges)}")
-        if args.stream and curriculum_edges is None:
-            ap.error("--curriculum with --stream requires "
-                     "--curriculum-edges (a micro-batch is not a "
-                     "corpus to derive quantile bins from)")
+        if args.curriculum_edges_from_history:
+            if args.curriculum_edges:
+                ap.error("--curriculum-edges-from-history and "
+                         "--curriculum-edges are mutually exclusive "
+                         "edge sources")
+        elif args.stream and curriculum_edges is None:
+            ap.error("--curriculum with --stream requires pinned edges: "
+                     "--curriculum-edges or "
+                     "--curriculum-edges-from-history (a micro-batch is "
+                     "not a corpus to derive quantile bins from)")
     elif args.curriculum_edges:
         ap.error("--curriculum-edges without --curriculum")
+    elif args.curriculum_edges_from_history:
+        ap.error("--curriculum-edges-from-history without --curriculum")
+
+    def _history_edges(spark) -> list[float]:
+        """Derive pinned curriculum edges from the out-root's profile
+        history (fixed-size mergeable state — no data rescan)."""
+        from data_quality_check_pipeline_spark.operators.profile import (
+            quantile_edges_from_history,
+        )
+        from data_quality_check_pipeline_spark.pipeline import (
+            PROFILE_TABLE,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, args.out)
+        if not store.exists(PROFILE_TABLE):
+            ap.error("--curriculum-edges-from-history: no "
+                     f"{PROFILE_TABLE} table under {args.out} — run "
+                     "with --profile-cols/--profile-numeric first")
+        try:
+            edges = quantile_edges_from_history(
+                store.read(PROFILE_TABLE), curriculum_col,
+                len(curriculum_rates),
+            )
+        except ValueError as e:
+            ap.error(f"--curriculum-edges-from-history: {e}")
+        print(f"curriculum edges from {PROFILE_TABLE}: "
+              f"{[round(e, 4) for e in edges]}")
+        return edges
     if args.sample_temperature is not None:
         if args.sample_lang:
             ap.error("--sample-temperature and --sample-lang are "
@@ -588,6 +635,8 @@ def main() -> None:
         )
 
         spark = get_spark(app_name="clip-quality-stream", cores=args.cores)
+        if args.curriculum_edges_from_history:
+            curriculum_edges = _history_edges(spark)
         # stream exactly the given path: a named .parquet file/dir streams
         # itself (never sibling tables in the same parent directory); a
         # plain directory globs *.parquet inside it only, so corpus sidecar
@@ -656,6 +705,8 @@ def main() -> None:
 
     fp = args.fingerprint or source_fingerprint(input_path)
     spark = get_spark(app_name="clip-quality-pipeline", cores=args.cores)
+    if args.curriculum_edges_from_history:
+        curriculum_edges = _history_edges(spark)
     cfg = RunConfig(
         out_root=args.out,
         run_id=args.run_id,

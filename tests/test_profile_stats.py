@@ -773,3 +773,141 @@ class TestNumericSketchProfiles:
         assert "distribution_psi" not in kinds
         with _pytest.raises(ValueError, match="numeric state"):
             corpus_profile(store, t, ["lang"], numeric_bins=self.BINS)
+
+
+class TestQuantileEdgesFromHistory:
+    """Curriculum edges derived from the mergeable histogram state —
+    the calibrated-production source for curriculum_filter(edges=...)
+    (streaming requires pinned edges; this derives them from history
+    without rescanning data)."""
+
+    SPEC = {"score": (0.0, 1000.0, 100)}
+
+    @pytest.fixture(scope="class")
+    def history(self, spark):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            sketch_profile,
+        )
+
+        # deterministic, hash-scrambled uniform scores over [0, 1000)
+        df = spark.range(4000).select(
+            F.col("id"),
+            (F.pmod(F.xxhash64("id"), F.lit(100000)).cast("double")
+             / F.lit(100.0)).alias("score"),
+        )
+        batches = [
+            sketch_profile(
+                df.filter(F.col("id") % 4 == k), [],
+                numeric_bins=self.SPEC,
+            )
+            for k in range(4)
+        ]
+        hist = batches[0]
+        for b in batches[1:]:
+            hist = hist.unionByName(b)
+        return df, hist
+
+    def test_edges_match_exact_quantiles_within_bin_width(
+        self, spark, history
+    ):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            quantile_edges_from_history,
+        )
+
+        df, hist = history
+        edges = quantile_edges_from_history(hist, "score", 4)
+        exact = df.select(
+            F.expr("percentile(score, array(0.25, 0.5, 0.75))")
+        ).first()[0]
+        assert len(edges) == 3
+        width = 10.0  # (1000-0)/100
+        for e, x in zip(edges, exact):
+            assert abs(e - x) <= width, (edges, exact)
+        assert edges == sorted(edges)
+
+    def test_history_edges_equal_single_profile_edges(
+        self, spark, history
+    ):
+        """Exact merge property: edges from the 4-batch history ==
+        edges from one profile of the whole corpus."""
+        from data_quality_check_pipeline_spark.operators.profile import (
+            quantile_edges_from_history,
+            sketch_profile,
+        )
+
+        df, hist = history
+        whole = sketch_profile(df, [], numeric_bins=self.SPEC)
+        assert quantile_edges_from_history(
+            hist, "score", 5
+        ) == quantile_edges_from_history(whole, "score", 5)
+
+    def test_outliers_interpolate_against_true_min_max(self, spark):
+        """Values outside [lo, hi) land in the under/overflow buckets;
+        a quantile falling there interpolates between the spec edge and
+        the recorded true extreme."""
+        from data_quality_check_pipeline_spark.operators.profile import (
+            quantile_edges_from_history,
+            sketch_profile,
+        )
+
+        rows = [(float(v),) for v in list(range(10)) * 10 + [500.0] * 60]
+        df = spark.createDataFrame(rows, "score double")
+        hist = sketch_profile(
+            df, [], numeric_bins={"score": (0.0, 10.0, 5)}
+        )
+        # 100 in-range values, 60 overflow: the 0.75 quantile sits in
+        # the overflow bucket -> edge in (10, 500]
+        (e,) = quantile_edges_from_history(
+            hist, "score", 4, probs=[0.75]
+        )
+        assert 10.0 < e <= 500.0
+
+    def test_edges_feed_curriculum_round_trip(self, spark, history):
+        """Derived edges drive curriculum_filter(edges=...): dropping
+        bin 0 removes exactly the clips at or below the first edge."""
+        from data_quality_check_pipeline_spark.operators.profile import (
+            quantile_edges_from_history,
+        )
+        from data_quality_check_pipeline_spark.operators.sampling import (
+            curriculum_filter,
+        )
+
+        df, hist = history
+        edges = quantile_edges_from_history(hist, "score", 2)
+        kept = curriculum_filter(
+            df.withColumn("clip_id", F.col("id").cast("string")),
+            "score", [0.0, 1.0], "clip_id", edges=edges,
+        )
+        lo_kept = kept.filter(F.col("score") <= edges[0]).count()
+        assert lo_kept == 0
+        n = kept.count()
+        assert abs(n - 2000) <= 200  # ~median cut at bin-width accuracy
+
+    def test_contract_errors(self, spark, history):
+        from data_quality_check_pipeline_spark.operators.profile import (
+            quantile_edges_from_history,
+            sketch_profile,
+        )
+
+        df, hist = history
+        with pytest.raises(ValueError, match="no numeric state"):
+            quantile_edges_from_history(hist, "other", 4)
+        with pytest.raises(ValueError, match="strictly in"):
+            quantile_edges_from_history(hist, "score", 4, probs=[0.0])
+        with pytest.raises(ValueError, match="n_bins"):
+            quantile_edges_from_history(hist, "score", 1)
+        # mixed bin specs violate the history contract
+        other = sketch_profile(
+            df, [], numeric_bins={"score": (0.0, 500.0, 100)}
+        )
+        with pytest.raises(ValueError, match="distinct bin specs"):
+            quantile_edges_from_history(
+                hist.unionByName(other), "score", 4
+            )
+        # all-null history
+        nulls = sketch_profile(
+            df.withColumn("score", F.lit(None).cast("double")),
+            [], numeric_bins=self.SPEC,
+        )
+        with pytest.raises(ValueError, match="no non-null"):
+            quantile_edges_from_history(nulls, "score", 4)
