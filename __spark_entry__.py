@@ -209,16 +209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["flagship_doc_quality_filter"] = _flagship
 
     # ---- profiling / completeness (A1, A5, A7, A10, A11) -------------------
-    def doc_completeness(spark, sf):
-        df = _load(spark, sf, "documents")
-        return df.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(null_or_empty("text").cast("long")).alias("missing_text"),
-            F.sum(null_or_empty("lang").cast("long")).alias("missing_lang"),
-        )
-
-    q["doc_completeness"] = doc_completeness
-
     def doc_lang_histogram(spark, sf):
         return (
             _load(spark, sf, "documents")
@@ -229,13 +219,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_lang_histogram"] = doc_lang_histogram
 
     def doc_dup_stats(spark, sf):
-        """id uniqueness + exact-content duplicate-group profile in one
-        row (the former per-group doc_exact_dup_groups listing is folded
-        in as aggregates — the sf0.01 corpus has no exact text dups, so
-        a per-group listing carried zero evidence)."""
+        """A1 completeness + id uniqueness + exact-content duplicate-
+        group profile in one row (the former doc_completeness query and
+        the per-group doc_exact_dup_groups listing are folded in as
+        aggregates — same corpus scan, and the consolidation keeps the
+        harness at the driver's 50-query evidence cap)."""
         df = _load(spark, sf, "documents")
         norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
         ids = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(null_or_empty("text").cast("long")).alias("missing_text"),
+            F.sum(null_or_empty("lang").cast("long")).alias("missing_lang"),
             F.count("doc_id").alias("non_null"),
             F.count_distinct(F.col("doc_id")).alias("n_distinct"),
         )
@@ -587,6 +581,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang", "split")
 
     q["doc_stratified_sample"] = doc_stratified_sample
+
+    def doc_dsir_select(spark, sf):  # oracle: committed golden (pure-Python xxh64+Counter re-derivation)
+        """DSIR domain-targeted selection (operators/selection.py):
+        importance-resample the documents corpus toward an
+        English-target sample (en docs with doc_id < 100). The selected
+        id SET is the golden — integer and robust: Gumbel key gaps at
+        the boundary are O(1), float-sum jitter is O(1e-12). Constants
+        (n_keep=150, ks=(1,2), n_features=512, smoothing=1, seed=0)
+        are mirrored in tools/make_goldens.dsir_select_py."""
+        from data_quality_check_pipeline_spark.operators.selection import (
+            importance_resample,
+        )
+
+        df = _load(spark, sf, "documents").cache()
+        corpus = df.select("doc_id", "text")
+        target = df.filter(
+            (F.col("lang") == "en") & (F.col("doc_id") < 100)
+        ).select("text")
+        sel = importance_resample(
+            corpus, target, "doc_id", "text", n_keep=150,
+            ks=(1, 2), n_features=512, smoothing=1.0, seed=0,
+            mode="top_k",
+        )
+        return sel.select("doc_id")
+
+    q["doc_dsir_select"] = doc_dsir_select
 
     def doc_token_packing(spark, sf):
         """Token-budget sequence packing (operators/packing.py):
@@ -1556,6 +1576,7 @@ GOLDEN_TYPES: dict[str, dict[str, str]] = {
         "total": "BIGINT", "kept": "BIGINT",
         "silent_windows": "BIGINT", "dyn_floor_sum": "BIGINT",
     },
+    "doc_dsir_select": {"doc_id": "BIGINT"},
     "clips_reason_histogram": {"reason": "VARCHAR", "n": "BIGINT"},
     "clips_langid_distribution": {"lang": "VARCHAR", "n": "BIGINT"},
     "clips_audio_neardup":
@@ -1642,21 +1663,18 @@ def oracle_sql() -> dict[str, str]:
         "__LANG_GUESS__", lang_guess
     ).replace("__QUALITY__", quality)
 
-    sql["doc_completeness"] = f"""
-      SELECT CAST(count(*) AS BIGINT) AS rows,
-             CAST(sum(CASE WHEN {_sql_missing('text')} THEN 1 ELSE 0 END)
-                  AS BIGINT) AS missing_text,
-             CAST(sum(CASE WHEN {_sql_missing('lang')} THEN 1 ELSE 0 END)
-                  AS BIGINT) AS missing_lang
-      FROM documents"""
-
     sql["doc_lang_histogram"] = (
         "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1"
     )
 
     norm_lower = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
     sql["doc_dup_stats"] = f"""
-      SELECT CAST(count(doc_id) AS BIGINT) AS non_null,
+      SELECT CAST(count(*) AS BIGINT) AS rows,
+             CAST(sum(CASE WHEN {_sql_missing('text')} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS missing_text,
+             CAST(sum(CASE WHEN {_sql_missing('lang')} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS missing_lang,
+             CAST(count(doc_id) AS BIGINT) AS non_null,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
              (SELECT CAST(count(*) AS BIGINT) FROM (
                 SELECT 1 FROM documents WHERE text IS NOT NULL

@@ -122,6 +122,9 @@ def main() -> None:
         "doc_stratified_sample",
         "doc_token_packing",
         "events_asof_clicks",
+        # round-4 continuation: DSIR domain-targeted selection (hashed
+        # n-gram models + Gumbel top-k — one corpus scan + slim sort)
+        "doc_dsir_select",
     ]
 
     # Per-query MIN over >=3 INTERLEAVED passes, with the spread

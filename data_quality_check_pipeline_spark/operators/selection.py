@@ -86,11 +86,16 @@ def _ngram_feature_expr(
     )
 
 
-def _feature_hist(
-    df: DataFrame, text_col: str, ks: tuple[int, ...], n_features: int
+def feature_hist(
+    df: DataFrame, text_col: str,
+    ks: tuple[int, ...] = (1, 2), n_features: int = 8192,
 ) -> DataFrame:
-    """(feat, n) histogram — at most n_features rows whatever the input
-    size (map-side combine does the heavy lifting)."""
+    """(feat, n) hashed-n-gram occurrence histogram — at most
+    n_features rows whatever the input size (map-side combine does the
+    heavy lifting). EXACTLY mergeable: histograms of disjoint batches
+    vector-add (groupBy(feat).sum(n)) to the whole-corpus histogram,
+    which is what makes the DSIR corpus model incrementally
+    maintainable (see incremental_dsir_model_run)."""
     return (
         df.select(
             F.explode(_ngram_feature_expr(text_col, ks, n_features)).alias(
@@ -99,6 +104,115 @@ def _feature_hist(
         )
         .groupBy("feat")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_feature_hist = feature_hist  # internal alias (historical name)
+
+
+def _hist_spec(ks: tuple[int, ...], n_features: int) -> str:
+    return f"ks={','.join(str(k) for k in ks)};nf={int(n_features)}"
+
+
+def log_ratio_from_hists(
+    target_hist: DataFrame,
+    corpus_hist: DataFrame,
+    n_features: int,
+    smoothing: float = 1.0,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(feat, log_ratio) from two precomputed (feat, n) histograms —
+    the model-from-state path: the histograms are bounded mergeable
+    state, so deriving the model costs nothing corpus-sized."""
+    if n_features < 2:
+        raise ValueError(f"n_features must be >= 2, got {n_features}")
+    if smoothing <= 0:
+        raise ValueError(
+            f"smoothing must be > 0 (zero counts need mass), got {smoothing}"
+        )
+    t_total = (target_hist.agg(F.sum("n")).collect()[0][0]) or 0
+    c_total = (corpus_hist.agg(F.sum("n")).collect()[0][0]) or 0
+    if stats_out is not None:
+        stats_out["target_tokens"] = int(t_total)
+        stats_out["corpus_tokens"] = int(c_total)
+    lam = float(smoothing)
+    denom_t = float(t_total) + lam * n_features
+    denom_c = float(c_total) + lam * n_features
+    joined = (
+        target_hist.select("feat", F.col("n").alias("nt"))
+        .join(
+            corpus_hist.select("feat", F.col("n").alias("nc")),
+            "feat", "full_outer",
+        )
+    )
+    return joined.select(
+        "feat",
+        (
+            F.log((F.coalesce(F.col("nt"), F.lit(0)) + F.lit(lam))
+                  / F.lit(denom_t))
+            - F.log((F.coalesce(F.col("nc"), F.lit(0)) + F.lit(lam))
+                    / F.lit(denom_c))
+        ).alias("log_ratio"),
+    )
+
+
+def incremental_dsir_model_run(
+    store,
+    table: str,
+    new_df: DataFrame,
+    text_col: str,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+    source_fingerprint: str | None = None,
+) -> DataFrame | None:
+    """Maintain the DSIR CORPUS model incrementally: append this
+    batch's (feat, n) histogram to a TableStore history table and
+    return the MERGED corpus histogram — at 100 TB the raw-corpus
+    n-gram distribution q(f) cannot be re-mined per run, but its
+    histogram is bounded (<= n_features rows/batch) exactly-mergeable
+    state, the same pattern as the sketch-profile history. Feed the
+    result to :func:`log_ratio_from_hists` with any target histogram
+    (targets are small and may change; the corpus state never needs
+    rescanning).
+
+    Every appended row carries a spec stamp (ks + n_features — the
+    feature universe); a history holding a different spec refuses
+    rather than silently merging incompatible universes (the profile
+    history's bin-edge contract, applied here). Same commit protocol
+    as the dedup signature histories (_incremental_run): result
+    materialized from the pre-append snapshot, fingerprint replays
+    skipped idempotently. Returns None on a replay skip."""
+    from .dedup import _incremental_run
+
+    spec = _hist_spec(ks, n_features)
+
+    def miner(new: DataFrame, hist: DataFrame | None):
+        new_hist = feature_hist(new, text_col, ks, n_features).withColumn(
+            "spec", F.lit(spec)
+        )
+        if hist is not None:
+            specs = [
+                r[0] for r in hist.select("spec").distinct().collect()
+            ]
+            if specs != [spec]:
+                raise ValueError(
+                    f"dsir model history {table!r} holds spec(s) "
+                    f"{specs}, expected {spec!r} — the feature universe "
+                    "is part of the history contract"
+                )
+            merged = (
+                hist.select("feat", "n")
+                .unionByName(new_hist.select("feat", "n"))
+                .groupBy("feat")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = new_hist.select("feat", "n")
+        return merged, new_hist
+
+    return _incremental_run(
+        store, table, new_df, miner, source_fingerprint,
+        "incremental_dsir_model_run",
     )
 
 
@@ -117,33 +231,10 @@ def ngram_log_ratio(
     always broadcastable. Features seen in neither side are irrelevant
     (no corpus doc can contain them); features seen only in the target
     get the corpus smoothing floor and vice versa."""
-    if n_features < 2:
-        raise ValueError(f"n_features must be >= 2, got {n_features}")
-    if smoothing <= 0:
-        raise ValueError(
-            f"smoothing must be > 0 (zero counts need mass), got {smoothing}"
-        )
-    t_hist = _feature_hist(target, target_text_col or text_col, ks, n_features)
-    c_hist = _feature_hist(corpus, text_col, ks, n_features)
-    t_total = (t_hist.agg(F.sum("n")).collect()[0][0]) or 0
-    c_total = (c_hist.agg(F.sum("n")).collect()[0][0]) or 0
-    if stats_out is not None:
-        stats_out["target_tokens"] = int(t_total)
-        stats_out["corpus_tokens"] = int(c_total)
-    lam = float(smoothing)
-    denom_t = float(t_total) + lam * n_features
-    denom_c = float(c_total) + lam * n_features
-    joined = t_hist.withColumnRenamed("n", "nt").join(
-        c_hist.withColumnRenamed("n", "nc"), "feat", "full_outer"
-    )
-    return joined.select(
-        "feat",
-        (
-            F.log((F.coalesce(F.col("nt"), F.lit(0)) + F.lit(lam))
-                  / F.lit(denom_t))
-            - F.log((F.coalesce(F.col("nc"), F.lit(0)) + F.lit(lam))
-                    / F.lit(denom_c))
-        ).alias("log_ratio"),
+    return log_ratio_from_hists(
+        feature_hist(target, target_text_col or text_col, ks, n_features),
+        feature_hist(corpus, text_col, ks, n_features),
+        n_features, smoothing, stats_out,
     )
 
 

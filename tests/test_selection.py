@@ -342,3 +342,82 @@ class TestImportanceResample:
             ngram_log_ratio(
                 _mkdf(spark, corpus), tgt, "text", smoothing=0.0
             )
+
+
+class TestIncrementalDsirModel:
+    """The corpus feature histogram is exactly-mergeable state: per-
+    batch histograms accumulate in a TableStore history, the merged
+    model equals the whole-corpus recompute, replays skip."""
+
+    def test_merged_history_equals_whole_corpus_model(
+        self, spark, corpora, tmp_path
+    ):
+        from data_quality_check_pipeline_spark.operators.selection import (
+            feature_hist,
+            incremental_dsir_model_run,
+            log_ratio_from_hists,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        corpus, target = corpora
+        store = TableStore(spark, str(tmp_path / "t"))
+        merged = None
+        for i, shard in enumerate((corpus[:50], corpus[50:])):
+            merged = incremental_dsir_model_run(
+                store, "dsir_hist", _mkdf(spark, shard), "text",
+                ks=KS, n_features=N_FEATURES,
+                source_fingerprint=f"b{i}",
+            )
+        got = {r["feat"]: r["n"] for r in merged.collect()}
+        whole = {
+            r["feat"]: r["n"]
+            for r in feature_hist(
+                _mkdf(spark, corpus), "text", KS, N_FEATURES
+            ).collect()
+        }
+        assert got == whole
+        # and the model built from the merged state equals the direct
+        # whole-corpus model
+        tgt_hist = feature_hist(
+            _mkdf(spark, [(f"t{i}", t) for i, t in enumerate(target)]),
+            "text", KS, N_FEATURES,
+        )
+        from_state = {
+            r["feat"]: r["log_ratio"]
+            for r in log_ratio_from_hists(
+                tgt_hist, merged, N_FEATURES, smoothing=LAM
+            ).collect()
+        }
+        py = _py_log_ratio([t for _, t in corpus], target)
+        assert set(from_state) == set(py)
+        for f, v in py.items():
+            assert from_state[f] == pytest.approx(v, rel=1e-12)
+
+    def test_replay_skips_and_spec_mismatch_refuses(
+        self, spark, corpora, tmp_path
+    ):
+        from data_quality_check_pipeline_spark.operators.selection import (
+            incremental_dsir_model_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        corpus, _ = corpora
+        store = TableStore(spark, str(tmp_path / "t"))
+        first = incremental_dsir_model_run(
+            store, "dsir_hist", _mkdf(spark, corpus[:30]), "text",
+            ks=KS, n_features=N_FEATURES, source_fingerprint="a",
+        )
+        assert first is not None
+        assert incremental_dsir_model_run(
+            store, "dsir_hist", _mkdf(spark, corpus[:30]), "text",
+            ks=KS, n_features=N_FEATURES, source_fingerprint="a",
+        ) is None  # fingerprint replay: exactly-once
+        with pytest.raises(ValueError, match="feature universe"):
+            incremental_dsir_model_run(
+                store, "dsir_hist", _mkdf(spark, corpus[30:60]), "text",
+                ks=(1,), n_features=N_FEATURES, source_fingerprint="b",
+            )

@@ -209,6 +209,67 @@ def audio_fp_neardup_py(
     return out
 
 
+def dsir_select_py(
+    docs: pd.DataFrame, n_keep=150, ks=(1, 2), n_features=512,
+    lam=1.0, seed=0,
+) -> list[int]:
+    """Re-derivation of the doc_dsir_select harness query
+    (operators/selection.py importance_resample, mode=top_k): hashed
+    n-gram bag models target-vs-corpus, per-doc log-likelihood-ratio
+    weights, deterministic Gumbel top-k. Constants mirror the harness
+    query exactly."""
+    import math
+    from collections import Counter
+
+    buckets = 1 << 20  # sampling._BUCKETS
+
+    def feats(text) -> list[int]:
+        norm = _norm_lower(text)
+        if norm is None:
+            return []
+        toks = norm.split(" ")
+        out = []
+        for k in ks:
+            grams = (
+                [toks[i:i + k] for i in range(len(toks) - k + 1)]
+                if len(toks) >= k
+                else [toks]
+            )
+            for g in grams:
+                out.append(
+                    spark_xxhash64(list(g), "dsir_feat") % n_features
+                )
+        return out
+
+    doc_feats: dict[int, list[int]] = {}
+    tc: Counter = Counter()
+    cc: Counter = Counter()
+    for doc_id, text, lang in zip(
+        docs["doc_id"], docs["text"], docs["lang"]
+    ):
+        f = feats(text)
+        doc_feats[int(doc_id)] = f
+        cc.update(f)
+        if lang == "en" and int(doc_id) < 100:
+            tc.update(f)
+    dt = sum(tc.values()) + lam * n_features
+    dc = sum(cc.values()) + lam * n_features
+    lr = {
+        f: math.log((tc.get(f, 0) + lam) / dt)
+        - math.log((cc.get(f, 0) + lam) / dc)
+        for f in set(tc) | set(cc)
+    }
+    keyed = []
+    for doc_id, f in doc_feats.items():
+        if not f:
+            continue  # null text: no features, excluded from selection
+        logw = sum(lr[x] for x in f)
+        h = spark_xxhash64(doc_id, "dsir_gumbel", seed)
+        u = ((h % buckets) + 0.5) / buckets
+        keyed.append((-(logw - math.log(-math.log(u))), doc_id))
+    return sorted(d for _, d in sorted(keyed)[:n_keep])
+
+
 def stratified_sample_py(docs: pd.DataFrame) -> list[tuple]:
     """Re-derivation of the doc_stratified_sample harness query:
     operators.sampling.stratified_sample + with_split with the
@@ -330,6 +391,10 @@ def main() -> int:
             "doc_stratified_sample": {
                 "columns": ["doc_id", "lang", "split"],
                 "rows": [list(r) for r in stratified_sample_py(docs)],
+            },
+            "doc_dsir_select": {
+                "columns": ["doc_id"],
+                "rows": [[i] for i in dsir_select_py(docs)],
             },
             **clips,
         }
