@@ -216,6 +216,93 @@ def incremental_dsir_model_run(
     )
 
 
+def dsir_corpus_hist(
+    store,
+    table: str,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+) -> DataFrame:
+    """Merged (feat, n) corpus histogram from a model history table —
+    the read path between runs: groupBy(feat).sum over the appended
+    batch rows (including any negative forget rows; exact by
+    mergeability). Verifies the spec stamp; zero-count features drop
+    (equal to a recompute that never saw them)."""
+    spec = _hist_spec(ks, n_features)
+    hist = store.read(table)
+    specs = [r[0] for r in hist.select("spec").distinct().collect()]
+    if specs != [spec]:
+        raise ValueError(
+            f"dsir model history {table!r} holds spec(s) {specs}, "
+            f"expected {spec!r} — the feature universe is part of the "
+            "history contract"
+        )
+    return (
+        hist.select("feat", "n")
+        .groupBy("feat")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") != 0)
+    )
+
+
+def dsir_model_forget(
+    store,
+    table: str,
+    removed_df: DataFrame,
+    text_col: str,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+    source_fingerprint: str | None = None,
+) -> DataFrame | None:
+    """GDPR-grade erasure for the DSIR corpus model: because the model
+    state is an exactly-mergeable count histogram (unlike the HLL
+    profile sketches, which cannot subtract), a purge order can append
+    the NEGATED histogram of the removed clips and the merged model
+    equals, bit-for-bit, a recompute over the corpus without them — no
+    rescan, and the removed clips' n-gram evidence genuinely leaves the
+    state (takedown.py's purge semantics, extended to selection state).
+
+    Contract: ``removed_df`` must be (a subset of) rows previously
+    ingested into ``table`` with the SAME text/ks/n_features — negated
+    counts for never-ingested text would drive buckets negative and the
+    model would under-weight innocent features. The spec stamp is
+    verified; pass the takedown id as ``source_fingerprint`` for
+    idempotent replays. Returns the merged post-forget histogram, or
+    None on a replay skip."""
+    from .dedup import _incremental_run
+
+    spec = _hist_spec(ks, n_features)
+
+    def miner(removed: DataFrame, hist: DataFrame | None):
+        if hist is None:
+            raise ValueError(
+                f"dsir_model_forget: no model history at {table!r} — "
+                "nothing to forget from"
+            )
+        specs = [r[0] for r in hist.select("spec").distinct().collect()]
+        if specs != [spec]:
+            raise ValueError(
+                f"dsir model history {table!r} holds spec(s) {specs}, "
+                f"expected {spec!r} — the feature universe is part of "
+                "the history contract"
+            )
+        neg = feature_hist(removed, text_col, ks, n_features).select(
+            "feat", (-F.col("n")).alias("n"), F.lit(spec).alias("spec")
+        )
+        merged = (
+            hist.select("feat", "n")
+            .unionByName(neg.select("feat", "n"))
+            .groupBy("feat")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") != 0)
+        )
+        return merged, neg
+
+    return _incremental_run(
+        store, table, removed_df, miner, source_fingerprint,
+        "dsir_model_forget",
+    )
+
+
 def ngram_log_ratio(
     corpus: DataFrame,
     target: DataFrame,

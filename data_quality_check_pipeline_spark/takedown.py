@@ -39,7 +39,13 @@ table rewrites, which are themselves no-ops on already-deleted rows).
 Streaming exact-dedup state (watermark state inside the stream's
 checkpoint) is NOT purgeable here — it ages out with the watermark; a
 checkpoint reset clears it. Reports/metrics artifacts hold aggregates,
-not per-clip content, and are left alone.
+not per-clip content, and are left alone. A DSIR selection-model
+history (operators/selection.py) IS purgeable despite being aggregate
+state — its count histogram is exactly mergeable, so
+``selection.dsir_model_forget`` appends the removed clips' NEGATED
+histogram (pass the takedown_id as the fingerprint for idempotency);
+the HLL profile sketches cannot subtract and age out only by
+re-profiling.
 
 Reference parity: the reference engine has no takedown analogue (its
 rollback_manager.py only moves version pointers); this is part of the

@@ -421,3 +421,60 @@ class TestIncrementalDsirModel:
                 store, "dsir_hist", _mkdf(spark, corpus[30:60]), "text",
                 ks=(1,), n_features=N_FEATURES, source_fingerprint="b",
             )
+
+    def test_forget_equals_recompute_without_removed(
+        self, spark, corpora, tmp_path
+    ):
+        """GDPR-grade erasure on mergeable count state: negated appends
+        make the merged model equal a recompute over the corpus without
+        the removed clips — bit-for-bit, no rescan."""
+        from data_quality_check_pipeline_spark.operators.selection import (
+            dsir_corpus_hist,
+            dsir_model_forget,
+            feature_hist,
+            incremental_dsir_model_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        corpus, _ = corpora
+        store = TableStore(spark, str(tmp_path / "t"))
+        for i, shard in enumerate((corpus[:60], corpus[60:])):
+            incremental_dsir_model_run(
+                store, "dsir_hist", _mkdf(spark, shard), "text",
+                ks=KS, n_features=N_FEATURES, source_fingerprint=f"b{i}",
+            )
+        removed = corpus[60:90]
+        post = dsir_model_forget(
+            store, "dsir_hist", _mkdf(spark, removed), "text",
+            ks=KS, n_features=N_FEATURES, source_fingerprint="order1",
+        )
+        survivors = corpus[:60] + corpus[90:]
+        expect = {
+            r["feat"]: r["n"]
+            for r in feature_hist(
+                _mkdf(spark, survivors), "text", KS, N_FEATURES
+            ).collect()
+        }
+        assert {r["feat"]: r["n"] for r in post.collect()} == expect
+        # the read path rebuilds the same merged state from the table
+        # alone (forget rows included)
+        assert {
+            r["feat"]: r["n"]
+            for r in dsir_corpus_hist(
+                store, "dsir_hist", KS, N_FEATURES
+            ).collect()
+        } == expect
+        # replaying the same order is a no-op (idempotent per takedown id)
+        assert dsir_model_forget(
+            store, "dsir_hist", _mkdf(spark, removed), "text",
+            ks=KS, n_features=N_FEATURES, source_fingerprint="order1",
+        ) is None
+        # forgetting from an empty/missing history refuses
+        with pytest.raises(ValueError, match="nothing to forget"):
+            dsir_model_forget(
+                TableStore(spark, str(tmp_path / "empty")), "dsir_hist",
+                _mkdf(spark, removed), "text",
+                ks=KS, n_features=N_FEATURES,
+            )
