@@ -297,6 +297,24 @@ def main() -> None:
     ap.add_argument("--fail-on-leakage", action="store_true",
                     help="with --audit-split-leakage: exit 3 when any "
                          "leaking pair is found (CI gate)")
+    ap.add_argument("--decontam-audit", default=None, metavar="PARQUET",
+                    help="maintenance op: retroactive contamination "
+                         "audit — a benchmark published AFTER data "
+                         "landed is checked against the LANDED "
+                         "clips_clean (same n-gram-overlap operator as "
+                         "the ingest-time --decontam-heldout; honors "
+                         "--decontam-k/--decontam-min-hits/"
+                         "--decontam-text-col); prints a JSON report "
+                         "with contaminated ids (capped sample)")
+    ap.add_argument("--decontam-audit-out", default=None, metavar="PARQUET",
+                    help="with --decontam-audit: write the full "
+                         "contaminated clip_id set to this parquet — "
+                         "feed it to --takedown <parquet> "
+                         "--takedown-mode block to remove the clips "
+                         "and quarantine re-uploads")
+    ap.add_argument("--fail-on-contamination", action="store_true",
+                    help="with --decontam-audit: exit 3 when any "
+                         "landed clip is contaminated (CI gate)")
     ap.add_argument("--release-check", action="store_true",
                     help="pre-release QA gate over --out: data-contract "
                          "expectations on the full clean table, "
@@ -444,6 +462,7 @@ def main() -> None:
     if (args.list_versions or args.rollback or args.compact
             or args.changelog or args.takedown or args.export_dir
             or args.verify_export or args.release_check
+            or args.decontam_audit
             or args.audit_split_leakage is not None):
         from data_quality_check_pipeline_spark.sources.tables import (
             TableStore,
@@ -568,6 +587,61 @@ def main() -> None:
             )
             print(_json.dumps(rep, indent=2, default=str))
             if args.fail_on_leakage and rep["leaking"]:
+                spark.stop()
+                raise SystemExit(3)
+        if args.decontam_audit:
+            import json as _json
+
+            from pyspark.sql import functions as F
+
+            from data_quality_check_pipeline_spark.operators.dedup import (
+                decontaminate,
+            )
+
+            if not store.exists("clips_clean"):
+                print("contamination audit unavailable: no clips_clean "
+                      f"table under {args.out}")
+                spark.stop()
+                raise SystemExit(3)
+            clean = store.read("clips_clean")
+            text_col = (
+                "transcript_scrubbed"
+                if "transcript_scrubbed" in clean.columns
+                else "transcript"
+            )
+            heldout = spark.read.parquet(args.decontam_audit)
+            hits = decontaminate(
+                clean.select("clip_id", text_col), heldout,
+                "clip_id", text_col,
+                heldout_text_col=args.decontam_text_col,
+                shingle_k=args.decontam_k,
+                min_hits=args.decontam_min_hits,
+            ).cache()
+            n_bad = hits.count()
+            rep = {
+                "checked": clean.count(),
+                "contaminated": n_bad,
+                "shingle_k": args.decontam_k,
+                "min_hits": args.decontam_min_hits,
+                "heldout": args.decontam_audit,
+                "sample_ids": [
+                    r["clip_id"]
+                    for r in hits.orderBy(
+                        F.col("hits").desc(), "clip_id"
+                    ).limit(20).collect()
+                ],
+            }
+            if args.decontam_audit_out:
+                hits.select("clip_id").coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(args.decontam_audit_out)
+                rep["out"] = args.decontam_audit_out
+                rep["next"] = (
+                    f"--takedown {args.decontam_audit_out} "
+                    "--takedown-mode block"
+                )
+            print(_json.dumps(rep, indent=2, default=str))
+            if args.fail_on_contamination and n_bad:
                 spark.stop()
                 raise SystemExit(3)
         if args.changelog:
