@@ -705,6 +705,41 @@ class TestNewQueryPlans:
         assert "InMemoryTableScan" in plan  # fp subtree reused via cache
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+    def test_dsir_select_plan_broadcast_model_slim_topk(self, spark):
+        """doc_dsir_select's plan shape, the three properties that make
+        DSIR viable at corpus scale: (1) the per-feature log-ratio
+        model joins the exploded corpus features via BROADCAST (the
+        model is at most n_features=512 rows — shuffling 100 TB of
+        exploded n-grams into a SortMergeJoin against it would be the
+        scale-killer); (2) top_k selection plans as
+        TakeOrderedAndProject (per-partition heap of n_keep rows, no
+        global corpus Sort/rangepartitioning); (3) no cartesian and no
+        Python anywhere — feature hashing is native xxhash64 HOFs. The
+        only SortMergeJoin allowed is the FullOuter that merges the
+        target/corpus feature counts, which is bounded by n_features
+        buckets, not by corpus size."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        df = entry.queries()["doc_dsir_select"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan
+        assert "Python" not in plan
+        # model join + final selected-ids semi-join both broadcast
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "BroadcastHashJoin [feat" in plan
+        # slim top-k: bounded heap, never a global sort of the corpus
+        assert "TakeOrderedAndProject(limit=150" in plan
+        # the lone SMJ is the 512-bucket model merge (FullOuter on feat)
+        smj = [
+            ln for ln in plan.splitlines() if "SortMergeJoin" in ln
+        ]
+        assert len(smj) == 1 and "FullOuter" in smj[0], plan
+
     def test_token_packing_plan_single_shuffle(self, spark):
         """pack_stream_chunks + chunk_stats must shuffle ONCE: the
         window partitions by lang, and the per-(lang, chunk) aggregate
