@@ -270,6 +270,8 @@ class TableStore:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         properties: dict | None = None,
+        cluster_by: list[str] | None = None,
+        target_files: int | None = None,
     ) -> str:
         """Write df as a new snapshot; returns the snapshot id.
 
@@ -278,8 +280,33 @@ class TableStore:
         files. Only the manifest read-modify-write is serialized, and
         an append's read_set is resolved from the manifest AS SEEN
         INSIDE the lock, so two concurrent appends chain instead of one
-        silently dropping the other."""
+        silently dropping the other.
+
+        ``cluster_by``: Iceberg sort-order analogue. Range-partition +
+        sort the frame by these columns before writing, so each data
+        file covers a DISJOINT key range and the per-file min/max stats
+        become selective: without clustering, rows land in arrival
+        order, every file's [min, max] spans the whole key domain, and
+        ``read(prune=...)`` skips nothing — the 100-TB point/range
+        query reads the table. With it, the query touches O(result)
+        files. Recorded in the snapshot entry so ``compact`` keeps the
+        layout by default. (``delete_where`` preserves clustering
+        without knowing about it: its rewrite is a per-file narrow
+        filter, which never re-interleaves key ranges.)
+
+        ``target_files`` pins the range-partition count; without it AQE
+        coalesces the range shuffle toward its advisory size — right
+        for 100-TB file sizing, but a small clustered table may land as
+        one file (no pruning granularity to gain there anyway)."""
         assert mode in ("overwrite", "append")
+        if cluster_by:
+            df = (
+                df.repartitionByRange(*cluster_by)
+                if target_files is None
+                else df.repartitionByRange(target_files, *cluster_by)
+            ).sortWithinPartitions(*cluster_by)
+        elif target_files:
+            df = df.repartition(target_files)
         sid = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self._dir(name), f"snap_{sid}")
         w = df.write.mode("overwrite")
@@ -307,6 +334,7 @@ class TableStore:
                     "parent": m["current"],
                     "read_set": read_set,
                     "partition_by": partition_by or [],
+                    "cluster_by": cluster_by or [],
                     "properties": properties or {},
                     "schema": schema_json,
                     "has_data": has_data,
@@ -510,6 +538,7 @@ class TableStore:
         name: str,
         target_files: int | None = None,
         partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> str | None:
         """Rewrite the CURRENT view as one fresh snapshot dir (the
         Iceberg ``rewrite_data_files`` analogue). An append-heavy table
@@ -533,17 +562,56 @@ class TableStore:
 
         The source snapshot's ``source_fingerprint`` property is
         carried over so is_unchanged-based ingest idempotency survives
-        a compaction. ``partition_by`` defaults to the source
-        snapshot's layout; ``target_files`` repartitions (e.g. 8 for a
-        small history table) — default leaves Spark's partitioning."""
+        a compaction. ``partition_by`` and ``cluster_by`` default to
+        the source snapshot's recorded layout (sticky across
+        compactions); ``target_files`` repartitions (e.g. 8 for a
+        small history table) — default leaves Spark's partitioning.
+
+        Compaction is also where clustering PAYS OFF on append-heavy
+        tables: each append lands in arrival order, so after N appends
+        every file's [min, max] overlaps every key range and
+        ``read(prune=...)`` degrades to a full scan. ``compact(...,
+        cluster_by=["id"])`` re-sorts the whole view into disjoint-
+        range files (Iceberg's sort-order rewrite), restoring O(result)
+        file reads for point/range lookups — the takedown/changelog
+        access pattern on a 100-TB history table."""
         m0 = self._load_manifest(name)
         base = self._snapshot(m0, None)
         if base is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
-        if len(base["read_set"]) <= 1:
+        if len(base["read_set"]) <= 1 and cluster_by is None:
+            # single dir + no EXPLICIT re-layout request: nothing to do.
+            # An explicit cluster_by still rewrites (sort-order change on
+            # an already-compacted table).
             return None
         df = self.read(name, base["id"])
-        if target_files:
+        if cluster_by is None:
+            # sticky default: appends don't carry a cluster spec, so walk
+            # the parent chain back to the last FULL rewrite (write
+            # overwrite / compact) — that snapshot defines the layout.
+            # An unclustered full rewrite deliberately resets it.
+            s: dict | None = base
+            while s is not None:
+                if s.get("cluster_by"):
+                    cluster_by = list(s["cluster_by"])
+                    break
+                if s.get("mode") in ("overwrite", "compact"):
+                    break
+                try:
+                    s = (
+                        self._snapshot(m0, s["parent"])
+                        if s.get("parent")
+                        else None
+                    )
+                except KeyError:  # parent expired from the manifest
+                    s = None
+        if cluster_by:
+            df = (
+                df.repartitionByRange(*cluster_by)
+                if target_files is None
+                else df.repartitionByRange(target_files, *cluster_by)
+            ).sortWithinPartitions(*cluster_by)
+        elif target_files:
             df = df.repartition(target_files)
         if partition_by is None:
             partition_by = base.get("partition_by") or None
@@ -587,6 +655,7 @@ class TableStore:
                     "parent": base["id"],
                     "read_set": [f"snap_{sid}"],
                     "partition_by": partition_by or [],
+                    "cluster_by": cluster_by or [],
                     "properties": props,
                     "schema": df.schema.json(),
                     "has_data": bool(files),

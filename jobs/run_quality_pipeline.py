@@ -83,6 +83,13 @@ def main() -> None:
                          "dir (small-file compaction for append-heavy "
                          "history tables, e.g. content_hash_history / "
                          "audio_fp_history) and exit")
+    ap.add_argument("--compact-cluster-by", default=None,
+                    metavar="COL[,COL...]",
+                    help="with --compact: sort-order cluster the rewrite "
+                         "by these columns (disjoint per-file key ranges "
+                         "-> selective min/max scan pruning, e.g. "
+                         "clip_id for takedown lookups); omitted = keep "
+                         "the table's recorded clustering")
     ap.add_argument("--requeue", action="store_true",
                     help="re-drive quarantined clips instead of a full run")
     ap.add_argument("--stream", action="store_true",
@@ -480,7 +487,12 @@ def main() -> None:
             store.rollback("clips_clean", args.rollback)
             print(f"rolled back clips_clean to {args.rollback}")
         if args.compact:
-            sid = store.compact(args.compact)
+            cluster = (
+                [c.strip() for c in args.compact_cluster_by.split(",")
+                 if c.strip()]
+                if args.compact_cluster_by else None
+            )
+            sid = store.compact(args.compact, cluster_by=cluster)
             print(
                 f"compacted {args.compact} -> snap_{sid}" if sid
                 else f"{args.compact}: nothing to compact"

@@ -475,6 +475,88 @@ class TestTableStore:
             (F.col("id") >= 1000) & (F.col("lang") == "en")
         ).count() == 50
 
+    def test_cluster_by_write_makes_pruning_selective(
+        self, spark, out_root
+    ):
+        """Sort-order clustering at write time: the SAME interleaved
+        frame written plain leaves every file spanning the whole key
+        domain (pruning skips nothing), written with cluster_by each
+        file covers a disjoint range and a point/range prune touches
+        O(result) files — Iceberg's sort-order lever."""
+        import pyspark.sql.functions as F
+
+        store = TableStore(spark, out_root)
+        # adversarial layout: round-robin repartition interleaves ids
+        # across all files, the arrival-order worst case
+        interleaved = spark.range(0, 1000).repartition(8)
+        store.write("plain", interleaved)
+        store.write(
+            "clustered", interleaved, cluster_by=["id"], target_files=8
+        )
+
+        # mid-domain band: every round-robin file spans it (no skips),
+        # while disjoint-range clustered files isolate it to <=2 files
+        band = [("id", ">=", 495), ("id", "<=", 505)]
+        ss_p: dict = {}
+        store.read("plain", prune=band, scan_stats=ss_p)
+        assert ss_p["files_skipped"] == 0  # every file overlaps
+
+        ss_c: dict = {}
+        got = store.read("clustered", prune=band, scan_stats=ss_c)
+        assert ss_c["files_kept"] <= 2 and ss_c["files_skipped"] >= 6
+        assert got.filter(
+            (F.col("id") >= 495) & (F.col("id") <= 505)
+        ).count() == 11
+        # clustering reorders files, never rows-as-a-set
+        assert store.read("clustered").count() == 1000
+        assert store.current_snapshot("clustered")["cluster_by"] == ["id"]
+
+    def test_compact_recluster_restores_pruning(self, spark, out_root):
+        """Append-heavy degradation + the compaction cure: every append
+        lands in arrival order, so after N appends a key prune reads
+        everything; compact(cluster_by=...) re-sorts the view into
+        disjoint-range files, and the spec is STICKY — a later
+        append + argless compact keeps the clustering."""
+        store = TableStore(spark, out_root)
+        # 4 appends, each spanning the full id domain (ids k, k+4, ...)
+        full = spark.range(0, 800)
+        for k in range(4):
+            store.write(
+                "t", full.filter(f"id % 4 = {k}").coalesce(2),
+                mode="append",
+            )
+        ss0: dict = {}
+        store.read("t", prune=[("id", "<", 50)], scan_stats=ss0)
+        # degraded: every append's low-range file overlaps the prune
+        assert ss0["files_kept"] >= 4
+
+        sid = store.compact("t", target_files=8, cluster_by=["id"])
+        assert sid is not None
+        ss1: dict = {}
+        got = store.read("t", prune=[("id", "<", 50)], scan_stats=ss1)
+        assert ss1["files_skipped"] >= 6
+        assert ss1["files_kept"] < ss0["files_kept"]
+        assert got.count() < 800  # files actually dropped from the scan
+        assert {r["id"] for r in got.collect()} >= set(range(50))
+        assert store.read("t").count() == 800
+
+        # stickiness: append (no spec) then argless compact re-clusters
+        store.write("t", spark.range(800, 900).coalesce(1), mode="append")
+        sid2 = store.compact("t", target_files=8)
+        assert sid2 is not None
+        snap = store.current_snapshot("t")
+        assert snap["cluster_by"] == ["id"]
+        ss2: dict = {}
+        store.read("t", prune=[("id", "<", 50)], scan_stats=ss2)
+        assert ss2["files_skipped"] >= 6
+        assert store.read("t").count() == 900
+
+        # single-dir view: inherited spec no-ops, an EXPLICIT re-layout
+        # request still rewrites (sort-order change)
+        assert store.compact("t") is None
+        assert store.compact("t", target_files=4, cluster_by=["id"])
+        assert store.read("t").count() == 900
+
     def test_prune_keeps_legacy_snapshots_without_stats(
         self, spark, out_root
     ):
