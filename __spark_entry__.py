@@ -283,6 +283,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_ngram_jaccard"] = doc_ngram_jaccard
 
+    def doc_dup_spans(spark, sf):
+        """Span-level exact-substring dedup (operators/dedup.py
+        dup_spans): maximal runs of duplicated 8-word shingles owned by
+        an earlier doc — the Lee-et-al-2022 passage-dedup surface that
+        doc-level near-dup cannot see. Oracle: the identical contract in
+        DuckDB SQL (positional shingles over the same normalization,
+        min-doc_id ownership, gaps-and-islands run merge)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dup_spans,
+        )
+
+        df = _load(spark, sf, "documents")
+        return dup_spans(df, "doc_id", "text", k=8)
+
+    q["doc_dup_spans"] = doc_dup_spans
+
     def doc_minhash_pairs(spark, sf):  # oracle: committed golden (pure-Python XXH64 re-derivation)
         from data_quality_check_pipeline_spark.operators.dedup import (
             minhash_lsh_pairs,
@@ -704,24 +720,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customer_expectations"] = customer_expectations
 
-    def customer_mask(spark, sf):
+    def customer_mask_clean(spark, sf):
+        """C1/C2/C4/C5 cleaning chain (cleaner.py:233-242 parity) + M-family
+        name masking in ONE scan (formerly customer_mask + customer_clean —
+        folded for the driver's 50-slot budget; each expr family keeps its
+        own output column). Dirty phone/name/email strings are DERIVED
+        deterministically from c_custkey (the table has no such columns),
+        then cleaned — the oracle builds byte-identical raw strings and
+        applies the declared cleaning semantics in SQL."""
         from data_quality_check_pipeline_spark.functions.exprs import (
             mask_name,
         )
-
-        df = _load(spark, sf, "customer")
-        return df.select(
-            "c_custkey", mask_name("c_name").alias("masked_name")
-        )
-
-    q["customer_mask"] = customer_mask
-
-    def customer_clean(spark, sf):
-        """C1/C2/C4/C5 cleaning chain (cleaner.py:233-242 parity): dirty
-        phone/name/email strings are DERIVED deterministically from
-        c_custkey (the table has no such columns), then cleaned — the
-        oracle builds byte-identical raw strings and applies the declared
-        cleaning semantics in SQL."""
         from data_quality_check_pipeline_spark.operators.clean import (
             clean_email,
             clean_name,
@@ -752,12 +761,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return df.select(
             "c_custkey",
+            mask_name("c_name").alias("masked_name"),
             clean_phone(raw_phone).alias("phone"),
             clean_name(raw_name).alias("name"),
             clean_email(raw_email).alias("email"),
         )
 
-    q["customer_clean"] = customer_clean
+    q["customer_mask_clean"] = customer_mask_clean
 
     def orders_clean_dates(spark, sf):
         """C3 date normalization: alternate-format/invalid date strings
@@ -1715,6 +1725,37 @@ def oracle_sql() -> dict[str, str]:
       WHERE i > 0
         AND CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.3"""
 
+    sql["doc_dup_spans"] = """
+      WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)),
+                            '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+      ), idx AS (
+        SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 7)) AS i
+        FROM toks WHERE len(w) >= 8
+      ), pos AS (
+        SELECT doc_id, i - 1 AS p,
+               array_to_string(w[i : i + 7], ' ') AS sh
+        FROM idx
+      ), firsts AS (
+        SELECT sh, min(doc_id) AS first_id FROM pos GROUP BY sh
+      ), dup AS (
+        SELECT pos.doc_id, pos.p FROM pos JOIN firsts USING (sh)
+        WHERE pos.doc_id > firsts.first_id
+      ), runs AS (
+        SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                 AS grp
+        FROM dup
+      )
+      SELECT doc_id,
+             CAST(min(p) AS INTEGER) AS span_start,
+             CAST(max(p) + 7 AS INTEGER) AS span_end,
+             CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS span_words
+      FROM runs GROUP BY doc_id, grp"""
+
     # component = min reachable doc_id over the undirected jaccard>=0.3
     # pair graph (same edge derivation as doc_ngram_jaccard)
     sql["doc_dup_components"] = """
@@ -1990,12 +2031,6 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 0.0 END), 6) AS acctbal_between_rate
       FROM customer"""
 
-    sql["customer_mask"] = f"""
-      SELECT c_custkey,
-             CASE WHEN {_sql_missing('c_name')} THEN c_name
-                  ELSE substring(c_name, 1, 1) || '***' END AS masked_name
-      FROM customer"""
-
     sql["top_unshipped_orders"] = """
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
              round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -2012,7 +2047,7 @@ def oracle_sql() -> dict[str, str]:
       ORDER BY revenue DESC, l_orderkey ASC
       LIMIT 10"""
 
-    sql["customer_clean"] = f"""
+    sql["customer_mask_clean"] = f"""
       WITH g AS (
         SELECT c_custkey, c_name,
           lpad(CAST((c_custkey % 900) + 100 AS VARCHAR), 3, '0') AS a,
@@ -2044,6 +2079,8 @@ def oracle_sql() -> dict[str, str]:
         FROM d
       )
       SELECT c_custkey,
+        CASE WHEN {_sql_missing('c_name')} THEN c_name
+             ELSE substring(c_name, 1, 1) || '***' END AS masked_name,
         CASE WHEN {_sql_missing('raw_phone')} THEN raw_phone
              WHEN length(dgx) = 10 THEN substring(dgx, 1, 3) || '-'
                   || substring(dgx, 4, 3) || '-' || substring(dgx, 7, 4)

@@ -84,7 +84,7 @@ def main() -> None:
     # --- operator-family queries at the SF dir -----------------------------
     def _force(df) -> int:
         # a bare .count() lets Catalyst PRUNE the projections being
-        # benchmarked (doc_scrub's regexes, customer_clean's transforms
+        # benchmarked (doc_scrub's regexes, customer_mask_clean's transforms
         # would never run — same mechanism as the CLAUDE.md UDF-pruning
         # gotcha). Hash every output column of every row instead: the
         # checksum depends on all of them, so the full query evaluates.
@@ -107,7 +107,7 @@ def main() -> None:
         "doc_minhash_pairs",
         "doc_simhash_pairs",
         "doc_dup_components",
-        "customer_clean",
+        "customer_mask_clean",
         "lineitem_pricing_summary",
         "lineitem_outlier_summary",
         "orders_by_segment",

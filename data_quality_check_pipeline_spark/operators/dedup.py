@@ -1312,3 +1312,143 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("hits"))
         .filter(F.col("hits") >= min_hits)
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup (duplicated PASSAGES inside distinct docs)
+# ---------------------------------------------------------------------------
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Positions of duplicated word spans: maximal runs of ``k``-word
+    shingles that already occur in an EARLIER document (min-``id_col``
+    ownership, the dedup family's survivor convention). Doc-level
+    dedup (exact/minhash/simhash above) only removes documents that are
+    mostly duplicate; boilerplate passages PASTED INTO otherwise-unique
+    documents — license headers, quoted posts, templated intros —
+    stream through it untouched, and span-level removal is the standard
+    cure (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": exact-substring dedup; approximated here at
+    ``k``-word granularity instead of suffix-array byte granularity).
+
+    Returns ``(id_col, span_start, span_end, span_words)`` — 0-based
+    inclusive WORD indexes into the normalized token sequence (the same
+    ``norm_text``+lower tokenization as the whole dedup family). A span
+    covers every word of every duplicated shingle in one consecutive
+    run: shingle starts p..q merge to words [p, q+k-1]. The first
+    (min-id) holder of a passage reports nothing — dedup keeps one copy.
+    Docs shorter than ``k`` words (or with missing text) yield no rows:
+    a sub-``k`` span is not evidence at this granularity.
+
+    Scale shape: ONE explode of positional shingles (corpus-token row
+    count, 8-byte hashed shingles — never shingle strings) -> min-id
+    groupBy (map-side partial min) -> equi-join back (1:1 per
+    occurrence row, so a hot boilerplate shingle fans out linearly, not
+    quadratically — no hot-bucket cap needed; AQE skew-join splits the
+    shuffle) -> per-doc window (bounded by doc length) merges runs.
+    No cross join, no Python.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    from pyspark.sql import Window
+
+    toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
+    n = F.array_size(toks)
+    sh_arr = F.when(
+        toks.isNotNull() & (n >= k),
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            # domain-tagged hash (DESIGN #23 discipline): 8-byte rows
+            # through the shuffle, the measured minhash win
+            lambda i: F.xxhash64(
+                F.lit("dup_span"), F.concat_ws(" ", F.slice(toks, i + 1, k))
+            ),
+        ),
+    )
+    pos = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(sh_arr).alias("_pos", "_sh"),
+    )
+    first = pos.groupBy("_sh").agg(F.min("_id").alias("_first"))
+    dup_pos = (
+        pos.join(first, "_sh")
+        .filter(F.col("_id") > F.col("_first"))
+        .select("_id", "_pos")
+    )
+    # gaps-and-islands: consecutive duplicated shingle starts share
+    # (pos - row_number) — one run, one group
+    w = Window.partitionBy("_id").orderBy("_pos")
+    runs = dup_pos.withColumn(
+        "_grp", F.col("_pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("_id", "_grp")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + k - 1).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_words"
+            ),
+        )
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Remove the words covered by ``dup_spans`` output from each doc's
+    text: returns ``df`` with ``text_col`` replaced by the normalized
+    token sequence minus covered positions (empty string when a doc is
+    covered entirely). Docs with no spans keep their ORIGINAL text
+    verbatim — only affected docs pay the rebuild, and only affected
+    docs' words are ever exploded/shuffled (the affected set is
+    bounded by actual duplication, normally a sliver of the corpus).
+    """
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("_pos"),
+    ).distinct()
+    affected_ids = spans.select(id_col).distinct()
+    affected = df.join(affected_ids, id_col, "left_semi")
+    toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
+    words = affected.select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", "_w")
+    )
+    kept = words.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("_rebuilt")
+    )
+    out = (
+        df.join(affected_ids.withColumn("_aff", F.lit(True)), id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(
+                F.col("_aff").isNotNull(),
+                F.coalesce(F.col("_rebuilt"), F.lit("")),
+            ).otherwise(F.col(text_col)),
+        )
+        .drop("_aff", "_rebuilt")
+    )
+    return out

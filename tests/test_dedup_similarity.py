@@ -1449,3 +1449,82 @@ class TestDecontaminate:
             decontaminate(
                 corpus, heldout, "doc_id", "text", min_hits=0
             )
+
+
+class TestDupSpans:
+    """Span-level exact-substring dedup: duplicated passages inside
+    otherwise-distinct documents (Lee et al. 2022 at k-word grain)."""
+
+    K = 8
+
+    def _corpus(self, spark):
+        base = " ".join(f"a{i}" for i in range(20))  # doc 1: the owner
+        pasted = " ".join(f"A{i}" for i in range(5, 17)).upper()
+        return spark.createDataFrame(
+            [
+                (1, base),
+                # unique prefix + 12-word passage from doc 1 (shouting,
+                # double-spaced: normalization must still match) + suffix
+                (2, "x0 x1 x2  " + pasted.replace(" ", "  ") + "  y0 y1"),
+                (3, base.upper()),          # full re-upload of doc 1
+                (4, "a5 a6 a7 a8 a9"),      # sub-k copy: not evidence
+                (5, None),                  # missing text: no rows
+                (6, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"),  # unique doc
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_planted_spans(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dup_spans,
+        )
+
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_words"])
+            for r in dup_spans(
+                self._corpus(spark), "doc_id", "text", k=self.K
+            ).collect()
+        )
+        # doc 2: pasted words sit at positions 3..14 -> duplicated
+        # shingle starts 3..7 merge to span [3, 14] (exactly the paste);
+        # doc 3: every shingle owned by doc 1 -> one whole-doc span;
+        # doc 1 (owner), doc 4 (<k), doc 5 (null), doc 6 (unique): none
+        assert got == [(2, 3, 14, 12), (3, 0, 19, 20)]
+
+    def test_strip_dup_spans(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dup_spans,
+            strip_dup_spans,
+        )
+
+        corpus = self._corpus(spark)
+        spans = dup_spans(corpus, "doc_id", "text", k=self.K)
+        out = {
+            r["doc_id"]: r["text"]
+            for r in strip_dup_spans(
+                corpus, spans, "doc_id", "text"
+            ).collect()
+        }
+        # affected docs: normalized text minus covered words
+        assert out[2] == "x0 x1 x2 y0 y1"
+        assert out[3] == ""  # fully-duplicated doc strips to empty
+        # unaffected docs keep ORIGINAL text verbatim (casing intact)
+        assert out[1] == " ".join(f"a{i}" for i in range(20))
+        assert out[5] is None
+        assert out[6] == "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+
+    def test_k_validation_and_no_spans_noop(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dup_spans,
+            strip_dup_spans,
+        )
+
+        corpus = self._corpus(spark).filter("doc_id in (1, 6)")
+        with pytest.raises(ValueError, match="k must be"):
+            dup_spans(corpus, "doc_id", "text", k=1)
+        spans = dup_spans(corpus, "doc_id", "text", k=self.K)
+        assert spans.count() == 0
+        out = strip_dup_spans(corpus, spans, "doc_id", "text")
+        assert {r["text"] for r in out.collect()} == {
+            r["text"] for r in corpus.collect()
+        }
