@@ -294,7 +294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dup_spans,
         )
 
-        df = _load(spark, sf, "documents")
+        # cache + rebalance: the operator evaluates its input twice
+        # (probe side + ownership groupBy) and the single-row-group test
+        # parquet would make each evaluation a one-task decode (same fix
+        # as doc_ngram_jaccard / doc_dup_components)
+        df = _load(spark, sf, "documents", rebalance=True).cache()
         return dup_spans(df, "doc_id", "text", k=8)
 
     q["doc_dup_spans"] = doc_dup_spans
