@@ -125,6 +125,9 @@ def main() -> None:
         # round-4 continuation: DSIR domain-targeted selection (hashed
         # n-gram models + Gumbel top-k — one corpus scan + slim sort)
         "doc_dsir_select",
+        # span-level exact-substring dedup (positional-shingle explode
+        # + min-id ownership join + islands window)
+        "doc_dup_spans",
     ]
 
     # Per-query MIN over >=3 INTERLEAVED passes, with the spread

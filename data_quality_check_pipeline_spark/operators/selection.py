@@ -50,7 +50,8 @@ _GUMBEL_DOMAIN = "dsir_gumbel"
 
 
 def _ngram_feature_expr(
-    text_col: str, ks: tuple[int, ...], n_features: int
+    text_col: str, ks: tuple[int, ...], n_features: int,
+    toks: Column | None = None,
 ) -> Column:
     """Array of hashed n-gram feature ids (one entry PER OCCURRENCE —
     DSIR models raw counts, not the distinct sets the dedup family
@@ -59,16 +60,27 @@ def _ngram_feature_expr(
     dedup threshold refer to the same token universe. A doc shorter
     than k tokens contributes its whole token sequence as one k-gram
     (the family's short-doc fallback); null text -> null array (explode
-    drops the doc: no features, no weight, excluded from selection)."""
-    toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
+    drops the doc: no features, no weight, excluded from selection).
+
+    Perf shape (measured 3.6 s -> 0.7 s per sf0.1 corpus pass,
+    checksum-identical): pmod folds INTO the per-k gram lambda instead
+    of a second transform over the concat — HOF lambdas run
+    interpreted, and nesting them is the DESIGN #15 27x trap. Callers
+    that scan real data should pass ``toks`` as a MATERIALIZED column
+    (see ``_exploded_feats``): a captured `split(regexp_replace(...))`
+    subtree inside the lambda re-evaluates per element (O(words²) per
+    doc), a projected column is an O(1) attribute read."""
+    if toks is None:
+        toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
     n = F.array_size(toks)
+    nf = F.lit(n_features)
 
     def _gram_hash(k: int):
         # single-parameter lambda, k bound in the enclosing scope: a
         # 2-arg callable would make F.transform pass (element, INDEX)
         # and the gram width would silently become the array position
-        return lambda i: F.xxhash64(
-            F.slice(toks, i + 1, k), F.lit(_FEAT_DOMAIN)
+        return lambda i: F.pmod(
+            F.xxhash64(F.slice(toks, i + 1, k), F.lit(_FEAT_DOMAIN)), nf
         )
 
     per_k = []
@@ -77,12 +89,31 @@ def _ngram_feature_expr(
         grams = F.when(
             n >= k,
             F.transform(idx, _gram_hash(k)),
-        ).otherwise(F.array(F.xxhash64(toks, F.lit(_FEAT_DOMAIN))))
+        ).otherwise(
+            F.array(F.pmod(F.xxhash64(toks, F.lit(_FEAT_DOMAIN)), nf))
+        )
         per_k.append(grams)
     feats = F.concat(*per_k) if len(per_k) > 1 else per_k[0]
-    return F.when(
-        toks.isNotNull(),
-        F.transform(feats, lambda h: F.pmod(h, F.lit(n_features))),
+    return F.when(toks.isNotNull(), feats)
+
+
+def _exploded_feats(
+    df: DataFrame, text_col: str, ks: tuple[int, ...], n_features: int,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(extra_cols..., feat) — one row per n-gram occurrence, with the
+    token array projected as a real column BEFORE the gram lambdas
+    (the Generate node blocks CollapseProject from inlining it back)."""
+    toked = df.withColumn(
+        "__dsir_toks", F.split(norm_text(F.lower(F.col(text_col))), " ")
+    )
+    return toked.select(
+        *extra_cols,
+        F.explode(
+            _ngram_feature_expr(
+                text_col, ks, n_features, toks=F.col("__dsir_toks")
+            )
+        ).alias("feat"),
     )
 
 
@@ -97,11 +128,7 @@ def feature_hist(
     which is what makes the DSIR corpus model incrementally
     maintainable (see incremental_dsir_model_run)."""
     return (
-        df.select(
-            F.explode(_ngram_feature_expr(text_col, ks, n_features)).alias(
-                "feat"
-            )
-        )
+        _exploded_feats(df, text_col, ks, n_features)
         .groupBy("feat")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -130,6 +157,13 @@ def log_ratio_from_hists(
         raise ValueError(
             f"smoothing must be > 0 (zero counts need mass), got {smoothing}"
         )
+    # persist the (bounded, <= n_features rows) hists: each is referenced
+    # twice — the totals collect here and the model join below. Without
+    # this the CORPUS-sized explode behind corpus_hist re-runs when the
+    # model broadcasts (measured: one of the three full-corpus feature
+    # passes in doc_dsir_select was exactly this recompute).
+    target_hist = target_hist.persist()
+    corpus_hist = corpus_hist.persist()
     t_total = (target_hist.agg(F.sum("n")).collect()[0][0]) or 0
     c_total = (corpus_hist.agg(F.sum("n")).collect()[0][0]) or 0
     if stats_out is not None:
@@ -353,11 +387,8 @@ def importance_weights(
             corpus, target, text_col, target_text_col, ks, n_features,
             smoothing, stats_out,
         )
-    exploded = corpus.select(
-        F.col(id_col),
-        F.explode(_ngram_feature_expr(text_col, ks, n_features)).alias(
-            "feat"
-        ),
+    exploded = _exploded_feats(
+        corpus, text_col, ks, n_features, extra_cols=(F.col(id_col),)
     )
     return (
         exploded.join(F.broadcast(log_ratio), "feat")
