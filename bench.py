@@ -39,7 +39,12 @@ def _clips_path(n: int) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_clips = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000"))
+    # 60k default (was 20k through r04-main): at 20k a local[32] pass is
+    # ~half fixed overhead (job scheduling + Arrow batch latency across
+    # 32 workers), so clips_per_sec under-reported engine throughput
+    # 2-4x vs the 160k-clip scaling bench. clips_n rides in the JSON;
+    # cross-round readers compare same-n numbers only.
+    n_clips = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "60000"))
 
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
@@ -176,7 +181,7 @@ def main() -> None:
                 # bare .count() let Catalyst prune the very projections
                 # being benchmarked (scrub regexes, clean transforms),
                 # under-reporting those queries
-                "bench_semantics": "v2_forced_full_eval",
+                "bench_semantics": "v3_forced_full_eval_clips60k",
             }
         )
     )
