@@ -1355,9 +1355,28 @@ def dup_spans(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
-    from pyspark.sql import Window
+    pos = _pos_shingles(df, id_col, text_col, k)
+    first = pos.groupBy("_sh").agg(F.min("_id").alias("_first"))
+    dup_pos = (
+        pos.join(first, "_sh")
+        .filter(F.col("_id") > F.col("_first"))
+        .select("_id", "_pos")
+    )
+    return _merge_runs(dup_pos, id_col, k)
 
-    toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
+
+def _pos_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(_id, _pos, _sh) — one row per POSITIONAL k-word shingle. The
+    token array is projected as a real column before the gram lambda
+    (the selection.py lesson: a captured split(regexp_replace(...))
+    subtree re-evaluates PER ELEMENT under interpreted HOF lambdas —
+    O(words²) per doc; a projected column is an O(1) attribute read)."""
+    toked = df.withColumn(
+        "__span_toks", F.split(norm_text(F.lower(F.col(text_col))), " ")
+    )
+    toks = F.col("__span_toks")
     n = F.array_size(toks)
     sh_arr = F.when(
         toks.isNotNull() & (n >= k),
@@ -1370,18 +1389,18 @@ def dup_spans(
             ),
         ),
     )
-    pos = df.select(
+    return toked.select(
         F.col(id_col).alias("_id"),
         F.posexplode(sh_arr).alias("_pos", "_sh"),
     )
-    first = pos.groupBy("_sh").agg(F.min("_id").alias("_first"))
-    dup_pos = (
-        pos.join(first, "_sh")
-        .filter(F.col("_id") > F.col("_first"))
-        .select("_id", "_pos")
-    )
-    # gaps-and-islands: consecutive duplicated shingle starts share
-    # (pos - row_number) — one run, one group
+
+
+def _merge_runs(dup_pos: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands over duplicated shingle starts: consecutive
+    positions share (pos - row_number) — one run, one group — merged
+    to (id_col, span_start, span_end, span_words) word spans."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("_id").orderBy("_pos")
     runs = dup_pos.withColumn(
         "_grp", F.col("_pos") - F.row_number().over(w)
@@ -1400,6 +1419,78 @@ def dup_spans(
                 "span_words"
             ),
         )
+    )
+
+
+def dup_spans_incremental(
+    new_df: DataFrame,
+    history: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental span mining — the ingest shape of :func:`dup_spans`:
+    a NEW batch's positions are duplicated when their shingle is owned
+    by the persisted history (any retained earlier batch) OR by an
+    earlier-id doc within the batch. Returns ``(spans, new_shingles)``:
+    spans for the new docs, and the batch's DISTINCT shingle hashes NOT
+    already in history — append them after the run commits so history
+    stays exactly the corpus's distinct shingle set.
+
+    Sequential == full (tested): with ids assigned in ingest order,
+    feeding batches B1..Bn through this function yields exactly
+    ``dup_spans(B1 ∪ … ∪ Bn)`` as the union of the per-round outputs.
+
+    State-size honesty: history holds ONE 8-byte hash per distinct
+    k-shingle of the corpus — O(corpus tokens) state, the price of
+    exact span coverage (Lee et al.'s suffix array is the same order,
+    over bytes). That is much heavier than the O(docs) signature
+    tables of the doc-level family; compact the table periodically
+    (TableStore.compact) and budget for it. The alternative — re-mining
+    the whole corpus per ingest — re-pays the full explode every run.
+
+    ``history``: a (shingle_hash: long) frame, or None for the first
+    batch."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    pos = _pos_shingles(new_df, id_col, text_col, k)
+    first = pos.groupBy("_sh").agg(F.min("_id").alias("_first"))
+    if history is not None:
+        hist_sh = history.select(F.col("shingle_hash").alias("_sh"))
+        owned = first.join(
+            hist_sh.withColumn("_hist", F.lit(True)), "_sh", "left"
+        )
+    else:
+        owned = first.withColumn("_hist", F.lit(None).cast("boolean"))
+    dup_pos = (
+        pos.join(owned, "_sh")
+        .filter(F.col("_hist").isNotNull() | (F.col("_id") > F.col("_first")))
+        .select("_id", "_pos")
+    )
+    spans = _merge_runs(dup_pos, id_col, k)
+    new_shingles = (
+        owned.filter(F.col("_hist").isNull())
+        .select(F.col("_sh").alias("shingle_hash"))
+    )
+    return spans, new_shingles
+
+
+def incremental_dup_spans_run(
+    store, table: str, new_df: DataFrame,
+    id_col: str, text_col: str,
+    source_fingerprint: str | None = None,
+    **kwargs,
+) -> DataFrame | None:
+    """Span-dedup ingest round (see _incremental_run for the commit
+    protocol): history table holds (shingle_hash) rows; returns the
+    new batch's duplicated spans, or None on a fingerprint-replay
+    skip."""
+    return _incremental_run(
+        store, table, new_df,
+        lambda new, hist: dup_spans_incremental(
+            new, hist, id_col, text_col, **kwargs
+        ),
+        source_fingerprint, "incremental_dup_spans_run",
     )
 
 

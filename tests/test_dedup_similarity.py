@@ -1528,3 +1528,89 @@ class TestDupSpans:
         assert {r["text"] for r in out.collect()} == {
             r["text"] for r in corpus.collect()
         }
+
+
+class TestIncrementalDupSpans:
+    """Ingest-shape span dedup: new batch vs persisted shingle history."""
+
+    K = 8
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _corpus_rows(self):
+        base = " ".join(f"a{i}" for i in range(20))
+        passage = " ".join(f"a{i}" for i in range(5, 17))
+        return [
+            (1, base),
+            (2, "x0 x1 x2 " + passage + " y0 y1"),    # pastes doc 1's span
+            (3, base),                                 # full re-upload
+            (4, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"),      # unique
+            (5, None),
+            # batch-2 docs (ids above batch 1)
+            (11, "z0 z1 " + passage + " z2 z3 z4"),    # vs HISTORY only
+            (12, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),     # unique
+            (13, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),     # within-batch dup
+        ]
+
+    def test_sequential_equals_full(self, spark):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            dup_spans,
+            dup_spans_incremental,
+        )
+
+        rows = self._corpus_rows()
+        full = {
+            tuple(r) for r in dup_spans(
+                self._mk(spark, rows), "doc_id", "text", k=self.K
+            ).collect()
+        }
+        b1 = self._mk(spark, [r for r in rows if r[0] < 10])
+        b2 = self._mk(spark, [r for r in rows if r[0] >= 10])
+        s1, sh1 = dup_spans_incremental(b1, None, "doc_id", "text", k=self.K)
+        s2, _sh2 = dup_spans_incremental(
+            b2, sh1, "doc_id", "text", k=self.K
+        )
+        inc = {tuple(r) for r in s1.collect()} | {
+            tuple(r) for r in s2.collect()
+        }
+        assert inc == full and len(full) > 0
+        # doc 11's duplication is visible ONLY through history ownership
+        assert any(r[0] == 11 for r in inc)
+
+    def test_tablestore_run_and_replay_skip(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            incremental_dup_spans_run,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        rows = self._corpus_rows()
+        store = TableStore(spark, str(tmp_path))
+        s1 = incremental_dup_spans_run(
+            store, "span_shingles",
+            self._mk(spark, [r for r in rows if r[0] < 10]),
+            "doc_id", "text", k=self.K, source_fingerprint="b1",
+        )
+        assert {r["doc_id"] for r in s1.collect()} == {2, 3}
+        n_hist1 = store.read("span_shingles").count()
+        assert n_hist1 > 0
+        s2 = incremental_dup_spans_run(
+            store, "span_shingles",
+            self._mk(spark, [r for r in rows if r[0] >= 10]),
+            "doc_id", "text", k=self.K, source_fingerprint="b2",
+        )
+        assert {r["doc_id"] for r in s2.collect()} == {11, 13}
+        # history accumulates only NOVEL shingles; re-pasted passages
+        # and within-batch dup copies add nothing
+        n_hist2 = store.read("span_shingles").count()
+        assert n_hist2 > n_hist1
+        assert store.read("span_shingles").distinct().count() == n_hist2
+        # fingerprint replay skips idempotently
+        assert incremental_dup_spans_run(
+            store, "span_shingles",
+            self._mk(spark, [r for r in rows if r[0] >= 10]),
+            "doc_id", "text", k=self.K, source_fingerprint="b2",
+        ) is None
+        assert store.read("span_shingles").count() == n_hist2
