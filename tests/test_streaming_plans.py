@@ -740,6 +740,27 @@ class TestNewQueryPlans:
         ]
         assert len(smj) == 1 and "FullOuter" in smj[0], plan
 
+    def test_dup_spans_plan_linear_no_cartesian(self, spark):
+        """doc_dup_spans' plan shape: the ownership groupBy gets a
+        map-side partial min (a hot boilerplate shingle combines
+        before the shuffle), candidates meet only through equi-joins
+        (never a cartesian — the join fans out 1:1 per occurrence, so
+        no hot-bucket cap exists to regress), exactly one Window (the
+        per-doc islands merge), and no Python anywhere."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        df = entry.queries()["doc_dup_spans"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan
+        assert "Python" not in plan
+        assert "partial_min" in plan  # map-side combine on ownership
+        assert plan.count("Window") == 1
+
     def test_token_packing_plan_single_shuffle(self, spark):
         """pack_stream_chunks + chunk_stats must shuffle ONCE: the
         window partitions by lang, and the per-(lang, chunk) aggregate
