@@ -430,13 +430,18 @@ def ivf_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    assigned: bool = False,
 ) -> DataFrame:
     """One row per (query, corpus id) whose cell is among the query's
     ``n_probe`` best cells; carries ``vec_col`` and ``_qvec`` for
     re-ranking. A corpus vector lives in exactly one cell, so the set is
     duplicate-free by construction. Exposed separately from ivf_topk so
-    callers can measure the scanned fraction (ann_recall)."""
-    c = with_ivf_cell(corpus, cents, vec_col)
+    callers can measure the scanned fraction (ann_recall).
+
+    ``assigned=True``: the corpus already carries its ``ivf_cell``
+    column (the persisted-index path — assignment was paid once at
+    write time, not per query batch)."""
+    c = corpus if assigned else with_ivf_cell(corpus, cents, vec_col)
     sims = F.transform(
         _cents_lit(cents),
         lambda cc: _dot(F.col(vec_col), cc)
@@ -625,4 +630,167 @@ def incremental_embedding_run(
             new, hist, id_col, vec_col, **kwargs
         ),
         source_fingerprint, "incremental_embedding_run",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (TableStore-backed: build once, append, probe-prune)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_tables(name: str) -> tuple[str, str]:
+    return f"{name}_centroids", f"{name}_vectors"
+
+
+def ivf_index_build(
+    store, name: str, corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    iters: int = 0, seeding: str = "min_id",
+    source_fingerprint: str | None = None,
+) -> list[list[float]]:
+    """Train and persist an IVF index as two TableStore tables:
+    ``<name>_centroids`` (ivf_cell, centroid) — the FROZEN codebook —
+    and ``<name>_vectors`` (id, vec, ivf_cell), written partitioned BY
+    CELL so each data file's ivf_cell stats are exact (hive-path
+    min==max) and a probe reads only the probed cells' files through
+    ``read(prune=[('ivf_cell','in', cells)])`` — manifest-level
+    inverted lists. The per-query-batch cost the ad-hoc path pays
+    (re-assigning the whole corpus, ``ivf_candidates(assigned=False)``)
+    is paid ONCE here at write time. Returns the codebook."""
+    cents = ivf_centroids(
+        corpus, n_centroids, id_col, vec_col, iters, seeding,
+    )
+    cent_t, vec_t = _ivf_tables(name)
+    spark = corpus.sparkSession
+    cent_rows = [(i, list(map(float, c))) for i, c in enumerate(cents)]
+    store.write(
+        cent_t,
+        spark.createDataFrame(
+            cent_rows, "ivf_cell int, centroid array<double>"
+        ),
+        properties=(
+            {"source_fingerprint": source_fingerprint}
+            if source_fingerprint is not None else None
+        ),
+    )
+    assigned = with_ivf_cell(
+        corpus.select(id_col, vec_col), cents, vec_col
+    )
+    store.write(
+        vec_t, assigned, partition_by=["ivf_cell"],
+        properties=(
+            {"source_fingerprint": source_fingerprint}
+            if source_fingerprint is not None else None
+        ),
+    )
+    return cents
+
+
+def ivf_index_centroids(store, name: str) -> list[list[float]]:
+    """Load the frozen codebook back from the centroids table."""
+    cent_t, _ = _ivf_tables(name)
+    rows = store.read(cent_t).collect()
+    by_cell = {r["ivf_cell"]: list(map(float, r["centroid"])) for r in rows}
+    return [by_cell[i] for i in range(len(by_cell))]
+
+
+def ivf_index_append(
+    store, name: str, new_df: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    source_fingerprint: str | None = None,
+) -> int | None:
+    """Assign NEW vectors against the frozen codebook and append them to
+    the vectors table — existing assignments never move (an IVF index
+    ages as the corpus drifts from the training sample; rebuild via
+    ivf_index_build when recall degrades, the standard reindex
+    tradeoff). Fingerprint-idempotent: returns None on an exact replay
+    of an already-appended batch, else the number of rows appended."""
+    cent_t, vec_t = _ivf_tables(name)
+    if source_fingerprint is not None and store.exists(vec_t) and (
+        store.is_unchanged(vec_t, source_fingerprint)
+    ):
+        return None
+    cents = ivf_index_centroids(store, name)
+    assigned = with_ivf_cell(
+        new_df.select(id_col, vec_col), cents, vec_col
+    )
+    n = assigned.count()
+    store.write(
+        vec_t, assigned, mode="append", partition_by=["ivf_cell"],
+        properties=(
+            {"source_fingerprint": source_fingerprint}
+            if source_fingerprint is not None else None
+        ),
+    )
+    return n
+
+
+def ivf_index_topk(
+    store, name: str, queries: DataFrame,
+    k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scan_stats: dict | None = None,
+) -> DataFrame:
+    """Top-k against the persisted index: rank each query's ``n_probe``
+    cells against the frozen codebook (driver-side — the query batch is
+    the small side by contract), then read ONLY the files of the probed
+    cells via the 'in' manifest prune and re-rank exact cosine inside
+    them. Equals ivf_topk(cents=<frozen codebook>) row-for-row (tested);
+    the difference is the scan: the ad-hoc path touches the whole corpus
+    per query batch, this path touches files covering the probed cells
+    (pass ``scan_stats`` to observe files_kept/files_skipped)."""
+    import numpy as np
+
+    cents = ivf_index_centroids(store, name)
+    _, vec_t = _ivf_tables(name)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    c = np.array(cents, dtype="float64")
+    cn = np.linalg.norm(c, axis=1)
+    probe_cells: set[int] = set()
+    probes = []
+    for r in qrows:
+        v = np.array(list(r[vec_col]), dtype="float64")
+        sims = (c @ v) / (cn * (np.linalg.norm(v) or 1.0))
+        # sim desc, ties -> lowest cell (matches ivf_candidates' sort)
+        order = np.lexsort((np.arange(len(cents)), -sims))[:n_probe]
+        cells = [int(x) for x in order]
+        probe_cells.update(cells)
+        probes.append((r[query_id_col], list(map(float, r[vec_col])), cells))
+    spark = queries.sparkSession
+    # mirror the queries' own types (query ids may be strings, vectors
+    # float or double — a hardcoded schema would silently change the
+    # cosine's precision vs the ad-hoc path)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qschema = StructType(
+        [
+            queries.schema[query_id_col],
+            StructField("_qvec", queries.schema[vec_col].dataType),
+            StructField("ivf_cell", IntegerType()),
+        ]
+    )
+    qdf = spark.createDataFrame(
+        [(qid, qv, cell) for qid, qv, cells in probes for cell in cells],
+        qschema,
+    )
+    corpus = store.read(
+        vec_t,
+        prune=[("ivf_cell", "in", sorted(probe_cells))],
+        scan_stats=scan_stats,
+    )
+    cand = corpus.join(F.broadcast(qdf), "ivf_cell")
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
     )

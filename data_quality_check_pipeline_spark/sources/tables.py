@@ -142,6 +142,25 @@ def _file_may_match(stats: dict, prune: list) -> bool:
     only skips files."""
     for col, op, val in prune:
         s = stats.get(col)
+        if op == "in":
+            # disjunctive membership: keep the file if ANY value can land
+            # in its [min, max] (the IVF multi-cell probe shape — an
+            # AND-composed '=' cannot express it)
+            if not s:
+                continue
+            lo, hi = s
+            vals = [
+                v for v in (_norm_stat_value(x) for x in val)
+                if v is not None
+            ]
+            if not vals:
+                continue
+            try:
+                if not any(lo <= v <= hi for v in vals):
+                    return False
+            except TypeError:
+                pass
+            continue
         nval = _norm_stat_value(val)
         if not s or nval is None:
             continue
@@ -359,7 +378,9 @@ class TableStore:
         """Read the current (or a time-travel) snapshot.
 
         ``prune``: optional list of simple predicates
-        ``(col, op, value)`` with op in {'=', '<', '<=', '>', '>='} —
+        ``(col, op, value)`` with op in {'=', '<', '<=', '>', '>=',
+        'in'} ('in' takes an iterable of values — disjunctive
+        membership, e.g. the IVF multi-cell probe) —
         FILES whose recorded min/max provably cannot match every
         predicate are skipped before Spark ever lists them (manifest-
         level data skipping, the lever that makes an Iceberg-style

@@ -1614,3 +1614,105 @@ class TestIncrementalDupSpans:
             "doc_id", "text", k=self.K, source_fingerprint="b2",
         ) is None
         assert store.read("span_shingles").count() == n_hist2
+
+
+class TestIvfIndex:
+    """Persisted IVF index: build once, append, probe with file pruning."""
+
+    def _queries(self, spark, embeddings):
+        rows = embeddings.filter("vec_id in (0, 1, 100)").collect()
+        return spark.createDataFrame(
+            [(int(r["vec_id"]), list(r["embedding"])) for r in rows],
+            "query_id long, embedding array<double>",
+        )
+
+    def test_index_topk_equals_adhoc_ivf_topk(
+        self, spark, embeddings, tmp_path
+    ):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            ivf_index_build,
+            ivf_index_topk,
+            ivf_topk,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        cents = ivf_index_build(
+            store, "emb", embeddings, n_centroids=6, iters=1,
+        )
+        queries = self._queries(spark, embeddings)
+        got = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ivf_index_topk(
+                store, "emb", queries, k=5, n_probe=2
+            ).collect()
+        }
+        want = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ivf_topk(
+                embeddings, queries, k=5, n_probe=2, cents=cents
+            ).collect()
+        }
+        assert got == want and len(got) == 15
+
+    def test_probe_prunes_unprobed_cells(
+        self, spark, embeddings, tmp_path
+    ):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            ivf_index_build,
+            ivf_index_topk,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        ivf_index_build(store, "emb", embeddings, n_centroids=6, iters=1)
+        queries = self._queries(spark, embeddings).limit(1)
+        ss: dict = {}
+        ivf_index_topk(
+            store, "emb", queries, k=3, n_probe=1, scan_stats=ss
+        ).collect()
+        # 6 cells partitioned into their own files; 1 probed cell reads
+        # only its file(s) — the manifest 'in' prune skips the rest
+        assert ss["files_skipped"] > 0
+        assert ss["files_kept"] < ss["files_kept"] + ss["files_skipped"]
+
+    def test_append_frozen_codebook_and_replay(
+        self, spark, embeddings, tmp_path
+    ):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            ivf_index_append,
+            ivf_index_build,
+            ivf_index_centroids,
+            ivf_index_topk,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path))
+        base = embeddings.filter("vec_id < 100")
+        cents = ivf_index_build(store, "emb", base, n_centroids=6, iters=1)
+        late = embeddings.filter("vec_id >= 100")  # the near-dup pair
+        n = ivf_index_append(
+            store, "emb", late, source_fingerprint="b2"
+        )
+        assert n == 2
+        # codebook is frozen: append never retrains
+        assert ivf_index_centroids(store, "emb") == cents
+        # the appended near-dup is now retrievable as its twin's top hit
+        q = spark.createDataFrame(
+            [(100, list(late.filter("vec_id = 100")
+                        .collect()[0]["embedding"]))],
+            "query_id long, embedding array<double>",
+        )
+        top = ivf_index_topk(store, "emb", q, k=2, n_probe=2).collect()
+        assert {r["vec_id"] for r in top} == {100, 101}
+        # exact replay of the same batch appends nothing
+        assert ivf_index_append(
+            store, "emb", late, source_fingerprint="b2"
+        ) is None
+        assert store.read("emb_vectors").count() == 62

@@ -475,6 +475,16 @@ class TestTableStore:
             (F.col("id") >= 1000) & (F.col("lang") == "en")
         ).count() == 50
 
+        # disjunctive membership ('in'): a file survives when ANY value
+        # can land in its [min, max] — the IVF multi-cell probe shape
+        # that AND-composed '=' cannot express
+        ss6: dict = {}
+        got6 = store.read(
+            "t", prune=[("id", "in", [5, 1050])], scan_stats=ss6
+        )
+        assert ss6["files_skipped"] > 0
+        assert got6.filter(F.col("id").isin(5, 1050)).count() == 2
+
     def test_cluster_by_write_makes_pruning_selective(
         self, spark, out_root
     ):
