@@ -149,6 +149,8 @@ def _file_may_match(stats: dict, prune: list) -> bool:
             if not s:
                 continue
             lo, hi = s
+            if isinstance(val, (str, bytes)):
+                val = [val]  # a bare string is ONE value, not its chars
             vals = [
                 v for v in (_norm_stat_value(x) for x in val)
                 if v is not None

@@ -485,6 +485,15 @@ class TestTableStore:
         assert ss6["files_skipped"] > 0
         assert got6.filter(F.col("id").isin(5, 1050)).count() == 2
 
+        # a bare-string 'in' value is ONE value, not its characters:
+        # ("lang", "in", "de") must keep the lang=de file (iterating the
+        # chars 'd','e' would prove neither lands in ["de","de"] and
+        # silently drop matching data)
+        ss7: dict = {}
+        got7 = store.read("t", prune=[("lang", "in", "de")], scan_stats=ss7)
+        assert got7.filter(F.col("lang") == "de").count() == 50
+        assert ss7["files_skipped"] == 1  # same pruning as =['de']
+
     def test_cluster_by_write_makes_pruning_selective(
         self, spark, out_root
     ):
