@@ -434,3 +434,163 @@ class TestSamplingPackingProperties:
             ).collect()
         }
         assert all(full[i] == s for i, s in sub.items())
+
+
+class TestPruneSoundness:
+    """Pure-Python property: file pruning must be SOUND. If
+    `_file_may_match` says False, then NO row of the file could satisfy
+    every predicate — under a deliberately GENEROUS row oracle (any
+    type-uncertain comparison counts as "could match"). An unsound
+    prune is silent data loss (the bare-string 'in' bug class); an
+    over-kept file is merely slow. No Spark session: hundreds of
+    examples run in milliseconds."""
+
+    _DOM = {
+        "int": st.integers(-1000, 1000),
+        "float": st.floats(
+            allow_nan=False, allow_infinity=False,
+            min_value=-1e6, max_value=1e6,
+        ),
+        "str": st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=8,
+        ),
+        "date": st.dates(),
+        "datetime": st.datetimes(),
+        "bool": st.booleans(),
+    }
+
+    @staticmethod
+    def _stats(cols: dict) -> dict:
+        from data_quality_check_pipeline_spark.sources.tables import (
+            _norm_stat_value,
+        )
+
+        stats = {}
+        for col, vals in cols.items():
+            nv = [_norm_stat_value(v) for v in vals if v is not None]
+            if not nv or any(v is None for v in nv):
+                continue  # all-null or non-comparable type: no stats
+            stats[col] = [min(nv), max(nv)]
+        return stats
+
+    @staticmethod
+    def _could_match(cols: dict, idx: int, prune: list) -> bool:
+        """Generous row oracle: SQL three-valued logic for NULLs, and
+        any cross-type comparison counts as 'could match'."""
+        from data_quality_check_pipeline_spark.sources.tables import (
+            _norm_stat_value,
+        )
+
+        def comparable(a, b):
+            num = (int, float)
+            return (isinstance(a, num) and isinstance(b, num)) or (
+                isinstance(a, str) and isinstance(b, str)
+            )
+
+        for col, op, val in prune:
+            if col not in cols:
+                continue  # unknown column: engine-side behavior unknown
+            rv = cols[col][idx]
+            if rv is None:
+                return False  # NULL satisfies no predicate
+            nrv = _norm_stat_value(rv)
+            if nrv is None:
+                continue  # non-comparable column type: uncertain
+            if op == "in":
+                items = [val] if isinstance(val, (str, bytes)) else list(val)
+                hit = False
+                for x in items:
+                    nx = _norm_stat_value(x)
+                    if nx is None:
+                        continue
+                    if not comparable(nrv, nx) or nrv == nx:
+                        hit = True
+                        break
+                if not hit:
+                    return False
+                continue
+            nval = _norm_stat_value(val)
+            if nval is None:
+                continue  # un-normalizable predicate value: uncertain
+            if not comparable(nrv, nval):
+                continue
+            ok = {
+                "=": nrv == nval,
+                "<": nrv < nval,
+                "<=": nrv <= nval,
+                ">": nrv > nval,
+                ">=": nrv >= nval,
+            }[op]
+            if not ok:
+                return False
+        return True
+
+    @given(data=st.data())
+    @settings(max_examples=300, deadline=None)
+    def test_never_prunes_a_possibly_matching_row(self, data):
+        from data_quality_check_pipeline_spark.sources.tables import (
+            _file_may_match,
+        )
+
+        dom_names = list(self._DOM)
+        n_cols = data.draw(st.integers(1, 4), label="n_cols")
+        n_rows = data.draw(st.integers(1, 8), label="n_rows")
+        cols = {}
+        col_dom = {}
+        for c in range(n_cols):
+            name = f"c{c}"
+            dom = data.draw(st.sampled_from(dom_names), label=f"dom_{name}")
+            col_dom[name] = dom
+            cols[name] = data.draw(
+                st.lists(
+                    st.one_of(st.none(), self._DOM[dom]),
+                    min_size=n_rows, max_size=n_rows,
+                ),
+                label=f"vals_{name}",
+            )
+
+        n_preds = data.draw(st.integers(1, 4), label="n_preds")
+        prune = []
+        for p in range(n_preds):
+            # mostly real columns, sometimes an unknown one
+            col = data.draw(
+                st.sampled_from(list(cols) + ["ghost"]), label=f"pcol_{p}"
+            )
+            # mostly the column's own domain, sometimes a mismatched one
+            dom = data.draw(
+                st.sampled_from(
+                    [col_dom.get(col, "int")] * 3 + dom_names
+                ),
+                label=f"pdom_{p}",
+            )
+            op = data.draw(
+                st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+                label=f"op_{p}",
+            )
+            if op == "in":
+                bare = dom == "str" and data.draw(
+                    st.booleans(), label=f"bare_{p}"
+                )
+                val = (
+                    data.draw(self._DOM["str"], label=f"v_{p}")
+                    if bare
+                    else data.draw(
+                        st.lists(self._DOM[dom], max_size=3),
+                        label=f"v_{p}",
+                    )
+                )
+            else:
+                val = data.draw(self._DOM[dom], label=f"v_{p}")
+            prune.append((col, op, val))
+
+        if not _file_may_match(self._stats(cols), prune):
+            survivors = [
+                i
+                for i in range(n_rows)
+                if self._could_match(cols, i, prune)
+            ]
+            assert survivors == [], (
+                f"pruned a file holding possibly-matching rows "
+                f"{survivors}: cols={cols} prune={prune}"
+            )
