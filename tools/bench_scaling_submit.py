@@ -12,8 +12,10 @@ clip keep/drop+scrub pass both benches share.
 
 Measurement discipline (DESIGN.md #15/#24): fresh cluster per config,
 warm-up pass excluded, configs interleaved across rounds, per-config
-minima. Writes BENCH/submit_scaling.json and rewrites the
-executor-scaling section of BENCH/BASELINE.md.
+minima. Each run measures ONE N -> 4N pair and MERGES it (keyed by
+pair, e.g. '1->4') into BENCH/submit_scaling.json, then re-renders the
+executor-scaling section of BENCH/BASELINE.md from all recorded pairs
+— re-measuring one pair never discards another's evidence.
 
 Usage:
   python tools/bench_scaling_submit.py [--n-clips 160000]
@@ -227,15 +229,12 @@ def main() -> None:
     nominal = speedup / (n_hi / n_lo)
     core_ratio = hi["effective_cores"] / lo["effective_cores"]
     normalized = speedup / core_ratio if core_ratio > 0 else None
-    result = {
-        "metric": "executor_scaling_efficiency_submit",
-        "deploy": "spark-submit --py-files pkg.zip",
+    pair = {
         "n_clips": args.n_clips,
         "cores_per_executor": args.cores_per_executor,
         "executor_mem_mb": args.executor_mem_mb,
         "rounds": args.rounds,
         "configs": {str(k): v for k, v in best.items()},
-        "pair": f"{n_lo} -> {n_hi} executors",
         "speedup": round(speedup, 2),
         "nominal_efficiency": round(nominal, 2),
         "delivered_core_ratio": round(core_ratio, 2),
@@ -243,67 +242,115 @@ def main() -> None:
             round(normalized, 2) if normalized else None
         ),
     }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "submit_scaling.json"), "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(result))
-    _rewrite_baseline_section(result, lo, hi, n_lo, n_hi, args)
+    result = _merge_pair(f"{n_lo}->{n_hi}", pair)
+    print(json.dumps({f"{n_lo}->{n_hi}": pair}))
+    _rewrite_baseline_section(result)
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _merge_pair(key: str, pair: dict) -> dict:
+    """Accumulate this run's N->4N pair into BENCH/submit_scaling.json
+    (keyed by the executor-count pair, e.g. '1->4'): re-measuring one
+    pair never discards the evidence for another. Migrates the legacy
+    single-pair flat file shape in place."""
+    path = os.path.join(REPO, "BENCH", "submit_scaling.json")
+    doc = {
+        "metric": "executor_scaling_efficiency_submit",
+        "deploy": "spark-submit --py-files pkg.zip",
+        "pairs": {},
+    }
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if "pairs" in old:
+            doc = old
+        elif "pair" in old:  # legacy flat shape: one pair at top level
+            lo_s, hi_s = old["pair"].split("->")
+            doc["pairs"][f"{lo_s.strip()}->{hi_s.split()[0].strip()}"] = {
+                k: old[k]
+                for k in (
+                    "n_clips", "cores_per_executor", "executor_mem_mb",
+                    "rounds", "configs", "speedup", "nominal_efficiency",
+                    "delivered_core_ratio", "normalized_efficiency",
+                )
+                if k in old
+            }
+    doc["pairs"][key] = pair
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    return doc
 
 
 _SECTION = "## Executor scaling via spark-submit (multi-executor JVMs)"
 
 
-def _rewrite_baseline_section(result, lo, hi, n_lo, n_hi, args) -> None:
+def _rewrite_baseline_section(result) -> None:
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     lines = [
         _SECTION,
         "",
         "Same job, deployed the way the north rule words it: "
         "`spark-submit --py-files pkg.zip` on a `local-cluster[N,c,mem]` "
-        f"master — N separate executor JVMs ({args.cores_per_executor} "
-        f"core(s) / {args.executor_mem_mb} MB each), scaled N -> 4N in the "
+        "master — N separate executor JVMs, scaled N -> 4N in the "
         "EXECUTOR COUNT (fresh cluster per config, warm-up excluded, "
-        f"configs interleaved x{args.rounds}, per-config minima; "
-        f"{args.n_clips} clips):",
-        "",
-        "| executors | total cores | wall s | clips/sec | "
-        "effective cores |",
-        "|---|---|---|---|---|",
+        "interleaved rounds, per-config minima). Every measured pair "
+        "is kept:",
     ]
-    for n_exec, row in ((n_lo, lo), (n_hi, hi)):
-        lines.append(
-            f"| {n_exec} | {n_exec * args.cores_per_executor} | "
-            f"{row['wall_s']:.2f} | {row['clips_per_sec']:.0f} | "
-            f"{row['effective_cores']:.1f} |"
-        )
+    pairs = sorted(
+        result["pairs"].items(), key=lambda kv: int(kv[0].split("->")[0])
+    )
+    for key, p in pairs:
+        n_lo, n_hi = (int(x) for x in key.split("->"))
+        lines += [
+            "",
+            f"### {n_lo} -> {n_hi} executors "
+            f"({p['cores_per_executor']} core(s) / "
+            f"{p['executor_mem_mb']} MB each, {p['n_clips']} clips, "
+            f"x{p['rounds']} rounds)",
+            "",
+            "| executors | total cores | wall s | clips/sec | "
+            "effective cores |",
+            "|---|---|---|---|---|",
+        ]
+        for n_exec in (n_lo, n_hi):
+            row = p["configs"][str(n_exec)]
+            lines.append(
+                f"| {n_exec} | {n_exec * p['cores_per_executor']} | "
+                f"{row['wall_s']:.2f} | {row['clips_per_sec']:.0f} | "
+                f"{row['effective_cores']:.1f} |"
+            )
+        lines += [
+            "",
+            f"**speedup {p['speedup']}x, nominal efficiency "
+            f"{p['nominal_efficiency']}, delivered-core ratio "
+            f"{p['delivered_core_ratio']}x, normalized efficiency "
+            f"{p['normalized_efficiency']}** (target >= 0.8 per "
+            "BASELINE.json). Reproduce: `python "
+            f"tools/bench_scaling_submit.py --base-executors {n_lo} "
+            f"--cores-per-executor {p['cores_per_executor']}`",
+        ]
     lines += [
         "",
-        f"**{n_lo} -> {n_hi} executors: speedup {result['speedup']}x, "
-        f"nominal efficiency {result['nominal_efficiency']}, "
-        f"delivered-core ratio {result['delivered_core_ratio']}x, "
-        f"normalized efficiency {result['normalized_efficiency']}** "
-        "(target >= 0.8 per BASELINE.json). Reproduce: "
-        "`python tools/bench_scaling_submit.py`",
-        "",
-        "The same single-host caveat as the thread-scaling table "
-        "applies, and it is why 1 core/executor is the honest shape "
-        "here: each executor's pandas-UDF python worker overlaps its "
-        "JVM task thread, so a 2-cores/executor variant at 8 executors "
-        "wants 16 JVM + 16 python threads = the whole 32-thread host, "
-        "and measures pure oversubscription, not scaling (measured: "
-        "`--cores-per-executor 2` gives 2->8 executors speedup 1.85x, "
-        "delivered core ratio 2.85x — the host physically could not "
-        "deliver 4x more cores). On a real cluster each added node "
-        "ships its own cores, so the delivered ratio IS 4x and the "
-        "normalized figure is the predictor — same conclusion as the "
-        "thread-scaling table. The per-clip CPU cost stays flat across "
-        f"the executor configs ({lo['busy_core_s']:.1f} busy-core-s at "
-        f"{n_lo} executors vs {hi['busy_core_s']:.1f} at {n_hi}, the "
-        "gap being fixed per-JVM overhead x4 more JVMs), i.e. adding "
-        "executors adds no per-core algorithmic cost: the plan is one "
-        "embarrassingly parallel scan+score+scrub pass plus the "
-        "bounded key-only dup-check shuffle.",
+        "Reading the two figures: each executor's pandas-UDF python "
+        "worker overlaps its JVM task thread, so a cluster of N "
+        "1-core executors consumes up to ~2N hardware threads. When "
+        "4N stays comfortably inside the host's 32 threads (the "
+        "1 -> 4 pair: at most ~8 threads), the host genuinely "
+        "delivers the 4x and the NOMINAL efficiency is the honest "
+        "cluster-scaling figure. When 4N pushes against the host "
+        "(the 2 -> 8 pair: ~16 threads plus shuffle/GC), part of the "
+        "nominal shortfall is hardware never delivered — "
+        "/proc/stat-measured effective cores quantify it, and the "
+        "delivered-core-NORMALIZED efficiency is the predictor for a "
+        "real cluster where each added node ships its own cores "
+        "(measured oversubscription extreme: `--cores-per-executor 2` "
+        "at 2->8 executors wants the whole 32-thread host and gives "
+        "speedup 1.85x at delivered-core ratio 2.85x). Busy-core-"
+        "seconds stay flat per clip across executor counts, i.e. "
+        "adding executors adds no per-core algorithmic cost: the plan "
+        "is one embarrassingly parallel scan+score+scrub pass plus "
+        "the bounded key-only dup-check shuffle.",
         "",
     ]
     with open(md) as f:
