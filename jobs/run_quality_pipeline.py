@@ -304,6 +304,17 @@ def main() -> None:
     ap.add_argument("--fail-on-leakage", action="store_true",
                     help="with --audit-split-leakage: exit 3 when any "
                          "leaking pair is found (CI gate)")
+    ap.add_argument("--audit-cross-modal", action="store_true",
+                    help="maintenance op: mine cross-modal identity "
+                         "conflicts within clips_clean — the same audio "
+                         "fingerprint carrying different transcripts "
+                         "(mistranscription/redub) and the same "
+                         "transcript carrying different audio "
+                         "(re-recorded/TTS-regenerated scripts); prints "
+                         "a JSON report of group-level counts + worst "
+                         "group per kind (synthetic corpora over-report "
+                         "the same-audio kind — their fingerprints are "
+                         "degenerate, DESIGN.md #22)")
     ap.add_argument("--decontam-audit", default=None, metavar="PARQUET",
                     help="maintenance op: retroactive contamination "
                          "audit — a benchmark published AFTER data "
@@ -470,6 +481,7 @@ def main() -> None:
             or args.changelog or args.takedown or args.export_dir
             or args.verify_export or args.release_check
             or args.decontam_audit
+            or args.audit_cross_modal
             or args.audit_split_leakage is not None):
         from data_quality_check_pipeline_spark.sources.tables import (
             TableStore,
@@ -601,6 +613,25 @@ def main() -> None:
             if args.fail_on_leakage and rep["leaking"]:
                 spark.stop()
                 raise SystemExit(3)
+        if args.audit_cross_modal:
+            import json as _json
+
+            from data_quality_check_pipeline_spark.operators.crossmodal import (
+                cross_modal_conflicts,
+                cross_modal_report,
+            )
+
+            if not store.exists("clips_clean"):
+                print("cross-modal audit unavailable: no clips_clean "
+                      f"table under {args.out}")
+                spark.stop()
+                raise SystemExit(3)
+            clean = store.read("clips_clean")
+            rep = cross_modal_report(
+                cross_modal_conflicts(clean)
+            )
+            rep["checked"] = clean.count()
+            print(_json.dumps(rep, indent=2, default=str))
         if args.decontam_audit:
             import json as _json
 
