@@ -102,6 +102,18 @@ class TestCrossModalConflicts:
             assert rep[kind]["clips"] == 3
             assert rep[kind]["worst_group_clips"] == 3
 
+    def test_plan_has_no_joins(self, planted):
+        """Scale pin: the conflict report is two hash-keyed aggregate
+        chains — NO join, NO cartesian product, ever. Pair expansion
+        creeping in would turn a duplicate-heavy corpus quadratic."""
+        _, df = planted
+        q = cross_modal_conflicts(df)
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert "Aggregate" in plan  # Hash- or SortAggregate chains
+
     def test_no_conflicts_empty_report(self, spark):
         a = sine_pcm(n=8000, amp=9000.0, noise=60.0, seed=1).tobytes()
         df = spark.createDataFrame(
