@@ -240,3 +240,243 @@ def verify_export(spark: SparkSession, out_dir: str) -> dict:
              "files": got[k]["rows"]}
         )
     return {"ok": not mismatches, "mismatches": mismatches}
+
+
+# --- WebDataset-style tar export -------------------------------------
+
+WDS_MANIFEST_NAME = "wds_manifest.json"
+
+
+def export_webdataset_shards(
+    df: DataFrame,
+    key_col: str,
+    out_dir: str,
+    n_shards: int,
+    seed: int = 0,
+    bytes_col: str | None = "bytes",
+    payload_ext: str = "pcm",
+    meta_cols: tuple | None = None,
+    drop_cols: tuple = (),
+) -> dict:
+    """Export as WebDataset-style tar shards — the format audio/vision
+    trainers stream natively: ``out_dir/shard-K.tar`` where each sample
+    is two adjacent members ``<key>.<payload_ext>`` (the raw bytes
+    column; omitted when NULL) and ``<key>.json`` (the metadata
+    columns). Same determinism contract as the parquet exporter: shard
+    membership, within-shard order and the integrity checksum all
+    derive from the SAME domain-separated hashes, so for one
+    (key set, n_shards, seed) the parquet and tar exports agree on
+    membership and order, and a re-export is BYTE-identical (tar
+    metadata is pinned: mtime=0, uid/gid=0, no user names).
+
+    Scale shape: identical to the parquet path — one projection, one
+    ``repartition(n_shards, shard)`` shuffle, a per-shard local sort —
+    then each task streams its shard(s) straight into tar files
+    (sorted by shard within the task, so a shard boundary = close one
+    tar, open the next; tars commit via atomic rename). The checksum
+    is a vectorized column XORed task-side — no per-row Python
+    hashing. The manifest aggregates what each task ACTUALLY wrote and
+    commits last; ``verify_webdataset`` re-derives counts + checksums
+    from the tar files alone with a pure-Python spark-compatible
+    xxhash64 (oracle_hash.py) — no Spark needed trainer-side.
+
+    ``out_dir`` must be a filesystem every executor can reach (local
+    mode: the local disk; a cluster: NFS/fuse-mounted object store).
+    """
+    import pandas as pd  # noqa: F401 - mapInPandas contract
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    staged = with_export_shard(
+        df.drop(*drop_cols), key_col, n_shards, seed
+    ).withColumn("_cksum", _kh(key_col, _CKSUM_DOMAIN, seed))
+    if meta_cols is None:
+        meta_cols = tuple(
+            c for c in df.drop(*drop_cols).columns
+            if c != bytes_col and c != key_col
+        )
+    # itertuples renames underscore-led columns positionally — carry
+    # the order/checksum columns under plain names
+    cols = [
+        F.col(key_col), F.col("shard"),
+        F.col("_export_order").alias("xorder"),
+        F.col("_cksum").alias("xcksum"),
+        *[F.col(c) for c in meta_cols],
+    ]
+    if bytes_col is not None:
+        cols.append(F.col(bytes_col))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches):
+        import json as _json
+        import tarfile
+
+        state = {"shard": None, "tar": None, "tmp": None, "path": None,
+                 "rows": 0, "cksum": 0, "null_keys": 0}
+        done = []
+
+        def _close():
+            if state["tar"] is None:
+                return
+            state["tar"].close()
+            os.replace(state["tmp"], state["path"])
+            done.append((
+                state["shard"], state["rows"], state["cksum"],
+                os.path.getsize(state["path"]),
+                os.path.basename(state["path"]),
+            ))
+            state.update(tar=None, tmp=None, path=None, shard=None,
+                         rows=0, cksum=0)
+
+        def _member(name: str, payload: bytes) -> None:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0  # determinism: re-exports are byte-identical
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            import io
+
+            state["tar"].addfile(info, io.BytesIO(payload))
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = getattr(row, key_col)
+                if key is None:
+                    raise ValueError(
+                        "export_webdataset_shards: NULL "
+                        f"{key_col} cannot be exported (no member "
+                        "name, no stable shard)"
+                    )
+                key = str(key)
+                if "/" in key or key.startswith("."):
+                    raise ValueError(
+                        f"key {key!r} is not a safe tar member prefix"
+                    )
+                shard = int(getattr(row, "shard"))
+                if shard != state["shard"]:
+                    _close()
+                    state["shard"] = shard
+                    state["path"] = os.path.join(
+                        out_dir, f"shard-{shard:05d}.tar"
+                    )
+                    state["tmp"] = state["path"] + ".tmp"
+                    state["tar"] = tarfile.open(state["tmp"], "w")
+                meta = {}
+                for c in meta_cols:
+                    v = getattr(row, c)
+                    if hasattr(v, "item"):  # numpy scalar -> python
+                        v = v.item()
+                    meta[c] = v
+                payload = (
+                    getattr(row, bytes_col)
+                    if bytes_col is not None else None
+                )
+                if payload is not None:
+                    _member(f"{key}.{payload_ext}", bytes(payload))
+                meta["__has_payload__"] = payload is not None
+                _member(
+                    f"{key}.json",
+                    _json.dumps(
+                        meta, sort_keys=True, default=str
+                    ).encode("utf-8"),
+                )
+                state["rows"] += 1
+                state["cksum"] ^= int(getattr(row, "xcksum"))
+            del pdf
+        _close()
+        import pandas as _pd
+
+        yield _pd.DataFrame(
+            done,
+            columns=["shard", "rows", "checksum", "n_bytes", "path"],
+        )
+
+    written = (
+        staged.select(*cols)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "xorder", key_col)
+        .mapInPandas(
+            _write,
+            "shard int, rows long, checksum long, n_bytes long, "
+            "path string",
+        )
+        .collect()
+    )
+    by_shard = {r["shard"]: r for r in written}
+    shards = []
+    for k in range(n_shards):
+        r = by_shard.get(k)
+        shards.append({
+            "shard": k,
+            "path": r["path"] if r else None,
+            "rows": r["rows"] if r else 0,
+            "checksum": int(r["checksum"]) if r else 0,
+            "n_bytes": int(r["n_bytes"]) if r else 0,
+        })
+    manifest = {
+        "format": "clip-quality-wds-export-v1",
+        "key_col": key_col,
+        "n_shards": n_shards,
+        "seed": seed,
+        "payload_ext": payload_ext,
+        "meta_cols": list(meta_cols),
+        "total_rows": sum(s["rows"] for s in shards),
+        "shards": shards,
+    }
+    tmp = os.path.join(out_dir, f"{WDS_MANIFEST_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, WDS_MANIFEST_NAME))
+    _log.info(
+        "exported %d rows into %d wds tar shards under %s",
+        manifest["total_rows"], n_shards, out_dir,
+    )
+    return manifest
+
+
+def verify_webdataset(out_dir: str) -> dict:
+    """Trainer-side integrity check for a WebDataset export — pure
+    Python, NO Spark: re-derive each tar's sample count and
+    order-invariant key checksum (spark-compatible xxhash64 from
+    oracle_hash.py over the same 'export_cksum' domain literal the
+    exporter used) and compare to the manifest. A truncated, lost or
+    tampered tar shows up on its shard."""
+    import tarfile
+
+    from ..oracle_hash import spark_xxhash64
+
+    with open(os.path.join(out_dir, WDS_MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    seed = manifest["seed"]
+    mismatches = []
+    for s in manifest["shards"]:
+        rows = 0
+        cksum = 0
+        if s["path"]:
+            path = os.path.join(out_dir, s["path"])
+            if not os.path.exists(path):
+                mismatches.append(
+                    {"shard": s["shard"], "field": "path",
+                     "manifest": s["path"], "files": None}
+                )
+                continue
+            with tarfile.open(path) as tar:
+                for m in tar:
+                    if not m.name.endswith(".json"):
+                        continue  # one .json per sample, payload opt.
+                    rows += 1
+                    key = m.name[: -len(".json")]
+                    # plain python int hashes as LONG — matches the
+                    # exporter's F.lit(seed).cast("long")
+                    cksum ^= spark_xxhash64(key, _CKSUM_DOMAIN, int(seed))
+        for what, want, have in (
+            ("rows", s["rows"], rows),
+            ("checksum", s["checksum"], cksum),
+        ):
+            if want != have:
+                mismatches.append(
+                    {"shard": s["shard"], "field": what,
+                     "manifest": want, "files": have}
+                )
+    return {"ok": not mismatches, "mismatches": mismatches}

@@ -283,6 +283,14 @@ def main() -> None:
                     metavar="N",
                     help="shard count for --export-dir (the trainer's "
                          "read parallelism; ~corpus_bytes/256MB)")
+    ap.add_argument("--export-format", default="parquet",
+                    choices=("parquet", "wds"),
+                    help="with --export-dir: 'parquet' (shard=K dirs + "
+                         "manifest) or 'wds' — WebDataset-style tar "
+                         "shards (<clip_id>.pcm payload + "
+                         "<clip_id>.json metadata per sample, "
+                         "byte-identical re-exports, pure-Python "
+                         "verify_webdataset)")
     ap.add_argument("--export-split", default=None, metavar="NAME",
                     help="with --export-dir: export only this split "
                          "(requires a --split run)")
@@ -535,6 +543,7 @@ def main() -> None:
         if args.export_dir:
             from data_quality_check_pipeline_spark.operators.export import (
                 export_training_shards,
+                export_webdataset_shards,
             )
             from pyspark.sql import functions as F
 
@@ -548,22 +557,35 @@ def main() -> None:
                 clean = clean.filter(
                     F.col("split") == args.export_split
                 )
-            mf = export_training_shards(
-                clean, "clip_id", args.export_dir, args.export_shards,
-                seed=args.export_seed,
-                token_col=(
-                    "n_tokens" if "n_tokens" in clean.columns else None
-                ),
-            )
-            print(
-                f"exported {mf['total_rows']} rows"
-                + (
-                    f" / {mf['total_tokens']} tokens"
-                    if "total_tokens" in mf else ""
+            if args.export_format == "wds":
+                mf = export_webdataset_shards(
+                    clean, "clip_id", args.export_dir,
+                    args.export_shards, seed=args.export_seed,
                 )
-                + f" into {mf['n_shards']} shards under "
-                f"{args.export_dir}"
-            )
+                print(
+                    f"exported {mf['total_rows']} rows into "
+                    f"{mf['n_shards']} wds tar shards under "
+                    f"{args.export_dir}"
+                )
+            else:
+                mf = export_training_shards(
+                    clean, "clip_id", args.export_dir,
+                    args.export_shards,
+                    seed=args.export_seed,
+                    token_col=(
+                        "n_tokens" if "n_tokens" in clean.columns
+                        else None
+                    ),
+                )
+                print(
+                    f"exported {mf['total_rows']} rows"
+                    + (
+                        f" / {mf['total_tokens']} tokens"
+                        if "total_tokens" in mf else ""
+                    )
+                    + f" into {mf['n_shards']} shards under "
+                    f"{args.export_dir}"
+                )
         if args.verify_export:
             from data_quality_check_pipeline_spark.operators.export import (
                 verify_export,

@@ -169,3 +169,142 @@ class TestExport:
         )
         with pytest.raises(ValueError, match="NULL"):
             export_training_shards(bad, "clip_id", out, 4)
+
+
+class TestWebdatasetExport:
+    @pytest.fixture(scope="class")
+    def wds(self, spark, tmp_path_factory):
+        from data_quality_check_pipeline_spark.operators.export import (
+            export_webdataset_shards,
+        )
+
+        rows = [
+            (
+                f"clip_{i:04d}",
+                f"lang_{i % 3}",
+                i,
+                None if i == 7 else (f"pcm{i}".encode() * 4),
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "clip_id string, lang string, n int, bytes binary",
+        )
+        out = str(tmp_path_factory.mktemp("wds"))
+        manifest = export_webdataset_shards(
+            df, "clip_id", out, n_shards=4, payload_ext="pcm"
+        )
+        return df, out, manifest
+
+    def test_membership_order_and_metadata(self, wds):
+        import json as _json
+        import tarfile
+
+        df, out, manifest = wds
+        assert manifest["total_rows"] == 60
+        keys = [r["clip_id"] for r in df.select("clip_id").collect()]
+        expected = {k: _expected_shard(k, 4) for k in keys}
+        got_order: dict = {}
+        metas: dict = {}
+        payload: dict = {}
+        for s in manifest["shards"]:
+            with tarfile.open(os.path.join(out, s["path"])) as tar:
+                for m in tar:
+                    key, ext = m.name.rsplit(".", 1)
+                    if ext == "json":
+                        got_order.setdefault(s["shard"], []).append(key)
+                        metas[key] = _json.load(tar.extractfile(m))
+                    else:
+                        payload[key] = tar.extractfile(m).read()
+        flat = [k for ks in got_order.values() for k in ks]
+        assert sorted(flat) == sorted(keys)
+        assert {k: s for s, ks in got_order.items() for k in ks} == (
+            expected
+        )
+        # within-shard order is the deterministic shuffle order
+        for s, ks in got_order.items():
+            assert ks == sorted(ks, key=lambda k: (_expected_order(k), k))
+        # metadata roundtrip + NULL payload contract
+        assert metas["clip_0003"] == {
+            "lang": "lang_0", "n": 3, "__has_payload__": True
+        }
+        assert payload["clip_0003"] == b"pcm3" * 4
+        assert metas["clip_0007"]["__has_payload__"] is False
+        assert "clip_0007" not in payload
+
+    def test_verify_detects_tampering(self, wds):
+        import shutil as _shutil
+        import tarfile
+
+        from data_quality_check_pipeline_spark.operators.export import (
+            verify_webdataset,
+        )
+
+        _, out, manifest = wds
+        assert verify_webdataset(out) == {"ok": True, "mismatches": []}
+        # drop the last sample of the first non-empty shard
+        victim = next(s for s in manifest["shards"] if s["rows"] > 1)
+        path = os.path.join(out, victim["path"])
+        backup = path + ".bak"
+        _shutil.copy(path, backup)
+        try:
+            with tarfile.open(path) as tar:
+                members = tar.getmembers()
+                blobs = [
+                    (m, tar.extractfile(m).read()) for m in members[:-2]
+                ]
+            with tarfile.open(path, "w") as tar:
+                import io
+
+                for m, blob in blobs:
+                    tar.addfile(m, io.BytesIO(blob))
+            res = verify_webdataset(out)
+            assert not res["ok"]
+            assert {m["shard"] for m in res["mismatches"]} == {
+                victim["shard"]
+            }
+            assert {m["field"] for m in res["mismatches"]} == {
+                "rows", "checksum"
+            }
+        finally:
+            os.replace(backup, path)
+        assert verify_webdataset(out)["ok"]
+
+    def test_reexport_is_byte_identical(self, spark, wds, tmp_path):
+        import hashlib
+
+        from data_quality_check_pipeline_spark.operators.export import (
+            export_webdataset_shards,
+        )
+
+        df, out, manifest = wds
+
+        def _sha(d, name):
+            h = hashlib.sha256()
+            h.update(open(os.path.join(d, name), "rb").read())
+            return h.hexdigest()
+
+        out2 = str(tmp_path / "again")
+        m2 = export_webdataset_shards(
+            df.repartition(7, "lang"),  # adversarial input layout
+            "clip_id", out2, n_shards=4, payload_ext="pcm",
+        )
+        assert m2["shards"] == manifest["shards"]
+        for s in manifest["shards"]:
+            if s["path"]:
+                assert _sha(out, s["path"]) == _sha(out2, s["path"])
+
+    def test_null_key_refused(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.operators.export import (
+            export_webdataset_shards,
+        )
+
+        df = spark.createDataFrame(
+            [("a", b"x"), (None, b"y")],
+            "clip_id string, bytes binary",
+        )
+        with pytest.raises(Exception, match="NULL clip_id"):
+            export_webdataset_shards(
+                df, "clip_id", str(tmp_path / "nk"), n_shards=2
+            )
