@@ -461,15 +461,26 @@ def verify_webdataset(out_dir: str) -> dict:
                      "manifest": s["path"], "files": None}
                 )
                 continue
-            with tarfile.open(path) as tar:
-                for m in tar:
-                    if not m.name.endswith(".json"):
-                        continue  # one .json per sample, payload opt.
-                    rows += 1
-                    key = m.name[: -len(".json")]
-                    # plain python int hashes as LONG — matches the
-                    # exporter's F.lit(seed).cast("long")
-                    cksum ^= spark_xxhash64(key, _CKSUM_DOMAIN, int(seed))
+            try:
+                with tarfile.open(path) as tar:
+                    for m in tar:
+                        if not m.name.endswith(".json"):
+                            continue  # one .json/sample, payload opt.
+                        rows += 1
+                        key = m.name[: -len(".json")]
+                        # a plain python int hashes as LONG — matches
+                        # the exporter's F.lit(seed).cast("long")
+                        cksum ^= spark_xxhash64(
+                            key, _CKSUM_DOMAIN, int(seed)
+                        )
+            except tarfile.TarError as exc:
+                # a truncated/garbled tar is a verification FINDING,
+                # not a crash — report it on its shard and move on
+                mismatches.append(
+                    {"shard": s["shard"], "field": "readable",
+                     "manifest": s["path"], "files": str(exc)}
+                )
+                continue
         for what, want, have in (
             ("rows", s["rows"], rows),
             ("checksum", s["checksum"], cksum),

@@ -588,10 +588,18 @@ def main() -> None:
                 )
         if args.verify_export:
             from data_quality_check_pipeline_spark.operators.export import (
+                WDS_MANIFEST_NAME,
                 verify_export,
+                verify_webdataset,
             )
 
-            res = verify_export(spark, args.verify_export)
+            # auto-detect the export format from the manifest on disk
+            if os.path.exists(
+                os.path.join(args.verify_export, WDS_MANIFEST_NAME)
+            ):
+                res = verify_webdataset(args.verify_export)
+            else:
+                res = verify_export(spark, args.verify_export)
             if res["ok"]:
                 print(f"export ok: {args.verify_export}")
             else:

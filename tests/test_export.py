@@ -271,6 +271,35 @@ class TestWebdatasetExport:
             os.replace(backup, path)
         assert verify_webdataset(out)["ok"]
 
+    def test_verify_reports_truncated_tar(self, wds):
+        import shutil as _shutil
+
+        from data_quality_check_pipeline_spark.operators.export import (
+            verify_webdataset,
+        )
+
+        _, out, manifest = wds
+        victim = next(s for s in manifest["shards"] if s["rows"] > 0)
+        path = os.path.join(out, victim["path"])
+        backup = path + ".bak"
+        _shutil.copy(path, backup)
+        try:
+            with open(path, "r+b") as f:
+                f.truncate(1024)  # garble: mid-member cut
+            res = verify_webdataset(out)  # a FINDING, never a crash
+            assert not res["ok"]
+            fields = {
+                m["field"] for m in res["mismatches"]
+                if m["shard"] == victim["shard"]
+            }
+            # depending on where the cut lands, tarfile either raises
+            # (reported as 'readable') or clean-EOFs early (fewer
+            # samples -> rows/checksum mismatch); both must be findings
+            assert fields and fields <= {"rows", "checksum", "readable"}
+        finally:
+            os.replace(backup, path)
+        assert verify_webdataset(out)["ok"]
+
     def test_reexport_is_byte_identical(self, spark, wds, tmp_path):
         import hashlib
 
