@@ -360,7 +360,16 @@ def export_webdataset_shards(
                     state["path"] = os.path.join(
                         out_dir, f"shard-{shard:05d}.tar"
                     )
-                    state["tmp"] = state["path"] + ".tmp"
+                    # attempt-unique tmp: a speculative/retried task
+                    # must never interleave writes into the original
+                    # attempt's tmp. Both attempts produce identical
+                    # bytes (everything is hash-deterministic), so
+                    # whichever os.replace lands last is correct.
+                    import uuid as _uuid
+
+                    state["tmp"] = (
+                        state["path"] + f".tmp.{_uuid.uuid4().hex}"
+                    )
                     state["tar"] = tarfile.open(state["tmp"], "w")
                 meta = {}
                 for c in meta_cols:
