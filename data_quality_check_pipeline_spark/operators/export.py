@@ -430,6 +430,14 @@ def export_webdataset_shards(
         "seed": seed,
         "payload_ext": payload_ext,
         "meta_cols": list(meta_cols),
+        # source-typed schema of (key, meta, payload) so read_webdataset
+        # can rebuild the frame without guessing types from JSON
+        "schema_ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.drop(*drop_cols).schema.fields
+            if f.name == key_col or f.name in meta_cols
+            or (bytes_col is not None and f.name == bytes_col)
+        ),
         "total_rows": sum(s["rows"] for s in shards),
         "shards": shards,
     }
@@ -500,3 +508,80 @@ def verify_webdataset(out_dir: str) -> dict:
                      "manifest": want, "files": have}
                 )
     return {"ok": not mismatches, "mismatches": mismatches}
+
+
+def read_webdataset(
+    spark: SparkSession, out_dir: str, parallelism: int | None = None,
+) -> DataFrame:
+    """Source connector for a WebDataset export: tar shards back into a
+    typed DataFrame (the round-trip of ``export_webdataset_shards``).
+    Column types come from the manifest's ``schema_ddl`` (recorded at
+    export time from the source frame), NOT guessed from JSON; a
+    missing payload member (NULL audio at export) reads back as NULL.
+
+    Scale shape: one task per tar by default (the export already sized
+    tars for streaming); each task opens its tar BY PATH through
+    tarfile's streaming reader — the archive is never materialized as
+    a row (the ``binaryFile`` source would hold whole tars on the
+    executor heap). ``out_dir`` must be readable from every executor,
+    the same contract the exporter states."""
+    with open(os.path.join(out_dir, WDS_MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    key_col = manifest["key_col"]
+    meta_cols = manifest["meta_cols"]
+    ext = manifest["payload_ext"]
+    schema = manifest["schema_ddl"]
+    paths = [
+        os.path.join(out_dir, s["path"])
+        for s in manifest["shards"] if s["path"]
+    ]
+    if not paths:  # empty export: zero-row frame with the real schema
+        return spark.createDataFrame([], schema)
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "tar_path string"
+    ).repartition(parallelism or len(paths))
+
+    field_order = [f.split(" ", 1)[0] for f in schema.split(", ")]
+
+    def _read(batches):
+        import json as _json
+        import tarfile
+
+        import pandas as _pd
+
+        for b in batches:
+            for tar_path in b["tar_path"]:
+                rows = []
+                sample: dict = {}
+                key = None
+                with tarfile.open(tar_path) as tar:
+                    for m in tar:
+                        mkey, mext = m.name.rsplit(".", 1)
+                        if mkey != key:
+                            if key is not None:
+                                rows.append(sample)
+                            key, sample = mkey, {key_col: mkey}
+                        if mext == "json":
+                            meta = _json.load(tar.extractfile(m))
+                            for c in meta_cols:
+                                sample[c] = meta.get(c)
+                        elif mext == ext:
+                            sample["__payload__"] = (
+                                tar.extractfile(m).read()
+                            )
+                    if key is not None:
+                        rows.append(sample)
+                out = _pd.DataFrame([
+                    [
+                        r.get(
+                            "__payload__"
+                            if c not in meta_cols and c != key_col
+                            else c
+                        )
+                        for c in field_order
+                    ]
+                    for r in rows
+                ], columns=field_order)
+                yield out
+
+    return pdf.mapInPandas(_read, schema)

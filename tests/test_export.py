@@ -337,3 +337,24 @@ class TestWebdatasetExport:
             export_webdataset_shards(
                 df, "clip_id", str(tmp_path / "nk"), n_shards=2
             )
+
+    def test_roundtrip_read_webdataset(self, spark, wds):
+        from data_quality_check_pipeline_spark.operators.export import (
+            read_webdataset,
+        )
+
+        df, out, manifest = wds
+        assert manifest["schema_ddl"] == (
+            "clip_id string, lang string, n int, bytes binary"
+        )
+        back = read_webdataset(spark, out)
+        assert back.schema == df.schema
+        orig = sorted(
+            df.collect(), key=lambda r: r["clip_id"]
+        )
+        got = sorted(back.collect(), key=lambda r: r["clip_id"])
+        assert [tuple(r) for r in got] == [
+            (r["clip_id"], r["lang"], r["n"],
+             bytearray(r["bytes"]) if r["bytes"] is not None else None)
+            for r in orig
+        ]
