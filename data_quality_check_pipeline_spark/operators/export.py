@@ -257,6 +257,7 @@ def export_webdataset_shards(
     payload_ext: str = "pcm",
     meta_cols: tuple | None = None,
     drop_cols: tuple = (),
+    resume: bool = False,
 ) -> dict:
     """Export as WebDataset-style tar shards — the format audio/vision
     trainers stream natively: ``out_dir/shard-K.tar`` where each sample
@@ -282,7 +283,19 @@ def export_webdataset_shards(
 
     ``out_dir`` must be a filesystem every executor can reach (local
     mode: the local disk; a cluster: NFS/fuse-mounted object store).
-    """
+
+    ``resume=True`` makes a crashed export restartable at shard
+    granularity: tars already on disk are verified DISTRIBUTED
+    (rows + checksum re-derived from each tar, compared to a slim
+    expected aggregate over the staged frame) and only missing or
+    stale shards are re-serialized — at 1000 tars a crash at shard
+    900 costs ~100 rewrites, not 1000. Sound because finals only
+    appear via atomic rename and every byte is hash-deterministic;
+    a tar from a different corpus/seed fails the expected comparison
+    and is rewritten. Costs one extra column-pruned pass over ``df``
+    for the expected aggregate; the kept shards' rows are filtered
+    out BEFORE the export shuffle. The manifest still describes what
+    is on disk (kept entries come from the verified tars)."""
     import pandas as pd  # noqa: F401 - mapInPandas contract
 
     if n_shards <= 0:
@@ -306,6 +319,90 @@ def export_webdataset_shards(
     if bytes_col is not None:
         cols.append(F.col(bytes_col))
     os.makedirs(out_dir, exist_ok=True)
+
+    kept: dict[int, dict] = {}
+    if resume:
+        import glob as _glob
+        import re as _re
+
+        existing = sorted(
+            _glob.glob(os.path.join(out_dir, "shard-*.tar"))
+        )
+        if existing:
+            # slim expected aggregate: (key, shard, cksum) columns only
+            expected = {
+                int(r["shard"]): (r["rows"], int(r["cksum"]))
+                for r in staged.groupBy("shard").agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.expr("bit_xor(_cksum)").alias("cksum"),
+                ).collect()
+            }
+
+            def _inspect(batches):
+                import tarfile
+
+                import pandas as _pd
+
+                from data_quality_check_pipeline_spark.oracle_hash import (
+                    spark_xxhash64,
+                )
+
+                out = []
+                for b in batches:
+                    for p in b["tar_path"]:
+                        shard = int(
+                            _re.search(r"shard-(\d+)\.tar$", p).group(1)
+                        )
+                        rows = cksum = 0
+                        try:
+                            with tarfile.open(p) as tar:
+                                for m in tar:
+                                    if not m.name.endswith(".json"):
+                                        continue
+                                    rows += 1
+                                    cksum ^= spark_xxhash64(
+                                        m.name[: -len(".json")],
+                                        _CKSUM_DOMAIN, int(seed),
+                                    )
+                        except tarfile.TarError:
+                            rows, cksum = -1, 0  # unreadable: rewrite
+                        out.append((
+                            shard, rows, cksum, os.path.getsize(p),
+                            os.path.basename(p),
+                        ))
+                yield _pd.DataFrame(out, columns=[
+                    "shard", "rows", "checksum", "n_bytes", "path",
+                ])
+
+            verified = (
+                df.sparkSession.createDataFrame(
+                    [(p,) for p in existing], "tar_path string"
+                )
+                .repartition(len(existing))
+                .mapInPandas(
+                    _inspect,
+                    "shard int, rows long, checksum long, "
+                    "n_bytes long, path string",
+                )
+                .collect()
+            )
+            for r in verified:
+                if expected.get(int(r["shard"])) == (
+                    r["rows"], int(r["checksum"])
+                ):
+                    kept[int(r["shard"])] = {
+                        "shard": int(r["shard"]), "rows": r["rows"],
+                        "checksum": int(r["checksum"]),
+                        "n_bytes": int(r["n_bytes"]), "path": r["path"],
+                    }
+            if kept:
+                _log.info(
+                    "wds resume: %d/%d existing tars verified complete"
+                    " — skipping their shards", len(kept), len(existing)
+                )
+                staged = staged.filter(
+                    ~F.col("shard").isin(*kept.keys())
+                )
 
     def _write(batches):
         import json as _json
@@ -412,7 +509,8 @@ def export_webdataset_shards(
         )
         .collect()
     )
-    by_shard = {r["shard"]: r for r in written}
+    by_shard: dict = dict(kept)  # verified survivors (resume)
+    by_shard.update({r["shard"]: r for r in written})
     shards = []
     for k in range(n_shards):
         r = by_shard.get(k)

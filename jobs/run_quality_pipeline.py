@@ -291,6 +291,11 @@ def main() -> None:
                          "<clip_id>.json metadata per sample, "
                          "byte-identical re-exports, pure-Python "
                          "verify_webdataset)")
+    ap.add_argument("--export-resume", action="store_true",
+                    help="with --export-format wds: resume a crashed "
+                         "export — tars already on disk are verified "
+                         "(rows+checksum vs the expected aggregate) "
+                         "and only missing/stale shards are rewritten")
     ap.add_argument("--export-split", default=None, metavar="NAME",
                     help="with --export-dir: export only this split "
                          "(requires a --split run)")
@@ -557,10 +562,16 @@ def main() -> None:
                 clean = clean.filter(
                     F.col("split") == args.export_split
                 )
+            if args.export_resume and args.export_format != "wds":
+                print("--export-resume requires --export-format wds "
+                      "(the parquet write is one atomic Spark job)")
+                spark.stop()
+                raise SystemExit(3)
             if args.export_format == "wds":
                 mf = export_webdataset_shards(
                     clean, "clip_id", args.export_dir,
                     args.export_shards, seed=args.export_seed,
+                    resume=args.export_resume,
                 )
                 print(
                     f"exported {mf['total_rows']} rows into "

@@ -358,3 +358,46 @@ class TestWebdatasetExport:
              bytearray(r["bytes"]) if r["bytes"] is not None else None)
             for r in orig
         ]
+
+    def test_resume_rewrites_only_missing_or_stale(
+        self, spark, wds, tmp_path
+    ):
+        """Crash-resume at shard granularity: after losing the manifest,
+        deleting one tar and corrupting another, resume=True rewrites
+        exactly those two shards — verified survivors keep their inode
+        untouched — and the final manifest equals the original."""
+        import shutil as _shutil
+
+        from data_quality_check_pipeline_spark.operators.export import (
+            WDS_MANIFEST_NAME,
+            export_webdataset_shards,
+            verify_webdataset,
+        )
+
+        df, orig_out, orig_manifest = wds
+        out = str(tmp_path / "resume")
+        os.makedirs(out)
+        for s in orig_manifest["shards"]:
+            _shutil.copy(
+                os.path.join(orig_out, s["path"]),
+                os.path.join(out, s["path"]),
+            )
+        nonempty = [s for s in orig_manifest["shards"] if s["rows"] > 0]
+        lost, stale, survivor = nonempty[0], nonempty[1], nonempty[2]
+        os.remove(os.path.join(out, lost["path"]))
+        with open(os.path.join(out, stale["path"]), "r+b") as f:
+            f.truncate(777)
+        surv_stat = os.stat(os.path.join(out, survivor["path"]))
+
+        mf = export_webdataset_shards(
+            df, "clip_id", out, n_shards=4, payload_ext="pcm",
+            resume=True,
+        )
+        assert mf == orig_manifest
+        assert os.path.exists(os.path.join(out, WDS_MANIFEST_NAME))
+        assert verify_webdataset(out) == {"ok": True, "mismatches": []}
+        # the verified survivor was NOT rewritten (same inode + mtime)
+        after = os.stat(os.path.join(out, survivor["path"]))
+        assert (after.st_ino, after.st_mtime_ns) == (
+            surv_stat.st_ino, surv_stat.st_mtime_ns
+        )
