@@ -292,41 +292,111 @@ def export_webdataset_shards(
     900 costs ~100 rewrites, not 1000. Sound because finals only
     appear via atomic rename and every byte is hash-deterministic;
     a tar from a different corpus/seed fails the expected comparison
-    and is rewritten. Costs one extra column-pruned pass over ``df``
-    for the expected aggregate; the kept shards' rows are filtered
-    out BEFORE the export shuffle. The manifest still describes what
-    is on disk (kept entries come from the verified tars)."""
+    and is rewritten, and a ``wds_spec.json`` committed BEFORE any tar
+    makes a structural change (meta_cols / payload_ext / schema /
+    n_shards / seed) a loud refusal instead of silently-kept stale
+    metadata. Costs one extra column-pruned pass over ``df`` for the
+    expected aggregate; the kept shards' rows are filtered out BEFORE
+    the export shuffle. The manifest still describes what is on disk
+    (kept entries come from the verified tars). Without resume the
+    call has overwrite semantics: pre-existing shard tars and orphaned
+    attempt tmps are removed first (foreign files are left alone), the
+    way the parquet path's ``mode='overwrite'`` behaves."""
+    import glob as _glob
+    import re as _re
+
     import pandas as pd  # noqa: F401 - mapInPandas contract
 
     if n_shards <= 0:
         raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    src = df.drop(*drop_cols)
+    ktype = src.schema[key_col].dataType.simpleString()
+    if ktype != "string":
+        # member names, the pure-Python verify checksum and resume all
+        # hash the STRINGIFIED key — a typed key would checksum
+        # differently engine-side vs tar-side. Be loud, not subtly wrong.
+        raise TypeError(
+            f"export_webdataset_shards: {key_col} must be a string "
+            f"column (got {ktype}); cast it first"
+        )
     staged = with_export_shard(
-        df.drop(*drop_cols), key_col, n_shards, seed
+        src, key_col, n_shards, seed
     ).withColumn("_cksum", _kh(key_col, _CKSUM_DOMAIN, seed))
     if meta_cols is None:
         meta_cols = tuple(
-            c for c in df.drop(*drop_cols).columns
+            c for c in src.columns
             if c != bytes_col and c != key_col
         )
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name == key_col or f.name in meta_cols
+        or (bytes_col is not None and f.name == bytes_col)
+    )
+    # metadata serializes JVM-side (to_json over the typed struct):
+    # exact int64/timestamp/binary round-trips, no pandas nullable-int
+    # -> float64 coercion, and read_webdataset parses it back with
+    # from_json against the recorded schema
+    mjson = (
+        F.to_json(F.struct(*[F.col(c) for c in meta_cols]))
+        if meta_cols else F.lit("{}")
+    )
     # itertuples renames underscore-led columns positionally — carry
     # the order/checksum columns under plain names
     cols = [
         F.col(key_col), F.col("shard"),
         F.col("_export_order").alias("xorder"),
         F.col("_cksum").alias("xcksum"),
-        *[F.col(c) for c in meta_cols],
+        mjson.alias("mjson"),
     ]
     if bytes_col is not None:
         cols.append(F.col(bytes_col))
     os.makedirs(out_dir, exist_ok=True)
 
+    # structural spec, committed BEFORE any tar: resume can tell a
+    # layout/schema change from a crash even when the manifest (which
+    # commits LAST) never landed
+    spec = {
+        "key_col": key_col, "n_shards": n_shards, "seed": seed,
+        "payload_ext": payload_ext, "meta_cols": list(meta_cols),
+        "schema_ddl": schema_ddl,
+    }
+    spec_path = os.path.join(out_dir, "wds_spec.json")
+    if resume and os.path.exists(spec_path):
+        with open(spec_path) as f:
+            old_spec = json.load(f)
+        if old_spec != spec:
+            raise ValueError(
+                "export_webdataset_shards(resume=True): the on-disk "
+                f"export was written with a different spec ({old_spec}"
+                f" != {spec}); existing tars would carry stale "
+                "metadata — re-run without resume to overwrite"
+            )
+    _tmp_spec = spec_path + ".tmp"
+    with open(_tmp_spec, "w") as f:
+        json.dump(spec, f, indent=2, sort_keys=True)
+    os.replace(_tmp_spec, spec_path)
+
+    # orphaned attempt tmps from crashed tasks are dead weight either
+    # way; without resume, stale FINAL tars from a previous (possibly
+    # wider) export must go too — a trainer globs shard-*.tar and the
+    # manifest/verify would never mention them (parquet gets the same
+    # semantics from write.mode('overwrite'))
+    for p in _glob.glob(os.path.join(out_dir, "shard-*.tar.tmp.*")):
+        os.remove(p)
+    shard_re = _re.compile(r"shard-(\d+)\.tar$")
+    for p in _glob.glob(os.path.join(out_dir, "shard-*.tar")):
+        m = shard_re.search(p)
+        if m is None:
+            continue  # foreign file: never touch, never inspect
+        if not resume or int(m.group(1)) >= n_shards:
+            os.remove(p)
+
     kept: dict[int, dict] = {}
     if resume:
-        import glob as _glob
-        import re as _re
-
         existing = sorted(
-            _glob.glob(os.path.join(out_dir, "shard-*.tar"))
+            p for p in _glob.glob(os.path.join(out_dir, "shard-*.tar"))
+            if shard_re.search(p)
         )
         if existing:
             # slim expected aggregate: (key, shard, cksum) columns only
@@ -350,9 +420,10 @@ def export_webdataset_shards(
                 out = []
                 for b in batches:
                     for p in b["tar_path"]:
-                        shard = int(
-                            _re.search(r"shard-(\d+)\.tar$", p).group(1)
-                        )
+                        m0 = _re.search(r"shard-(\d+)\.tar$", p)
+                        if m0 is None:  # foreign file: not ours
+                            continue
+                        shard = int(m0.group(1))
                         rows = cksum = 0
                         try:
                             with tarfile.open(p) as tar:
@@ -405,7 +476,6 @@ def export_webdataset_shards(
                 )
 
     def _write(batches):
-        import json as _json
         import tarfile
 
         state = {"shard": None, "tar": None, "tmp": None, "path": None,
@@ -468,24 +538,17 @@ def export_webdataset_shards(
                         state["path"] + f".tmp.{_uuid.uuid4().hex}"
                     )
                     state["tar"] = tarfile.open(state["tmp"], "w")
-                meta = {}
-                for c in meta_cols:
-                    v = getattr(row, c)
-                    if hasattr(v, "item"):  # numpy scalar -> python
-                        v = v.item()
-                    meta[c] = v
                 payload = (
                     getattr(row, bytes_col)
                     if bytes_col is not None else None
                 )
                 if payload is not None:
                     _member(f"{key}.{payload_ext}", bytes(payload))
-                meta["__has_payload__"] = payload is not None
+                # metadata json was rendered JVM-side (to_json over the
+                # typed struct) — this task only moves bytes
                 _member(
                     f"{key}.json",
-                    _json.dumps(
-                        meta, sort_keys=True, default=str
-                    ).encode("utf-8"),
+                    getattr(row, "mjson").encode("utf-8"),
                 )
                 state["rows"] += 1
                 state["cksum"] ^= int(getattr(row, "xcksum"))
@@ -530,12 +593,7 @@ def export_webdataset_shards(
         "meta_cols": list(meta_cols),
         # source-typed schema of (key, meta, payload) so read_webdataset
         # can rebuild the frame without guessing types from JSON
-        "schema_ddl": ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in df.drop(*drop_cols).schema.fields
-            if f.name == key_col or f.name in meta_cols
-            or (bytes_col is not None and f.name == bytes_col)
-        ),
+        "schema_ddl": schema_ddl,
         "total_rows": sum(s["rows"] for s in shards),
         "shards": shards,
     }
@@ -605,6 +663,20 @@ def verify_webdataset(out_dir: str) -> dict:
                     {"shard": s["shard"], "field": what,
                      "manifest": want, "files": have}
                 )
+    # shard tars the manifest doesn't know (same stance as
+    # verify_export's unknown-shard check): a trainer globbing
+    # shard-*.tar would stream them, so their presence is a finding
+    import glob as _glob
+    import re as _re
+
+    known = {s["path"] for s in manifest["shards"] if s["path"]}
+    for p in _glob.glob(os.path.join(out_dir, "shard-*.tar")):
+        name = os.path.basename(p)
+        if _re.fullmatch(r"shard-\d+\.tar", name) and name not in known:
+            mismatches.append(
+                {"shard": int(name[6:-4]), "field": "unknown_tar",
+                 "manifest": None, "files": name}
+            )
     return {"ok": not mismatches, "mismatches": mismatches}
 
 
@@ -621,14 +693,29 @@ def read_webdataset(
     tars for streaming); each task opens its tar BY PATH through
     tarfile's streaming reader — the archive is never materialized as
     a row (the ``binaryFile`` source would hold whole tars on the
-    executor heap). ``out_dir`` must be readable from every executor,
-    the same contract the exporter states."""
+    executor heap) — and yields only (key, raw json string, payload);
+    the typed parse happens JVM-side via ``from_json`` against the
+    recorded schema, so int64/timestamp/binary metadata round-trips
+    exactly (pandas would coerce nullable ints to float64).
+    ``out_dir`` must be readable from every executor, the same
+    contract the exporter states."""
     with open(os.path.join(out_dir, WDS_MANIFEST_NAME)) as f:
         manifest = json.load(f)
     key_col = manifest["key_col"]
     meta_cols = manifest["meta_cols"]
     ext = manifest["payload_ext"]
     schema = manifest["schema_ddl"]
+    # split on the exporter's ', ' join separator — nested simpleStrings
+    # (struct<a:int,b:int>, decimal(10,2)) never contain a comma+space
+    fields = schema.split(", ")
+    field_names = [f.split(" ", 1)[0] for f in fields]
+    meta_ddl = ", ".join(
+        f for f in fields if f.split(" ", 1)[0] in set(meta_cols)
+    )
+    payload_field = next(
+        (n for n in field_names
+         if n != key_col and n not in meta_cols), None
+    )
     paths = [
         os.path.join(out_dir, s["path"])
         for s in manifest["shards"] if s["path"]
@@ -639,10 +726,7 @@ def read_webdataset(
         [(p,) for p in paths], "tar_path string"
     ).repartition(parallelism or len(paths))
 
-    field_order = [f.split(" ", 1)[0] for f in schema.split(", ")]
-
     def _read(batches):
-        import json as _json
         import tarfile
 
         import pandas as _pd
@@ -650,36 +734,37 @@ def read_webdataset(
         for b in batches:
             for tar_path in b["tar_path"]:
                 rows = []
-                sample: dict = {}
-                key = None
+                cur: list = [None, None, None]  # key, json, payload
                 with tarfile.open(tar_path) as tar:
                     for m in tar:
                         mkey, mext = m.name.rsplit(".", 1)
-                        if mkey != key:
-                            if key is not None:
-                                rows.append(sample)
-                            key, sample = mkey, {key_col: mkey}
+                        if mkey != cur[0]:
+                            if cur[0] is not None:
+                                rows.append(tuple(cur))
+                            cur = [mkey, None, None]
                         if mext == "json":
-                            meta = _json.load(tar.extractfile(m))
-                            for c in meta_cols:
-                                sample[c] = meta.get(c)
-                        elif mext == ext:
-                            sample["__payload__"] = (
-                                tar.extractfile(m).read()
+                            cur[1] = (
+                                tar.extractfile(m).read().decode("utf-8")
                             )
-                    if key is not None:
-                        rows.append(sample)
-                out = _pd.DataFrame([
-                    [
-                        r.get(
-                            "__payload__"
-                            if c not in meta_cols and c != key_col
-                            else c
-                        )
-                        for c in field_order
-                    ]
-                    for r in rows
-                ], columns=field_order)
-                yield out
+                        elif mext == ext:
+                            cur[2] = tar.extractfile(m).read()
+                    if cur[0] is not None:
+                        rows.append(tuple(cur))
+                yield _pd.DataFrame(
+                    rows, columns=["xkey", "xjson", "xpayload"]
+                )
 
-    return pdf.mapInPandas(_read, schema)
+    raw = pdf.mapInPandas(
+        _read, "xkey string, xjson string, xpayload binary"
+    )
+    out_cols = []
+    for n in field_names:
+        if n == key_col:
+            out_cols.append(F.col("xkey").alias(n))
+        elif n == payload_field:
+            out_cols.append(F.col("xpayload").alias(n))
+        else:
+            out_cols.append(F.col(f"_m.{n}"))
+    if meta_ddl:
+        raw = raw.withColumn("_m", F.from_json("xjson", meta_ddl))
+    return raw.select(*out_cols)

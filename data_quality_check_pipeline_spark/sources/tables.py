@@ -151,6 +151,11 @@ def _file_may_match(stats: dict, prune: list) -> bool:
             lo, hi = s
             if isinstance(val, (str, bytes)):
                 val = [val]  # a bare string is ONE value, not its chars
+            else:
+                try:
+                    iter(val)
+                except TypeError:
+                    val = [val]  # bare scalar: behave like '='
             vals = [
                 v for v in (_norm_stat_value(x) for x in val)
                 if v is not None

@@ -673,6 +673,9 @@ def main() -> None:
             )
             rep["checked"] = clean.count()
             print(_json.dumps(rep, indent=2, default=str))
+            # the operator caches its (id, fp, hash) frame for the two
+            # groupBys; release it (documented cache policy)
+            spark.catalog.clearCache()
         if args.decontam_audit:
             import json as _json
 

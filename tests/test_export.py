@@ -225,12 +225,11 @@ class TestWebdatasetExport:
         # within-shard order is the deterministic shuffle order
         for s, ks in got_order.items():
             assert ks == sorted(ks, key=lambda k: (_expected_order(k), k))
-        # metadata roundtrip + NULL payload contract
-        assert metas["clip_0003"] == {
-            "lang": "lang_0", "n": 3, "__has_payload__": True
-        }
+        # metadata roundtrip (rendered JVM-side via to_json) + NULL
+        # payload contract: missing member, json still present
+        assert metas["clip_0003"] == {"lang": "lang_0", "n": 3}
         assert payload["clip_0003"] == b"pcm3" * 4
-        assert metas["clip_0007"]["__has_payload__"] is False
+        assert metas["clip_0007"] == {"lang": "lang_1", "n": 7}
         assert "clip_0007" not in payload
 
     def test_verify_detects_tampering(self, wds):
@@ -401,3 +400,76 @@ class TestWebdatasetExport:
         assert (after.st_ino, after.st_mtime_ns) == (
             surv_stat.st_ino, surv_stat.st_mtime_ns
         )
+
+    def test_overwrite_clears_stale_tars_and_verify_flags_unknown(
+        self, spark, wds, tmp_path
+    ):
+        import shutil as _shutil
+
+        from data_quality_check_pipeline_spark.operators.export import (
+            export_webdataset_shards,
+            verify_webdataset,
+        )
+
+        df, _, _ = wds
+        out = str(tmp_path / "ow")
+        export_webdataset_shards(
+            df, "clip_id", out, n_shards=4, payload_ext="pcm"
+        )
+        # a foreign copy the manifest doesn't know: verify flags it
+        _shutil.copy(
+            os.path.join(out, "shard-00000.tar"),
+            os.path.join(out, "shard-00099.tar"),
+        )
+        res = verify_webdataset(out)
+        assert not res["ok"]
+        assert res["mismatches"] == [{
+            "shard": 99, "field": "unknown_tar",
+            "manifest": None, "files": "shard-00099.tar",
+        }]
+        # non-matching names are never touched or reported
+        _shutil.copy(
+            os.path.join(out, "shard-00000.tar"),
+            os.path.join(out, "shard-manual-copy.tar"),
+        )
+        # a NARROWER re-export (overwrite semantics) removes every
+        # stale numeric tar — a trainer's shard-*.tar glob must see
+        # only the new export (+ untouched foreign files)
+        export_webdataset_shards(
+            df, "clip_id", out, n_shards=2, payload_ext="pcm"
+        )
+        assert sorted(
+            p for p in os.listdir(out) if p.endswith(".tar")
+        ) == ["shard-00000.tar", "shard-00001.tar",
+              "shard-manual-copy.tar"]
+        os.remove(os.path.join(out, "shard-manual-copy.tar"))
+        assert verify_webdataset(out)["ok"]
+
+    def test_resume_refuses_spec_change(self, spark, wds, tmp_path):
+        from data_quality_check_pipeline_spark.operators.export import (
+            export_webdataset_shards,
+        )
+
+        df, _, _ = wds
+        out = str(tmp_path / "spec")
+        export_webdataset_shards(
+            df, "clip_id", out, n_shards=4, payload_ext="pcm"
+        )
+        # resuming with a changed structure (different meta set) must
+        # refuse loudly — kept tars would carry stale metadata
+        with pytest.raises(ValueError, match="different spec"):
+            export_webdataset_shards(
+                df, "clip_id", out, n_shards=4, payload_ext="pcm",
+                meta_cols=("lang",), resume=True,
+            )
+
+    def test_nonstring_key_refused(self, spark, tmp_path):
+        from data_quality_check_pipeline_spark.operators.export import (
+            export_webdataset_shards,
+        )
+
+        df = spark.createDataFrame([(1, b"x")], "doc_id long, bytes binary")
+        with pytest.raises(TypeError, match="must be a string"):
+            export_webdataset_shards(
+                df, "doc_id", str(tmp_path / "k"), n_shards=2
+            )

@@ -494,6 +494,14 @@ class TestTableStore:
         assert got7.filter(F.col("lang") == "de").count() == 50
         assert ss7["files_skipped"] == 1  # same pruning as =['de']
 
+        # a bare NON-iterable scalar behaves like '=' instead of
+        # raising TypeError mid-read (the int analogue of the same
+        # one-value mistake)
+        ss8: dict = {}
+        got8 = store.read("t", prune=[("id", "in", 5)], scan_stats=ss8)
+        assert got8.filter(F.col("id") == 5).count() == 1
+        assert ss8["files_skipped"] > 0
+
     def test_cluster_by_write_makes_pruning_selective(
         self, spark, out_root
     ):
