@@ -435,7 +435,19 @@ def start_quality_stream(
                 ).otherwise(F.col("id_b")).alias("clip_id")
             ).distinct().cache()
 
-        batch_df = batch_df.cache()
+        from pyspark import StorageLevel
+
+        # DISK_ONLY, not cache(): a micro-batch is unbounded in size
+        # (the file source cannot split one input file across triggers,
+        # so one giant upstream file = one giant batch) and carries the
+        # full audio payload. Deserialized on-heap caching of such a
+        # batch pins storage against the sink's shuffle/write execution
+        # demand — measured unified-memory exhaustion at a 60k-clip
+        # (3.3 GB) single-file batch on an 8g heap. The persist exists
+        # only to stop the pandas-UDF scoring chain re-running per
+        # consumer, so serialized-to-local-disk is the right level; for
+        # ordinary MB-scale micro-batches the disk round-trip is noise.
+        batch_df = batch_df.persist(StorageLevel.DISK_ONLY)
         dup_ids = None
         a_dup_ids = None
         cont_ids = None
@@ -515,13 +527,27 @@ def start_quality_stream(
                     include_split=split_fractions is not None,
                 )
             # the write, the emptiness probe and the profile agg all
-            # consume kept_final — cache it so the near-dup mining
-            # joins and scrub run once per batch, not three times
-            kept_final = kept_final.cache()
+            # consume kept_final — persist it so the near-dup mining
+            # joins and scrub run once per batch, not three times.
+            # DISK_ONLY for the same payload-size reason as batch_df.
+            kept_final = kept_final.persist(StorageLevel.DISK_ONLY)
             if not batch_committed(store, CLEAN_TABLE, batch_id, sid):
+                from ..pipeline import salted_repartition
+
+                # the batch path's salted spread, for the same two
+                # reasons PLUS a streaming-only one: the file source
+                # cannot split a single input file across triggers, so
+                # one giant upstream file = one giant micro-batch, and
+                # an unspread partitioned write concentrates the whole
+                # batch's parquet writer buffers (zstd, per open
+                # lang=/split= file) in a handful of tasks — measured
+                # heap OOM at a 60k-clip (3.3 GB audio) single-file
+                # batch on an 8g local heap. Salting bounds per-task
+                # buffer footprint; deterministic, so replays lay out
+                # identically.
                 store.write(
                     CLEAN_TABLE,
-                    kept_final,
+                    salted_repartition(kept_final, 16),
                     mode="append"
                     if store.exists(CLEAN_TABLE)
                     else "overwrite",

@@ -846,7 +846,11 @@ def main() -> None:
             ),
             pack_budget=args.pack_tokens,
         )
+        import time as _time
+
+        _t0 = _time.time()
         q.awaitTermination()
+        drain_s = _time.time() - _t0
         from data_quality_check_pipeline_spark.pipeline import (
             active_quarantine,
         )
@@ -860,7 +864,13 @@ def main() -> None:
             active_quarantine(store.read("clips_quarantine")).count()
             if store.exists("clips_quarantine") else 0
         )
-        print(f"stream drained: clean={kept} quarantine={quarantined}")
+        # rate over the INPUT the drain consumed when known (--synthetic
+        # N), else over landed rows; drain excludes JVM start/corpus gen
+        n_in = args.synthetic or (kept + quarantined)
+        print(
+            f"stream drained: clean={kept} quarantine={quarantined} "
+            f"(drain {drain_s:.1f}s, {n_in / drain_s:.0f} clips/s)"
+        )
         spark.stop()
         return
 
