@@ -337,8 +337,18 @@ def start_quality_stream(
     profile_cols: list | None = None,
     profile_numeric: dict | None = None,
     pack_budget: int | None = None,
+    monitor: bool = True,
 ):
     """Start (or drain, with availableNow) the streaming pipeline.
+
+    ``monitor=True`` (default) attaches a StreamProgressRecorder
+    (streaming/monitor.py): one JSONL line per micro-batch under
+    ``<out_root>/monitoring/stream_progress.jsonl``. The query is named
+    by its stream identity, so the session-global listener records ONLY
+    this stream (a test session runs many), and restarts on the same
+    checkpoint keep appending to the same artifact. The recorder rides
+    on the returned query as ``q.progress_recorder`` (detach() it
+    before tearing the session down mid-flight; events are async).
 
     ``profile_cols`` appends one mergeable HLL sketch-profile row per
     micro-batch (what LANDED) to the shared profile_history table —
@@ -675,14 +685,24 @@ def start_quality_stream(
                     frame.unpersist()
             batch_df.unpersist()
 
+    recorder = None
+    if monitor:
+        from .monitor import StreamProgressRecorder
+
+        recorder = StreamProgressRecorder(
+            out_root, query_name=f"clip_quality_stream@{sid}"
+        ).attach(spark)
     writer = (
         flagged.writeStream.foreachBatch(sink)
+        .queryName(f"clip_quality_stream@{sid}")
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    q = writer.start()
+    q.progress_recorder = recorder
+    return q
 
 
 def stateful_lang_keep_rate(

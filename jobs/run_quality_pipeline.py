@@ -871,6 +871,18 @@ def main() -> None:
             f"stream drained: clean={kept} quarantine={quarantined} "
             f"(drain {drain_s:.1f}s, {n_in / drain_s:.0f} clips/s)"
         )
+        rec = getattr(q, "progress_recorder", None)
+        if rec is not None:
+            # listener events are async — give the final batch a moment
+            rec.wait_for_batches(1, timeout_s=5.0)
+            s = rec.summary()
+            print(
+                f"stream progress: batches={s['batches']} "
+                f"rows={s['total_input_rows']} "
+                f"degraded={len(s['degraded_batches'])} "
+                f"({rec.path})"
+            )
+            rec.detach()
         spark.stop()
         return
 
