@@ -856,6 +856,258 @@ class TableStore:
             stats_out.update(out)
         return out
 
+    def upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        key_col: str,
+        properties: dict | None = None,
+        stats_out: dict | None = None,
+        key_collect_cap: int = 100_000,
+    ) -> dict:
+        """Merge-by-key (Iceberg ``MERGE INTO`` shape): rows of ``df``
+        whose ``key_col`` already exists REPLACE the stored row; new
+        keys insert. One atomic snapshot — a reader never sees the
+        delete without the insert. The primitive under re-deliveries
+        and transcript corrections: the corrected clip arrives with the
+        same clip_id and must supersede, not duplicate (the dedup
+        family would instead quarantine one copy, and which copy
+        depends on arrival order).
+
+        Copy-on-write like ``delete_where``: snapshot dirs whose
+        per-file min/max stats provably cannot contain any incoming key
+        carry forward untouched; only overlapping dirs are read,
+        anti-joined and rewritten together with the incoming rows (on
+        an id-clustered 100 TB table a correction batch rewrites a
+        handful of dirs). Incoming keys are collected for precise
+        per-file pruning up to ``key_collect_cap``; a larger batch
+        degrades to [min, max]-range pruning (still correct, less
+        selective — at that size the batch plausibly touches most dirs
+        anyway). The replace itself is a distributed left_anti join
+        against the incoming keys, never a driver-side literal, so the
+        batch size is unbounded.
+
+        Degrades to a plain APPEND snapshot when no stored row actually
+        collides (pure insert) — read_incremental consumers keep their
+        append-only chain. A real replacement commits mode='upsert'
+        (non-append): incremental consumers fail honestly and resync,
+        exactly like delete_where, because rows were retracted.
+        NULL-key incoming rows are rejected; NULL-key stored rows
+        always survive (an equality anti-join never matches NULL).
+        Incoming keys must be unique — multi-row-per-key merge is
+        ill-defined. Base clustering (``cluster_by``) is re-applied to
+        the rewritten dir so pruning selectivity survives the merge.
+
+        Returns {snapshot, n_updated, n_inserted, dirs_rewritten,
+        dirs_untouched, aborted} (aborted=True when a concurrent commit
+        moved 'current' mid-rewrite — orphan dir left for the grace
+        sweep; re-run)."""
+        from bisect import bisect_left
+
+        from pyspark import StorageLevel
+
+        out = {
+            "snapshot": None, "n_updated": 0, "n_inserted": 0,
+            "dirs_rewritten": 0, "dirs_untouched": 0, "aborted": False,
+        }
+
+        def _ret():
+            if stats_out is not None:
+                stats_out.update(out)
+            return out
+
+        props = {"upsert_key": key_col, **(properties or {})}
+        if not self.exists(name):
+            # merge into nothing = first insert
+            n = df.count()
+            if n == 0:
+                return _ret()
+            out["snapshot"] = self.write(
+                name, df, mode="overwrite",
+                properties={**props, "n_updated": 0, "n_inserted": n},
+            )
+            out["n_inserted"] = n
+            return _ret()
+
+        # payload rows (audio bytes) consumed by several actions below —
+        # DISK_ONLY for the same heap reason as the streaming sink
+        # (DESIGN.md #40)
+        df = df.persist(StorageLevel.DISK_ONLY)
+        try:
+            n_total, n_nonnull, n_distinct = df.agg(
+                F.count(F.lit(1)), F.count(key_col),
+                F.count_distinct(key_col),
+            ).first()
+            if n_total == 0:
+                return _ret()
+            if n_nonnull < n_total:
+                raise ValueError(
+                    f"upsert: {n_total - n_nonnull} NULL {key_col} rows — "
+                    "a NULL key cannot replace anything"
+                )
+            if n_distinct < n_nonnull:
+                raise ValueError(
+                    f"upsert: incoming {key_col} not unique "
+                    f"({n_nonnull} rows, {n_distinct} keys) — "
+                    "multi-row-per-key merge is ill-defined"
+                )
+
+            m0 = self._load_manifest(name)
+            base = self._snapshot(m0, None)
+            # precise key pruning below the cap, range pruning above
+            key_rows = (
+                df.select(key_col).limit(key_collect_cap + 1).collect()
+            )
+            if len(key_rows) <= key_collect_cap:
+                nkeys = sorted(
+                    _norm_stat_value(r[0]) for r in key_rows
+                ) if all(
+                    _norm_stat_value(r[0]) is not None for r in key_rows
+                ) else None
+                lohi = None
+            else:
+                nkeys = None
+                lo, hi = df.agg(
+                    F.min(key_col), F.max(key_col)
+                ).first()
+                l_, h_ = _norm_stat_value(lo), _norm_stat_value(hi)
+                lohi = (l_, h_) if l_ is not None and h_ is not None \
+                    else None
+
+            def _overlaps(finfo) -> bool:
+                if finfo is None or (nkeys is None and lohi is None):
+                    return True  # legacy dir / unprunable keys
+                for f in finfo:
+                    s = f["stats"].get(key_col)
+                    if not s:
+                        return True
+                    flo, fhi = s
+                    try:
+                        if nkeys is not None:
+                            i = bisect_left(nkeys, flo)
+                            if i < len(nkeys) and nkeys[i] <= fhi:
+                                return True
+                        else:
+                            if fhi >= lohi[0] and flo <= lohi[1]:
+                                return True
+                    except TypeError:
+                        return True  # incomparable types: conservative
+                return False
+
+            stats_by_dir = {
+                f"snap_{s['id']}": s.get("files")
+                for s in m0["snapshots"]
+            }
+            affected = [
+                d for d in base["read_set"]
+                if _overlaps(stats_by_dir.get(d))
+            ]
+            untouched = [
+                d for d in base["read_set"] if d not in affected
+            ]
+            keys_df = df.select(F.col(key_col).alias("__upsert_key"))
+            n_updated = 0
+            if affected:
+                stored = self._union_snapshot_dirs(
+                    name, m0, affected, base.get("schema")
+                )
+                n_updated = stored.join(
+                    keys_df,
+                    stored[key_col] == keys_df["__upsert_key"],
+                    "left_semi",
+                ).count()
+            out["n_updated"] = n_updated
+            out["n_inserted"] = n_total - n_updated
+            if n_updated == 0:
+                # pure insert: stay an append snapshot (read_incremental
+                # consumers keep their chain; nothing was retracted)
+                out["snapshot"] = self.write(
+                    name, df, mode="append",
+                    properties={
+                        **props, "n_updated": 0, "n_inserted": n_total,
+                    },
+                    partition_by=base.get("partition_by") or None,
+                )
+                return _ret()
+
+            out["dirs_rewritten"] = len(affected)
+            out["dirs_untouched"] = len(untouched)
+            survivors = stored.join(
+                keys_df,
+                stored[key_col] == keys_df["__upsert_key"],
+                "left_anti",
+            )
+            merged = survivors.unionByName(
+                df, allowMissingColumns=True
+            )
+            cluster_by = base.get("cluster_by") or None
+            if cluster_by:
+                # keep the base's file granularity: an unpinned range
+                # shuffle AQE-coalesces to one file (DESIGN.md #34) and
+                # a one-file dir has no pruning selectivity left
+                n_files = sum(
+                    len(stats_by_dir.get(d) or []) for d in affected
+                )
+                merged = (
+                    merged.repartitionByRange(n_files, *cluster_by)
+                    if n_files > 1
+                    else merged.repartitionByRange(*cluster_by)
+                ).sortWithinPartitions(*cluster_by)
+            partition_by = base.get("partition_by") or None
+            sid = uuid.uuid4().hex[:16]
+            data_dir = os.path.join(self._dir(name), f"snap_{sid}")
+            w = merged.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(data_dir)
+            files = _collect_file_stats(data_dir)
+            props.update(
+                {
+                    "n_updated": n_updated,
+                    "n_inserted": n_total - n_updated,
+                    "absorbed_read_set": list(affected),
+                }
+            )
+            fp = base.get("properties", {}).get("source_fingerprint")
+            if fp is not None and "source_fingerprint" not in props:
+                props["source_fingerprint"] = fp
+            with self._table_lock(name):
+                m = self._load_manifest(name)
+                if m["current"] != base["id"]:
+                    _log.warning(
+                        "upsert(%s): current moved %s -> %s during the "
+                        "rewrite (concurrent commit); aborting — orphan "
+                        "dir snap_%s left for expire_snapshots' grace "
+                        "sweep; re-run",
+                        name, base["id"], m["current"], sid,
+                    )
+                    out["aborted"] = True
+                    out["n_updated"] = 0
+                    out["n_inserted"] = 0
+                    out["dirs_rewritten"] = 0
+                    return _ret()
+                m["snapshots"].append(
+                    {
+                        "id": sid,
+                        "ts": time.time(),
+                        "mode": "upsert",
+                        "parent": base["id"],
+                        "read_set": untouched + [f"snap_{sid}"],
+                        "partition_by": partition_by or [],
+                        "cluster_by": cluster_by or [],
+                        "properties": props,
+                        "schema": merged.schema.json(),
+                        "has_data": bool(files),
+                        "files": files,
+                    }
+                )
+                m["current"] = sid
+                self._save_manifest(name, m)
+            out["snapshot"] = sid
+            return _ret()
+        finally:
+            df.unpersist()
+
     def exists(self, name: str) -> bool:
         return self._load_manifest(name)["current"] is not None
 
