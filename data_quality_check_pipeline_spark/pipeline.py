@@ -75,6 +75,10 @@ AUDIO_FP_TABLE = "audio_fp_history"
 PROFILE_TABLE = "profile_history"
 DUP_CONTENT_REASON = "duplicate_content"
 DUP_AUDIO_REASON = "near_duplicate_audio"
+# minhash near-dup of retained content (stream sink's batch analogue;
+# stamped by corrections when a corrected transcript now near-dups
+# ANOTHER retained clip)
+NEARDUP_CONTENT_REASON = "near_duplicate_content"
 CONTAMINATION_REASON = "eval_contamination"
 # quarantine reasons that are TERMINAL for the DLQ: a duplicate stays a
 # duplicate on retry (its survivor is already in the corpus), and a
@@ -84,6 +88,7 @@ CONTAMINATION_REASON = "eval_contamination"
 TERMINAL_REASONS = (
     DUP_CONTENT_REASON,
     DUP_AUDIO_REASON,
+    NEARDUP_CONTENT_REASON,
     CONTAMINATION_REASON,
     "stream_near_duplicate",
     # a takedown order (takedown.py) is never retried back in

@@ -346,6 +346,27 @@ def main() -> None:
     ap.add_argument("--fail-on-contamination", action="store_true",
                     help="with --decontam-audit: exit 3 when any "
                          "landed clip is contaminated (CI gate)")
+    ap.add_argument("--correct", default=None, metavar="PARQUET",
+                    help="maintenance op: apply a correction batch — "
+                         "parquet of raw-schema clips whose clip_ids "
+                         "already exist in clips_clean; each row is "
+                         "re-scored through the full QC path, re-"
+                         "deduped against the signature histories "
+                         "(minus its own old signatures) and then "
+                         "REPLACES its stored row in one atomic upsert "
+                         "(split stays sticky, pack_* columns reset); "
+                         "a correction that now fails QC DELETES the "
+                         "stored row and quarantines with "
+                         "stage=correction; prints a JSON report")
+    ap.add_argument("--correct-id", default=None, metavar="ID",
+                    help="with --correct: idempotency key for the "
+                         "batch — a re-run with the same id is a no-op "
+                         "(required)")
+    ap.add_argument("--correct-jaccard", type=float, default=0.8,
+                    metavar="J",
+                    help="with --correct: minhash near-dup threshold "
+                         "vs the streaming signature history, when one "
+                         "exists (default 0.8, the stream default)")
     ap.add_argument("--release-check", action="store_true",
                     help="pre-release QA gate over --out: data-contract "
                          "expectations on the full clean table, "
@@ -491,7 +512,8 @@ def main() -> None:
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
-            or args.changelog or args.takedown or args.export_dir
+            or args.changelog or args.takedown or args.correct
+            or args.export_dir
             or args.verify_export or args.release_check
             or args.decontam_audit
             or args.audit_cross_modal
@@ -543,6 +565,25 @@ def main() -> None:
             rep = apply_takedown(
                 spark, args.out, ids, mode=args.takedown_mode,
                 hard=args.takedown_hard,
+            )
+            print(_json.dumps(rep, indent=2, default=str))
+        if args.correct:
+            import json as _json
+
+            from data_quality_check_pipeline_spark.corrections import (
+                apply_corrections,
+            )
+
+            if not args.correct_id:
+                print("--correct requires --correct-id (the batch's "
+                      "idempotency key)")
+                spark.stop()
+                raise SystemExit(3)
+            rep = apply_corrections(
+                spark, args.out, spark.read.parquet(args.correct),
+                args.correct_id,
+                near_dup_jaccard=args.correct_jaccard,
+                audio_max_hamming=args.dedup_audio_max_hamming,
             )
             print(_json.dumps(rep, indent=2, default=str))
         if args.export_dir:
