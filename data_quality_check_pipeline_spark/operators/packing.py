@@ -30,7 +30,7 @@ of a packed dataset).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -137,7 +137,7 @@ def with_training_chunks(
     df: DataFrame,
     budget: int,
     pack_run: str,
-    pack_shard: int,
+    pack_shard: int | Column,
     include_split: bool,
     token_col: str = "transcript_scrubbed",
 ) -> DataFrame:
@@ -147,16 +147,24 @@ def with_training_chunks(
     ``pack_run`` scopes chunk ids to one producer run/stream (chunk 0
     of two different runs appended to the same table must never read
     as one chunk); ``pack_shard`` is the parallel unit (pipeline shard
-    or stream batch id) within it."""
+    or stream batch id) within it — an int literal, or a Column when
+    the caller derives shards row-wise (repack.py hashes clip_id so
+    one giant unpacked backlog never folds in a single window
+    partition)."""
     group = ["lang"] + (["split"] if include_split else []) + [
         "pack_shard"
     ]
+    shard_col = (
+        pack_shard.cast("int")
+        if isinstance(pack_shard, Column)
+        else F.lit(int(pack_shard))
+    )
     return pack_stream_chunks(
         df.withColumn(
             "_tok",
             F.regexp_count(F.col(token_col), F.lit(r"\S+")),
         )
-        .withColumn("pack_shard", F.lit(int(pack_shard)))
+        .withColumn("pack_shard", shard_col)
         .withColumn("pack_run", F.lit(str(pack_run))),
         "_tok",
         budget,

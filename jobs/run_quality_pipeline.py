@@ -367,6 +367,21 @@ def main() -> None:
                     help="with --correct: minhash near-dup threshold "
                          "vs the streaming signature history, when one "
                          "exists (default 0.8, the stream default)")
+    ap.add_argument("--repack-tokens", type=int, default=None,
+                    metavar="BUDGET",
+                    help="maintenance op: assign training-chunk "
+                         "identity to clips_clean rows whose pack_run "
+                         "is NULL (corrections reset pack_* — their "
+                         "rows are otherwise unconsumable by a chunk-"
+                         "addressed trainer); packs ONLY the backlog "
+                         "into a fresh deterministic pack_run so every "
+                         "existing chunk id stays untouched; one "
+                         "atomic upsert; replay is a no-op; prints a "
+                         "JSON report")
+    ap.add_argument("--repack-shards", type=int, default=16,
+                    metavar="N",
+                    help="with --repack-tokens: hash-derived parallel "
+                         "shards for the backlog fold (default 16)")
     ap.add_argument("--release-check", action="store_true",
                     help="pre-release QA gate over --out: data-contract "
                          "expectations on the full clean table, "
@@ -513,7 +528,7 @@ def main() -> None:
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
             or args.changelog or args.takedown or args.correct
-            or args.export_dir
+            or args.repack_tokens or args.export_dir
             or args.verify_export or args.release_check
             or args.decontam_audit
             or args.audit_cross_modal
@@ -584,6 +599,18 @@ def main() -> None:
                 args.correct_id,
                 near_dup_jaccard=args.correct_jaccard,
                 audio_max_hamming=args.dedup_audio_max_hamming,
+            )
+            print(_json.dumps(rep, indent=2, default=str))
+        if args.repack_tokens:
+            import json as _json
+
+            from data_quality_check_pipeline_spark.repack import (
+                repack_unpacked,
+            )
+
+            rep = repack_unpacked(
+                spark, args.out, args.repack_tokens,
+                n_shards=args.repack_shards,
             )
             print(_json.dumps(rep, indent=2, default=str))
         if args.export_dir:
