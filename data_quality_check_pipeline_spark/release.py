@@ -73,7 +73,11 @@ def release_check(
     ``expectations`` (the clips data-contract suite, one aggregate),
     ``quarantine_consistency`` (no clip both clean and actively
     quarantined — a resolved requeue is fine, an unresolved one means
-    the tables disagree about the corpus).
+    the tables disagree about the corpus), and — whenever the table
+    carries the pack columns — ``pack_completeness`` (no
+    ``pack_run IS NULL`` backlog: corrections reset superseded rows'
+    chunk identity, and a chunk-addressed trainer would silently skip
+    those rows; the fix is ``--repack-tokens``).
 
     ``leakage_jaccard`` adds the split-leakage check: minhash near-dup
     pairs within the clean table that straddle splits. Requesting it
@@ -90,8 +94,29 @@ def release_check(
         checks["clean_table"] = {"ok": False, "reason": "missing"}
         return {"ok": False, "checks": checks}
     clean = store.read(CLEAN_TABLE)
-    n_clean = clean.count()
+    # one aggregate serves both the row count and (when the pack
+    # contract is in effect) the unpacked-backlog count
+    has_pack = "pack_run" in clean.columns
+    agg_cols = [F.count(F.lit(1)).alias("n")]
+    if has_pack:
+        agg_cols.append(
+            F.sum(F.col("pack_run").isNull().cast("long"))
+            .alias("unpacked")
+        )
+    row = clean.agg(*agg_cols).first()
+    n_clean = row["n"]
     checks["clean_table"] = {"ok": n_clean > 0, "rows": n_clean}
+    if has_pack:
+        unpacked = int(row["unpacked"] or 0)
+        checks["pack_completeness"] = {
+            "ok": unpacked == 0,
+            "unpacked": unpacked,
+            **(
+                {"hint": "run --repack-tokens to pack the backlog"}
+                if unpacked
+                else {}
+            ),
+        }
 
     from .operators.expectations import clips_suite, evaluate_suite
 

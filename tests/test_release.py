@@ -76,6 +76,45 @@ class TestReleaseCheck:
         # without the opt-in gate the same table releases fine
         assert release_check(spark, out_root)["ok"]
 
+    def test_unpacked_backlog_fails_until_repacked(
+        self, spark, corpus, out_root
+    ):
+        """On a packed table, a NULL-pack_run backlog (what corrections
+        leave behind) fails pack_completeness with the repack hint;
+        --repack-tokens restores a green release. An unpacked table
+        never grows the check."""
+        from data_quality_check_pipeline_spark.corrections import (
+            PACK_COLS,
+        )
+        from data_quality_check_pipeline_spark.repack import (
+            repack_unpacked,
+        )
+
+        _, _, path = corpus
+        run_pipeline(
+            spark, path,
+            RunConfig(out_root=out_root, run_id="rel4",
+                      module_reports=False, pack_budget=200),
+        )
+        v = release_check(spark, out_root)
+        assert v["ok"]
+        assert v["checks"]["pack_completeness"] == {
+            "ok": True, "unpacked": 0
+        }
+        store = TableStore(spark, out_root)
+        clean = store.read(CLEAN_TABLE)
+        types = dict(clean.dtypes)
+        rows = clean.orderBy("clip_id").limit(2)
+        for c in PACK_COLS:
+            rows = rows.withColumn(c, F.lit(None).cast(types[c]))
+        store.upsert(CLEAN_TABLE, rows, "clip_id")
+        v = release_check(spark, out_root)
+        assert not v["ok"]
+        pc = v["checks"]["pack_completeness"]
+        assert pc["unpacked"] == 2 and "repack" in pc["hint"]
+        repack_unpacked(spark, out_root, budget=200)
+        assert release_check(spark, out_root)["ok"]
+
     def test_contract_violations_fail_the_release(
         self, spark, corpus, out_root
     ):
