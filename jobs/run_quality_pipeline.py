@@ -253,7 +253,15 @@ def main() -> None:
                     help="admin: print the rows appended to TABLE "
                          "after SINCE_SNAPSHOT (incremental "
                          "consumption; errors honestly on non-append "
-                         "history — full-read and re-anchor)")
+                         "history — full-read and re-anchor, or pass "
+                         "--changelog-cdc)")
+    ap.add_argument("--changelog-cdc", action="store_true",
+                    help="with --changelog: row-level net CDC instead "
+                         "of append-only deltas — emits insert AND "
+                         "delete images so upserts (corrections), "
+                         "delete_where (takedowns) and overwrites "
+                         "replay without a full resync; reads only "
+                         "the snapshot dirs that differ")
     ap.add_argument("--takedown", default=None, metavar="IDS_OR_PATH",
                     help="compliance takedown: comma-separated clip_ids "
                          "or a parquet path with a clip_id column. "
@@ -806,9 +814,25 @@ def main() -> None:
 
             table, since = args.changelog
             try:
-                delta = store.read_incremental(table, since)
-                n = delta.count()
-                print(f"{table}: {n} row(s) appended since {since}")
+                if args.changelog_cdc:
+                    from pyspark.sql import functions as F
+
+                    delta = store.read_changelog(table, since)
+                    by_kind = {
+                        r["_change_type"]: r["n"]
+                        for r in delta.groupBy("_change_type")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                    print(
+                        f"{table}: net changes since {since}: "
+                        f"{by_kind.get('insert', 0)} insert(s), "
+                        f"{by_kind.get('delete', 0)} delete(s)"
+                    )
+                else:
+                    delta = store.read_incremental(table, since)
+                    n = delta.count()
+                    print(f"{table}: {n} row(s) appended since {since}")
                 # preview without binary payloads (audio bytes would
                 # flood the terminal)
                 slim = delta.drop(

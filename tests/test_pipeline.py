@@ -1633,6 +1633,118 @@ class TestIncrementalRead:
             store.read_incremental("t2", s3)
 
 
+class TestReadChangelog:
+    """TableStore.read_changelog: row-level net CDC between an anchor
+    and the current snapshot — the escape hatch read_incremental's
+    honest refusal points at. Deletes-then-inserts applied to the
+    anchored copy must land exactly on the current table."""
+
+    @staticmethod
+    def _mk(spark, lo, hi, tag="v"):
+        return spark.createDataFrame(
+            [(i, f"{tag}{i}") for i in range(lo, hi)],
+            "id long, v string",
+        )
+
+    def _apply(self, anchored, changes):
+        dels = changes.filter(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        ins = changes.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        return anchored.exceptAll(dels).unionByName(ins)
+
+    def _rows(self, df):
+        return sorted((r["id"], r["v"]) for r in df.collect())
+
+    def test_cdc_replays_upsert_delete_append(self, spark, out_root):
+        store = TableStore(spark, out_root)
+        s1 = store.write("cdc", self._mk(spark, 0, 100),
+                         mode="overwrite")
+        store.upsert("cdc", self._mk(spark, 10, 20, "w"), "id")
+        store.delete_where("cdc", "id", list(range(50, 55)))
+        store.write("cdc", self._mk(spark, 100, 110), mode="append")
+
+        # the append-only contract is honestly broken...
+        from data_quality_check_pipeline_spark.sources.tables import (
+            IncrementalReadError,
+        )
+
+        with pytest.raises(IncrementalReadError):
+            store.read_incremental("cdc", s1)
+        # ...and the changelog expresses the same history as net rows
+        ch = store.read_changelog("cdc", s1)
+        dels = self._rows(
+            ch.filter(F.col("_change_type") == "delete").drop(
+                "_change_type"
+            )
+        )
+        ins = self._rows(
+            ch.filter(F.col("_change_type") == "insert").drop(
+                "_change_type"
+            )
+        )
+        assert dels == sorted(
+            [(i, f"v{i}") for i in range(10, 20)]
+            + [(i, f"v{i}") for i in range(50, 55)]
+        )
+        assert ins == sorted(
+            [(i, f"w{i}") for i in range(10, 20)]
+            + [(i, f"v{i}") for i in range(100, 110)]
+        )
+        # replay: anchored copy + changelog == current table, exactly
+        replayed = self._apply(store.read("cdc", s1), ch)
+        assert self._rows(replayed) == self._rows(store.read("cdc"))
+
+    def test_cdc_net_zero_and_empty_anchor_at_current(
+        self, spark, out_root
+    ):
+        store = TableStore(spark, out_root)
+        s1 = store.write("cdc0", self._mk(spark, 0, 30),
+                         mode="overwrite")
+        # an upsert that replaces rows with IDENTICAL images rewrites
+        # a dir but changes nothing — net CDC stays empty
+        store.upsert("cdc0", self._mk(spark, 5, 10), "id")
+        ch = store.read_changelog("cdc0", s1)
+        assert ch.count() == 0
+        assert ch.columns == ["id", "v", "_change_type"]
+        cur = store.current_snapshot("cdc0")["id"]
+        assert store.read_changelog("cdc0", cur).count() == 0
+
+    def test_cdc_across_compact_still_replays(self, spark, out_root):
+        store = TableStore(spark, out_root)
+        s1 = store.write("cdc1", self._mk(spark, 0, 40),
+                         mode="overwrite")
+        store.upsert("cdc1", self._mk(spark, 0, 5, "w"), "id")
+        store.compact("cdc1")
+        store.write("cdc1", self._mk(spark, 40, 45), mode="append")
+        ch = store.read_changelog("cdc1", s1)
+        replayed = self._apply(store.read("cdc1", s1), ch)
+        assert self._rows(replayed) == self._rows(store.read("cdc1"))
+
+    def test_cdc_refusals(self, spark, out_root):
+        import shutil
+
+        from data_quality_check_pipeline_spark.sources.tables import (
+            IncrementalReadError,
+        )
+
+        store = TableStore(spark, out_root)
+        s1 = store.write("cdc2", self._mk(spark, 0, 20),
+                         mode="overwrite")
+        up = store.upsert("cdc2", self._mk(spark, 0, 3, "w"), "id")
+        with pytest.raises(IncrementalReadError, match="not in"):
+            store.read_changelog("cdc2", "deadbeef00000000")
+        # a differing dir reclaimed from disk (race with expire /
+        # manual cleanup) must refuse, never emit a partial delta
+        shutil.rmtree(
+            os.path.join(out_root, "cdc2", f"snap_{up['snapshot']}")
+        )
+        with pytest.raises(IncrementalReadError, match="expired"):
+            store.read_changelog("cdc2", s1)
+
+
 class TestSketchProfileStage:
     def test_profile_rows_drift_and_corpus_estimates(
         self, spark, corpus, out_root
