@@ -38,6 +38,16 @@ Policy (each step mirrors the ingest path's contracts):
 * The last commit is one row in the ``corrections_log`` table; its
   correction_id makes the whole operation idempotent (a crash mid-way
   re-runs commits that are themselves idempotent re-applications).
+
+Ingest-path contrast: batch shards and the streaming sink are
+deliberately clip_id-BLIND across batches (no per-batch join against
+the ever-growing clean table — at 100 TB that lookup would dominate
+the sink). A re-delivered id with identical content is caught by the
+content dedup history; a re-delivered id with NEW content is by
+definition a correction and must come through THIS op — if it is fed
+to ingest instead, the duplicate id lands and the release gate's
+``be_unique`` expectation fails the corpus before any trainer sees it
+(test_release.py plants exactly that corruption).
 """
 
 from __future__ import annotations

@@ -85,6 +85,7 @@ def export_training_shards(
     seed: int = 0,
     token_col: str | None = None,
     drop_cols: tuple = (),
+    provenance: dict | None = None,
 ) -> dict:
     """Write ``df`` as ``out_dir/shard=K/*.parquet`` (one file per
     shard, globally shuffled) plus ``out_dir/manifest.json``; returns
@@ -98,7 +99,12 @@ def export_training_shards(
     stable shard. The check rides in the manifest aggregate over the
     WRITTEN files (no second scan of the expensive upstream); on
     refusal the manifest is never written, so the partial output is
-    never consumable (consumers gate on the manifest)."""
+    never consumable (consumers gate on the manifest).
+
+    ``provenance``: optional JSON-able dict recorded verbatim in the
+    manifest (the CLI stamps {table, snapshot} — which exact table
+    version produced these shards; with time-travel reads that makes
+    a release re-exportable bit-for-bit)."""
     staged = with_export_shard(
         df.drop(*drop_cols), key_col, n_shards, seed
     )
@@ -121,6 +127,8 @@ def export_training_shards(
         df.sparkSession.read.parquet(out_dir),
         key_col, n_shards, seed, token_col,
     )
+    if provenance:
+        manifest["provenance"] = dict(provenance)
     # the manifest commits LAST: its presence marks a complete export
     # (a crash mid-write leaves data files but no manifest — consumers
     # gate on the manifest, so partial exports are never consumed)
@@ -258,6 +266,7 @@ def export_webdataset_shards(
     meta_cols: tuple | None = None,
     drop_cols: tuple = (),
     resume: bool = False,
+    provenance: dict | None = None,
 ) -> dict:
     """Export as WebDataset-style tar shards — the format audio/vision
     trainers stream natively: ``out_dir/shard-K.tar`` where each sample
@@ -597,6 +606,8 @@ def export_webdataset_shards(
         "total_rows": sum(s["rows"] for s in shards),
         "shards": shards,
     }
+    if provenance:
+        manifest["provenance"] = dict(provenance)
     tmp = os.path.join(out_dir, f"{WDS_MANIFEST_NAME}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

@@ -308,6 +308,14 @@ def main() -> None:
                     help="with --export-dir: export only this split "
                          "(requires a --split run)")
     ap.add_argument("--export-seed", type=int, default=0)
+    ap.add_argument("--export-snapshot", default=None,
+                    metavar="SNAPSHOT",
+                    help="with --export-dir: export clips_clean AS OF "
+                         "this snapshot id (time travel) — re-export a "
+                         "past release bit-for-bit even after later "
+                         "corrections/takedowns; the exported snapshot "
+                         "id is recorded in the manifest's provenance "
+                         "either way")
     ap.add_argument("--verify-export", default=None, metavar="PATH",
                     help="integrity-check an export dir against its "
                          "manifest (re-derives per-shard rows/tokens/"
@@ -628,7 +636,20 @@ def main() -> None:
             )
             from pyspark.sql import functions as F
 
-            clean = store.read("clips_clean")
+            try:
+                export_sid = (
+                    args.export_snapshot
+                    or store.current_snapshot("clips_clean")["id"]
+                )
+                clean = store.read(
+                    "clips_clean", snapshot_id=export_sid
+                )
+            except (KeyError, FileNotFoundError) as exc:
+                print(f"export unavailable: {exc}")
+                spark.stop()
+                raise SystemExit(3)
+            provenance = {"table": "clips_clean",
+                          "snapshot": export_sid}
             if args.export_split:
                 if "split" not in clean.columns:
                     print("export unavailable: clips_clean has no "
@@ -648,6 +669,7 @@ def main() -> None:
                     clean, "clip_id", args.export_dir,
                     args.export_shards, seed=args.export_seed,
                     resume=args.export_resume,
+                    provenance=provenance,
                 )
                 print(
                     f"exported {mf['total_rows']} rows into "
@@ -663,6 +685,7 @@ def main() -> None:
                         "n_tokens" if "n_tokens" in clean.columns
                         else None
                     ),
+                    provenance=provenance,
                 )
                 print(
                     f"exported {mf['total_rows']} rows"
