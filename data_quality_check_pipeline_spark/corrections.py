@@ -306,7 +306,9 @@ def apply_corrections(
                 )
             report["clean_upsert"] = {
                 k: up[k]
-                for k in ("snapshot", "n_updated", "dirs_rewritten")
+                for k in ("snapshot", "n_updated", "dirs_rewritten",
+                          "dirs_untouched", "files_rewritten",
+                          "files_carried")
             }
         if removed_ids:
             res = store.delete_where(

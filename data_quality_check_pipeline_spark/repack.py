@@ -136,6 +136,8 @@ def repack_unpacked(
     report["landed"] = int(up["n_updated"])
     report["snapshot"] = up["snapshot"]
     report["dirs_rewritten"] = up["dirs_rewritten"]
+    report["files_rewritten"] = up["files_rewritten"]
+    report["files_carried"] = up["files_carried"]
     _log.info(
         "repack(%s): %d rows -> %s (%d chunks)",
         out_root, report["landed"], pack_run, report["n_chunks"],

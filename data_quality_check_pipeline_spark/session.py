@@ -60,6 +60,21 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # long-lived driver hygiene: the app/SQL status stores retain
+        # per-job/stage/task rows and FULL physical-plan descriptions
+        # per SQL execution in DRIVER HEAP even with the UI off
+        # (defaults: 1000 jobs/stages, 100k tasks, 1000 executions).
+        # This engine's dedup/correction plans serialize to hundreds
+        # of KB each, so a long session (a streaming driver, a test
+        # suite, a multi-query harness) accretes gigabytes and
+        # eventually OOMs on an unrelated allocation (observed: a
+        # 28-test maintenance-op sequence OOMed an 8g driver on a
+        # plain persist() call). Production streaming drivers pin
+        # these down for exactly this reason.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.ui.retainedExecutions", "50")
     )
     if not under_submit:
         b = b.config(

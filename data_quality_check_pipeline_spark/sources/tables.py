@@ -27,6 +27,7 @@ import contextlib
 import json
 import logging
 import os
+import shutil
 import time
 import uuid
 
@@ -192,6 +193,96 @@ def _file_may_match(stats: dict, prune: list) -> bool:
     return True
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hard-link ``src`` into ``dst`` (same-filesystem: zero data copy
+    — the local analogue of an Iceberg manifest referencing an
+    existing data file from a new snapshot); falls back to a real copy
+    when the filesystem refuses links. A name collision gets a suffix
+    (parquet file names carry no semantics)."""
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.exists(dst):
+        base, ext = os.path.splitext(dst)
+        dst = f"{base}-carry-{uuid.uuid4().hex[:8]}{ext}"
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def _cluster_frame(
+    df: DataFrame,
+    cluster_by: list[str] | None,
+    partition_by: list[str] | None,
+    target_files: int | None,
+) -> DataFrame:
+    """Apply the sort-order layout before a snapshot write. With BOTH
+    hive partitioning and clustering, the range key is (partition cols
+    + cluster cols): ranging on the cluster key alone spreads every
+    partition cell across every range task, and partitionBy then cuts
+    each task per cell — ``tasks x cells`` small files per write
+    (measured: a 32-range clustered compact of a lang/split-partitioned
+    160k-clip table landed ~620 files, and every COW rewrite
+    re-fragmented the same way). Leading with the partition cols keeps
+    each range task inside ~one cell: ~target_files files total, each
+    still a tight sorted cluster-key run (the sortWithinPartitions
+    suffix orders cells first, then the key within them)."""
+    if cluster_by:
+        sort_cols = [
+            c for c in (partition_by or []) if c not in cluster_by
+        ] + list(cluster_by)
+        df = (
+            df.repartitionByRange(*sort_cols)
+            if target_files is None
+            else df.repartitionByRange(target_files, *sort_cols)
+        ).sortWithinPartitions(*sort_cols)
+    elif target_files:
+        df = df.repartition(target_files)
+    return df
+
+
+def _schema_key(schema_json: str | None):
+    """Ordered (name, type) fingerprint of a snapshot schema (nullability
+    ignored), or None when unrecorded. File-level COW carry-forward is
+    only safe when every file in the new snapshot dir shares one
+    schema — Spark's parquet reader infers the dir schema from one
+    file, so a hard-linked old-schema file next to freshly written
+    widened files would silently drop the new columns."""
+    if not schema_json:
+        return None
+    try:
+        fields = json.loads(schema_json).get("fields", [])
+        return tuple(
+            (f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in fields
+        )
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
+def _file_overlap_fn(key_col: str, nkeys, lohi):
+    """Per-FILE key-overlap predicate from footer stats: ``nkeys`` a
+    sorted normalized key list (precise) or ``lohi`` a (min, max) range
+    (degraded). Conservative: a file without usable stats overlaps."""
+    from bisect import bisect_left
+
+    def fn(finfo_entry) -> bool:
+        s = (finfo_entry.get("stats") or {}).get(key_col)
+        if not s:
+            return True
+        flo, fhi = s
+        try:
+            if nkeys is not None:
+                i = bisect_left(nkeys, flo)
+                return i < len(nkeys) and nkeys[i] <= fhi
+            if lohi is not None:
+                return fhi >= lohi[0] and flo <= lohi[1]
+        except TypeError:
+            return True  # incomparable types: conservative
+        return True  # no pruning info at all
+
+    return fn
+
+
 class IncrementalReadError(RuntimeError):
     """read_incremental cannot represent the delta as new-dirs-only
     (non-append history, expired/foreign anchor): callers fall back to
@@ -325,14 +416,7 @@ class TableStore:
         for 100-TB file sizing, but a small clustered table may land as
         one file (no pruning granularity to gain there anyway)."""
         assert mode in ("overwrite", "append")
-        if cluster_by:
-            df = (
-                df.repartitionByRange(*cluster_by)
-                if target_files is None
-                else df.repartitionByRange(target_files, *cluster_by)
-            ).sortWithinPartitions(*cluster_by)
-        elif target_files:
-            df = df.repartition(target_files)
+        df = _cluster_frame(df, cluster_by, partition_by, target_files)
         sid = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self._dir(name), f"snap_{sid}")
         w = df.write.mode("overwrite")
@@ -417,11 +501,17 @@ class TableStore:
         schema_json: str | None,
         prune: list | None = None,
         scan_stats: dict | None = None,
+        only_files: dict | None = None,
     ) -> DataFrame:
         """Union the given snapshot dirs (shared by read /
         read_incremental): filesystem-verified data presence, per-file
         min/max pruning, partition discovery per dir, allowMissingColumns
-        union, empty-result schema fallback."""
+        union, empty-result schema fallback.
+
+        ``only_files``: optional {dir_basename: [relative paths]}
+        restricting the read to an explicit file subset per dir (the
+        file-level COW and changelog paths); a dir absent from the map
+        is read whole, a dir mapped to [] contributes nothing."""
         # skip snapshot dirs that hold no data files (empty writes). The
         # check is against the FILESYSTEM, not surviving manifest entries:
         # expire_snapshots drops expired entries from the manifest while a
@@ -450,7 +540,28 @@ class TableStore:
         parts: list[DataFrame] = []
         for d in dirs:
             finfo = stats_by_dir.get(os.path.basename(d))
-            if prune and finfo is not None:
+            allow = (only_files or {}).get(os.path.basename(d))
+            if allow is not None:
+                kept = list(allow)
+                if prune and finfo is not None:
+                    fstats = {f["path"]: f["stats"] for f in finfo}
+                    # files the manifest doesn't know stay (conservative)
+                    kept = [
+                        p for p in kept
+                        if p not in fstats
+                        or _file_may_match(fstats[p], prune)
+                    ]
+                if scan_stats is not None:
+                    scan_stats["files_kept"] += len(kept)
+                    scan_stats["files_skipped"] += len(allow) - len(kept)
+                if not kept:
+                    continue
+                parts.append(
+                    self.spark.read.option("basePath", d).parquet(
+                        *[os.path.join(d, p) for p in kept]
+                    )
+                )
+            elif prune and finfo is not None:
                 kept = [
                     f["path"] for f in finfo
                     if _file_may_match(f["stats"], prune)
@@ -579,6 +690,7 @@ class TableStore:
         name: str,
         since_snapshot_id: str,
         change_col: str = "_change_type",
+        scan_stats: dict | None = None,
     ) -> DataFrame:
         """Row-level NET changes between ``since_snapshot_id`` and the
         current snapshot — the CDC complement of ``read_incremental``
@@ -593,9 +705,16 @@ class TableStore:
 
         Shape: the two views share every carried-forward dir, so the
         diff reads ONLY the dirs that differ — ``exceptAll`` both ways
-        over (added dirs, removed dirs). A 2-row correction on a
-        clustered 100 TB table diffs the one rewritten dir, not the
-        corpus. An intervening ``compact`` rewrites every dir, making
+        over (added dirs, removed dirs) — and within those dirs,
+        FILES the two sides share by inode identity (the hard-linked
+        carry-forwards of a file-level COW upsert/delete) cancel out
+        of both sides before anything is read: identical files
+        contribute identical row multisets, and (A+C)−(B+C) = A−B
+        under multiset difference. A 2-row correction on a clustered
+        100 TB table diffs the rewritten files, not the corpus.
+        ``scan_stats`` (optional dict) receives files_diffed /
+        files_cancelled counts. An intervening ``compact`` rewrites
+        every dir (fresh inodes), making
         the diff a 2x full scan (still correct — net changes across a
         compact are zero — just no longer cheap): re-anchor after
         compaction. An unchanged row never surfaces (net-change
@@ -647,14 +766,75 @@ class TableStore:
             schema.fields + [StructField(change_col, StringType(), False)]
         )
         if not added and not removed:
+            if scan_stats is not None:
+                scan_stats.update(
+                    {"files_diffed": 0, "files_cancelled": 0}
+                )
             return self.spark.createDataFrame([], out_schema)
+
+        # inode-identity cancellation: a hard-linked carry-forward is
+        # THE SAME file on both sides — drop one occurrence from each
+        # (multiset matching; a copied fallback has a fresh inode and
+        # simply stays in the diff: slower, never wrong)
+        from collections import Counter
+
+        def _files_with_ino(dirs):
+            per_dir = {}
+            for d in dirs:
+                root = os.path.join(self._dir(name), d)
+                lst = []
+                for r, _dd, fs in os.walk(root):
+                    for f in sorted(fs):
+                        if f.endswith(".parquet"):
+                            p = os.path.join(r, f)
+                            st = os.stat(p)
+                            lst.append((
+                                os.path.relpath(p, root),
+                                (st.st_dev, st.st_ino),
+                            ))
+                per_dir[d] = lst
+            return per_dir
+
+        add_files = _files_with_ino(added)
+        rem_files = _files_with_ino(removed)
+        shared = Counter(
+            ino for lst in add_files.values() for _, ino in lst
+        ) & Counter(
+            ino for lst in rem_files.values() for _, ino in lst
+        )
+
+        def _survivors(per_dir):
+            budget = dict(shared)
+            only = {}
+            for d, lst in per_dir.items():
+                keep = []
+                for rel, ino in lst:
+                    if budget.get(ino, 0) > 0:
+                        budget[ino] -= 1
+                    else:
+                        keep.append(rel)
+                only[d] = keep
+            return only
+
+        only_add, only_rem = _survivors(add_files), _survivors(rem_files)
+        if scan_stats is not None:
+            scan_stats.update({
+                "files_diffed": sum(
+                    len(v) for m2 in (only_add, only_rem)
+                    for v in m2.values()
+                ),
+                "files_cancelled": 2 * sum(shared.values()),
+            })
         new_rows = self._conform(
-            self._union_snapshot_dirs(name, m, added, cur.get("schema")),
+            self._union_snapshot_dirs(
+                name, m, added, cur.get("schema"), only_files=only_add
+            ),
             schema,
         )
         old_rows = self._conform(
             self._union_snapshot_dirs(
-                name, m, removed, cur.get("schema")
+                name, m, removed, cur.get("schema"),
+                only_files=only_rem,
             ),
             schema,
         )
@@ -739,16 +919,9 @@ class TableStore:
                     )
                 except KeyError:  # parent expired from the manifest
                     s = None
-        if cluster_by:
-            df = (
-                df.repartitionByRange(*cluster_by)
-                if target_files is None
-                else df.repartitionByRange(target_files, *cluster_by)
-            ).sortWithinPartitions(*cluster_by)
-        elif target_files:
-            df = df.repartition(target_files)
         if partition_by is None:
             partition_by = base.get("partition_by") or None
+        df = _cluster_frame(df, cluster_by, partition_by, target_files)
         sid = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self._dir(name), f"snap_{sid}")
         w = df.write.mode("overwrite")
@@ -800,6 +973,76 @@ class TableStore:
             self._save_manifest(name, m)
         return sid
 
+    def _split_by_overlap(self, read_set, stats_by_dir, overlap_fn):
+        """Classify a read_set at FILE granularity for a COW rewrite.
+        Returns (affected_dirs, untouched_dirs, only_files, carry):
+        ``affected_dirs`` have at least one possibly-overlapping file
+        (or no recorded file stats — legacy dirs, rewritten whole and
+        deliberately absent from ``only_files``/``carry``);
+        ``only_files`` maps each stats-bearing affected dir to the
+        files that must be read+rewritten; ``carry`` maps it to the
+        provably-clean files to hard-link forward untouched."""
+        affected: list[str] = []
+        untouched: list[str] = []
+        only_files: dict[str, list[str]] = {}
+        carry: dict[str, list[str]] = {}
+        for d in read_set:
+            finfo = stats_by_dir.get(d)
+            if finfo is None:
+                affected.append(d)  # legacy: no stats, rewrite whole
+                continue
+            hot = [f["path"] for f in finfo if overlap_fn(f)]
+            if not hot:
+                untouched.append(d)
+                continue
+            affected.append(d)
+            only_files[d] = hot
+            carry[d] = [
+                f["path"] for f in finfo if f["path"] not in set(hot)
+            ]
+        return affected, untouched, only_files, carry
+
+    def _carry_is_safe(
+        self, m: dict, base: dict, affected: list[str],
+        incoming_schema=None,
+    ) -> bool:
+        """Carry-forward is safe only when every affected dir's
+        recorded schema equals the current table schema (see
+        _schema_key) and, for upsert, the incoming frame does not
+        widen it (its (name, type)s all exist in the base schema).
+        Otherwise the new dir would mix file schemas; fall back to
+        whole-dir rewrites (the pre-file-COW behavior)."""
+        cur_key = _schema_key(base.get("schema"))
+        if cur_key is None:
+            return False
+        schema_by_dir = {
+            f"snap_{s['id']}": _schema_key(s.get("schema"))
+            for s in m["snapshots"]
+        }
+        if any(schema_by_dir.get(d) != cur_key for d in affected):
+            return False
+        if incoming_schema is not None:
+            cur_types = dict(cur_key)
+            for f in incoming_schema.fields:
+                t = json.dumps(f.dataType.jsonValue(), sort_keys=True)
+                if cur_types.get(f.name) != t:
+                    return False
+        return True
+
+    def _carry_clean_files(
+        self, name: str, carry: dict, data_dir: str
+    ) -> None:
+        """Hard-link every provably-clean file of the rewritten dirs
+        into the new snapshot dir, preserving relative (hive
+        partition) paths — zero data copy, and the shared inode lets
+        read_changelog cancel carried files out of its diff."""
+        for d, rels in carry.items():
+            src = os.path.join(self._dir(name), d)
+            for rel in rels:
+                _link_or_copy(
+                    os.path.join(src, rel), os.path.join(data_dir, rel)
+                )
+
     def delete_where(
         self,
         name: str,
@@ -810,13 +1053,19 @@ class TableStore:
     ) -> dict:
         """Copy-on-write row delete: remove every row whose ``key_col``
         is in ``keys`` (the Iceberg delete-and-rewrite shape, the
-        primitive under compliance takedowns). Surgical at snapshot-dir
+        primitive under compliance takedowns). Surgical at FILE
         granularity: dirs whose per-file min/max stats provably cannot
         contain any key carry FORWARD into the new snapshot's read_set
-        untouched (zero IO — on an id-clustered 100 TB table a small
-        takedown batch rewrites a handful of dirs, not the corpus);
-        only overlapping dirs are read, anti-joined and rewritten.
-        NULL-key rows always survive (a key set never names NULL).
+        untouched, and within an overlapping dir only the overlapping
+        FILES are read and rewritten — every provably-clean file is
+        hard-linked into the new snapshot dir (zero data copy, the
+        local analogue of an Iceberg manifest re-referencing an
+        existing data file). On an id-clustered table a small takedown
+        batch rewrites a handful of files, not the corpus — and
+        crucially this holds even when every DIR spans the id domain
+        (the hash-sharded ingest layout) as long as files inside are
+        clustered. NULL-key rows always survive (a key set never
+        names NULL).
 
         Commits a mode='delete' snapshot — NON-append, so
         read_incremental consumers honestly fail and full-resync
@@ -832,15 +1081,13 @@ class TableStore:
         optimistic commit — if 'current' moved, abort (returns
         ``aborted=True``, orphan dir left for the grace sweep) and the
         caller re-runs. Returns {snapshot, n_deleted, dirs_rewritten,
-        dirs_untouched, aborted}.
+        dirs_untouched, files_rewritten, files_carried, aborted}.
 
         ``keys`` is a bounded driver-side list (takedown batches are
         small relative to the corpus); capped at 1M — batch larger
         sets. Pruning normalizes keys via the stats rules; any
         non-normalizable key degrades to rewrite-everything
         (conservative, never wrong)."""
-        from bisect import bisect_left
-
         keys = set(keys)
         if any(k is None for k in keys):
             raise ValueError("delete_where: keys must be non-NULL")
@@ -852,7 +1099,8 @@ class TableStore:
             )
         out = {
             "snapshot": None, "n_deleted": 0, "dirs_rewritten": 0,
-            "dirs_untouched": 0, "aborted": False,
+            "dirs_untouched": 0, "files_rewritten": 0,
+            "files_carried": 0, "aborted": False,
         }
         if stats_out is not None:
             stats_out.update(out)
@@ -866,38 +1114,28 @@ class TableStore:
         prunable = all(v is not None for v in nkeys)
         nkeys = sorted(nkeys) if prunable else None
 
-        def _dir_overlaps(finfo) -> bool:
-            if finfo is None or not prunable:
-                return True  # legacy dir / unprunable keys: rewrite
-            for f in finfo:
-                s = f["stats"].get(key_col)
-                if not s:
-                    return True  # file lacks stats for the key column
-                lo, hi = s
-                try:
-                    i = bisect_left(nkeys, lo)
-                except TypeError:
-                    return True  # incomparable types: conservative
-                if i < len(nkeys) and nkeys[i] <= hi:
-                    return True
-            return False
-
         stats_by_dir = {
             f"snap_{s['id']}": s.get("files") for s in m0["snapshots"]
         }
-        affected = [
-            d for d in base["read_set"]
-            if _dir_overlaps(stats_by_dir.get(d))
-        ]
-        untouched = [d for d in base["read_set"] if d not in affected]
+        affected, untouched, only_files, carry = self._split_by_overlap(
+            base["read_set"], stats_by_dir,
+            _file_overlap_fn(key_col, nkeys, None),
+        )
+        if not self._carry_is_safe(m0, base, affected):
+            only_files, carry = {}, {}  # whole-dir rewrite fallback
         out["dirs_rewritten"] = len(affected)
         out["dirs_untouched"] = len(untouched)
+        out["files_rewritten"] = sum(
+            len(v) for v in only_files.values()
+        )
+        out["files_carried"] = sum(len(v) for v in carry.values())
         if not affected:
             if stats_out is not None:
                 stats_out.update(out)
             return out  # keys provably absent: nothing to commit
         df = self._union_snapshot_dirs(
-            name, m0, affected, base.get("schema")
+            name, m0, affected, base.get("schema"),
+            only_files=only_files,
         )
         hit = F.col(key_col).isin(keys)
         n_deleted = df.filter(hit).count()
@@ -914,6 +1152,7 @@ class TableStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
+        self._carry_clean_files(name, carry, data_dir)
         files = _collect_file_stats(data_dir)
         props = {
             "delete_key": key_col,
@@ -980,12 +1219,16 @@ class TableStore:
         family would instead quarantine one copy, and which copy
         depends on arrival order).
 
-        Copy-on-write like ``delete_where``: snapshot dirs whose
-        per-file min/max stats provably cannot contain any incoming key
-        carry forward untouched; only overlapping dirs are read,
-        anti-joined and rewritten together with the incoming rows (on
-        an id-clustered 100 TB table a correction batch rewrites a
-        handful of dirs). Incoming keys are collected for precise
+        Copy-on-write like ``delete_where``, at FILE granularity:
+        snapshot dirs whose per-file min/max stats provably cannot
+        contain any incoming key carry forward untouched, and within
+        an overlapping dir only the overlapping FILES are read,
+        anti-joined and rewritten together with the incoming rows —
+        provably-clean files hard-link into the new snapshot dir
+        (zero data copy). On an id-clustered table a correction batch
+        rewrites a handful of files even when every DIR spans the id
+        domain (the hash-sharded ingest layout), as long as files
+        inside are clustered. Incoming keys are collected for precise
         per-file pruning up to ``key_collect_cap``; a larger batch
         degrades to [min, max]-range pruning (still correct, less
         selective — at that size the batch plausibly touches most dirs
@@ -1005,16 +1248,15 @@ class TableStore:
         the rewritten dir so pruning selectivity survives the merge.
 
         Returns {snapshot, n_updated, n_inserted, dirs_rewritten,
-        dirs_untouched, aborted} (aborted=True when a concurrent commit
-        moved 'current' mid-rewrite — orphan dir left for the grace
-        sweep; re-run)."""
-        from bisect import bisect_left
-
+        dirs_untouched, files_rewritten, files_carried, aborted}
+        (aborted=True when a concurrent commit moved 'current'
+        mid-rewrite — orphan dir left for the grace sweep; re-run)."""
         from pyspark import StorageLevel
 
         out = {
             "snapshot": None, "n_updated": 0, "n_inserted": 0,
-            "dirs_rewritten": 0, "dirs_untouched": 0, "aborted": False,
+            "dirs_rewritten": 0, "dirs_untouched": 0,
+            "files_rewritten": 0, "files_carried": 0, "aborted": False,
         }
 
         def _ret():
@@ -1080,42 +1322,26 @@ class TableStore:
                 lohi = (l_, h_) if l_ is not None and h_ is not None \
                     else None
 
-            def _overlaps(finfo) -> bool:
-                if finfo is None or (nkeys is None and lohi is None):
-                    return True  # legacy dir / unprunable keys
-                for f in finfo:
-                    s = f["stats"].get(key_col)
-                    if not s:
-                        return True
-                    flo, fhi = s
-                    try:
-                        if nkeys is not None:
-                            i = bisect_left(nkeys, flo)
-                            if i < len(nkeys) and nkeys[i] <= fhi:
-                                return True
-                        else:
-                            if fhi >= lohi[0] and flo <= lohi[1]:
-                                return True
-                    except TypeError:
-                        return True  # incomparable types: conservative
-                return False
-
             stats_by_dir = {
                 f"snap_{s['id']}": s.get("files")
                 for s in m0["snapshots"]
             }
-            affected = [
-                d for d in base["read_set"]
-                if _overlaps(stats_by_dir.get(d))
-            ]
-            untouched = [
-                d for d in base["read_set"] if d not in affected
-            ]
+            affected, untouched, only_files, carry = (
+                self._split_by_overlap(
+                    base["read_set"], stats_by_dir,
+                    _file_overlap_fn(key_col, nkeys, lohi),
+                )
+            )
+            if not self._carry_is_safe(
+                m0, base, affected, incoming_schema=df.schema
+            ):
+                only_files, carry = {}, {}  # whole-dir fallback
             keys_df = df.select(F.col(key_col).alias("__upsert_key"))
             n_updated = 0
             if affected:
                 stored = self._union_snapshot_dirs(
-                    name, m0, affected, base.get("schema")
+                    name, m0, affected, base.get("schema"),
+                    only_files=only_files,
                 )
                 n_updated = stored.join(
                     keys_df,
@@ -1138,6 +1364,10 @@ class TableStore:
 
             out["dirs_rewritten"] = len(affected)
             out["dirs_untouched"] = len(untouched)
+            out["files_rewritten"] = sum(
+                len(v) for v in only_files.values()
+            )
+            out["files_carried"] = sum(len(v) for v in carry.values())
             survivors = stored.join(
                 keys_df,
                 stored[key_col] == keys_df["__upsert_key"],
@@ -1147,25 +1377,26 @@ class TableStore:
                 df, allowMissingColumns=True
             )
             cluster_by = base.get("cluster_by") or None
+            partition_by = base.get("partition_by") or None
             if cluster_by:
-                # keep the base's file granularity: an unpinned range
-                # shuffle AQE-coalesces to one file (DESIGN.md #34) and
-                # a one-file dir has no pruning selectivity left
-                n_files = sum(
+                # keep the REWRITTEN portion's file granularity: an
+                # unpinned range shuffle AQE-coalesces to one file
+                # (DESIGN.md #34) and a one-file rewrite erodes pruning
+                # selectivity; carried files keep their own granularity
+                n_files = out["files_rewritten"] or sum(
                     len(stats_by_dir.get(d) or []) for d in affected
                 )
-                merged = (
-                    merged.repartitionByRange(n_files, *cluster_by)
-                    if n_files > 1
-                    else merged.repartitionByRange(*cluster_by)
-                ).sortWithinPartitions(*cluster_by)
-            partition_by = base.get("partition_by") or None
+                merged = _cluster_frame(
+                    merged, cluster_by, partition_by,
+                    n_files if n_files > 1 else None,
+                )
             sid = uuid.uuid4().hex[:16]
             data_dir = os.path.join(self._dir(name), f"snap_{sid}")
             w = merged.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(data_dir)
+            self._carry_clean_files(name, carry, data_dir)
             files = _collect_file_stats(data_dir)
             props.update(
                 {
@@ -1191,6 +1422,8 @@ class TableStore:
                     out["n_updated"] = 0
                     out["n_inserted"] = 0
                     out["dirs_rewritten"] = 0
+                    out["files_rewritten"] = 0
+                    out["files_carried"] = 0
                     return _ret()
                 m["snapshots"].append(
                     {

@@ -169,6 +169,8 @@ def apply_takedown(
             "snapshot": res["snapshot"],
             "dirs_rewritten": res["dirs_rewritten"],
             "dirs_untouched": res["dirs_untouched"],
+            "files_rewritten": res["files_rewritten"],
+            "files_carried": res["files_carried"],
         }
         if res["snapshot"]:
             rewritten.append(table)

@@ -48,5 +48,24 @@ def out_root(tmp_path):
     return str(tmp_path / "tables")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _unpin_spark_storage():
+    """Module-boundary storage hygiene for the shared session: several
+    operators persist frames for the duration of their computation
+    (dedup signature frames, maintenance-op payloads); any a test left
+    pinned would accumulate across the whole suite in one 8g local-mode
+    JVM. Cleared at module end — a module's own fixtures may legally
+    rely on caches within the module."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        try:
+            s.catalog.clearCache()
+        except Exception:  # session already stopped mid-teardown
+            pass
+
+
 def pytest_configure(config):
     os.environ.setdefault("SPARK_DRIVER_MEM", "8g")

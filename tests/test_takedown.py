@@ -75,7 +75,8 @@ class TestDeleteWhere:
         res = store3.delete_where("tab", "id", [5000])
         assert res == {
             "snapshot": None, "n_deleted": 0, "dirs_rewritten": 0,
-            "dirs_untouched": 3, "aborted": False,
+            "dirs_untouched": 3, "files_rewritten": 0,
+            "files_carried": 0, "aborted": False,
         }
         assert store3.current_snapshot("tab")["id"] == cur
         # in-range but nonexistent: dirs overlap, still no commit
