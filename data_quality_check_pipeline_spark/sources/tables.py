@@ -1450,6 +1450,18 @@ class TableStore:
     def exists(self, name: str) -> bool:
         return self._load_manifest(name)["current"] is not None
 
+    def list_tables(self) -> list[str]:
+        """Every table under this root (dirs holding a manifest.json)
+        — the iteration surface for store-wide maintenance (scheduled
+        snapshot expiry, audits)."""
+        out = []
+        for entry in sorted(os.listdir(self.root)):
+            if os.path.exists(
+                os.path.join(self.root, entry, "manifest.json")
+            ):
+                out.append(entry)
+        return out
+
     def snapshots(self, name: str) -> list[dict]:
         return self._load_manifest(name)["snapshots"]
 

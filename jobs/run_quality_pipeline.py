@@ -90,6 +90,26 @@ def main() -> None:
                          "-> selective min/max scan pruning, e.g. "
                          "clip_id for takedown lookups); omitted = keep "
                          "the table's recorded clustering")
+    ap.add_argument("--expire-snapshots", default=None,
+                    metavar="TABLE|all",
+                    help="version GC as a scheduled maintenance op: drop "
+                         "all but the newest --expire-keep snapshots of "
+                         "TABLE ('all' = every table under --out) and "
+                         "delete data files no survivor references; "
+                         "crash/replay idempotency memory is retained "
+                         "(expired_props). PHYSICAL erasure of COW-"
+                         "deleted rows happens here — takedown --hard "
+                         "runs the same pass inline")
+    ap.add_argument("--expire-keep", type=int, default=5,
+                    help="with --expire-snapshots: snapshots to retain "
+                         "per table (default 5, the reference's policy)")
+    ap.add_argument("--expire-grace", type=float, default=3600.0,
+                    metavar="SECONDS",
+                    help="with --expire-snapshots: leave unreferenced "
+                         "snap dirs younger than this alone (a "
+                         "concurrent writer's data lands before its "
+                         "manifest commit); 0 only with no concurrent "
+                         "writers")
     ap.add_argument("--requeue", action="store_true",
                     help="re-drive quarantined clips instead of a full run")
     ap.add_argument("--stream", action="store_true",
@@ -543,6 +563,7 @@ def main() -> None:
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
+            or args.expire_snapshots
             or args.changelog or args.takedown or args.correct
             or args.repack_tokens or args.export_dir
             or args.verify_export or args.release_check
@@ -575,6 +596,21 @@ def main() -> None:
                 f"compacted {args.compact} -> snap_{sid}" if sid
                 else f"{args.compact}: nothing to compact"
             )
+        if args.expire_snapshots:
+            tables = (
+                store.list_tables()
+                if args.expire_snapshots == "all"
+                else [args.expire_snapshots]
+            )
+            for t in tables:
+                expired = store.expire_snapshots(
+                    t, keep_last=args.expire_keep,
+                    orphan_grace_s=args.expire_grace,
+                )
+                print(
+                    f"expired {len(expired)} snapshot(s) of {t}"
+                    + (f": {', '.join(expired)}" if expired else "")
+                )
         if args.takedown:
             import json as _json
 

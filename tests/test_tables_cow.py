@@ -235,3 +235,12 @@ class TestChangelogInodeCancel:
         }
         assert got_ins == want_ins
         assert got_del == want_del
+
+
+def test_list_tables(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "r"))
+    df = spark.createDataFrame([("x", 1)], "clip_id string, v long")
+    s.write("bravo", df)
+    s.write("alpha", df)
+    (tmp_path / "r" / "not_a_table").mkdir()
+    assert s.list_tables() == ["alpha", "bravo"]
