@@ -85,7 +85,10 @@ def _collect_file_stats(data_dir: str) -> list[dict]:
     equivalent of Iceberg writers reporting stats into manifests).
     Hive-style partition path segments contribute exact min==max stats
     for the partition columns. A column missing stats in ANY row group
-    of a file gets no entry for that file (conservative)."""
+    of a file gets no entry for that file (conservative). Each entry
+    also records the file's exact ``rows`` (footer num_rows) — the
+    Iceberg-manifest row count that lets ``row_count`` answer COUNT(*)
+    without touching data."""
     import pyarrow.parquet as pq
 
     out: list[dict] = []
@@ -97,8 +100,10 @@ def _collect_file_stats(data_dir: str) -> list[dict]:
             rel = os.path.relpath(path, data_dir)
             stats: dict = {}
             bad: set = set()
+            rows = None
             try:
                 md = pq.ParquetFile(path).metadata
+                rows = md.num_rows
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
                     for ci in range(g.num_columns):
@@ -130,7 +135,10 @@ def _collect_file_stats(data_dir: str) -> list[dict]:
                     if raw != "__HIVE_DEFAULT_PARTITION__":
                         v = _partition_value(raw)
                         stats[k] = [v, v]
-            out.append({"path": rel, "stats": stats})
+            entry = {"path": rel, "stats": stats}
+            if rows is not None:
+                entry["rows"] = rows
+            out.append(entry)
     return out
 
 
@@ -378,6 +386,35 @@ class TableStore:
                 return s
         raise KeyError(f"unknown snapshot {snapshot_id}")
 
+    def _resolve(
+        self,
+        m: dict,
+        snapshot_id: str | None,
+        tag: str | None,
+        as_of_ts: float | None,
+    ) -> dict | None:
+        """Resolve a snapshot reference: explicit id > tag > newest
+        snapshot committed at or before ``as_of_ts`` (Iceberg
+        timestamp time travel) > current."""
+        if snapshot_id is not None:
+            return self._snapshot(m, snapshot_id)
+        if tag is not None:
+            sid = m.get("tags", {}).get(tag)
+            if sid is None:
+                raise KeyError(
+                    f"unknown tag {tag!r} (have: "
+                    f"{sorted(m.get('tags', {}))})"
+                )
+            return self._snapshot(m, sid)
+        if as_of_ts is not None:
+            past = [s for s in m["snapshots"] if s["ts"] <= as_of_ts]
+            if not past:
+                raise KeyError(
+                    f"no snapshot committed at or before {as_of_ts}"
+                )
+            return max(past, key=lambda s: s["ts"])
+        return self._snapshot(m, None)
+
     # -- public API ----------------------------------------------------------
 
     def write(
@@ -465,8 +502,13 @@ class TableStore:
         snapshot_id: str | None = None,
         prune: list | None = None,
         scan_stats: dict | None = None,
+        as_of_ts: float | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Read the current (or a time-travel) snapshot.
+        """Read the current (or a time-travel) snapshot. Time travel by
+        explicit ``snapshot_id``, by release ``tag``, or by
+        ``as_of_ts`` (newest snapshot committed at or before the epoch
+        timestamp — Iceberg ``TIMESTAMP AS OF``).
 
         ``prune``: optional list of simple predicates
         ``(col, op, value)`` with op in {'=', '<', '<=', '>', '>=',
@@ -485,7 +527,7 @@ class TableStore:
         because their manifest entry predates file stats) for
         observability and tests."""
         m = self._load_manifest(name)
-        snap = self._snapshot(m, snapshot_id)
+        snap = self._resolve(m, snapshot_id, tag, as_of_ts)
         if snap is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
         return self._union_snapshot_dirs(
@@ -1447,6 +1489,79 @@ class TableStore:
         finally:
             df.unpersist()
 
+    def row_count(
+        self,
+        name: str,
+        snapshot_id: str | None = None,
+        tag: str | None = None,
+        as_of_ts: float | None = None,
+    ) -> int:
+        """COUNT(*) of a snapshot view from manifest metadata — each
+        file's footer num_rows was recorded at write time, so the
+        common case touches no data at all (the Iceberg
+        manifest-count). Dirs predating row stats (or with unreadable
+        footers) fall back to a Spark count over JUST those dirs."""
+        m = self._load_manifest(name)
+        snap = self._resolve(m, snapshot_id, tag, as_of_ts)
+        if snap is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        stats_by_dir = {
+            f"snap_{s['id']}": s.get("files") for s in m["snapshots"]
+        }
+        total = 0
+        unknown: list[str] = []
+        for d in snap["read_set"]:
+            finfo = stats_by_dir.get(d)
+            if finfo is None or any("rows" not in f for f in finfo):
+                if os.path.isdir(os.path.join(self._dir(name), d)):
+                    unknown.append(d)
+                continue
+            total += sum(f["rows"] for f in finfo)
+        if unknown:
+            total += self._union_snapshot_dirs(
+                name, m, unknown, snap.get("schema")
+            ).count()
+        return total
+
+    def tag(
+        self, name: str, tag_name: str, snapshot_id: str | None = None
+    ) -> str:
+        """Pin a release tag to a snapshot (default: current) — the
+        Iceberg tag/ref analogue. Tagged snapshots survive
+        ``expire_snapshots`` (that is the point: a shipped release
+        stays re-exportable bit-for-bit until its tag is dropped).
+        Re-tagging the same snapshot is a no-op; moving an existing
+        tag raises — drop it first (tags name immutable releases)."""
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            snap = self._snapshot(m, snapshot_id)
+            if snap is None:
+                raise FileNotFoundError(
+                    f"table {name} has no snapshots"
+                )
+            tags = m.setdefault("tags", {})
+            have = tags.get(tag_name)
+            if have is not None and have != snap["id"]:
+                raise ValueError(
+                    f"tag {tag_name!r} already names snapshot {have} "
+                    f"(wanted {snap['id']}) — untag first; tags name "
+                    "immutable releases"
+                )
+            tags[tag_name] = snap["id"]
+            self._save_manifest(name, m)
+            return snap["id"]
+
+    def untag(self, name: str, tag_name: str) -> None:
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if tag_name not in m.get("tags", {}):
+                raise KeyError(f"unknown tag {tag_name!r}")
+            del m["tags"][tag_name]
+            self._save_manifest(name, m)
+
+    def tags(self, name: str) -> dict:
+        return dict(self._load_manifest(name).get("tags", {}))
+
     def exists(self, name: str) -> bool:
         return self._load_manifest(name)["current"] is not None
 
@@ -1519,10 +1634,17 @@ class TableStore:
         if len(snaps) <= keep_last:
             return []
         keep = snaps[-keep_last:]
-        if m["current"] is not None and not any(
-            s["id"] == m["current"] for s in keep
-        ):
-            keep = [self._snapshot(m, m["current"])] + keep
+        # pinned refs: 'current' after a rollback, and every TAGGED
+        # release — a shipped release must stay re-exportable until
+        # its tag is deliberately dropped
+        pinned = set(m.get("tags", {}).values())
+        if m["current"] is not None:
+            pinned.add(m["current"])
+        keep = sorted(
+            [s for s in snaps if s["id"] in pinned and s not in keep]
+            + keep,
+            key=lambda s: s["ts"],
+        )  # chronological: later expires trust append order
         live_dirs = {d for s in keep for d in s["read_set"]}
         expired = [s["id"] for s in snaps if s not in keep]
         # retain pruned snapshots' {id, properties}: the crash/replay

@@ -78,6 +78,17 @@ def main() -> None:
                     help="list clips_clean snapshots and exit")
     ap.add_argument("--rollback", default=None, metavar="SNAPSHOT_ID",
                     help="roll clips_clean back to a snapshot and exit")
+    ap.add_argument("--tag", default=None, metavar="NAME",
+                    help="pin a release tag on clips_clean (current "
+                         "snapshot, or --tag-snapshot SID) and exit; "
+                         "tagged snapshots survive --expire-snapshots "
+                         "and --export-snapshot accepts the tag name")
+    ap.add_argument("--tag-snapshot", default=None, metavar="SID",
+                    help="with --tag: tag this snapshot instead of "
+                         "the current one")
+    ap.add_argument("--untag", default=None, metavar="NAME",
+                    help="drop a clips_clean release tag and exit "
+                         "(the snapshot becomes expirable again)")
     ap.add_argument("--compact", default=None, metavar="TABLE",
                     help="rewrite TABLE's current view as one snapshot "
                          "dir (small-file compaction for append-heavy "
@@ -563,7 +574,7 @@ def main() -> None:
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
-            or args.expire_snapshots
+            or args.expire_snapshots or args.tag or args.untag
             or args.changelog or args.takedown or args.correct
             or args.repack_tokens or args.export_dir
             or args.verify_export or args.release_check
@@ -577,14 +588,26 @@ def main() -> None:
         spark = get_spark(app_name="clip-quality-admin", cores=args.cores)
         store = TableStore(spark, args.out)
         if args.list_versions:
+            tags_by_sid = {}
+            for t, sid in store.tags("clips_clean").items():
+                tags_by_sid.setdefault(sid, []).append(t)
             for s in store.snapshots("clips_clean"):
+                tagged = tags_by_sid.get(s["id"])
                 print(
                     f"{s['id']}  mode={s['mode']}  "
                     f"run={s['properties'].get('run_id')}"
+                    + (f"  tags={','.join(sorted(tagged))}"
+                       if tagged else "")
                 )
         if args.rollback:
             store.rollback("clips_clean", args.rollback)
             print(f"rolled back clips_clean to {args.rollback}")
+        if args.tag:
+            sid = store.tag("clips_clean", args.tag, args.tag_snapshot)
+            print(f"tagged clips_clean snap_{sid} as {args.tag!r}")
+        if args.untag:
+            store.untag("clips_clean", args.untag)
+            print(f"dropped tag {args.untag!r}")
         if args.compact:
             cluster = (
                 [c.strip() for c in args.compact_cluster_by.split(",")
@@ -673,8 +696,14 @@ def main() -> None:
             from pyspark.sql import functions as F
 
             try:
+                export_sid = args.export_snapshot
+                if export_sid is not None:
+                    # a release tag resolves to its pinned snapshot
+                    export_sid = store.tags("clips_clean").get(
+                        export_sid, export_sid
+                    )
                 export_sid = (
-                    args.export_snapshot
+                    export_sid
                     or store.current_snapshot("clips_clean")["id"]
                 )
                 clean = store.read(

@@ -244,3 +244,70 @@ def test_list_tables(spark, tmp_path):
     s.write("alpha", df)
     (tmp_path / "r" / "not_a_table").mkdir()
     assert s.list_tables() == ["alpha", "bravo"]
+
+
+class TestReleaseManagement:
+    """row_count from manifest metadata, timestamp time travel, and
+    release tags (survive expiry; --export-snapshot accepts them)."""
+
+    def test_row_count_metadata_only_and_fallback(self, spark, store):
+        assert store.row_count("t") == 800
+        store.delete_where("t", "clip_id", ["clip_0010", "clip_0011"])
+        assert store.row_count("t") == 798
+        assert store.row_count("t") == store.read("t").count()
+        # legacy manifest without per-file rows: Spark-count fallback
+        import json
+
+        with open(store._manifest_path("t")) as f:
+            m = json.load(f)
+        for snap in m["snapshots"]:
+            for fent in snap.get("files") or []:
+                fent.pop("rows", None)
+        store._save_manifest("t", m)
+        assert store.row_count("t") == 798
+
+    def test_as_of_timestamp(self, spark, store):
+        v1 = store.current_snapshot("t")
+        inc = spark.createDataFrame(
+            [("clip_0010", 100)], "clip_id string, v long"
+        )
+        store.upsert("t", inc, "clip_id")
+        v2 = store.current_snapshot("t")
+        mid = (v1["ts"] + v2["ts"]) / 2.0
+        old = store.read("t", as_of_ts=mid)
+        assert old.filter("clip_id = 'clip_0010'").first()["v"] == 3
+        new = store.read("t", as_of_ts=v2["ts"])
+        assert new.filter("clip_id = 'clip_0010'").first()["v"] == 100
+        with pytest.raises(KeyError, match="at or before"):
+            store.read("t", as_of_ts=v1["ts"] - 1)
+
+    def test_tag_survives_expiry_until_dropped(self, spark, store):
+        rel_sid = store.tag("t", "rel-1")
+        assert store.tags("t") == {"rel-1": rel_sid}
+        # immutable: moving the tag must raise, re-tagging is a no-op
+        assert store.tag("t", "rel-1") == rel_sid
+        for i in range(6):
+            store.write(
+                "t",
+                spark.createDataFrame(
+                    [(f"extra_{i}", 0)], "clip_id string, v long"
+                ),
+                mode="append",
+            )
+        with pytest.raises(ValueError, match="untag first"):
+            store.tag("t", "rel-1", store.current_snapshot("t")["id"])
+        expired = store.expire_snapshots(
+            "t", keep_last=2, orphan_grace_s=0
+        )
+        assert rel_sid not in expired
+        # the tagged release is still fully readable
+        assert store.row_count("t", tag="rel-1") == 800
+        assert store.read("t", tag="rel-1").count() == 800
+        # drop the tag -> next expiry reclaims it
+        store.untag("t", "rel-1")
+        expired = store.expire_snapshots(
+            "t", keep_last=2, orphan_grace_s=0
+        )
+        assert rel_sid in expired
+        with pytest.raises(KeyError, match="unknown tag"):
+            store.read("t", tag="rel-1")
