@@ -407,10 +407,29 @@ class TableStore:
                 )
             return self._snapshot(m, sid)
         if as_of_ts is not None:
-            past = [s for s in m["snapshots"] if s["ts"] <= as_of_ts]
+            # candidates come from the CURRENT snapshot's ancestry
+            # only (Iceberg TIMESTAMP AS OF follows the live branch):
+            # after a rollback, the discarded branch's snapshots are
+            # still in the manifest with later timestamps, and a raw
+            # max-by-ts would resurrect exactly the rows the rollback
+            # threw away. An expired parent ends the walk — older
+            # history is then honestly unreachable by timestamp.
+            ancestry = []
+            s = self._snapshot(m, None)
+            while s is not None:
+                ancestry.append(s)
+                try:
+                    s = (
+                        self._snapshot(m, s["parent"])
+                        if s.get("parent") else None
+                    )
+                except KeyError:
+                    s = None
+            past = [s for s in ancestry if s["ts"] <= as_of_ts]
             if not past:
                 raise KeyError(
-                    f"no snapshot committed at or before {as_of_ts}"
+                    f"no snapshot in the current history committed at "
+                    f"or before {as_of_ts}"
                 )
             return max(past, key=lambda s: s["ts"])
         return self._snapshot(m, None)
@@ -1039,8 +1058,9 @@ class TableStore:
                 continue
             affected.append(d)
             only_files[d] = hot
+            hot_set = set(hot)
             carry[d] = [
-                f["path"] for f in finfo if f["path"] not in set(hot)
+                f["path"] for f in finfo if f["path"] not in hot_set
             ]
         return affected, untouched, only_files, carry
 
@@ -1633,7 +1653,9 @@ class TableStore:
         snaps = m["snapshots"]
         if len(snaps) <= keep_last:
             return []
-        keep = snaps[-keep_last:]
+        # snaps[-0:] would be the WHOLE list (Python slice), turning
+        # keep_last=0 ("keep only pinned refs") into a silent no-op
+        keep = snaps[-keep_last:] if keep_last > 0 else []
         # pinned refs: 'current' after a rollback, and every TAGGED
         # release — a shipped release must stay re-exportable until
         # its tag is deliberately dropped

@@ -133,6 +133,28 @@ def apply_takedown(
         raise FileNotFoundError(
             f"takedown: no {CLEAN_TABLE} table under {out_root}"
         )
+    if hard and mode == "purge":
+        # fail FAST, before anything commits: release tags pin their
+        # snapshots through expire_snapshots (their contract), which
+        # here would leave the purged rows' bytes on disk — readable
+        # via read(tag=...) — while hard_expired reports success. And
+        # the check cannot run later: the quarantine marker is the
+        # idempotency anchor, so a post-marker refusal would make the
+        # untag-and-re-run a skipped no-op. GDPR erasure must win or
+        # fail loudly; a shipped release containing the purged clips
+        # is itself a compliance finding — untag it and re-run.
+        tagged = {
+            t: sorted(store.tags(t))
+            for t in (CLEAN_TABLE, CONTENT_HASH_TABLE,
+                      AUDIO_FP_TABLE, NEARDUP_SIG_TABLE)
+            if store.tags(t)
+        }
+        if tagged:
+            raise ValueError(
+                "takedown --hard: release tags pin snapshots that "
+                f"would keep the purged rows' bytes on disk: {tagged}"
+                " — untag those releases and re-run"
+            )
     clean = store.read(CLEAN_TABLE)
     # capture the targets BEFORE the delete rewrites them away: the
     # content hashes drive the history purge/block, and null-transcript

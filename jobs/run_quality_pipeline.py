@@ -702,10 +702,14 @@ def main() -> None:
                     export_sid = store.tags("clips_clean").get(
                         export_sid, export_sid
                     )
-                export_sid = (
-                    export_sid
-                    or store.current_snapshot("clips_clean")["id"]
-                )
+                if export_sid is None:
+                    cur = store.current_snapshot("clips_clean")
+                    if cur is None:
+                        raise FileNotFoundError(
+                            "clips_clean has no snapshots under "
+                            f"{args.out} (run the pipeline first)"
+                        )
+                    export_sid = cur["id"]
                 clean = store.read(
                     "clips_clean", snapshot_id=export_sid
                 )

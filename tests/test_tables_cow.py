@@ -311,3 +311,88 @@ class TestReleaseManagement:
         assert rel_sid in expired
         with pytest.raises(KeyError, match="unknown tag"):
             store.read("t", tag="rel-1")
+
+
+class TestReviewFindings:
+    """Round-4 code-review fixes: as-of follows the live branch after
+    a rollback, keep_last=0 is not a slice no-op, and hard takedown
+    refuses while tags pin the purged bytes."""
+
+    def test_as_of_ignores_rolled_back_branch(self, spark, store):
+        v1 = store.current_snapshot("t")["id"]
+        store.upsert(
+            "t",
+            spark.createDataFrame(
+                [("clip_0010", 666)], "clip_id string, v long"
+            ),
+            "clip_id",
+        )
+        store.rollback("t", v1)  # discard the bad correction
+        now = store.current_snapshot("t")["ts"] + 1e6
+        got = store.read("t", as_of_ts=now)
+        # a raw max-by-ts would resurrect the discarded 666 row
+        assert got.filter("clip_id = 'clip_0010'").first()["v"] == 3
+        assert store.row_count("t", as_of_ts=now) == 800
+
+    def test_expire_keep_last_zero_keeps_only_pinned(
+        self, spark, store
+    ):
+        for i in range(3):
+            store.write(
+                "t",
+                spark.createDataFrame(
+                    [(f"x{i}", 0)], "clip_id string, v long"
+                ),
+                mode="append",
+            )
+        expired = store.expire_snapshots(
+            "t", keep_last=0, orphan_grace_s=0
+        )
+        assert len(expired) == 3  # all but current (pinned)
+        assert [s["id"] for s in store.snapshots("t")] == [
+            store.current_snapshot("t")["id"]
+        ]
+        assert store.read("t").count() == 803  # data intact
+
+    def test_hard_takedown_refuses_while_tagged(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_quality_check_pipeline_spark.pipeline import (
+            CLEAN_TABLE,
+            RunConfig,
+            run_pipeline,
+        )
+        from data_quality_check_pipeline_spark.synth import (
+            generate_clips,
+        )
+        from data_quality_check_pipeline_spark.takedown import (
+            apply_takedown,
+        )
+
+        df, _ = generate_clips(300)
+        src = str(tmp_path / "clips.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), src
+        )
+        root = str(tmp_path / "t")
+        run_pipeline(spark, src, RunConfig(out_root=root, run_id="r1",
+                                           module_reports=False))
+        store = TableStore(spark, root)
+        store.tag(CLEAN_TABLE, "rel-1")
+        victim = store.read(CLEAN_TABLE).select("clip_id").first()[0]
+        with pytest.raises(ValueError, match="untag those releases"):
+            apply_takedown(spark, root, [victim], mode="purge",
+                           takedown_id="td1", hard=True)
+        # nothing committed: the row is still present, and the same
+        # takedown id is NOT burned (fail-fast preceded the marker)
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id") == victim
+        ).count() == 1
+        store.untag(CLEAN_TABLE, "rel-1")
+        rep = apply_takedown(spark, root, [victim], mode="purge",
+                             takedown_id="td1", hard=True,
+                             orphan_grace_s=0)
+        assert not rep["skipped_already_applied"]
+        assert rep["tables"][CLEAN_TABLE]["n_deleted"] == 1
+        assert "hard_expired" in rep
