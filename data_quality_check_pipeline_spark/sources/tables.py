@@ -1769,3 +1769,68 @@ class IcebergStore:
             f"CALL {cat}.system.expire_snapshots"
             f"(table => '{self.prefix}.{name}', retain_last => {keep_last})"
         )
+
+    # --- surface parity with TableStore's maintenance ops ------------
+    # Thin SQL mappings onto Iceberg's native features (MERGE INTO,
+    # DELETE, rewrite_data_files, refs, TIMESTAMP AS OF). Not
+    # exercisable in this sandbox (no iceberg runtime jar); kept in
+    # lockstep with TableStore so a cluster deployment swaps stores
+    # without touching callers. Iceberg does file-level COW, manifest
+    # row counts and tag-aware retention natively — the TableStore
+    # implementations mirror ITS semantics, not the reverse.
+
+    def upsert(self, name, df, key_col):
+        full = f"{self.prefix}.{name}"
+        df.createOrReplaceTempView("_upsert_src")
+        self.spark.sql(
+            f"MERGE INTO {full} t USING _upsert_src s "
+            f"ON t.{key_col} = s.{key_col} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def delete_where(self, name, key_col, keys):
+        def q(k):
+            if isinstance(k, str):
+                return "'" + k.replace("'", "''") + "'"
+            return str(k)
+
+        self.spark.sql(
+            f"DELETE FROM {self.prefix}.{name} "
+            f"WHERE {key_col} IN ({', '.join(q(k) for k in keys)})"
+        )
+
+    def compact(self, name, target_files=None, cluster_by=None):
+        cat = self.prefix.split(".")[0]
+        opts = ""
+        if cluster_by:
+            cols = ", ".join(f"'{c}'" for c in cluster_by)
+            opts = f", strategy => 'sort', sort_order => '{cols}'"
+        self.spark.sql(
+            f"CALL {cat}.system.rewrite_data_files"
+            f"(table => '{self.prefix}.{name}'{opts})"
+        )
+
+    def tag(self, name, tag_name, snapshot_id=None):
+        full = f"{self.prefix}.{name}"
+        at = (
+            f" AS OF VERSION {snapshot_id}" if snapshot_id else ""
+        )
+        self.spark.sql(
+            f"ALTER TABLE {full} CREATE TAG `{tag_name}`{at}"
+        )
+
+    def untag(self, name, tag_name):
+        self.spark.sql(
+            f"ALTER TABLE {self.prefix}.{name} DROP TAG `{tag_name}`"
+        )
+
+    def read_as_of(self, name, as_of_ts):
+        return self.spark.read.option(
+            "as-of-timestamp", str(int(as_of_ts * 1000))
+        ).table(f"{self.prefix}.{name}")
+
+    def row_count(self, name):
+        return self.spark.sql(
+            f"SELECT count(*) FROM {self.prefix}.{name}"
+        ).collect()[0][0]  # Iceberg answers from manifests
