@@ -1091,6 +1091,27 @@ class TableStore:
                     return False
         return True
 
+    def _hint_unclustered(
+        self, name: str, key_col: str, out: dict
+    ) -> None:
+        """One log line when a COW rewrite degenerated to the whole
+        table: every dir was affected and nothing could carry. On the
+        hash-sharded ingest layout that is EXPECTED until the table is
+        cluster-compacted — tell the operator the lever exists instead
+        of letting 'correction took an hour' get debugged from zero."""
+        if (
+            out.get("dirs_untouched") == 0
+            and out.get("files_carried") == 0
+            and out.get("dirs_rewritten", 0) > 0
+        ):
+            _log.warning(
+                "%s: copy-on-write rewrite touched every file (no "
+                "carry-forward possible) — the layout is not %s-"
+                "clustered; compact(%r, cluster_by=[%r]) bounds future "
+                "corrections/takedowns to the overlapping files",
+                name, key_col, name, key_col,
+            )
+
     def _carry_clean_files(
         self, name: str, carry: dict, data_dir: str
     ) -> None:
@@ -1259,6 +1280,7 @@ class TableStore:
             m["current"] = sid
             self._save_manifest(name, m)
         out["snapshot"] = sid
+        self._hint_unclustered(name, key_col, out)
         if stats_out is not None:
             stats_out.update(out)
         return out
@@ -1505,6 +1527,7 @@ class TableStore:
                 m["current"] = sid
                 self._save_manifest(name, m)
             out["snapshot"] = sid
+            self._hint_unclustered(name, key_col, out)
             return _ret()
         finally:
             df.unpersist()
