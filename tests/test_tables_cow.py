@@ -396,3 +396,25 @@ class TestReviewFindings:
         assert not rep["skipped_already_applied"]
         assert rep["tables"][CLEAN_TABLE]["n_deleted"] == 1
         assert "hard_expired" in rep
+
+
+def test_only_files_composes_with_prune(spark, store):
+    """White-box: _union_snapshot_dirs applies min/max pruning WITHIN
+    an explicit only_files subset (no caller combines them today, but
+    the contract must hold for future COW reads with predicates)."""
+    m = store._load_manifest("t")
+    snap = store.current_snapshot("t")
+    d = snap["read_set"][0]
+    finfo = {
+        f"snap_{s['id']}": s.get("files") for s in m["snapshots"]
+    }[d]
+    allow = [f["path"] for f in finfo]  # all 8 files explicitly
+    scan = {}
+    df = store._union_snapshot_dirs(
+        "t", m, [d], snap["schema"],
+        prune=[("clip_id", "=", "clip_0700")],
+        scan_stats=scan, only_files={d: allow},
+    )
+    assert df.filter("clip_id = 'clip_0700'").count() == 1
+    assert scan["files_kept"] + scan["files_skipped"] == len(allow)
+    assert scan["files_skipped"] >= 6  # point query prunes the subset
