@@ -270,6 +270,17 @@ Reproduce: `python tools/bench_scaling.py --n-clips {args.n_clips} \\
         return
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+    # the full-file rewrite above just dropped the executor-scaling
+    # section bench_scaling_submit.py maintains; re-render it from the
+    # recorded pairs so the two tools compose instead of clobbering
+    sj = os.path.join(REPO, "BENCH", "submit_scaling.json")
+    if os.path.exists(sj):
+        from tools.bench_scaling_submit import (
+            _rewrite_baseline_section,
+        )
+
+        with open(sj) as f:
+            _rewrite_baseline_section(json.load(f))
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
 
