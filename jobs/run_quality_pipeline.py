@@ -909,7 +909,10 @@ def main() -> None:
                 if args.changelog_cdc:
                     from pyspark.sql import functions as F
 
-                    delta = store.read_changelog(table, since)
+                    cdc_scan: dict = {}
+                    delta = store.read_changelog(
+                        table, since, scan_stats=cdc_scan
+                    )
                     by_kind = {
                         r["_change_type"]: r["n"]
                         for r in delta.groupBy("_change_type")
@@ -919,7 +922,11 @@ def main() -> None:
                     print(
                         f"{table}: net changes since {since}: "
                         f"{by_kind.get('insert', 0)} insert(s), "
-                        f"{by_kind.get('delete', 0)} delete(s)"
+                        f"{by_kind.get('delete', 0)} delete(s) "
+                        f"(diffed {cdc_scan.get('files_diffed', 0)} "
+                        "files; "
+                        f"{cdc_scan.get('files_cancelled', 0)} "
+                        "carried files cancelled by inode identity)"
                     )
                 else:
                     delta = store.read_incremental(table, since)
