@@ -34,6 +34,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import blooms as _blooms
+
 _log = logging.getLogger("clip_quality.tables")
 
 
@@ -267,26 +269,49 @@ def _schema_key(schema_json: str | None):
         return None
 
 
-def _file_overlap_fn(key_col: str, nkeys, lohi):
+def _file_overlap_fn(key_col: str, nkeys, lohi, keys=None, bloom_get=None):
     """Per-FILE key-overlap predicate from footer stats: ``nkeys`` a
     sorted normalized key list (precise) or ``lohi`` a (min, max) range
-    (degraded). Conservative: a file without usable stats overlaps."""
+    (degraded). Conservative: a file without usable stats overlaps.
+
+    ``keys`` (the ORIGINAL key values) + ``bloom_get`` (a
+    ``(dir, rel) -> bloom entry | None`` lookup) refine a range-overlap
+    hit with the per-file membership bloom: on an unclustered layout
+    every [min, max] spans the key domain and range pruning keeps
+    everything, but the bloom still PROVES most files hold none of a
+    small takedown/correction batch's keys (see sources/blooms.py).
+    Bloom misses only ever ADD files (false positives), never drop
+    one that matters."""
     from bisect import bisect_left
 
-    def fn(finfo_entry) -> bool:
+    from . import blooms as _bl
+
+    tester = (
+        _bl.BloomTester(keys)
+        if keys is not None and bloom_get is not None
+        else None
+    )
+
+    def fn(d: str, finfo_entry) -> bool:
         s = (finfo_entry.get("stats") or {}).get(key_col)
-        if not s:
+        range_hit = True
+        if s:
+            flo, fhi = s
+            try:
+                if nkeys is not None:
+                    i = bisect_left(nkeys, flo)
+                    range_hit = i < len(nkeys) and nkeys[i] <= fhi
+                elif lohi is not None:
+                    range_hit = fhi >= lohi[0] and flo <= lohi[1]
+            except TypeError:
+                range_hit = True  # incomparable types: conservative
+        if not range_hit:
+            return False
+        if tester is None:
             return True
-        flo, fhi = s
-        try:
-            if nkeys is not None:
-                i = bisect_left(nkeys, flo)
-                return i < len(nkeys) and nkeys[i] <= fhi
-            if lohi is not None:
-                return fhi >= lohi[0] and flo <= lohi[1]
-        except TypeError:
-            return True  # incomparable types: conservative
-        return True  # no pruning info at all
+        return tester.any_maybe_present(
+            bloom_get(d, finfo_entry.get("path"))
+        )
 
     return fn
 
@@ -445,8 +470,21 @@ class TableStore:
         properties: dict | None = None,
         cluster_by: list[str] | None = None,
         target_files: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> str:
         """Write df as a new snapshot; returns the snapshot id.
+
+        ``bloom_cols``: record a per-file key-membership bloom sidecar
+        for these columns (see sources/blooms.py) — the point-lookup
+        complement to ``cluster_by``: clustering makes min/max stats
+        selective for RANGE queries, blooms bound point-id maintenance
+        (takedown/correction COW, ``read(prune=[('id','in',...)])``)
+        on ANY layout, including the hash-sharded ingest layout where
+        every file's range spans the id domain. Appends inherit the
+        spec from the parent snapshot (so pipeline shard appends keep
+        blooms without threading the flag); an overwrite resets it
+        unless passed, mirroring cluster_by. Cost: one extra
+        distributed scan of the key column over the new files.
 
         The (long) parquet write happens OUTSIDE the table lock into a
         uuid-unique dir — concurrent writers never collide on data
@@ -484,6 +522,14 @@ class TableStore:
         schema_json = df.schema.json()
         files = _collect_file_stats(data_dir)
         has_data = bool(files)
+        if bloom_cols is None and mode == "append":
+            # sticky spec: appends inherit blooms from the parent (read
+            # pre-lock — the spec changes rarely and a miss only costs
+            # selectivity, never correctness)
+            m_pre = self._load_manifest(name)
+            if m_pre["current"] is not None:
+                bloom_cols = self._snapshot(m_pre, None).get("bloom_cols")
+        self._write_bloom_sidecar(name, data_dir, files, bloom_cols)
 
         with self._table_lock(name):
             m = self._load_manifest(name)
@@ -501,6 +547,7 @@ class TableStore:
                     "read_set": read_set,
                     "partition_by": partition_by or [],
                     "cluster_by": cluster_by or [],
+                    "bloom_cols": bloom_cols or [],
                     "properties": properties or {},
                     "schema": schema_json,
                     "has_data": has_data,
@@ -598,6 +645,37 @@ class TableStore:
         stats_by_dir = {
             f"snap_{s['id']}": s.get("files") for s in m["snapshots"]
         }
+        # equality/membership predicates additionally consult each
+        # dir's bloom sidecar (point lookups on unclustered layouts —
+        # see sources/blooms.py); range predicates stay min/max-only
+        bloom_preds: list[tuple] = []
+        for col, op, val in prune or []:
+            if op == "=":
+                bloom_preds.append((col, _blooms.BloomTester([val])))
+            elif op == "in":
+                if isinstance(val, (str, bytes)):
+                    vals = [val]
+                else:
+                    try:
+                        vals = list(val)
+                    except TypeError:
+                        vals = [val]
+                bloom_preds.append((col, _blooms.BloomTester(vals)))
+
+        def _bloom_filter(d: str, kept: list[str]) -> list[str]:
+            if not bloom_preds or not kept:
+                return kept
+            sc = _blooms.load_sidecar(d)
+            if not sc:
+                return kept
+            return [
+                p for p in kept
+                if all(
+                    t.any_maybe_present((sc.get(c) or {}).get(p))
+                    for c, t in bloom_preds
+                )
+            ]
+
         parts: list[DataFrame] = []
         for d in dirs:
             finfo = stats_by_dir.get(os.path.basename(d))
@@ -612,6 +690,7 @@ class TableStore:
                         if p not in fstats
                         or _file_may_match(fstats[p], prune)
                     ]
+                kept = _bloom_filter(d, kept)
                 if scan_stats is not None:
                     scan_stats["files_kept"] += len(kept)
                     scan_stats["files_skipped"] += len(allow) - len(kept)
@@ -623,10 +702,10 @@ class TableStore:
                     )
                 )
             elif prune and finfo is not None:
-                kept = [
+                kept = _bloom_filter(d, [
                     f["path"] for f in finfo
                     if _file_may_match(f["stats"], prune)
-                ]
+                ])
                 if scan_stats is not None:
                     scan_stats["files_kept"] += len(kept)
                     scan_stats["files_skipped"] += len(finfo) - len(kept)
@@ -914,6 +993,7 @@ class TableStore:
         target_files: int | None = None,
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> str | None:
         """Rewrite the CURRENT view as one fresh snapshot dir (the
         Iceberg ``rewrite_data_files`` analogue). An append-heavy table
@@ -954,10 +1034,14 @@ class TableStore:
         base = self._snapshot(m0, None)
         if base is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
-        if len(base["read_set"]) <= 1 and cluster_by is None:
+        if (
+            len(base["read_set"]) <= 1
+            and cluster_by is None
+            and bloom_cols is None
+        ):
             # single dir + no EXPLICIT re-layout request: nothing to do.
-            # An explicit cluster_by still rewrites (sort-order change on
-            # an already-compacted table).
+            # An explicit cluster_by (sort-order change) or bloom_cols
+            # (add/drop bloom sidecars) still rewrites.
             return None
         df = self.read(name, base["id"])
         if cluster_by is None:
@@ -990,6 +1074,13 @@ class TableStore:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
         files = _collect_file_stats(data_dir)
+        if bloom_cols is None:
+            # sticky like cluster_by: a compaction keeps the table's
+            # bloom spec; pass bloom_cols=[...] to ADD blooms during the
+            # maintenance-layout compact (and [] to drop them)
+            bloom_cols = base.get("bloom_cols") or None
+        bloom_cols = bloom_cols or None
+        self._write_bloom_sidecar(name, data_dir, files, bloom_cols)
         # absorbed_read_set: the dirs this compaction rewrote. Lives in
         # PROPERTIES (not just the manifest entry) because expire keeps
         # property records after dropping entries — the crash/replay
@@ -1024,6 +1115,7 @@ class TableStore:
                     "read_set": [f"snap_{sid}"],
                     "partition_by": partition_by or [],
                     "cluster_by": cluster_by or [],
+                    "bloom_cols": bloom_cols or [],
                     "properties": props,
                     "schema": df.schema.json(),
                     "has_data": bool(files),
@@ -1052,7 +1144,7 @@ class TableStore:
             if finfo is None:
                 affected.append(d)  # legacy: no stats, rewrite whole
                 continue
-            hot = [f["path"] for f in finfo if overlap_fn(f)]
+            hot = [f["path"] for f in finfo if overlap_fn(d, f)]
             if not hot:
                 untouched.append(d)
                 continue
@@ -1125,6 +1217,176 @@ class TableStore:
                 _link_or_copy(
                     os.path.join(src, rel), os.path.join(data_dir, rel)
                 )
+
+    # -- bloom sidecars (see sources/blooms.py) ------------------------------
+
+    def _bloom_lookup(self, name: str, key_col: str):
+        """Lazy per-operation ``(dir_basename, rel) -> bloom entry``
+        lookup; each dir's sidecar is loaded at most once."""
+        cache: dict[str, dict] = {}
+
+        def get(d: str, rel: str | None):
+            if rel is None:
+                return None
+            sc = cache.get(d)
+            if sc is None:
+                sc = _blooms.load_sidecar(
+                    os.path.join(self._dir(name), d)
+                ) or {}
+                cache[d] = sc
+            return (sc.get(key_col) or {}).get(rel)
+
+        return get
+
+    def _write_bloom_sidecar(
+        self,
+        name: str,
+        data_dir: str,
+        files: list[dict],
+        bloom_cols: list[str] | None,
+        carry: dict | None = None,
+    ) -> None:
+        """Record per-file key blooms for a freshly committed snapshot
+        dir. Carried (hard-linked) files inherit their entries by INODE
+        from the source dirs' sidecars — the bloom describes immutable
+        file contents, so a link keeps it valid and costs no re-read;
+        only genuinely fresh files get the one distributed build pass.
+        Best-effort: any failure logs and leaves the dir sidecar-less
+        (reads/maintenance degrade to min/max pruning)."""
+        if not bloom_cols or not files:
+            return
+        try:
+            inherited: dict[int, dict[str, dict]] = {}
+            for d, rels in (carry or {}).items():
+                src_dir = os.path.join(self._dir(name), d)
+                sc = _blooms.load_sidecar(src_dir)
+                if not sc:
+                    continue
+                for rel in rels:
+                    try:
+                        ino = os.stat(os.path.join(src_dir, rel)).st_ino
+                    except OSError:
+                        continue
+                    ent = {
+                        c: sc[c][rel]
+                        for c in bloom_cols
+                        if rel in sc.get(c, {})
+                    }
+                    if ent:
+                        inherited[ino] = ent
+            payload: dict[str, dict] = {c: {} for c in bloom_cols}
+            fresh: list[str] = []
+            rows_by_rel: dict[str, int] = {}
+            for f in files:
+                rel = f["path"]
+                rows_by_rel[rel] = f.get("rows") or 0
+                got = None
+                if inherited:
+                    try:
+                        got = inherited.get(
+                            os.stat(os.path.join(data_dir, rel)).st_ino
+                        )
+                    except OSError:
+                        got = None
+                if got and all(c in got for c in bloom_cols):
+                    for c in bloom_cols:
+                        # drop any '_bits' decode cache before persisting
+                        payload[c][rel] = {
+                            k: v for k, v in got[c].items()
+                            if not k.startswith("_")
+                        }
+                else:
+                    fresh.append(rel)
+            for c in bloom_cols:
+                if fresh:
+                    payload[c].update(
+                        _blooms.build_bloom_entries(
+                            self.spark, data_dir, fresh, c,
+                            rows_by_rel=rows_by_rel,
+                        )
+                    )
+            payload = {c: m for c, m in payload.items() if m}
+            if payload:
+                _blooms.save_sidecar(data_dir, payload)
+        except Exception:  # noqa: BLE001 - stats are best-effort
+            _log.warning(
+                "bloom sidecar build failed for %s (%s) — dir left "
+                "without blooms; pruning degrades to min/max",
+                data_dir, name, exc_info=True,
+            )
+
+    def backfill_blooms(self, name: str, cols: list[str]) -> dict:
+        """Add bloom sidecars to an EXISTING table without rewriting a
+        byte of data — the 100-TB shape (``compact(bloom_cols=...)``
+        also works but re-writes the corpus to gain stats). A bloom is
+        derived metadata of an immutable data file, so backfill writes
+        the missing per-dir sidecars in place (one distributed scan of
+        the key column per dir, atomic sidecar replace) and records the
+        spec on the CURRENT manifest entry so future appends/COW
+        snapshots inherit it. No new snapshot is committed: ``current``
+        never moves, incremental-read anchors and changelog diffs are
+        untouched, and reads/maintenance pick the new sidecars up
+        immediately (they consult sidecars by dir, not by spec).
+
+        Idempotent: dirs whose sidecar already covers every file for
+        every requested column are skipped. Returns
+        {dirs_built, dirs_skipped, files_built}."""
+        m0 = self._load_manifest(name)
+        base = self._snapshot(m0, None)
+        if base is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        stats_by_dir = {
+            f"snap_{s['id']}": s.get("files") for s in m0["snapshots"]
+        }
+        out = {"dirs_built": 0, "dirs_skipped": 0, "files_built": 0}
+        for d in base["read_set"]:
+            data_dir = os.path.join(self._dir(name), d)
+            finfo = stats_by_dir.get(d)
+            if finfo is None or not os.path.isdir(data_dir):
+                out["dirs_skipped"] += 1  # legacy/empty dir: no stats
+                continue
+            rels = [f["path"] for f in finfo]
+            rows_by_rel = {f["path"]: f.get("rows") or 0 for f in finfo}
+            sc = _blooms.load_sidecar(data_dir) or {}
+            built = 0
+            for c in cols:
+                have = sc.get(c) or {}
+                missing = [p for p in rels if p not in have]
+                if not missing:
+                    continue
+                fresh = _blooms.build_bloom_entries(
+                    self.spark, data_dir, missing, c,
+                    rows_by_rel=rows_by_rel,
+                )
+                if fresh:
+                    sc.setdefault(c, {}).update(fresh)
+                    built += len(fresh)
+            if built:
+                _blooms.save_sidecar(data_dir, sc)
+                out["dirs_built"] += 1
+                out["files_built"] += built
+            else:
+                out["dirs_skipped"] += 1
+        # record the spec for future snapshot inheritance (additive
+        # metadata on the current entry — NOT a new snapshot)
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if m["current"] != base["id"]:
+                _log.warning(
+                    "backfill_blooms(%s): current moved %s -> %s during "
+                    "the build — sidecars are in place and effective, "
+                    "but the inheritance spec was not recorded; re-run "
+                    "to stamp it", name, base["id"], m["current"],
+                )
+                return out
+            for s in m["snapshots"]:
+                if s["id"] == base["id"]:
+                    s["bloom_cols"] = sorted(
+                        set(s.get("bloom_cols") or []) | set(cols)
+                    )
+                    break
+            self._save_manifest(name, m)
+        return out
 
     def delete_where(
         self,
@@ -1202,7 +1464,10 @@ class TableStore:
         }
         affected, untouched, only_files, carry = self._split_by_overlap(
             base["read_set"], stats_by_dir,
-            _file_overlap_fn(key_col, nkeys, None),
+            _file_overlap_fn(
+                key_col, nkeys, None,
+                keys=keys, bloom_get=self._bloom_lookup(name, key_col),
+            ),
         )
         if not self._carry_is_safe(m0, base, affected):
             only_files, carry = {}, {}  # whole-dir rewrite fallback
@@ -1237,6 +1502,8 @@ class TableStore:
         w.parquet(data_dir)
         self._carry_clean_files(name, carry, data_dir)
         files = _collect_file_stats(data_dir)
+        bloom_cols = base.get("bloom_cols") or None
+        self._write_bloom_sidecar(name, data_dir, files, bloom_cols, carry)
         props = {
             "delete_key": key_col,
             "n_deleted": n_deleted,
@@ -1269,6 +1536,7 @@ class TableStore:
                     "parent": base["id"],
                     "read_set": untouched + [f"snap_{sid}"],
                     "partition_by": partition_by or [],
+                    "bloom_cols": bloom_cols or [],
                     "properties": props,
                     "schema": survivors.schema.json(),
                     # own-dir convention (matches write/compact): does
@@ -1390,7 +1658,9 @@ class TableStore:
             key_rows = (
                 df.select(key_col).limit(key_collect_cap + 1).collect()
             )
+            raw_keys = None
             if len(key_rows) <= key_collect_cap:
+                raw_keys = [r[0] for r in key_rows]
                 nkeys = sorted(
                     _norm_stat_value(r[0]) for r in key_rows
                 ) if all(
@@ -1413,7 +1683,11 @@ class TableStore:
             affected, untouched, only_files, carry = (
                 self._split_by_overlap(
                     base["read_set"], stats_by_dir,
-                    _file_overlap_fn(key_col, nkeys, lohi),
+                    _file_overlap_fn(
+                        key_col, nkeys, lohi,
+                        keys=raw_keys,
+                        bloom_get=self._bloom_lookup(name, key_col),
+                    ),
                 )
             )
             if not self._carry_is_safe(
@@ -1482,6 +1756,10 @@ class TableStore:
             w.parquet(data_dir)
             self._carry_clean_files(name, carry, data_dir)
             files = _collect_file_stats(data_dir)
+            bloom_cols = base.get("bloom_cols") or None
+            self._write_bloom_sidecar(
+                name, data_dir, files, bloom_cols, carry
+            )
             props.update(
                 {
                     "n_updated": n_updated,
@@ -1518,6 +1796,7 @@ class TableStore:
                         "read_set": untouched + [f"snap_{sid}"],
                         "partition_by": partition_by or [],
                         "cluster_by": cluster_by or [],
+                        "bloom_cols": bloom_cols or [],
                         "properties": props,
                         "schema": merged.schema.json(),
                         "has_data": bool(files),
@@ -1752,9 +2031,16 @@ class IcebergStore:
         self.prefix = f"{catalog}.{db}"
 
     def write(self, name, df, mode="overwrite", partition_by=None,
-              properties=None):
+              properties=None, bloom_cols=None):
         full = f"{self.prefix}.{name}"
         writer = df.writeTo(full)
+        for c in bloom_cols or []:
+            # Iceberg's native analogue of the TableStore bloom sidecar:
+            # parquet writes its own per-column bloom filters and the
+            # readers/planner consume them — no sidecar needed
+            writer = writer.tableProperty(
+                f"write.parquet.bloom-filter-enabled.column.{c}", "true"
+            )
         if partition_by:
             # one call: successive partitionedBy calls REPLACE the spec,
             # silently keeping only the last column
@@ -1823,8 +2109,14 @@ class IcebergStore:
             f"WHERE {key_col} IN ({', '.join(q(k) for k in keys)})"
         )
 
-    def compact(self, name, target_files=None, cluster_by=None):
+    def compact(self, name, target_files=None, cluster_by=None,
+                bloom_cols=None):
         cat = self.prefix.split(".")[0]
+        for c in bloom_cols or []:
+            self.spark.sql(
+                f"ALTER TABLE {self.prefix}.{name} SET TBLPROPERTIES ("
+                f"'write.parquet.bloom-filter-enabled.column.{c}'='true')"
+            )
         opts = ""
         if cluster_by:
             cols = ", ".join(f"'{c}'" for c in cluster_by)

@@ -101,6 +101,25 @@ def main() -> None:
                          "-> selective min/max scan pruning, e.g. "
                          "clip_id for takedown lookups); omitted = keep "
                          "the table's recorded clustering")
+    ap.add_argument("--compact-bloom", default=None,
+                    metavar="COL[,COL...]",
+                    help="with --compact: record per-file key-membership "
+                         "bloom sidecars for these columns on the rewrite "
+                         "(and on every later append/COW snapshot) — "
+                         "bounds point-id maintenance (takedown/"
+                         "correction COW, id lookups) on ANY layout, "
+                         "including hash-sharded dirs where min/max "
+                         "stats span the id domain; omitted = keep the "
+                         "table's recorded bloom spec")
+    ap.add_argument("--backfill-blooms", default=None,
+                    metavar="TABLE:COL[,COL...]",
+                    help="add bloom sidecars to an EXISTING table "
+                         "WITHOUT rewriting data (the 100-TB shape vs "
+                         "--compact-bloom's full rewrite): one "
+                         "distributed key-column scan per snapshot "
+                         "dir, sidecars land in place, no new snapshot "
+                         "— incremental anchors/changelogs untouched; "
+                         "idempotent; exits after")
     ap.add_argument("--expire-snapshots", default=None,
                     metavar="TABLE|all",
                     help="version GC as a scheduled maintenance op: drop "
@@ -574,6 +593,7 @@ def main() -> None:
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
+            or args.backfill_blooms
             or args.expire_snapshots or args.tag or args.untag
             or args.changelog or args.takedown or args.correct
             or args.repack_tokens or args.export_dir
@@ -614,10 +634,31 @@ def main() -> None:
                  if c.strip()]
                 if args.compact_cluster_by else None
             )
-            sid = store.compact(args.compact, cluster_by=cluster)
+            bloom = (
+                [c.strip() for c in args.compact_bloom.split(",")
+                 if c.strip()]
+                if args.compact_bloom else None
+            )
+            sid = store.compact(
+                args.compact, cluster_by=cluster, bloom_cols=bloom,
+            )
             print(
                 f"compacted {args.compact} -> snap_{sid}" if sid
                 else f"{args.compact}: nothing to compact"
+            )
+        if args.backfill_blooms:
+            table, _, colspec = args.backfill_blooms.partition(":")
+            cols = [c.strip() for c in colspec.split(",") if c.strip()]
+            if not table or not cols:
+                print("--backfill-blooms expects TABLE:COL[,COL...]")
+                spark.stop()
+                raise SystemExit(2)
+            res = store.backfill_blooms(table, cols)
+            print(
+                f"backfilled blooms on {table} ({','.join(cols)}): "
+                f"{res['files_built']} file blooms built across "
+                f"{res['dirs_built']} dirs, {res['dirs_skipped']} dirs "
+                "already covered/skipped"
             )
         if args.expire_snapshots:
             tables = (
