@@ -303,6 +303,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dup_spans"] = doc_dup_spans
 
+    def doc_decontam_hits(spark, sf):
+        """Eval-set decontamination (operators/dedup.py decontaminate):
+        per-doc count of distinct word 4-grams shared with a heldout
+        benchmark slice (doc_id % 7 == 0 plays the benchmark — a
+        deterministic slice of the same table, so the query is
+        self-contained per the harness contract). Scale shape: the
+        heldout side collapses to its distinct shingle set and
+        BROADCASTS; the corpus side is one scan + explode + broadcast
+        semi-join — the corpus never shuffles, and the only shuffle is
+        the hits groupBy over matched rows (bounded by actual
+        contamination). Replaces the former embedding_norm_summary
+        slot (an avg-L2-norm profile whose array-aggregate machinery
+        stays oracle-covered via embedding_topk / the cosine family) so
+        the decontamination flagship carries driver oracle evidence
+        within the 50-slot cap. shingle_k=4 on this short-doc synthetic
+        corpus (production web text uses 8-13) so planted near-dups
+        yield a statistically meaningful contaminated set (~93 docs at
+        sf0.01, verified vs DuckDB at sf0.001 and sf0.01)."""
+        from data_quality_check_pipeline_spark.operators.dedup import (
+            decontaminate,
+        )
+
+        df = _load(spark, sf, "documents")
+        heldout = df.filter(F.col("doc_id") % 7 == 0)
+        corpus = df.filter(F.col("doc_id") % 7 != 0)
+        return decontaminate(
+            corpus, heldout, "doc_id", "text", shingle_k=4, min_hits=1
+        )
+
+    q["doc_decontam_hits"] = doc_decontam_hits
+
     def doc_minhash_pairs(spark, sf):  # oracle: committed golden (pure-Python XXH64 re-derivation)
         from data_quality_check_pipeline_spark.operators.dedup import (
             minhash_lsh_pairs,
@@ -1291,23 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_neardup_components"] = embedding_neardup_components
-
-    def embedding_norm_summary(spark, sf):
-        emb = _load(spark, sf, "embeddings").select(
-            "label", _dvec("embedding").alias("e")
-        )
-        norm = F.sqrt(
-            F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
-        )
-        return (
-            emb.groupBy("label")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.round(F.avg(norm), 6).alias("avg_norm"),
-            )
-        )
-
-    q["embedding_norm_summary"] = embedding_norm_summary
 
     def embedding_lsh_ann(spark, sf):
         """Multi-table multiprobe LSH ANN. Deterministic (plan-literal
@@ -2506,11 +2520,33 @@ def oracle_sql() -> dict[str, str]:
                    / (SELECT n FROM n_corpus), 6) AS scan_frac
       FROM qids LEFT JOIN h_ivf USING (query_id)"""
 
-    sql["embedding_norm_summary"] = """
-      SELECT label, CAST(count(*) AS BIGINT) AS n,
-             round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
-                                             embedding::DOUBLE[]))), 6)
-               AS avg_norm
-      FROM embeddings GROUP BY 1"""
+    # decontaminate contract in SQL: same normalization + short-doc
+    # fallback as the dedup family's _shingle_expr (a doc under k tokens
+    # contributes its whole token sequence as one shingle), heldout
+    # distinct shingle set, per-corpus-doc distinct-hit counts
+    sql["doc_decontam_hits"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)),
+                            '\s+', ' ', 'g'), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+      ), long_sh AS (
+        SELECT doc_id, array_to_string(w[i : i + 3], ' ') AS sh
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 3)) AS i
+              FROM toks WHERE len(w) >= 4)
+      ), short_sh AS (
+        SELECT doc_id, array_to_string(w, ' ') AS sh
+        FROM toks WHERE len(w) < 4
+      ), sh AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (SELECT * FROM long_sh UNION ALL SELECT * FROM short_sh)
+      ), held AS (
+        SELECT DISTINCT sh FROM sh WHERE doc_id % 7 = 0
+      )
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS hits
+      FROM sh s JOIN held USING (sh)
+      WHERE s.doc_id % 7 <> 0
+      GROUP BY s.doc_id"""
 
     return sql
