@@ -133,6 +133,10 @@ def main() -> None:
         # span-level exact-substring dedup (positional-shingle explode
         # + min-id ownership join + islands window)
         "doc_dup_spans",
+        # eval-set decontamination (heldout distinct-shingle broadcast
+        # semi-join; added late r04 with the suite already reset vs r03
+        # per DESIGN #24, so r04->r05 totals stay comparable)
+        "doc_decontam_hits",
     ]
 
     # Per-query MIN over >=3 INTERLEAVED passes, with the spread
