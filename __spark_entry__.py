@@ -325,7 +325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             decontaminate,
         )
 
-        df = _load(spark, sf, "documents")
+        # cache + rebalance: both the heldout and corpus branches scan
+        # this frame (two full passes over a single-row-group parquet —
+        # each would be a ONE-task decode), and the corpus-side shingle
+        # explode is the compute-heavy leg (same fix as doc_dup_spans)
+        df = _load(spark, sf, "documents", rebalance=True).cache()
         heldout = df.filter(F.col("doc_id") % 7 == 0)
         corpus = df.filter(F.col("doc_id") % 7 != 0)
         return decontaminate(

@@ -284,10 +284,8 @@ def _file_overlap_fn(key_col: str, nkeys, lohi, keys=None, bloom_get=None):
     one that matters."""
     from bisect import bisect_left
 
-    from . import blooms as _bl
-
     tester = (
-        _bl.BloomTester(keys)
+        _blooms.BloomTester(keys)
         if keys is not None and bloom_get is not None
         else None
     )
@@ -1184,25 +1182,45 @@ class TableStore:
         return True
 
     def _hint_unclustered(
-        self, name: str, key_col: str, out: dict
+        self, name: str, key_col: str, out: dict,
+        carry_safe: bool = True, total_files: int | None = None,
     ) -> None:
         """One log line when a COW rewrite degenerated to the whole
         table: every dir was affected and nothing could carry. On the
         hash-sharded ingest layout that is EXPECTED until the table is
         cluster-compacted — tell the operator the lever exists instead
-        of letting 'correction took an hour' get debugged from zero."""
-        if (
+        of letting 'correction took an hour' get debugged from zero.
+
+        Only emitted when clustering is actually the cause:
+        ``carry_safe=False`` means carry-forward was disabled by the
+        schema-drift fallback (cluster-compacting would not help —
+        say so instead), and a ≤1-file table rewrites whole trivially
+        (no hint)."""
+        if not (
             out.get("dirs_untouched") == 0
             and out.get("files_carried") == 0
             and out.get("dirs_rewritten", 0) > 0
         ):
+            return
+        if total_files is not None and total_files <= 1:
+            return  # single-file table: whole-table rewrite is expected
+        if not carry_safe:
             _log.warning(
-                "%s: copy-on-write rewrite touched every file (no "
-                "carry-forward possible) — the layout is not %s-"
-                "clustered; compact(%r, cluster_by=[%r]) bounds future "
-                "corrections/takedowns to the overlapping files",
-                name, key_col, name, key_col,
+                "%s: copy-on-write rewrite touched every file because "
+                "carry-forward was disabled by schema drift between "
+                "snapshots (not a clustering problem); a full "
+                "compact(%r) rewrites the table onto one schema and "
+                "restores file-level COW",
+                name, name,
             )
+            return
+        _log.warning(
+            "%s: copy-on-write rewrite touched every file (no "
+            "carry-forward possible) — the layout is not %s-"
+            "clustered; compact(%r, cluster_by=[%r]) bounds future "
+            "corrections/takedowns to the overlapping files",
+            name, key_col, name, key_col,
+        )
 
     def _carry_clean_files(
         self, name: str, carry: dict, data_dir: str
@@ -1469,7 +1487,8 @@ class TableStore:
                 keys=keys, bloom_get=self._bloom_lookup(name, key_col),
             ),
         )
-        if not self._carry_is_safe(m0, base, affected):
+        carry_safe = self._carry_is_safe(m0, base, affected)
+        if not carry_safe:
             only_files, carry = {}, {}  # whole-dir rewrite fallback
         out["dirs_rewritten"] = len(affected)
         out["dirs_untouched"] = len(untouched)
@@ -1548,7 +1567,12 @@ class TableStore:
             m["current"] = sid
             self._save_manifest(name, m)
         out["snapshot"] = sid
-        self._hint_unclustered(name, key_col, out)
+        self._hint_unclustered(
+            name, key_col, out, carry_safe=carry_safe,
+            total_files=sum(
+                len(stats_by_dir.get(d) or []) for d in base["read_set"]
+            ),
+        )
         if stats_out is not None:
             stats_out.update(out)
         return out
@@ -1690,9 +1714,10 @@ class TableStore:
                     ),
                 )
             )
-            if not self._carry_is_safe(
+            carry_safe = self._carry_is_safe(
                 m0, base, affected, incoming_schema=df.schema
-            ):
+            )
+            if not carry_safe:
                 only_files, carry = {}, {}  # whole-dir fallback
             keys_df = df.select(F.col(key_col).alias("__upsert_key"))
             n_updated = 0
@@ -1806,7 +1831,13 @@ class TableStore:
                 m["current"] = sid
                 self._save_manifest(name, m)
             out["snapshot"] = sid
-            self._hint_unclustered(name, key_col, out)
+            self._hint_unclustered(
+                name, key_col, out, carry_safe=carry_safe,
+                total_files=sum(
+                    len(stats_by_dir.get(d) or [])
+                    for d in base["read_set"]
+                ),
+            )
             return _ret()
         finally:
             df.unpersist()
@@ -2090,13 +2121,21 @@ class IcebergStore:
 
     def upsert(self, name, df, key_col):
         full = f"{self.prefix}.{name}"
-        df.createOrReplaceTempView("_upsert_src")
-        self.spark.sql(
-            f"MERGE INTO {full} t USING _upsert_src s "
-            f"ON t.{key_col} = s.{key_col} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        # uuid-unique view: a fixed name would let a concurrent upsert
+        # on the same SparkSession replace the source between view
+        # registration and MERGE execution (silent cross-table merge),
+        # and would leak into the session catalog afterwards.
+        view = f"_upsert_src_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {full} t USING {view} s "
+                f"ON t.{key_col} = s.{key_col} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def delete_where(self, name, key_col, keys):
         def q(k):
@@ -2119,8 +2158,27 @@ class IcebergStore:
             )
         opts = ""
         if cluster_by:
-            cols = ", ".join(f"'{c}'" for c in cluster_by)
+            # sort_order is ONE string argument holding a comma-separated
+            # column list ("clip_id, ts") — quoting each column would
+            # nest quotes inside the SQL string literal and break the
+            # call's parse.
+            cols = ", ".join(cluster_by)
             opts = f", strategy => 'sort', sort_order => '{cols}'"
+        if target_files is not None:
+            # TableStore sizes output by file COUNT; Iceberg's rewrite
+            # sizes by bytes. Map count -> target-file-size-bytes from
+            # the table's current total size so the surface-parity
+            # contract (swap stores, same call) still does what the
+            # caller asked for.
+            total = self.spark.sql(
+                f"SELECT COALESCE(SUM(file_size_in_bytes), 0) AS b "
+                f"FROM {self.prefix}.{name}.files"
+            ).collect()[0]["b"]
+            per_file = max(int(total) // max(int(target_files), 1), 1)
+            opts += (
+                ", options => map('target-file-size-bytes', "
+                f"'{per_file}')"
+            )
         self.spark.sql(
             f"CALL {cat}.system.rewrite_data_files"
             f"(table => '{self.prefix}.{name}'{opts})"

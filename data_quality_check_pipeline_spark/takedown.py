@@ -41,11 +41,12 @@ checkpoint) is NOT purgeable here — it ages out with the watermark; a
 checkpoint reset clears it. Reports/metrics artifacts hold aggregates,
 not per-clip content, and are left alone. A DSIR selection-model
 history (operators/selection.py) IS purgeable despite being aggregate
-state — its count histogram is exactly mergeable, so
-``selection.dsir_model_forget`` appends the removed clips' NEGATED
-histogram (pass the takedown_id as the fingerprint for idempotency);
-the HLL profile sketches cannot subtract and age out only by
-re-profiling.
+state — its count histogram is exactly mergeable, so pass
+``dsir_model_table=`` and apply_takedown calls
+``selection.dsir_model_forget`` itself, BEFORE the clean delete (the
+forget needs the removed transcripts the purge destroys) and with the
+takedown_id as the idempotency fingerprint; the HLL profile sketches
+cannot subtract and age out only by re-profiling.
 
 Reference parity: the reference engine has no takedown analogue (its
 rollback_manager.py only moves version pointers); this is part of the
@@ -98,19 +99,47 @@ def apply_takedown(
     hard: bool = False,
     orphan_grace_s: float = 3600.0,
     keep_last: int = 1,
+    dsir_model_table: str | None = None,
+    dsir_text_col: str = "transcript",
+    dsir_ks: tuple[int, ...] = (1, 2),
+    dsir_n_features: int = 8192,
 ) -> dict:
     """Execute one takedown order against an out_root. Returns a JSON-
     able report; see the module docstring for the policy semantics.
 
-    ``hard`` (purge only): after the delete snapshots commit, expire
-    all but ``keep_last`` snapshots of every rewritten table so the
-    removed rows physically leave disk. ``orphan_grace_s`` follows
-    expire_snapshots' contract — pass 0 only with no concurrent
-    writers. Soft purge first + a scheduled hard pass is the
-    production shape (Iceberg: delete + expire_snapshots +
-    remove_orphan_files)."""
+    ``hard`` (purge only — ValueError with mode='block', whose whole
+    point is that signatures and snapshots stay): after the delete
+    snapshots commit, expire all but ``keep_last`` snapshots of every
+    rewritten table so the removed rows physically leave disk.
+    ``orphan_grace_s`` follows expire_snapshots' contract — pass 0 only
+    with no concurrent writers. Soft purge first + a scheduled hard
+    pass is the production shape (Iceberg: delete + expire_snapshots +
+    remove_orphan_files).
+
+    ``dsir_model_table`` (purge only): a DSIR corpus-model history
+    (operators/selection.py incremental_dsir_model_run) to forget the
+    removed clips from. It runs BEFORE the clean delete — the forget
+    needs the removed transcripts, which the purge is about to destroy
+    — and must be passed on the FIRST run of the order (after the
+    clean rows are gone, the negated histogram can no longer be
+    built). ks/n_features must match the model's ingest spec (the spec
+    stamp is verified).
+
+    Crash-ordering contract: signature-history commits happen BEFORE
+    the clips_clean delete (the hashes that drive them are derived
+    FROM clips_clean, so this order makes every crash re-run converge),
+    the quarantine marker commits last as the idempotency anchor, and
+    a hard purge's snapshot expiry — which runs after the marker — is
+    re-driven by a replay of the same order (the one commit the marker
+    cannot anchor)."""
     if mode not in ("purge", "block"):
         raise ValueError(f"mode must be 'purge' or 'block', got {mode!r}")
+    if hard and mode != "purge":
+        raise ValueError(
+            "takedown: hard=True is a purge-only option (block mode "
+            "keeps signatures AND snapshots so re-uploads stay "
+            "quarantined) — got mode='block'"
+        )
     ids = sorted({c for c in clip_ids if c is not None})
     if not ids:
         raise ValueError("takedown: empty clip_id set")
@@ -120,6 +149,18 @@ def apply_takedown(
         "takedown_id": tid, "mode": mode, "requested": len(ids),
         "tables": {}, "skipped_already_applied": False,
     }
+
+    def _hard_expire() -> dict:
+        expired: dict = {}
+        for table in (CLEAN_TABLE, CONTENT_HASH_TABLE,
+                      AUDIO_FP_TABLE, NEARDUP_SIG_TABLE):
+            if store.exists(table):
+                expired[table] = store.expire_snapshots(
+                    table, keep_last=keep_last,
+                    orphan_grace_s=orphan_grace_s,
+                )
+        return expired
+
     # idempotency: the quarantine marker is the LAST commit of a
     # takedown, so its presence proves the whole order applied
     if _find_committed_write(
@@ -127,6 +168,12 @@ def apply_takedown(
     ):
         _log.info("takedown %s already applied; skipping", tid)
         report["skipped_already_applied"] = True
+        if hard:
+            # the expiry is the one step AFTER the marker — a crash in
+            # that window would otherwise leave the purged bytes on
+            # disk forever while every re-run reports 'already
+            # applied'; expiry is idempotent, so re-drive it here
+            report["hard_expired"] = _hard_expire()
         return report
 
     if not store.exists(CLEAN_TABLE):
@@ -171,8 +218,6 @@ def apply_takedown(
     report["found_in_clean"] = len(found_ids)
     report["not_in_clean"] = len(ids) - len(found_ids)
 
-    rewritten: list[str] = []
-
     def _delete(table: str, key_col: str, keys) -> None:
         if not keys or not store.exists(table):
             report["tables"][table] = {"n_deleted": 0, "snapshot": None}
@@ -194,11 +239,24 @@ def apply_takedown(
             "files_rewritten": res["files_rewritten"],
             "files_carried": res["files_carried"],
         }
-        if res["snapshot"]:
-            rewritten.append(table)
 
-    _delete(CLEAN_TABLE, "clip_id", list(found_ids))
+    # history-table phase FIRST: every input here (the content hashes,
+    # the DSIR transcripts) is derived from clips_clean, so these
+    # commits must land while clips_clean still holds the target rows —
+    # a crash after the clean delete would otherwise re-run with an
+    # empty derivation and silently skip the purge/block of the dedup
+    # memory (each step below is a no-op on replay once committed)
     if mode == "purge":
+        if dsir_model_table is not None and found_ids:
+            from .operators.selection import dsir_model_forget
+
+            dsir_model_forget(
+                store, dsir_model_table,
+                clean.filter(F.col("clip_id").isin(sorted(found_ids))),
+                dsir_text_col, ks=dsir_ks, n_features=dsir_n_features,
+                source_fingerprint=f"takedown_{tid}",
+            )
+            report["dsir_model_forgot"] = len(found_ids)
         _delete(CONTENT_HASH_TABLE, "text_hash", hashes)
         _delete(AUDIO_FP_TABLE, "clip_id", ids)
         _delete(NEARDUP_SIG_TABLE, "clip_id", ids)
@@ -232,6 +290,9 @@ def apply_takedown(
         report["blocked_hashes_total"] = len(hashes)
         report["unblockable_null_transcript"] = null_text
 
+    # clean delete AFTER the history phase (see ordering note above)
+    _delete(CLEAN_TABLE, "clip_id", list(found_ids))
+
     # terminal marker rows for EVERY requested id (also the ones not
     # currently in clips_clean: the order still applies to them — in
     # block mode their signatures may already guard re-uploads, and the
@@ -254,14 +315,8 @@ def apply_takedown(
         properties={"takedown_id": tid, "takedown_mode": mode},
     )
 
-    if hard and mode == "purge":
-        expired: dict = {}
-        for table in rewritten:
-            expired[table] = store.expire_snapshots(
-                table, keep_last=keep_last,
-                orphan_grace_s=orphan_grace_s,
-            )
-        report["hard_expired"] = expired
+    if hard:
+        report["hard_expired"] = _hard_expire()
     _log.info(
         "takedown %s (%s): %d requested, %d removed from %s",
         tid, mode, len(ids),

@@ -500,6 +500,23 @@ def main() -> None:
     elif args.curriculum_edges_from_history:
         ap.error("--curriculum-edges-from-history without --curriculum")
 
+    if not args.compact:
+        # fail loudly instead of silently dropping the modifier: an
+        # operator who believes blooms/clustering landed would only find
+        # out on the next whole-table takedown rewrite
+        if args.compact_bloom:
+            ap.error("--compact-bloom without --compact (use "
+                     "--backfill-blooms TABLE:COL for in-place sidecars "
+                     "without a rewrite)")
+        if args.compact_cluster_by:
+            ap.error("--compact-cluster-by without --compact")
+    if args.takedown_hard and args.takedown_mode != "purge":
+        # apply_takedown raises too; catch it at the parser so the
+        # operator sees a usage error, not a stack trace
+        ap.error("--takedown-hard is purge-only (block mode keeps "
+                 "signatures and snapshots so re-uploads stay "
+                 "quarantined)")
+
     def _history_edges(spark) -> list[float]:
         """Derive pinned curriculum edges from the out-root's profile
         history (fixed-size mergeable state — no data rescan)."""

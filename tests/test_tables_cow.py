@@ -418,3 +418,53 @@ def test_only_files_composes_with_prune(spark, store):
     assert df.filter("clip_id = 'clip_0700'").count() == 1
     assert scan["files_kept"] + scan["files_skipped"] == len(allow)
     assert scan["files_skipped"] >= 6  # point query prunes the subset
+
+
+class TestHintUnclustered:
+    """_hint_unclustered only advises cluster-compaction when clustering
+    is actually the cause: schema-drift carry fallback gets the
+    schema-drift message, a single-file table gets no hint at all."""
+
+    @staticmethod
+    def _call(caplog, out, **kw):
+        import logging
+
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        ts = TableStore.__new__(TableStore)  # helper never touches self
+        with caplog.at_level(
+            logging.WARNING,
+            logger="data_quality_check_pipeline_spark.sources.tables",
+        ):
+            ts._hint_unclustered("t", "clip_id", out, **kw)
+        return [r.getMessage() for r in caplog.records]
+
+    DEGENERATE = {
+        "dirs_untouched": 0, "files_carried": 0, "dirs_rewritten": 2,
+    }
+
+    def test_unclustered_layout_gets_compact_hint(self, caplog):
+        msgs = self._call(caplog, dict(self.DEGENERATE), total_files=64)
+        assert len(msgs) == 1 and "cluster_by" in msgs[0]
+
+    def test_schema_drift_fallback_blames_schema_not_layout(self, caplog):
+        msgs = self._call(
+            caplog, dict(self.DEGENERATE),
+            carry_safe=False, total_files=64,
+        )
+        assert len(msgs) == 1
+        assert "schema drift" in msgs[0]
+        assert "cluster_by" not in msgs[0]
+
+    def test_single_file_table_is_silent(self, caplog):
+        assert self._call(
+            caplog, dict(self.DEGENERATE), total_files=1
+        ) == []
+
+    def test_bounded_rewrite_is_silent(self, caplog):
+        out = {
+            "dirs_untouched": 3, "files_carried": 5, "dirs_rewritten": 1,
+        }
+        assert self._call(caplog, out, total_files=64) == []

@@ -321,3 +321,132 @@ class TestTakedownBlock:
             apply_takedown(None, "/nonexistent", ["x"], mode="nuke")
         with pytest.raises(ValueError, match="empty"):
             apply_takedown(None, "/nonexistent", [None], mode="purge")
+
+
+class TestTakedownCrashOrdering:
+    """The history-phase-before-clean-delete contract: every derived
+    input (content hashes, DSIR transcripts) comes FROM clips_clean, so
+    a crash between the clean delete and the history commits used to
+    re-run with an empty derivation and silently skip the purge."""
+
+    @pytest.fixture()
+    def rooted(self, spark, small_corpus, tmp_path):
+        _, path = small_corpus
+        root = str(tmp_path / "tables")
+        cfg = RunConfig(
+            out_root=root, run_id="p1", dedup_content=True,
+            dedup_audio=True, dedup_audio_max_hamming=0,
+        )
+        run_pipeline(spark, path, cfg)
+        return root
+
+    def test_hard_with_block_raises(self):
+        with pytest.raises(ValueError, match="purge-only"):
+            apply_takedown(
+                None, "/nonexistent", ["x"], mode="block", hard=True
+            )
+
+    def test_crash_before_clean_delete_converges(
+        self, spark, rooted, monkeypatch
+    ):
+        store = TableStore(spark, rooted)
+        row = (
+            store.read(CLEAN_TABLE)
+            .select("clip_id", content_hash_expr("transcript").alias("h"))
+            .orderBy("clip_id").first()
+        )
+        cid, h = row["clip_id"], row["h"]
+
+        real = TableStore.delete_where
+
+        def crash_on_clean(self, name, key_col, keys, **kw):
+            if name == CLEAN_TABLE:
+                raise RuntimeError("injected crash before clean delete")
+            return real(self, name, key_col, keys, **kw)
+
+        monkeypatch.setattr(TableStore, "delete_where", crash_on_clean)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            apply_takedown(spark, rooted, [cid], mode="purge")
+        monkeypatch.undo()
+
+        # the dedup memory is ALREADY purged (history phase ran first),
+        # the clean row survives, and no marker landed
+        assert store.read(CONTENT_HASH_TABLE).filter(
+            F.col("text_hash") == h
+        ).count() == 0
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id") == cid
+        ).count() == 1
+
+        # re-run converges: hashes re-derive from the intact clean
+        # table, the history deletes replay as no-ops, the clean
+        # delete lands, the marker anchors idempotency
+        rep = apply_takedown(spark, rooted, [cid], mode="purge")
+        assert not rep["skipped_already_applied"]
+        assert rep["tables"][CLEAN_TABLE]["n_deleted"] == 1
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id") == cid
+        ).count() == 0
+        rep2 = apply_takedown(spark, rooted, [cid], mode="purge")
+        assert rep2["skipped_already_applied"]
+
+    def test_skip_path_heals_hard_expiry(self, spark, rooted):
+        """A crash between the marker (last anchored commit) and the
+        expiry used to leave purged bytes on disk forever; the replay
+        now re-drives the idempotent expiry."""
+        store = TableStore(spark, rooted)
+        cid = store.read(CLEAN_TABLE).orderBy("clip_id").first()["clip_id"]
+        # soft purge == hard purge that crashed right after its marker
+        apply_takedown(spark, rooted, [cid], mode="purge")
+        rep = apply_takedown(
+            spark, rooted, [cid], mode="purge", hard=True,
+            orphan_grace_s=0,
+        )
+        assert rep["skipped_already_applied"]
+        assert CLEAN_TABLE in rep["hard_expired"]
+        files = glob.glob(
+            os.path.join(rooted, CLEAN_TABLE, "snap_*", "**",
+                         "*.parquet"),
+            recursive=True,
+        )
+        import duckdb
+
+        n = duckdb.sql(
+            f"select count(*) n from read_parquet({files!r}, "
+            f"union_by_name=true) where clip_id = '{cid}'"
+        ).fetchone()[0]
+        assert n == 0
+
+    def test_purge_forgets_dsir_model(self, spark, rooted):
+        """dsir_model_table= runs selection.dsir_model_forget before
+        the clean delete: the merged model equals a recompute over the
+        corpus without the removed clips."""
+        from data_quality_check_pipeline_spark.operators.selection import (
+            dsir_corpus_hist,
+            feature_hist,
+            incremental_dsir_model_run,
+        )
+
+        store = TableStore(spark, rooted)
+        clean = store.read(CLEAN_TABLE)
+        incremental_dsir_model_run(
+            store, "dsir_model", clean, "transcript",
+            source_fingerprint="seed",
+        )
+        cid = clean.orderBy("clip_id").first()["clip_id"]
+        rep = apply_takedown(
+            spark, rooted, [cid], mode="purge",
+            dsir_model_table="dsir_model",
+        )
+        assert rep["dsir_model_forgot"] == 1
+        merged = {
+            (r["feat"], r["n"])
+            for r in dsir_corpus_hist(store, "dsir_model").collect()
+        }
+        expect = {
+            (r["feat"], r["n"])
+            for r in feature_hist(
+                store.read(CLEAN_TABLE), "transcript", (1, 2), 8192
+            ).collect()
+        }
+        assert merged == expect

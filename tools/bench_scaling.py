@@ -268,6 +268,10 @@ Reproduce: `python tools/bench_scaling.py --n-clips {args.n_clips} \\
                   "w") as f:
             json.dump(result, f, indent=2)
         return
+    # evidence first: if the md render below fails for any reason the
+    # multi-minute measurement is already on disk
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     # the full-file rewrite above just dropped the executor-scaling
@@ -276,13 +280,15 @@ Reproduce: `python tools/bench_scaling.py --n-clips {args.n_clips} \\
     sj = os.path.join(REPO, "BENCH", "submit_scaling.json")
     if os.path.exists(sj):
         from tools.bench_scaling_submit import (
+            _load_doc,
             _rewrite_baseline_section,
         )
 
-        with open(sj) as f:
-            _rewrite_baseline_section(json.load(f))
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(result, f, indent=2)
+        # _load_doc migrates the legacy flat shape — a raw json.load
+        # would KeyError('pairs') here and lose this run's scaling.json
+        doc = _load_doc(sj)
+        if doc.get("pairs"):
+            _rewrite_baseline_section(doc)
 
 
 if __name__ == "__main__":

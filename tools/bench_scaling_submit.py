@@ -288,13 +288,11 @@ def _min_merge_pair(old: dict, new: dict) -> dict:
     return merged
 
 
-def _merge_pair(key: str, pair: dict) -> dict:
-    """Accumulate this run's N->4N pair into BENCH/submit_scaling.json
-    (keyed by the executor-count pair, e.g. '1->4'): re-measuring one
-    pair never discards the evidence for another, and a same-shape
-    re-measurement min-merges per config instead of overwriting.
-    Migrates the legacy single-pair flat file shape in place."""
-    path = os.path.join(REPO, "BENCH", "submit_scaling.json")
+def _load_doc(path: str) -> dict:
+    """Read submit_scaling.json in its CURRENT keyed-by-pair shape,
+    migrating the legacy single-pair flat shape on the fly — shared by
+    _merge_pair and by bench_scaling.py's section re-render so neither
+    caller KeyErrors on a legacy file."""
     doc = {
         "metric": "executor_scaling_efficiency_submit",
         "deploy": "spark-submit --py-files pkg.zip",
@@ -316,6 +314,17 @@ def _merge_pair(key: str, pair: dict) -> dict:
                 )
                 if k in old
             }
+    return doc
+
+
+def _merge_pair(key: str, pair: dict) -> dict:
+    """Accumulate this run's N->4N pair into BENCH/submit_scaling.json
+    (keyed by the executor-count pair, e.g. '1->4'): re-measuring one
+    pair never discards the evidence for another, and a same-shape
+    re-measurement min-merges per config instead of overwriting.
+    Migrates the legacy single-pair flat file shape in place."""
+    path = os.path.join(REPO, "BENCH", "submit_scaling.json")
+    doc = _load_doc(path)
     if key in doc["pairs"]:
         pair = _min_merge_pair(doc["pairs"][key], pair)
     doc["pairs"][key] = pair
