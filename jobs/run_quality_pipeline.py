@@ -412,6 +412,35 @@ def main() -> None:
     ap.add_argument("--fail-on-contamination", action="store_true",
                     help="with --decontam-audit: exit 3 when any "
                          "landed clip is contaminated (CI gate)")
+    ap.add_argument("--fit-quality-model", default=None,
+                    metavar="OUT.json",
+                    help="maintenance op (needs --input/--synthetic, "
+                         "exits after): distill the rule stack's "
+                         "signal-based keep/drop into a calibrated "
+                         "linear quality scorer — runs score_clips "
+                         "over the raw input, fits an IRLS logistic "
+                         "model on the numeric quality signals "
+                         "(decimal-summed sufficient statistics: "
+                         "bit-identical weights on any partitioning), "
+                         "and writes model JSON with train AUC + a "
+                         "score threshold calibrated to the observed "
+                         "keep rate; duplicate drops are excluded "
+                         "from the label (identity evidence, not "
+                         "signal)")
+    ap.add_argument("--quality-model-features",
+                    default=None, metavar="COL[,COL...]",
+                    help="with --fit-quality-model: numeric signal "
+                         "columns to fit on (default: the advisory "
+                         "signal set snr_db,clip_frac,silence_frac,"
+                         "dyn_range_db,rms,speech_rate,ppl,lang_conf,"
+                         "dur_ms)")
+    ap.add_argument("--quality-model-sample", type=float, default=None,
+                    metavar="FRAC",
+                    help="with --fit-quality-model: fit on a "
+                         "deterministic hash sample of the input "
+                         "(own 'qmodel_fit_sample' domain — the "
+                         "10^12-row path; labeling/AUC still score "
+                         "the sampled frame only)")
     ap.add_argument("--correct", default=None, metavar="PARQUET",
                     help="maintenance op: apply a correction batch — "
                          "parquet of raw-schema clips whose clip_ids "
@@ -1035,6 +1064,41 @@ def main() -> None:
         input_path = args.input
     else:
         ap.error("one of --input / --synthetic is required")
+
+    if args.fit_quality_model:
+        import json as _json
+
+        from data_quality_check_pipeline_spark.operators.qmodel import (
+            distill_quality_model,
+        )
+
+        spark = get_spark(
+            app_name="clip-quality-qmodel", cores=args.cores
+        )
+        feats = (
+            [c.strip() for c in args.quality_model_features.split(",")
+             if c.strip()]
+            if args.quality_model_features else None
+        )
+        try:
+            model, verdict = distill_quality_model(
+                spark.read.parquet(input_path),
+                feats,
+                sample_frac=args.quality_model_sample,
+            )
+        except ValueError as e:  # degenerate labels / bad features
+            print(f"fit-quality-model failed: {e}")
+            spark.stop()
+            raise SystemExit(3)
+        doc = {"model": model.to_dict(), **verdict}
+        tmp = args.fit_quality_model + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(doc, f, indent=2, sort_keys=True)
+        os.replace(tmp, args.fit_quality_model)
+        print(_json.dumps(verdict, indent=2))
+        print(f"model written to {args.fit_quality_model}")
+        spark.stop()
+        return
 
     if args.stream:
         from data_quality_check_pipeline_spark.sources.tables import (
