@@ -219,11 +219,122 @@ def _link_or_copy(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
+_ZORDER_BITS = 8  # quantile buckets per dimension = 2^bits
+
+
+def _bsearch_bucket_expr(col: "Column", bounds: list[float]) -> "Column":
+    """bucket(v) = #{i : bounds[i] <= v} as a BALANCED binary-search
+    CASE tree — log2(len) comparisons per row, pure Column exprs inside
+    whole-stage codegen (a linear HOF count over a bounds array would
+    run interpreted: the measured 27x trap, DESIGN.md)."""
+    def build(lo: int, hi: int) -> "Column":
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(col < F.lit(bounds[mid]), build(lo, mid))
+            .otherwise(build(mid + 1, hi))
+        )
+
+    return build(0, len(bounds))
+
+
+def _zorder_column(
+    df: DataFrame,
+    zorder_by: list[str],
+    bits: int = _ZORDER_BITS,
+    accuracy: int = 10_000,
+) -> "Column":
+    """Morton (Z-order) key over ``zorder_by``: per-column QUANTILE
+    bucket ids (equi-mass, so skew cannot collapse the curve onto a few
+    cells — Delta's OPTIMIZE ZORDER BY uses range ids the same way) with
+    their bits interleaved into one long. Range-sorting files by this
+    key gives every zorder column a tight per-file [min,max] at once:
+    a linear sort on (a, b) makes ``read(prune=...)`` selective on
+    ``a`` only, the z-curve makes it selective on EACH dimension —
+    the multi-column data-skipping layout for 100-TB tables.
+
+    Costs one distributed aggregate (percentile_approx per column) to
+    learn the boundaries; bucket assignment + interleave are native
+    codegen expressions. Numeric / date / timestamp columns only
+    (strings have no quantile surface here — and point lookups on id
+    strings are the bloom sidecars' job). NULLs bucket to 0 (nulls
+    first); an all-NULL or constant column degenerates to one bucket
+    and simply stops contributing bits."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    try:  # Spark >= 3.4
+        from pyspark.sql.types import TimestampNTZType
+        ts_types: tuple = (TimestampType, TimestampNTZType)
+    except ImportError:  # pragma: no cover
+        ts_types = (TimestampType,)
+
+    if len(set(zorder_by)) != len(zorder_by):
+        raise ValueError(f"zorder_by has duplicate columns: {zorder_by}")
+    k = len(zorder_by)
+    bits = max(1, min(bits, 63 // k))
+    n_buckets = 1 << bits
+
+    casted: dict[str, "Column"] = {}
+    for c in zorder_by:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (NumericType, DateType) + ts_types):
+            raise ValueError(
+                f"zorder_by column {c!r} has type {dt.simpleString()}; "
+                "z-ordering needs an orderable numeric/date/timestamp "
+                "quantile surface (for point lookups on string keys "
+                "use cluster_by or bloom_cols)"
+            )
+        e = F.col(c)
+        if isinstance(dt, DateType):
+            e = e.cast("timestamp")
+        casted[c] = e.cast("double")
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        *[
+            F.percentile_approx(casted[c], probs, accuracy).alias(
+                f"__zb_{i}"
+            )
+            for i, c in enumerate(zorder_by)
+        ]
+    ).collect()[0]
+
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(zorder_by):
+        raw = row[f"__zb_{ci}"] or []
+        bounds = sorted({float(v) for v in raw if v is not None})
+        if not bounds:
+            continue  # constant / all-NULL column: no bits to add
+        bucket = _bsearch_bucket_expr(
+            F.coalesce(casted[c], F.lit(float("-inf"))), bounds
+        ).cast("long")
+        if len(bounds) < n_buckets - 1:
+            # low-cardinality column: its bucket ids occupy fewer than
+            # ``bits`` bits, so its high interleave positions would sit
+            # at 0 and the OTHER columns' MSBs would dominate the curve
+            # (measured: a 64-distinct-value dim next to a full 256-
+            # bucket dim degenerated to a linear sort on the latter).
+            # Stretch the id range so every column's MSB is meaningful.
+            bucket = (
+                bucket * F.lit(n_buckets - 1) / F.lit(len(bounds))
+            ).cast("long")
+        for bit in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * k + ci,
+                )
+            )
+    return z
+
+
 def _cluster_frame(
     df: DataFrame,
     cluster_by: list[str] | None,
     partition_by: list[str] | None,
     target_files: int | None,
+    zorder_by: list[str] | None = None,
 ) -> DataFrame:
     """Apply the sort-order layout before a snapshot write. With BOTH
     hive partitioning and clustering, the range key is (partition cols
@@ -235,7 +346,26 @@ def _cluster_frame(
     re-fragmented the same way). Leading with the partition cols keeps
     each range task inside ~one cell: ~target_files files total, each
     still a tight sorted cluster-key run (the sortWithinPartitions
-    suffix orders cells first, then the key within them)."""
+    suffix orders cells first, then the key within them).
+
+    ``zorder_by`` (mutually exclusive with ``cluster_by``) ranges and
+    sorts on the interleaved Morton key instead — see
+    ``_zorder_column``."""
+    if cluster_by and zorder_by:
+        raise ValueError(
+            "cluster_by and zorder_by are mutually exclusive layouts"
+        )
+    if zorder_by:
+        df = df.withColumn("__zorder", _zorder_column(df, zorder_by))
+        sort_cols = [
+            c for c in (partition_by or []) if c not in zorder_by
+        ] + ["__zorder"]
+        df = (
+            df.repartitionByRange(*sort_cols)
+            if target_files is None
+            else df.repartitionByRange(target_files, *sort_cols)
+        ).sortWithinPartitions(*sort_cols).drop("__zorder")
+        return df
     if cluster_by:
         sort_cols = [
             c for c in (partition_by or []) if c not in cluster_by
@@ -469,8 +599,16 @@ class TableStore:
         cluster_by: list[str] | None = None,
         target_files: int | None = None,
         bloom_cols: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> str:
         """Write df as a new snapshot; returns the snapshot id.
+
+        ``zorder_by``: multi-dimensional variant of ``cluster_by``
+        (mutually exclusive) — lays files out along the Morton curve of
+        the quantile-bucketed columns so ``read(prune=...)`` is
+        selective on EVERY listed column, not just the leading sort
+        key. See ``_zorder_column``. Sticky across compactions exactly
+        like ``cluster_by``.
 
         ``bloom_cols``: record a per-file key-membership bloom sidecar
         for these columns (see sources/blooms.py) — the point-lookup
@@ -508,7 +646,9 @@ class TableStore:
         for 100-TB file sizing, but a small clustered table may land as
         one file (no pruning granularity to gain there anyway)."""
         assert mode in ("overwrite", "append")
-        df = _cluster_frame(df, cluster_by, partition_by, target_files)
+        df = _cluster_frame(
+            df, cluster_by, partition_by, target_files, zorder_by
+        )
         sid = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self._dir(name), f"snap_{sid}")
         w = df.write.mode("overwrite")
@@ -545,6 +685,7 @@ class TableStore:
                     "read_set": read_set,
                     "partition_by": partition_by or [],
                     "cluster_by": cluster_by or [],
+                    "zorder_by": zorder_by or [],
                     "bloom_cols": bloom_cols or [],
                     "properties": properties or {},
                     "schema": schema_json,
@@ -992,6 +1133,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> str | None:
         """Rewrite the CURRENT view as one fresh snapshot dir (the
         Iceberg ``rewrite_data_files`` analogue). An append-heavy table
@@ -1035,14 +1177,15 @@ class TableStore:
         if (
             len(base["read_set"]) <= 1
             and cluster_by is None
+            and zorder_by is None
             and bloom_cols is None
         ):
             # single dir + no EXPLICIT re-layout request: nothing to do.
-            # An explicit cluster_by (sort-order change) or bloom_cols
-            # (add/drop bloom sidecars) still rewrites.
+            # An explicit cluster_by/zorder_by (sort-order change) or
+            # bloom_cols (add/drop bloom sidecars) still rewrites.
             return None
         df = self.read(name, base["id"])
-        if cluster_by is None:
+        if cluster_by is None and zorder_by is None:
             # sticky default: appends don't carry a cluster spec, so walk
             # the parent chain back to the last FULL rewrite (write
             # overwrite / compact) — that snapshot defines the layout.
@@ -1051,6 +1194,9 @@ class TableStore:
             while s is not None:
                 if s.get("cluster_by"):
                     cluster_by = list(s["cluster_by"])
+                    break
+                if s.get("zorder_by"):
+                    zorder_by = list(s["zorder_by"])
                     break
                 if s.get("mode") in ("overwrite", "compact"):
                     break
@@ -1064,7 +1210,9 @@ class TableStore:
                     s = None
         if partition_by is None:
             partition_by = base.get("partition_by") or None
-        df = _cluster_frame(df, cluster_by, partition_by, target_files)
+        df = _cluster_frame(
+            df, cluster_by, partition_by, target_files, zorder_by
+        )
         sid = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self._dir(name), f"snap_{sid}")
         w = df.write.mode("overwrite")
@@ -1113,6 +1261,7 @@ class TableStore:
                     "read_set": [f"snap_{sid}"],
                     "partition_by": partition_by or [],
                     "cluster_by": cluster_by or [],
+                    "zorder_by": zorder_by or [],
                     "bloom_cols": bloom_cols or [],
                     "properties": props,
                     "schema": df.schema.json(),
@@ -1760,8 +1909,9 @@ class TableStore:
                 df, allowMissingColumns=True
             )
             cluster_by = base.get("cluster_by") or None
+            zorder_by = base.get("zorder_by") or None
             partition_by = base.get("partition_by") or None
-            if cluster_by:
+            if cluster_by or zorder_by:
                 # keep the REWRITTEN portion's file granularity: an
                 # unpinned range shuffle AQE-coalesces to one file
                 # (DESIGN.md #34) and a one-file rewrite erodes pruning
@@ -1772,6 +1922,7 @@ class TableStore:
                 merged = _cluster_frame(
                     merged, cluster_by, partition_by,
                     n_files if n_files > 1 else None,
+                    zorder_by,
                 )
             sid = uuid.uuid4().hex[:16]
             data_dir = os.path.join(self._dir(name), f"snap_{sid}")
@@ -1821,6 +1972,7 @@ class TableStore:
                         "read_set": untouched + [f"snap_{sid}"],
                         "partition_by": partition_by or [],
                         "cluster_by": cluster_by or [],
+                        "zorder_by": zorder_by or [],
                         "bloom_cols": bloom_cols or [],
                         "properties": props,
                         "schema": merged.schema.json(),
@@ -2149,7 +2301,11 @@ class IcebergStore:
         )
 
     def compact(self, name, target_files=None, cluster_by=None,
-                bloom_cols=None):
+                bloom_cols=None, zorder_by=None):
+        if cluster_by and zorder_by:
+            raise ValueError(
+                "cluster_by and zorder_by are mutually exclusive layouts"
+            )
         cat = self.prefix.split(".")[0]
         for c in bloom_cols or []:
             self.spark.sql(
@@ -2164,6 +2320,11 @@ class IcebergStore:
             # call's parse.
             cols = ", ".join(cluster_by)
             opts = f", strategy => 'sort', sort_order => '{cols}'"
+        elif zorder_by:
+            # Iceberg's native z-order rewrite — the engine-side twin of
+            # TableStore._zorder_column's Morton layout
+            cols = ", ".join(zorder_by)
+            opts = f", strategy => 'sort', sort_order => 'zorder({cols})'"
         if target_files is not None:
             # TableStore sizes output by file COUNT; Iceberg's rewrite
             # sizes by bytes. Map count -> target-file-size-bytes from

@@ -101,6 +101,15 @@ def main() -> None:
                          "-> selective min/max scan pruning, e.g. "
                          "clip_id for takedown lookups); omitted = keep "
                          "the table's recorded clustering")
+    ap.add_argument("--compact-zorder", default=None,
+                    metavar="COL[,COL...]",
+                    help="with --compact: Z-ORDER the rewrite on these "
+                         "numeric/timestamp columns (Morton-interleaved "
+                         "quantile buckets -> min/max pruning selective "
+                         "on EVERY listed column, where a linear sort "
+                         "only serves the leading key; e.g. "
+                         "snr_db,dur_ms for quality-band range scans); "
+                         "mutually exclusive with --compact-cluster-by")
     ap.add_argument("--compact-bloom", default=None,
                     metavar="COL[,COL...]",
                     help="with --compact: record per-file key-membership "
@@ -539,6 +548,11 @@ def main() -> None:
                      "without a rewrite)")
         if args.compact_cluster_by:
             ap.error("--compact-cluster-by without --compact")
+        if args.compact_zorder:
+            ap.error("--compact-zorder without --compact")
+    if args.compact_zorder and args.compact_cluster_by:
+        ap.error("--compact-zorder and --compact-cluster-by are "
+                 "mutually exclusive layouts")
     if args.takedown_hard and args.takedown_mode != "purge":
         # apply_takedown raises too; catch it at the parser so the
         # operator sees a usage error, not a stack trace
@@ -685,8 +699,14 @@ def main() -> None:
                  if c.strip()]
                 if args.compact_bloom else None
             )
+            zorder = (
+                [c.strip() for c in args.compact_zorder.split(",")
+                 if c.strip()]
+                if args.compact_zorder else None
+            )
             sid = store.compact(
                 args.compact, cluster_by=cluster, bloom_cols=bloom,
+                zorder_by=zorder,
             )
             print(
                 f"compacted {args.compact} -> snap_{sid}" if sid
