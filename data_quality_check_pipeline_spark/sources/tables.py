@@ -24,6 +24,7 @@ atomically via rename).
 from __future__ import annotations
 
 import contextlib
+import hashlib
 import json
 import logging
 import os
@@ -1481,6 +1482,138 @@ class TableStore:
                 "without blooms; pruning degrades to min/max",
                 data_dir, name, exc_info=True,
             )
+
+    def adopt_files(
+        self,
+        name: str,
+        src_dir: str,
+        mode: str = "append",
+        properties: dict | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> str:
+        """Adopt an EXISTING parquet directory as a snapshot WITHOUT
+        copying data (Iceberg's ``add_files`` / Delta's CONVERT: the
+        realistic way 100 TB of already-landed parquet comes under
+        snapshot governance — re-writing it through ``write`` would
+        double the storage and take days). Every ``.parquet`` under
+        ``src_dir`` is HARD-LINKED into a fresh snap dir preserving its
+        relative path (hive ``key=value`` partition segments keep
+        working), per-file min/max stats come from the footers
+        (metadata-only reads), and a normal manifest entry commits —
+        after which reads, pruning, time travel, COW maintenance, and
+        expire_snapshots treat the adopted files exactly like written
+        ones. Cross-device sources fall back to a copy per file.
+
+        Idempotent per (src_dir, file-listing fingerprint): re-adopting
+        the same unchanged source returns the existing snapshot id
+        instead of appending duplicate rows — the crash-rerun contract
+        every ingest surface here keeps.
+
+        GDPR note: the snap dir SHARES inodes with the source. A
+        takedown's COW rewrite replaces the table's own files, and
+        ``expire_snapshots`` only drops this table's links — physical
+        erasure of adopted rows additionally requires deleting the
+        source copy (stated, not hidden: same contract as any
+        replicated input).
+
+        ``mode='append'`` chains onto the current view;
+        ``mode='overwrite'`` starts a fresh read_set. ``bloom_cols``
+        builds point-lookup sidecars for the adopted files (one
+        distributed key scan); append inherits the table's spec."""
+        assert mode in ("overwrite", "append")
+        src_dir = os.path.abspath(src_dir)
+        rels = []
+        for root, _dirs, fnames in os.walk(src_dir):
+            for f in sorted(fnames):
+                if f.endswith(".parquet"):
+                    rels.append(
+                        os.path.relpath(os.path.join(root, f), src_dir)
+                    )
+        if not rels:
+            raise FileNotFoundError(
+                f"adopt_files: no parquet files under {src_dir}"
+            )
+        fp_src = hashlib.sha256()
+        for rel in sorted(rels):
+            st = os.stat(os.path.join(src_dir, rel))
+            fp_src.update(
+                f"{rel}\x00{st.st_size}\x00{st.st_mtime_ns}\x00".encode()
+            )
+        fingerprint = f"adopt:{src_dir}:{fp_src.hexdigest()[:32]}"
+        m0 = self._load_manifest(name)
+        for s in m0["snapshots"]:
+            if (
+                s.get("properties", {}).get("adopt_fingerprint")
+                == fingerprint
+            ):
+                _log.info(
+                    "adopt_files(%s): source %s unchanged since "
+                    "snap_%s — skipping (idempotent replay)",
+                    name, src_dir, s["id"],
+                )
+                return s["id"]
+
+        sid = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._dir(name), f"snap_{sid}")
+        for rel in rels:
+            dst = os.path.join(data_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(os.path.join(src_dir, rel), dst)
+            except OSError:  # cross-device / FS without hard links
+                shutil.copy2(os.path.join(src_dir, rel), dst)
+        files = _collect_file_stats(data_dir)
+        schema_json = self.spark.read.option(
+            "basePath", data_dir
+        ).parquet(data_dir).schema.json()
+        # hive partition columns are exactly the path-segment keys —
+        # recorded only when EVERY file agrees (a mixed layout would
+        # make the recorded spec a lie; reads still work either way)
+        def _pkeys(rel: str) -> tuple:
+            return tuple(
+                seg.split("=", 1)[0]
+                for seg in os.path.dirname(rel).split(os.sep)
+                if "=" in seg
+            )
+
+        keysets = {_pkeys(r) for r in rels}
+        partition_by = list(keysets.pop()) if len(keysets) == 1 else []
+        if bloom_cols is None and mode == "append":
+            cur = self._snapshot(m0, None) if m0["current"] else None
+            bloom_cols = (cur or {}).get("bloom_cols") or None
+        self._write_bloom_sidecar(name, data_dir, files, bloom_cols)
+        props = {
+            "adopted_from": src_dir,
+            "adopt_fingerprint": fingerprint,
+            **(properties or {}),
+        }
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if mode == "append" and m["current"] is not None:
+                parent = self._snapshot(m, None)
+                read_set = parent["read_set"] + [f"snap_{sid}"]
+            else:
+                read_set = [f"snap_{sid}"]
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": mode,
+                    "parent": m["current"],
+                    "read_set": read_set,
+                    "partition_by": partition_by,
+                    "cluster_by": [],
+                    "zorder_by": [],
+                    "bloom_cols": bloom_cols or [],
+                    "properties": props,
+                    "schema": schema_json,
+                    "has_data": True,
+                    "files": files,
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+        return sid
 
     def backfill_blooms(self, name: str, cols: list[str]) -> dict:
         """Add bloom sidecars to an EXISTING table without rewriting a

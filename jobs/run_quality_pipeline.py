@@ -120,6 +120,17 @@ def main() -> None:
                          "including hash-sharded dirs where min/max "
                          "stats span the id domain; omitted = keep the "
                          "table's recorded bloom spec")
+    ap.add_argument("--adopt-files", default=None, nargs=2,
+                    metavar=("TABLE", "SRC_DIR"),
+                    help="maintenance op (exits after): adopt an "
+                         "existing parquet directory as a snapshot of "
+                         "TABLE WITHOUT copying data (Iceberg "
+                         "add_files: files hard-link into the snap "
+                         "dir, stats come from footers) — the 100-TB "
+                         "path for bringing already-landed corpora "
+                         "under snapshot governance; idempotent per "
+                         "unchanged source; appends to the current "
+                         "view")
     ap.add_argument("--backfill-blooms", default=None,
                     metavar="TABLE:COL[,COL...]",
                     help="add bloom sidecars to an EXISTING table "
@@ -653,7 +664,7 @@ def main() -> None:
     # version management parity (reference main.py --rollback /
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
-            or args.backfill_blooms
+            or args.backfill_blooms or args.adopt_files
             or args.expire_snapshots or args.tag or args.untag
             or args.changelog or args.takedown or args.correct
             or args.repack_tokens or args.export_dir
@@ -711,6 +722,14 @@ def main() -> None:
             print(
                 f"compacted {args.compact} -> snap_{sid}" if sid
                 else f"{args.compact}: nothing to compact"
+            )
+        if args.adopt_files:
+            table, src = args.adopt_files
+            sid = store.adopt_files(table, src)
+            n = store.row_count(table)
+            print(
+                f"adopted {src} into {table} as snap_{sid} "
+                f"(zero-copy; table now {n} rows)"
             )
         if args.backfill_blooms:
             table, _, colspec = args.backfill_blooms.partition(":")
