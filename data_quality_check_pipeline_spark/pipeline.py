@@ -137,6 +137,13 @@ class RunConfig:
     # run). None disables. Conflict-safe: compact() aborts rather than
     # clobber a concurrent append, so a lost race just retries next run.
     history_compact_dirs: int | None = 64
+    # write-audit-publish: land EVERY table this run touches on this
+    # staging branch instead of mainline; audit the branch view
+    # (release_check(branch=...)), then publish_branch on green or
+    # drop_branch on red — mainline (and the trainer reading it) never
+    # sees unaudited data, and a dropped run leaves no signature
+    # history behind. History compaction is deferred to mainline.
+    wap_branch: str | None = None
     # deterministic kept-branch mixture sampling + split assignment
     # (operators/sampling.py), applied AFTER dedup and BEFORE
     # scrub/write. Decisions hash clip_id (never rand()), so shard
@@ -524,7 +531,15 @@ def run_pipeline(
     """Execute the pipeline; returns the metrics document."""
     t_run = time.time()
     log = StageLog()
-    store = TableStore(spark, cfg.out_root)
+    # WAP: a branch-scoped handle routes EVERY table this run touches
+    # (clean, quarantine, dedup/profile histories, lineage) onto the
+    # staging branch — mainline stays byte-identical until
+    # publish_branch, and a dropped branch leaves no trace anywhere,
+    # including the signature histories (the "what never lands must
+    # leave no trace" invariant, extended to the whole run)
+    store = TableStore(
+        spark, cfg.out_root, default_branch=cfg.wap_branch or None
+    )
 
     # -- LOAD ---------------------------------------------------------------
     t0 = time.time()
@@ -1017,8 +1032,10 @@ def _run_shard(
         # dir accretes per shard/batch (stream batches share this
         # table); compact folds the view, carrying the fingerprint
         # guard and batch_idx rows through
-        if cfg.history_compact_dirs is not None and store.exists(
-            PROFILE_TABLE
+        if (
+            cfg.history_compact_dirs is not None
+            and not cfg.wap_branch  # compaction is mainline-only
+            and store.exists(PROFILE_TABLE)
         ):
             cur = store.current_snapshot(PROFILE_TABLE)
             if cur and len(cur["read_set"]) > cfg.history_compact_dirs:
@@ -1101,7 +1118,11 @@ def _run_shard(
         # shard per run; past the threshold, fold the view into one
         # snapshot (compact aborts on a concurrent commit — next run
         # retries)
-        if cfg.history_compact_dirs is not None and store.exists(table):
+        if (
+            cfg.history_compact_dirs is not None
+            and not cfg.wap_branch  # compaction is mainline-only
+            and store.exists(table)
+        ):
             cur = store.current_snapshot(table)
             if cur and len(cur["read_set"]) > cfg.history_compact_dirs:
                 store.compact(table)

@@ -65,6 +65,7 @@ def release_check(
     out_root: str,
     leakage_jaccard: float | None = None,
     psi_threshold: float = 0.25,
+    branch: str | None = None,
 ) -> dict:
     """Run the pre-release checks against ``out_root``; returns
     ``{"ok": bool, "checks": {name: {"ok": ..., ...}}}``.
@@ -86,8 +87,13 @@ def release_check(
 
     The drift check runs whenever a profile history exists (its
     presence means profiling was requested); profiled columns and
-    numeric bin specs are re-derived from the history itself."""
-    store = TableStore(spark, out_root)
+    numeric bin specs are re-derived from the history itself.
+
+    ``branch``: audit a WAP staging branch's view instead of mainline
+    — the AUDIT step of write-audit-publish (every table read resolves
+    to its branch head, so the verdict judges exactly what
+    ``publish_branch`` would ship)."""
+    store = TableStore(spark, out_root, default_branch=branch)
     checks: dict = {}
 
     if not store.exists(CLEAN_TABLE):

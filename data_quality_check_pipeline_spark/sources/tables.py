@@ -454,10 +454,35 @@ class IncrementalReadError(RuntimeError):
 class TableStore:
     """Parquet-backed versioned tables under a root directory."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        default_branch: str | None = None,
+    ) -> None:
+        """``default_branch``: scope this handle to a WAP staging
+        branch — reads resolve to the branch head (falling back to
+        mainline current before the first branch commit: the fork
+        view), writes move the branch ref and leave ``current``
+        untouched, and mainline-mutating maintenance ops (upsert /
+        delete / compact / rollback / tag / expire / adopt) REFUSE
+        until the branch is published or dropped. The write-audit-
+        publish handle: a pipeline run lands everything on the branch,
+        the QA gate audits the branch view, and ``publish_branch``
+        fast-forwards mainline atomically on green."""
         self.spark = spark
         self.root = root
+        self.default_branch = default_branch
         os.makedirs(root, exist_ok=True)
+
+    def _refuse_on_branch(self, op: str) -> None:
+        if self.default_branch:
+            raise RuntimeError(
+                f"{op} is mainline-only; this handle is scoped to "
+                f"branch {self.default_branch!r} — publish_branch or "
+                "drop_branch first (WAP maintenance happens after the "
+                "audit verdict, never on staged data)"
+            )
 
     # -- manifest helpers ---------------------------------------------------
 
@@ -546,10 +571,15 @@ class TableStore:
         snapshot_id: str | None,
         tag: str | None,
         as_of_ts: float | None,
+        branch: str | None = None,
     ) -> dict | None:
         """Resolve a snapshot reference: explicit id > tag > newest
         snapshot committed at or before ``as_of_ts`` (Iceberg
-        timestamp time travel) > current."""
+        timestamp time travel) > branch head (explicit ``branch`` or
+        the handle's ``default_branch``; a branch with no commits yet
+        resolves to mainline current — the fork view) > current. An
+        EXPLICIT unknown branch raises (typo protection); an unwritten
+        ``default_branch`` silently falls through by design."""
         if snapshot_id is not None:
             return self._snapshot(m, snapshot_id)
         if tag is not None:
@@ -586,6 +616,16 @@ class TableStore:
                     f"or before {as_of_ts}"
                 )
             return max(past, key=lambda s: s["ts"])
+        eff = branch or self.default_branch
+        if eff is not None:
+            sid = m.get("branches", {}).get(eff)
+            if sid is None and branch is not None:
+                raise KeyError(
+                    f"unknown branch {branch!r} (have: "
+                    f"{sorted(m.get('branches', {}))})"
+                )
+            if sid is not None:
+                return self._snapshot(m, sid)
         return self._snapshot(m, None)
 
     # -- public API ----------------------------------------------------------
@@ -661,19 +701,30 @@ class TableStore:
         schema_json = df.schema.json()
         files = _collect_file_stats(data_dir)
         has_data = bool(files)
+        branch = self.default_branch
         if bloom_cols is None and mode == "append":
             # sticky spec: appends inherit blooms from the parent (read
             # pre-lock — the spec changes rarely and a miss only costs
             # selectivity, never correctness)
             m_pre = self._load_manifest(name)
-            if m_pre["current"] is not None:
-                bloom_cols = self._snapshot(m_pre, None).get("bloom_cols")
+            parent_pre = self._resolve(m_pre, None, None, None)
+            if parent_pre is not None:
+                bloom_cols = parent_pre.get("bloom_cols")
         self._write_bloom_sidecar(name, data_dir, files, bloom_cols)
 
         with self._table_lock(name):
             m = self._load_manifest(name)
-            if mode == "append" and m["current"] is not None:
-                parent = self._snapshot(m, None)
+            # branch-aware chain head: the branch tip once it has
+            # commits, else mainline current (the WAP fork point) —
+            # mainline writers keep chaining on current untouched
+            head = (
+                m.get("branches", {}).get(branch)
+                if branch else m["current"]
+            )
+            if branch and head is None:
+                head = m["current"]
+            if mode == "append" and head is not None:
+                parent = self._snapshot(m, head)
                 read_set = parent["read_set"] + [f"snap_{sid}"]
             else:
                 read_set = [f"snap_{sid}"]
@@ -682,7 +733,8 @@ class TableStore:
                     "id": sid,
                     "ts": time.time(),
                     "mode": mode,
-                    "parent": m["current"],
+                    "parent": head,
+                    "branch": branch,
                     "read_set": read_set,
                     "partition_by": partition_by or [],
                     "cluster_by": cluster_by or [],
@@ -698,7 +750,10 @@ class TableStore:
                     "files": files,
                 }
             )
-            m["current"] = sid
+            if branch:
+                m.setdefault("branches", {})[branch] = sid
+            else:
+                m["current"] = sid
             self._save_manifest(name, m)
         return sid
 
@@ -710,6 +765,7 @@ class TableStore:
         scan_stats: dict | None = None,
         as_of_ts: float | None = None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Read the current (or a time-travel) snapshot. Time travel by
         explicit ``snapshot_id``, by release ``tag``, or by
@@ -733,7 +789,7 @@ class TableStore:
         because their manifest entry predates file stats) for
         observability and tests."""
         m = self._load_manifest(name)
-        snap = self._resolve(m, snapshot_id, tag, as_of_ts)
+        snap = self._resolve(m, snapshot_id, tag, as_of_ts, branch)
         if snap is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
         return self._union_snapshot_dirs(
@@ -1171,6 +1227,7 @@ class TableStore:
         range files (Iceberg's sort-order rewrite), restoring O(result)
         file reads for point/range lookups — the takedown/changelog
         access pattern on a 100-TB history table."""
+        self._refuse_on_branch("compact")
         m0 = self._load_manifest(name)
         base = self._snapshot(m0, None)
         if base is None:
@@ -1521,6 +1578,7 @@ class TableStore:
         builds point-lookup sidecars for the adopted files (one
         distributed key scan); append inherits the table's spec."""
         assert mode in ("overwrite", "append")
+        self._refuse_on_branch("adopt_files")
         src_dir = os.path.abspath(src_dir)
         rels = []
         for root, _dirs, fnames in os.walk(src_dir):
@@ -1734,6 +1792,7 @@ class TableStore:
         non-normalizable key degrades to rewrite-everything
         (conservative, never wrong)."""
         keys = set(keys)
+        self._refuse_on_branch("delete_where")
         if any(k is None for k in keys):
             raise ValueError("delete_where: keys must be non-NULL")
         keys = sorted(keys)
@@ -1909,6 +1968,7 @@ class TableStore:
         dirs_untouched, files_rewritten, files_carried, aborted}
         (aborted=True when a concurrent commit moved 'current'
         mid-rewrite — orphan dir left for the grace sweep; re-run)."""
+        self._refuse_on_branch("upsert")
         from pyspark import StorageLevel
 
         out = {
@@ -2170,6 +2230,7 @@ class TableStore:
         stays re-exportable bit-for-bit until its tag is dropped).
         Re-tagging the same snapshot is a no-op; moving an existing
         tag raises — drop it first (tags name immutable releases)."""
+        self._refuse_on_branch("tag")
         with self._table_lock(name):
             m = self._load_manifest(name)
             snap = self._snapshot(m, snapshot_id)
@@ -2201,7 +2262,11 @@ class TableStore:
         return dict(self._load_manifest(name).get("tags", {}))
 
     def exists(self, name: str) -> bool:
-        return self._load_manifest(name)["current"] is not None
+        # branch-aware: under a default_branch handle this is the
+        # branch view's non-emptiness (fork semantics before the first
+        # branch commit — same as _resolve)
+        m = self._load_manifest(name)
+        return self._resolve(m, None, None, None) is not None
 
     def list_tables(self) -> list[str]:
         """Every table under this root (dirs holding a manifest.json)
@@ -2230,12 +2295,81 @@ class TableStore:
         ] + m.get("expired_props", [])
 
     def current_snapshot(self, name: str) -> dict | None:
+        # branch-aware under a default_branch handle (the crash-replay
+        # guards resolve reachability through this, which is exactly
+        # what makes WAP re-runs correct: a shard committed to a LIVE
+        # branch is reachable and skips; the same shard after
+        # drop_branch is unreachable and honestly re-processes)
         m = self._load_manifest(name)
-        return self._snapshot(m, None)
+        return self._resolve(m, None, None, None)
+
+    # -- WAP branches ---------------------------------------------------
+
+    def branches(self, name: str) -> dict:
+        return dict(self._load_manifest(name).get("branches", {}))
+
+    def publish_branch(self, name: str, branch: str) -> str:
+        """Fast-forward mainline ``current`` to the branch head and
+        drop the branch ref — the PUBLISH step of write-audit-publish.
+        Atomic under the table lock; refuses (RuntimeError) when
+        mainline moved since the branch forked (the head no longer
+        descends from current — publishing would silently discard the
+        concurrent mainline commit; re-run the staged job on a fresh
+        fork). Returns the published snapshot id."""
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            head = m.get("branches", {}).get(branch)
+            if head is None:
+                raise KeyError(
+                    f"unknown branch {branch!r} on table {name} "
+                    f"(have: {sorted(m.get('branches', {}))})"
+                )
+            cur = m["current"]
+            if cur is not None:
+                s: dict | None = self._snapshot(m, head)
+                seen: set = set()
+                while s is not None and s["id"] != cur:
+                    p = s.get("parent")
+                    if p is None or p in seen:
+                        s = None
+                        break
+                    seen.add(p)
+                    try:
+                        s = self._snapshot(m, p)
+                    except KeyError:  # chain expired mid-branch
+                        s = None
+                if s is None:
+                    raise RuntimeError(
+                        f"publish_branch({name}, {branch!r}): mainline "
+                        f"current ({cur}) is not an ancestor of the "
+                        f"branch head ({head}) — a concurrent mainline "
+                        "commit landed after the fork (or the fork "
+                        "chain was expired). Re-run the staged job on "
+                        "a fresh branch; never force-publish over it."
+                    )
+            m["current"] = head
+            del m["branches"][branch]
+            self._save_manifest(name, m)
+            return head
+
+    def drop_branch(self, name: str, branch: str) -> None:
+        """Discard a staging branch (the audit-failed verdict): the
+        ref disappears, mainline never sees the staged snapshots, and
+        their dirs become expirable orphans. The crash-replay guards
+        key on REACHABILITY, so a re-run of the same shards honestly
+        re-processes instead of skipping on the dead branch's
+        property records."""
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if branch not in m.get("branches", {}):
+                raise KeyError(f"unknown branch {branch!r}")
+            del m["branches"][branch]
+            self._save_manifest(name, m)
 
     def rollback(self, name: str, snapshot_id: str) -> None:
         """Point 'current' back at an older snapshot (Iceberg:
         CALL rollback_to_snapshot)."""
+        self._refuse_on_branch("rollback")
         with self._table_lock(name):
             m = self._load_manifest(name)
             self._snapshot(m, snapshot_id)  # validate
@@ -2261,6 +2395,7 @@ class TableStore:
         unreferenced (safe only with no concurrent writers)."""
         import shutil
 
+        self._refuse_on_branch("expire_snapshots")
         with self._table_lock(name):
             return self._expire_inner(
                 name, keep_last, orphan_grace_s, shutil
@@ -2274,10 +2409,13 @@ class TableStore:
         # snaps[-0:] would be the WHOLE list (Python slice), turning
         # keep_last=0 ("keep only pinned refs") into a silent no-op
         keep = snaps[-keep_last:] if keep_last > 0 else []
-        # pinned refs: 'current' after a rollback, and every TAGGED
+        # pinned refs: 'current' after a rollback, every TAGGED
         # release — a shipped release must stay re-exportable until
-        # its tag is deliberately dropped
+        # its tag is deliberately dropped — and every live BRANCH head
+        # (a staged WAP run must survive GC until its audit verdict;
+        # the head's read_set covers the whole staged view)
         pinned = set(m.get("tags", {}).values())
+        pinned |= set(m.get("branches", {}).values())
         if m["current"] is not None:
             pinned.add(m["current"])
         keep = sorted(
@@ -2347,8 +2485,18 @@ class IcebergStore:
         self.prefix = f"{catalog}.{db}"
 
     def write(self, name, df, mode="overwrite", partition_by=None,
-              properties=None, bloom_cols=None):
+              properties=None, bloom_cols=None, branch=None):
         full = f"{self.prefix}.{name}"
+        if branch:
+            # Iceberg-native WAP: write to a ref, publish later via
+            # fast_forward. The branch must exist before the first
+            # branch write (CREATE BRANCH IF NOT EXISTS), then the
+            # branch identifier routes the commit.
+            self.spark.sql(
+                f"ALTER TABLE {full} CREATE BRANCH IF NOT EXISTS "
+                f"`{branch}`"
+            )
+            full = f"{full}.branch_{branch}"
         writer = df.writeTo(full)
         for c in bloom_cols or []:
             # Iceberg's native analogue of the TableStore bloom sidecar:
@@ -2476,6 +2624,21 @@ class IcebergStore:
         self.spark.sql(
             f"CALL {cat}.system.rewrite_data_files"
             f"(table => '{self.prefix}.{name}'{opts})"
+        )
+
+    def publish_branch(self, name, branch):
+        # Iceberg's WAP publish: fast-forward main onto the audited ref
+        cat = self.prefix.split(".")[0]
+        self.spark.sql(
+            f"CALL {cat}.system.fast_forward("
+            f"table => '{self.prefix}.{name}', "
+            f"branch => 'main', to => '{branch}')"
+        )
+        self.drop_branch(name, branch)
+
+    def drop_branch(self, name, branch):
+        self.spark.sql(
+            f"ALTER TABLE {self.prefix}.{name} DROP BRANCH `{branch}`"
         )
 
     def tag(self, name, tag_name, snapshot_id=None):

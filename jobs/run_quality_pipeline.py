@@ -497,6 +497,32 @@ def main() -> None:
                     metavar="N",
                     help="with --repack-tokens: hash-derived parallel "
                          "shards for the backlog fold (default 16)")
+    ap.add_argument("--wap", action="store_true",
+                    help="write-audit-publish (batch only): land EVERY "
+                         "table this run touches (clean, quarantine, "
+                         "dedup/profile histories) on staging branch "
+                         "wap-<run-id> instead of mainline; audit with "
+                         "--release-check --check-branch wap-<run-id>, "
+                         "then --publish-branch on green or "
+                         "--drop-branch on red — the trainer reading "
+                         "mainline never sees unaudited data, and a "
+                         "dropped run leaves no signature history")
+    ap.add_argument("--publish-branch", default=None, metavar="NAME",
+                    help="maintenance op (exits after): fast-forward "
+                         "mainline to branch NAME's head on every "
+                         "table carrying that branch (the PUBLISH step "
+                         "of --wap); refuses per-table when mainline "
+                         "moved since the fork; exit 3 on any refusal")
+    ap.add_argument("--drop-branch", default=None, metavar="NAME",
+                    help="maintenance op (exits after): discard branch "
+                         "NAME on every table carrying it (the audit-"
+                         "failed verdict) — mainline never sees the "
+                         "staged snapshots and a re-run reprocesses "
+                         "them honestly")
+    ap.add_argument("--check-branch", default=None, metavar="NAME",
+                    help="with --release-check: audit this WAP staging "
+                         "branch's view instead of mainline (judges "
+                         "exactly what --publish-branch would ship)")
     ap.add_argument("--release-check", action="store_true",
                     help="pre-release QA gate over --out: data-contract "
                          "expectations on the full clean table, "
@@ -564,6 +590,16 @@ def main() -> None:
     if args.compact_zorder and args.compact_cluster_by:
         ap.error("--compact-zorder and --compact-cluster-by are "
                  "mutually exclusive layouts")
+    if args.wap:
+        if args.stream:
+            ap.error("--wap is batch-only (a stream has no run-shaped "
+                     "audit point; gate streams with the per-batch "
+                     "checks instead)")
+        if not args.run_id:
+            ap.error("--wap requires --run-id (the staging branch is "
+                     "named wap-<run-id>)")
+    if args.check_branch and not args.release_check:
+        ap.error("--check-branch without --release-check")
     if args.takedown_hard and args.takedown_mode != "purge":
         # apply_takedown raises too; catch it at the parser so the
         # operator sees a usage error, not a stack trace
@@ -665,6 +701,7 @@ def main() -> None:
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
             or args.backfill_blooms or args.adopt_files
+            or args.publish_branch or args.drop_branch
             or args.expire_snapshots or args.tag or args.untag
             or args.changelog or args.takedown or args.correct
             or args.repack_tokens or args.export_dir
@@ -690,6 +727,8 @@ def main() -> None:
                     + (f"  tags={','.join(sorted(tagged))}"
                        if tagged else "")
                 )
+            for b, sid in sorted(store.branches("clips_clean").items()):
+                print(f"branch {b} -> {sid} (unpublished)")
         if args.rollback:
             store.rollback("clips_clean", args.rollback)
             print(f"rolled back clips_clean to {args.rollback}")
@@ -723,6 +762,33 @@ def main() -> None:
                 f"compacted {args.compact} -> snap_{sid}" if sid
                 else f"{args.compact}: nothing to compact"
             )
+        if args.publish_branch or args.drop_branch:
+            br = args.publish_branch or args.drop_branch
+            verb = "publish" if args.publish_branch else "drop"
+            hit = failed = 0
+            for table in store.list_tables():
+                if br not in store.branches(table):
+                    continue
+                hit += 1
+                try:
+                    if args.publish_branch:
+                        sid = store.publish_branch(table, br)
+                        print(f"published {table}@{br} -> snap_{sid}")
+                    else:
+                        store.drop_branch(table, br)
+                        print(f"dropped {table}@{br}")
+                except RuntimeError as e:
+                    failed += 1
+                    print(f"{verb} FAILED on {table}: {e}")
+            if hit == 0:
+                print(f"branch {br!r} exists on no table under "
+                      f"{args.out}")
+                spark.stop()
+                raise SystemExit(3)
+            print(f"{verb}: {hit - failed}/{hit} tables ok")
+            if failed:
+                spark.stop()
+                raise SystemExit(3)
         if args.adopt_files:
             table, src = args.adopt_files
             sid = store.adopt_files(table, src)
@@ -1082,6 +1148,7 @@ def main() -> None:
             verdict = release_check(
                 spark, args.out,
                 leakage_jaccard=args.release_leakage,
+                branch=args.check_branch,
             )
             print(_json.dumps(verdict, indent=2, default=str))
             if not verdict["ok"]:
@@ -1292,7 +1359,13 @@ def main() -> None:
             if args.profile_numeric else None
         ),
         pack_budget=args.pack_tokens,
+        wap_branch=(f"wap-{args.run_id}" if args.wap else None),
     )
+    if args.wap:
+        print(f"WAP: staging every table write on branch "
+              f"'wap-{args.run_id}' — audit with --release-check "
+              f"--check-branch wap-{args.run_id}, then "
+              f"--publish-branch / --drop-branch")
     if args.requeue:
         from data_quality_check_pipeline_spark.pipeline import (
             requeue_quarantine,
