@@ -26,6 +26,7 @@ Scale design:
 
 from __future__ import annotations
 
+import json
 import logging
 import time
 import uuid
@@ -144,6 +145,12 @@ class RunConfig:
     # sees unaudited data, and a dropped run leaves no signature
     # history behind. History compaction is deferred to mainline.
     wap_branch: str | None = None
+    # path to a fitted qmodel JSON (--fit-quality-model output): stamps
+    # the advisory model_quality_score column on every scored clip (one
+    # fused Python-free sigmoid — the deployment half of the distilled
+    # classifier). Advisory like speech_rate: curriculum/profiling
+    # input, never a keep rule. Batch-only.
+    quality_model_json: str | None = None
     # deterministic kept-branch mixture sampling + split assignment
     # (operators/sampling.py), applied AFTER dedup and BEFORE
     # scrub/write. Decisions hash clip_id (never rand()), so shard
@@ -258,14 +265,25 @@ class RunConfig:
                 )
 
 
-def score_clips(df: DataFrame, with_audio: bool = True) -> DataFrame:
+def score_clips(
+    df: DataFrame,
+    with_audio: bool = True,
+    quality_model=None,
+) -> DataFrame:
     """clean + the three vectorized scorers. Lazy — no action triggered.
 
     Also stamps the advisory ``speech_rate`` column (words/sec,
     exprs.speech_rate_expr): a pure expr over cleaned columns, shared
     by the batch shard and the streaming path (both route through
     here), so curriculum/profile decisions keyed on it agree across
-    ingestion paths. Never a keep rule — keep/drop is reference-pinned."""
+    ingestion paths. Never a keep rule — keep/drop is reference-pinned.
+
+    ``quality_model``: a fitted ``qmodel.QualityModel`` — stamps the
+    advisory ``model_quality_score`` column (one fused Python-free
+    sigmoid over the signal columns this function just computed: the
+    deployment half of ``--fit-quality-model``). Advisory like
+    speech_rate: feeds ``--curriculum model_quality_score=...`` and
+    profiling, never the keep/drop verdict."""
     from .functions.exprs import speech_rate_expr
 
     out = clean_clips(df)
@@ -274,6 +292,10 @@ def score_clips(df: DataFrame, with_audio: bool = True) -> DataFrame:
     out = with_perplexity(out)
     if with_audio:
         out = with_audio_stats(out)
+    if quality_model is not None:
+        from .operators.qmodel import with_quality_score
+
+        out = with_quality_score(out, quality_model)
     return out
 
 
@@ -743,6 +765,20 @@ def run_pipeline(
     return metrics
 
 
+def _load_quality_model(cfg: RunConfig):
+    """Deserialize the distilled quality model once per call site (a
+    tiny JSON read; the model itself becomes plan literals). Raises
+    loudly on a missing/garbled file — silently scoring without the
+    requested model would be a quiet data-quality lie."""
+    if not cfg.quality_model_json:
+        return None
+    from .operators.qmodel import QualityModel
+
+    with open(cfg.quality_model_json) as f:
+        doc = json.load(f)
+    return QualityModel.from_dict(doc.get("model", doc))
+
+
 def _run_shard(
     spark: SparkSession,
     df: DataFrame,
@@ -753,7 +789,10 @@ def _run_shard(
 ) -> tuple[GateResult, dict, dict]:
     # -- CLEAN + SCORE + VALIDATE (one lazy DAG) -----------------------------
     t0 = time.time()
-    flagged = flag_clips(score_clips(df, cfg.with_audio), cfg.with_audio)
+    flagged = flag_clips(
+        score_clips(df, cfg.with_audio, _load_quality_model(cfg)),
+        cfg.with_audio,
+    )
     if cfg.cache_flagged:
         flagged = flagged.cache()
 
@@ -1355,7 +1394,10 @@ def requeue_quarantine(
     if n == 0:
         return {"requeued": 0}
 
-    flagged = flag_clips(score_clips(subset, cfg.with_audio), cfg.with_audio)
+    flagged = flag_clips(
+        score_clips(subset, cfg.with_audio, _load_quality_model(cfg)),
+        cfg.with_audio,
+    )
     flagged = flagged.cache()
     kept = scrub_transcripts(
         flagged.filter(F.col("keep")).drop("reasons", "severity", "keep")

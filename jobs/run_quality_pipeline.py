@@ -447,6 +447,15 @@ def main() -> None:
                          "keep rate; duplicate drops are excluded "
                          "from the label (identity evidence, not "
                          "signal)")
+    ap.add_argument("--quality-model", default=None,
+                    metavar="MODEL.json",
+                    help="batch runs: stamp every scored clip with the "
+                         "advisory model_quality_score column from a "
+                         "fitted --fit-quality-model JSON (one fused "
+                         "Python-free sigmoid over the run's own "
+                         "signal columns) — feeds --curriculum "
+                         "model_quality_score=... and --profile-"
+                         "numeric; never a keep rule")
     ap.add_argument("--quality-model-features",
                     default=None, metavar="COL[,COL...]",
                     help="with --fit-quality-model: numeric signal "
@@ -590,6 +599,10 @@ def main() -> None:
     if args.compact_zorder and args.compact_cluster_by:
         ap.error("--compact-zorder and --compact-cluster-by are "
                  "mutually exclusive layouts")
+    if args.quality_model and args.stream:
+        ap.error("--quality-model is batch-only (stamp scores on the "
+                 "stored table, or extend the stream sink, before "
+                 "relying on it in streams)")
     if args.wap:
         if args.stream:
             ap.error("--wap is batch-only (a stream has no run-shaped "
@@ -1360,6 +1373,7 @@ def main() -> None:
         ),
         pack_budget=args.pack_tokens,
         wap_branch=(f"wap-{args.run_id}" if args.wap else None),
+        quality_model_json=args.quality_model,
     )
     if args.wap:
         print(f"WAP: staging every table write on branch "

@@ -245,6 +245,54 @@ class TestDistill:
         assert v2["train_auc"] > 0.8
 
 
+class TestDeploy:
+    def test_pipeline_stamps_model_score(self, spark, corpus, tmp_path):
+        """Deployment half of the distilled classifier: a batch run
+        with quality_model_json stamps model_quality_score on every
+        landed clip, and the stored value equals a recomputation from
+        the stored signal columns (the score is a pure row function)."""
+        from pyspark.sql import functions as F
+
+        from data_quality_check_pipeline_spark.operators.qmodel import (
+            distill_quality_model,
+            score_expr,
+        )
+        from data_quality_check_pipeline_spark.pipeline import (
+            RunConfig,
+            run_pipeline,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+
+        _, _, path = corpus
+        raw = spark.read.parquet(path)
+        model, _ = distill_quality_model(raw, sample_frac=0.3)
+        mj = tmp_path / "m.json"
+        mj.write_text(json.dumps({"model": model.to_dict()}))
+        out = str(tmp_path / "o")
+        cfg = RunConfig(
+            out_root=out, run_id="qd1", source_fingerprint="fp-qd",
+            quality_model_json=str(mj), module_reports=False,
+        )
+        run_pipeline(spark, path, cfg)
+        clean = TableStore(spark, out).read("clips_clean")
+        assert "model_quality_score" in clean.columns
+        worst = (
+            clean.withColumn("re", score_expr(model))
+            .select(
+                F.max(
+                    F.abs(F.col("model_quality_score") - F.col("re"))
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        assert worst < 1e-12
+        assert clean.filter(
+            F.col("model_quality_score").isNull()
+        ).count() == 0  # NULL signals impute, never propagate
+
+
 class TestAuc:
     def test_hand_computed_with_ties(self, spark):
         # scores: pos at {0.9, 0.5}, neg at {0.5, 0.1}
