@@ -114,6 +114,7 @@ def build_streaming_flags(
     with_audio: bool = True,
     dedup_watermark: str = "1 hour",
     content_dedup: bool | str = False,
+    quality_model=None,
 ) -> DataFrame:
     """Stateless clean+score+flag; duplicate-id handling becomes
     dropDuplicatesWithinWatermark (global history is unbounded in a
@@ -149,7 +150,12 @@ def build_streaming_flags(
         ).dropDuplicatesWithinWatermark(["_content_key"]).drop(
             "_content_key"
         )
-    scored = score_clips(deduped, with_audio=with_audio)
+    # quality_model: same advisory model_quality_score stamp as the
+    # batch path (score_clips hook) — both ingestion paths carry the
+    # same score for the same clip, the speech_rate consistency rule
+    scored = score_clips(
+        deduped, with_audio=with_audio, quality_model=quality_model
+    )
     # rule flags, minus the (stateful) duplicate rule handled above
     from ..operators.validate import active_rules, with_flags
 
@@ -338,6 +344,7 @@ def start_quality_stream(
     profile_numeric: dict | None = None,
     pack_budget: int | None = None,
     monitor: bool = True,
+    quality_model_json: str | None = None,
 ):
     """Start (or drain, with availableNow) the streaming pipeline.
 
@@ -422,9 +429,19 @@ def start_quality_stream(
         spark.read.parquet(decontam_heldout).cache()
         if decontam_heldout else None
     )
+    qmodel = None
+    if quality_model_json:
+        import json as _json
+
+        from ..operators.qmodel import QualityModel
+
+        with open(quality_model_json) as f:
+            _doc = _json.load(f)
+        qmodel = QualityModel.from_dict(_doc.get("model", _doc))
     flagged = build_streaming_flags(
         read_clip_stream(spark, source_path), with_audio,
         content_dedup=content_dedup,
+        quality_model=qmodel,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -449,13 +449,14 @@ def main() -> None:
                          "signal)")
     ap.add_argument("--quality-model", default=None,
                     metavar="MODEL.json",
-                    help="batch runs: stamp every scored clip with the "
-                         "advisory model_quality_score column from a "
-                         "fitted --fit-quality-model JSON (one fused "
-                         "Python-free sigmoid over the run's own "
-                         "signal columns) — feeds --curriculum "
-                         "model_quality_score=... and --profile-"
-                         "numeric; never a keep rule")
+                    help="batch AND --stream: stamp every scored clip "
+                         "with the advisory model_quality_score column "
+                         "from a fitted --fit-quality-model JSON (one "
+                         "fused Python-free sigmoid over the run's own "
+                         "signal columns; both ingestion paths carry "
+                         "the same score for the same clip) — feeds "
+                         "--curriculum model_quality_score=... and "
+                         "--profile-numeric; never a keep rule")
     ap.add_argument("--quality-model-features",
                     default=None, metavar="COL[,COL...]",
                     help="with --fit-quality-model: numeric signal "
@@ -599,10 +600,6 @@ def main() -> None:
     if args.compact_zorder and args.compact_cluster_by:
         ap.error("--compact-zorder and --compact-cluster-by are "
                  "mutually exclusive layouts")
-    if args.quality_model and args.stream:
-        ap.error("--quality-model is batch-only (stamp scores on the "
-                 "stored table, or extend the stream sink, before "
-                 "relying on it in streams)")
     if args.wap:
         if args.stream:
             ap.error("--wap is batch-only (a stream has no run-shaped "
@@ -1277,6 +1274,7 @@ def main() -> None:
                 if args.profile_numeric else None
             ),
             pack_budget=args.pack_tokens,
+            quality_model_json=args.quality_model,
         )
         import time as _time
 

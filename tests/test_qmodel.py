@@ -292,6 +292,65 @@ class TestDeploy:
             F.col("model_quality_score").isNull()
         ).count() == 0  # NULL signals impute, never propagate
 
+    def test_stream_stamps_same_model_score(self, spark, tmp_path):
+        """Stream path parity: the streaming sink stamps the SAME
+        advisory model_quality_score (score_clips hook), reproducible
+        from the stored signal columns — both ingestion paths agree."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from data_quality_check_pipeline_spark.operators.qmodel import (
+            QualityModel,
+            score_expr,
+        )
+        from data_quality_check_pipeline_spark.sources.tables import (
+            TableStore,
+        )
+        from data_quality_check_pipeline_spark.streaming.stream import (
+            start_quality_stream,
+        )
+        from data_quality_check_pipeline_spark.synth import (
+            generate_clips,
+        )
+
+        df, _ = generate_clips(300)
+        src = tmp_path / "src"
+        os.makedirs(src)
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(src / "clips.parquet"),
+        )
+        # a tiny hand-built model (fit quality is not under test here)
+        model = QualityModel(
+            feature_cols=("snr_db", "silence_frac"),
+            means=(30.0, 0.2), scales=(15.0, 0.3),
+            weights=(0.4, 1.5, -2.0),
+            n_rows=1, n_dropped=0, n_iter=1, converged=True,
+        )
+        mj = tmp_path / "m.json"
+        mj.write_text(model.to_json())
+        out = str(tmp_path / "out")
+        q = start_quality_stream(
+            spark, str(src), out, str(tmp_path / "ckpt"),
+            available_now=True, quality_model_json=str(mj),
+        )
+        q.awaitTermination(timeout=600)
+        clean = TableStore(spark, out).read("clips_clean")
+        assert clean.count() > 0
+        worst = (
+            clean.withColumn("re", score_expr(model))
+            .agg(
+                F.max(
+                    F.abs(F.col("model_quality_score") - F.col("re"))
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        assert worst < 1e-12
+
 
 class TestAuc:
     def test_hand_computed_with_ties(self, spark):
