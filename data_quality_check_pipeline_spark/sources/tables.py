@@ -864,27 +864,49 @@ class TableStore:
             sc = _blooms.load_sidecar(d)
             if not sc:
                 return kept
+            dbase = os.path.basename(d)
             return [
                 p for p in kept
                 if all(
-                    t.any_maybe_present((sc.get(c) or {}).get(p))
+                    t.any_maybe_present(
+                        (sc.get(self._then_name(m, dbase, c)) or {})
+                        .get(p)
+                    )
                     for c, t in bloom_preds
                 )
             ]
 
+        def _post(df: DataFrame, dbase: str) -> DataFrame:
+            # schema-evolution renames recorded AFTER this dir was
+            # written: files carry the old names, the view the new ones
+            # (a no-op when the dir predates the column entirely)
+            for old, new in self._dir_renames(m, dbase):
+                df = df.withColumnRenamed(old, new)
+            return df
+
         parts: list[DataFrame] = []
         for d in dirs:
-            finfo = stats_by_dir.get(os.path.basename(d))
-            allow = (only_files or {}).get(os.path.basename(d))
+            dbase = os.path.basename(d)
+            finfo = stats_by_dir.get(dbase)
+            allow = (only_files or {}).get(dbase)
+            # stats/blooms are keyed by the names the files were
+            # WRITTEN with — translate current-name predicates per dir
+            prune_d = (
+                [
+                    (self._then_name(m, dbase, c), op, v)
+                    for c, op, v in prune
+                ]
+                if prune else None
+            )
             if allow is not None:
                 kept = list(allow)
-                if prune and finfo is not None:
+                if prune_d and finfo is not None:
                     fstats = {f["path"]: f["stats"] for f in finfo}
                     # files the manifest doesn't know stay (conservative)
                     kept = [
                         p for p in kept
                         if p not in fstats
-                        or _file_may_match(fstats[p], prune)
+                        or _file_may_match(fstats[p], prune_d)
                     ]
                 kept = _bloom_filter(d, kept)
                 if scan_stats is not None:
@@ -892,15 +914,15 @@ class TableStore:
                     scan_stats["files_skipped"] += len(allow) - len(kept)
                 if not kept:
                     continue
-                parts.append(
+                parts.append(_post(
                     self.spark.read.option("basePath", d).parquet(
                         *[os.path.join(d, p) for p in kept]
-                    )
-                )
-            elif prune and finfo is not None:
+                    ), dbase,
+                ))
+            elif prune_d and finfo is not None:
                 kept = _bloom_filter(d, [
                     f["path"] for f in finfo
-                    if _file_may_match(f["stats"], prune)
+                    if _file_may_match(f["stats"], prune_d)
                 ])
                 if scan_stats is not None:
                     scan_stats["files_kept"] += len(kept)
@@ -908,26 +930,32 @@ class TableStore:
                 if not kept:
                     continue
                 if len(kept) == len(finfo):
-                    parts.append(self.spark.read.parquet(d))
+                    parts.append(_post(self.spark.read.parquet(d), dbase))
                 else:
                     # basePath keeps hive-style partition columns intact
                     # when listing individual files under a partitioned
                     # snapshot dir
-                    parts.append(
+                    parts.append(_post(
                         self.spark.read.option("basePath", d).parquet(
                             *[os.path.join(d, p) for p in kept]
-                        )
-                    )
+                        ), dbase,
+                    ))
             else:
                 if scan_stats is not None and prune:
                     scan_stats["files_unknown"] += 1  # legacy dir: kept
-                parts.append(self.spark.read.parquet(d))
+                parts.append(_post(self.spark.read.parquet(d), dbase))
         if not parts:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(
                 json.loads(schema_json)
             ) if schema_json else StructType([])
+            # retroactive rename semantics: an empty view still answers
+            # with the CURRENT names, same as a populated one would
+            for r in m.get("renames") or []:
+                for f in schema.fields:
+                    if f.name == r["old"]:
+                        f.name = r["new"]
             return self.spark.createDataFrame([], schema)
         # each snapshot dir is its own partition-discovery root (they may be
         # partitioned); union them by name. allowMissingColumns: an
@@ -1237,10 +1265,13 @@ class TableStore:
             and cluster_by is None
             and zorder_by is None
             and bloom_cols is None
+            and not self._renames_pending(m0, base["read_set"])
         ):
             # single dir + no EXPLICIT re-layout request: nothing to do.
-            # An explicit cluster_by/zorder_by (sort-order change) or
-            # bloom_cols (add/drop bloom sidecars) still rewrites.
+            # An explicit cluster_by/zorder_by (sort-order change),
+            # bloom_cols (add/drop bloom sidecars), or a pending column
+            # rename (files still carry old names; this rewrite is what
+            # re-enables file-level COW) still rewrites.
             return None
         df = self.read(name, base["id"])
         if cluster_by is None and zorder_by is None:
@@ -1540,6 +1571,132 @@ class TableStore:
                 data_dir, name, exc_info=True,
             )
 
+    def rename_column(self, name: str, old: str, new: str) -> str:
+        """Rename a column WITHOUT rewriting data (Iceberg schema
+        evolution: renames are metadata; the files keep their written
+        names and readers map at scan time). Commits a data-less
+        ``mode='rename'`` snapshot whose read_set is the current view
+        and whose schema/cluster/zorder/bloom specs carry the new name;
+        the mapping itself is recorded in the manifest-level rename log
+        (``renames``: old, new, and the dirs written BEFORE the rename)
+        which survives snapshot GC — reads apply each dir's pending
+        renames after scanning it, translate prune/bloom probes back to
+        the names the files actually carry, and post-rename writes land
+        new-name files natively.
+
+        Semantics are RETROACTIVE like Iceberg's: time-traveling to a
+        pre-rename snapshot shows the new name (the mapping follows the
+        dir, not the snapshot) — values are untouched either way.
+
+        Partition columns refuse (their names are directory path
+        segments, i.e. data layout — rewrite via ``compact(
+        partition_by=...)``). File-level COW maintenance
+        (delete/upsert/backfill) refuses while any current dir predates
+        a rename — carried old-name files next to rewritten new-name
+        files would corrupt the dir schema; one ``compact()``
+        normalizes the files and restores COW."""
+        self._refuse_on_branch("rename_column")
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            base = self._snapshot(m, None)
+            if base is None:
+                raise FileNotFoundError(f"table {name} has no snapshots")
+            if not base.get("schema"):
+                raise ValueError(
+                    f"table {name}: snapshot predates schema records — "
+                    "compact first"
+                )
+            schema = json.loads(base["schema"])
+            names = [f["name"] for f in schema["fields"]]
+            if old not in names:
+                raise KeyError(
+                    f"rename_column({name}): no column {old!r} "
+                    f"(have: {names})"
+                )
+            if new in names:
+                raise ValueError(
+                    f"rename_column({name}): column {new!r} already "
+                    "exists"
+                )
+            if old in (base.get("partition_by") or []):
+                raise ValueError(
+                    f"rename_column({name}): {old!r} is a partition "
+                    "column — its name is encoded in directory paths "
+                    "(data layout, not metadata); rewrite via "
+                    "compact(partition_by=[...])"
+                )
+            for f in schema["fields"]:
+                if f["name"] == old:
+                    f["name"] = new
+
+            def _sub(lst):
+                return [new if c == old else c for c in (lst or [])]
+
+            sid = uuid.uuid4().hex[:16]
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": "rename",
+                    "parent": m["current"],
+                    "read_set": list(base["read_set"]),
+                    "partition_by": base.get("partition_by") or [],
+                    "cluster_by": _sub(base.get("cluster_by")),
+                    "zorder_by": _sub(base.get("zorder_by")),
+                    "bloom_cols": _sub(base.get("bloom_cols")),
+                    "properties": {
+                        "renamed_from": old, "renamed_to": new,
+                    },
+                    "schema": json.dumps(schema),
+                    "has_data": False,
+                    "files": [],
+                }
+            )
+            # the mapping must outlive snapshot GC (an expired rename
+            # ENTRY would silently un-rename every old dir): tiny
+            # manifest-level log, one record per rename, applied to
+            # exactly the dirs that existed before it
+            m.setdefault("renames", []).append(
+                {
+                    "old": old,
+                    "new": new,
+                    "dirs_before": sorted(
+                        {
+                            d
+                            for s in m["snapshots"]
+                            for d in s["read_set"]
+                        }
+                    ),
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+            return sid
+
+    @staticmethod
+    def _dir_renames(m: dict, dir_basename: str) -> list[tuple]:
+        """Ordered (old, new) renames pending on a dir — the renames
+        recorded AFTER the dir was written (its files carry the older
+        names)."""
+        return [
+            (r["old"], r["new"])
+            for r in m.get("renames") or []
+            if dir_basename in r.get("dirs_before", ())
+        ]
+
+    @classmethod
+    def _then_name(cls, m: dict, dir_basename: str, col: str) -> str:
+        """Translate a CURRENT column name back to the name this dir's
+        files were written with (walk the dir's pending renames
+        backward) — stat/bloom keys live under the written name."""
+        for old, new in reversed(cls._dir_renames(m, dir_basename)):
+            if col == new:
+                col = old
+        return col
+
+    def _renames_pending(self, m: dict, read_set: list[str]) -> bool:
+        return any(self._dir_renames(m, d) for d in read_set)
+
     def adopt_files(
         self,
         name: str,
@@ -1696,6 +1853,13 @@ class TableStore:
         stats_by_dir = {
             f"snap_{s['id']}": s.get("files") for s in m0["snapshots"]
         }
+        if self._renames_pending(m0, base["read_set"]):
+            raise RuntimeError(
+                f"backfill_blooms({name}): a column rename is pending on dirs "
+                "written before it — file-level COW would mix old-name "
+                "and new-name files in one dir; run compact() first to "
+                "normalize the files, then retry"
+            )
         out = {"dirs_built": 0, "dirs_skipped": 0, "files_built": 0}
         for d in base["read_set"]:
             data_dir = os.path.join(self._dir(name), d)
@@ -1814,6 +1978,13 @@ class TableStore:
         base = self._snapshot(m0, None)
         if base is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
+        if self._renames_pending(m0, base["read_set"]):
+            raise RuntimeError(
+                f"delete_where({name}): a column rename is pending on dirs "
+                "written before it — file-level COW would mix old-name "
+                "and new-name files in one dir; run compact() first to "
+                "normalize the files, then retry"
+            )
         nkeys = [_norm_stat_value(k) for k in keys]
         prunable = all(v is not None for v in nkeys)
         nkeys = sorted(nkeys) if prunable else None
@@ -2020,6 +2191,13 @@ class TableStore:
 
             m0 = self._load_manifest(name)
             base = self._snapshot(m0, None)
+            if self._renames_pending(m0, base["read_set"]):
+                raise RuntimeError(
+                    f"upsert({name}): a column rename is pending on "
+                    "dirs written before it — file-level COW would mix "
+                    "old-name and new-name files in one dir; run "
+                    "compact() first to normalize the files, then retry"
+                )
             # precise key pruning below the cap, range pruning above
             key_rows = (
                 df.select(key_col).limit(key_collect_cap + 1).collect()
@@ -2624,6 +2802,13 @@ class IcebergStore:
         self.spark.sql(
             f"CALL {cat}.system.rewrite_data_files"
             f"(table => '{self.prefix}.{name}'{opts})"
+        )
+
+    def rename_column(self, name, old, new):
+        # Iceberg-native schema evolution (field-id mapping, no rewrite)
+        self.spark.sql(
+            f"ALTER TABLE {self.prefix}.{name} "
+            f"RENAME COLUMN `{old}` TO `{new}`"
         )
 
     def publish_branch(self, name, branch):

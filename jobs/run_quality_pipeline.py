@@ -120,6 +120,15 @@ def main() -> None:
                          "including hash-sharded dirs where min/max "
                          "stats span the id domain; omitted = keep the "
                          "table's recorded bloom spec")
+    ap.add_argument("--rename-column", default=None,
+                    metavar="TABLE:OLD:NEW",
+                    help="maintenance op (exits after): rename a "
+                         "column WITHOUT rewriting data (Iceberg "
+                         "schema evolution: metadata-only; reads map "
+                         "old-name files at scan time, retroactively "
+                         "across time travel). Partition columns "
+                         "refuse; file-level COW ops refuse until one "
+                         "--compact normalizes the files")
     ap.add_argument("--adopt-files", default=None, nargs=2,
                     metavar=("TABLE", "SRC_DIR"),
                     help="maintenance op (exits after): adopt an "
@@ -711,6 +720,7 @@ def main() -> None:
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
             or args.backfill_blooms or args.adopt_files
+            or args.rename_column
             or args.publish_branch or args.drop_branch
             or args.expire_snapshots or args.tag or args.untag
             or args.changelog or args.takedown or args.correct
@@ -799,6 +809,19 @@ def main() -> None:
             if failed:
                 spark.stop()
                 raise SystemExit(3)
+        if args.rename_column:
+            parts = args.rename_column.split(":")
+            if len(parts) != 3 or not all(parts):
+                print("--rename-column expects TABLE:OLD:NEW")
+                spark.stop()
+                raise SystemExit(2)
+            table, old, new = parts
+            sid = store.rename_column(table, old, new)
+            print(
+                f"renamed {table}.{old} -> {new} (metadata-only, "
+                f"snap_{sid}); run --compact {table} before COW "
+                "maintenance ops"
+            )
         if args.adopt_files:
             table, src = args.adopt_files
             sid = store.adopt_files(table, src)
