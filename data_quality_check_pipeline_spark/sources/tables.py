@@ -877,11 +877,15 @@ class TableStore:
             ]
 
         def _post(df: DataFrame, dbase: str) -> DataFrame:
-            # schema-evolution renames recorded AFTER this dir was
-            # written: files carry the old names, the view the new ones
-            # (a no-op when the dir predates the column entirely)
-            for old, new in self._dir_renames(m, dbase):
-                df = df.withColumnRenamed(old, new)
+            # schema-evolution ops recorded AFTER this dir was written:
+            # files carry the old schema, the view the new one (renames
+            # are no-ops when the dir predates the column; drops select
+            # the stored-but-retired bytes out of the view)
+            for r in self._dir_schema_ops(m, dbase):
+                if r["op"] == "rename":
+                    df = df.withColumnRenamed(r["old"], r["new"])
+                else:
+                    df = df.drop(r["col"])
             return df
 
         parts: list[DataFrame] = []
@@ -890,14 +894,18 @@ class TableStore:
             finfo = stats_by_dir.get(dbase)
             allow = (only_files or {}).get(dbase)
             # stats/blooms are keyed by the names the files were
-            # WRITTEN with — translate current-name predicates per dir
-            prune_d = (
-                [
-                    (self._then_name(m, dbase, c), op, v)
-                    for c, op, v in prune
-                ]
-                if prune else None
-            )
+            # WRITTEN with — translate current-name predicates per dir.
+            # A None translation (column dropped after this dir, later
+            # re-added) means the dir's old stats must not answer for
+            # the new column: the predicate is omitted (file kept,
+            # conservative).
+            prune_d = None
+            if prune:
+                prune_d = []
+                for c, op, v in prune:
+                    then = self._then_name(m, dbase, c)
+                    if then is not None:
+                        prune_d.append((then, op, v))
             if allow is not None:
                 kept = list(allow)
                 if prune_d and finfo is not None:
@@ -950,12 +958,17 @@ class TableStore:
             schema = StructType.fromJson(
                 json.loads(schema_json)
             ) if schema_json else StructType([])
-            # retroactive rename semantics: an empty view still answers
-            # with the CURRENT names, same as a populated one would
-            for r in m.get("renames") or []:
-                for f in schema.fields:
-                    if f.name == r["old"]:
-                        f.name = r["new"]
+            # retroactive schema-op semantics: an empty view still
+            # answers with the CURRENT schema, same as a populated one
+            for r in m.get("schema_ops") or []:
+                if r["op"] == "rename":
+                    for f in schema.fields:
+                        if f.name == r["old"]:
+                            f.name = r["new"]
+                else:
+                    schema = type(schema)(
+                        [f for f in schema.fields if f.name != r["col"]]
+                    )
             return self.spark.createDataFrame([], schema)
         # each snapshot dir is its own partition-discovery root (they may be
         # partitioned); union them by name. allowMissingColumns: an
@@ -1654,10 +1667,11 @@ class TableStore:
             )
             # the mapping must outlive snapshot GC (an expired rename
             # ENTRY would silently un-rename every old dir): tiny
-            # manifest-level log, one record per rename, applied to
-            # exactly the dirs that existed before it
-            m.setdefault("renames", []).append(
+            # manifest-level ordered log, one record per schema op,
+            # applied to exactly the dirs that existed before it
+            m.setdefault("schema_ops", []).append(
                 {
+                    "op": "rename",
                     "old": old,
                     "new": new,
                     "dirs_before": sorted(
@@ -1673,29 +1687,113 @@ class TableStore:
             self._save_manifest(name, m)
             return sid
 
+    def drop_column(self, name: str, col: str) -> str:
+        """Drop a column WITHOUT rewriting data (Iceberg schema
+        evolution): metadata-only — old files keep the bytes, reads
+        select the column out per pre-drop dir. NOT erasure: physical
+        removal of the stored values needs one ``compact()`` (which
+        reads the post-drop view and writes files without the column)
+        followed by ``expire_snapshots`` — the same two-step contract
+        as takedown-hard, stated not hidden. A later column with the
+        same name is a NEW column: pre-drop dirs contribute NULL for
+        it, never their old bytes.
+
+        Partition columns refuse (path segments). Same COW-until-
+        compact rule as rename (mixed-schema dirs)."""
+        self._refuse_on_branch("drop_column")
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            base = self._snapshot(m, None)
+            if base is None:
+                raise FileNotFoundError(f"table {name} has no snapshots")
+            if not base.get("schema"):
+                raise ValueError(
+                    f"table {name}: snapshot predates schema records — "
+                    "compact first"
+                )
+            schema = json.loads(base["schema"])
+            names = [f["name"] for f in schema["fields"]]
+            if col not in names:
+                raise KeyError(
+                    f"drop_column({name}): no column {col!r} "
+                    f"(have: {names})"
+                )
+            if col in (base.get("partition_by") or []):
+                raise ValueError(
+                    f"drop_column({name}): {col!r} is a partition "
+                    "column — rewrite via compact(partition_by=[...])"
+                )
+            schema["fields"] = [
+                f for f in schema["fields"] if f["name"] != col
+            ]
+
+            def _without(lst):
+                return [c for c in (lst or []) if c != col]
+
+            sid = uuid.uuid4().hex[:16]
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": "drop_column",
+                    "parent": m["current"],
+                    "read_set": list(base["read_set"]),
+                    "partition_by": base.get("partition_by") or [],
+                    "cluster_by": _without(base.get("cluster_by")),
+                    "zorder_by": _without(base.get("zorder_by")),
+                    "bloom_cols": _without(base.get("bloom_cols")),
+                    "properties": {"dropped_column": col},
+                    "schema": json.dumps(schema),
+                    "has_data": False,
+                    "files": [],
+                }
+            )
+            m.setdefault("schema_ops", []).append(
+                {
+                    "op": "drop",
+                    "col": col,
+                    "dirs_before": sorted(
+                        {
+                            d
+                            for s in m["snapshots"]
+                            for d in s["read_set"]
+                        }
+                    ),
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+            return sid
+
     @staticmethod
-    def _dir_renames(m: dict, dir_basename: str) -> list[tuple]:
-        """Ordered (old, new) renames pending on a dir — the renames
+    def _dir_schema_ops(m: dict, dir_basename: str) -> list[dict]:
+        """Ordered schema ops (rename/drop) pending on a dir — the ops
         recorded AFTER the dir was written (its files carry the older
-        names)."""
+        schema)."""
         return [
-            (r["old"], r["new"])
-            for r in m.get("renames") or []
+            r
+            for r in m.get("schema_ops") or []
             if dir_basename in r.get("dirs_before", ())
         ]
 
     @classmethod
-    def _then_name(cls, m: dict, dir_basename: str, col: str) -> str:
+    def _then_name(cls, m: dict, dir_basename: str, col: str) -> str | None:
         """Translate a CURRENT column name back to the name this dir's
-        files were written with (walk the dir's pending renames
-        backward) — stat/bloom keys live under the written name."""
-        for old, new in reversed(cls._dir_renames(m, dir_basename)):
-            if col == new:
-                col = old
+        files were written with (walk the dir's pending schema ops
+        backward) — stat/bloom keys live under the written name.
+        Returns None when the column does not exist in this dir's era
+        (it was dropped after the dir and later re-added under the same
+        name: the dir contributes NULL, its old stats must not answer
+        for the new column — keep the file, conservative)."""
+        for r in reversed(cls._dir_schema_ops(m, dir_basename)):
+            if r["op"] == "rename" and col == r["new"]:
+                col = r["old"]
+            elif r["op"] == "drop" and col == r["col"]:
+                return None
         return col
 
     def _renames_pending(self, m: dict, read_set: list[str]) -> bool:
-        return any(self._dir_renames(m, d) for d in read_set)
+        return any(self._dir_schema_ops(m, d) for d in read_set)
 
     def adopt_files(
         self,
@@ -1855,7 +1953,7 @@ class TableStore:
         }
         if self._renames_pending(m0, base["read_set"]):
             raise RuntimeError(
-                f"backfill_blooms({name}): a column rename is pending on dirs "
+                f"backfill_blooms({name}): a schema-evolution op (rename/drop) is pending on dirs "
                 "written before it — file-level COW would mix old-name "
                 "and new-name files in one dir; run compact() first to "
                 "normalize the files, then retry"
@@ -1980,7 +2078,7 @@ class TableStore:
             raise FileNotFoundError(f"table {name} has no snapshots")
         if self._renames_pending(m0, base["read_set"]):
             raise RuntimeError(
-                f"delete_where({name}): a column rename is pending on dirs "
+                f"delete_where({name}): a schema-evolution op (rename/drop) is pending on dirs "
                 "written before it — file-level COW would mix old-name "
                 "and new-name files in one dir; run compact() first to "
                 "normalize the files, then retry"
@@ -2193,10 +2291,11 @@ class TableStore:
             base = self._snapshot(m0, None)
             if self._renames_pending(m0, base["read_set"]):
                 raise RuntimeError(
-                    f"upsert({name}): a column rename is pending on "
-                    "dirs written before it — file-level COW would mix "
-                    "old-name and new-name files in one dir; run "
-                    "compact() first to normalize the files, then retry"
+                    f"upsert({name}): a schema-evolution op "
+                    "(rename/drop) is pending on dirs written before "
+                    "it — file-level COW would mix old-schema and "
+                    "new-schema files in one dir; run compact() first "
+                    "to normalize the files, then retry"
                 )
             # precise key pruning below the cap, range pruning above
             key_rows = (
@@ -2809,6 +2908,11 @@ class IcebergStore:
         self.spark.sql(
             f"ALTER TABLE {self.prefix}.{name} "
             f"RENAME COLUMN `{old}` TO `{new}`"
+        )
+
+    def drop_column(self, name, col):
+        self.spark.sql(
+            f"ALTER TABLE {self.prefix}.{name} DROP COLUMN `{col}`"
         )
 
     def publish_branch(self, name, branch):

@@ -129,6 +129,14 @@ def main() -> None:
                          "across time travel). Partition columns "
                          "refuse; file-level COW ops refuse until one "
                          "--compact normalizes the files")
+    ap.add_argument("--drop-column", default=None,
+                    metavar="TABLE:COL",
+                    help="maintenance op (exits after): drop a column "
+                         "WITHOUT rewriting data (metadata-only; reads "
+                         "select it out per pre-drop dir). NOT erasure "
+                         "— the bytes stay until --compact + "
+                         "--expire-snapshots (the takedown-hard "
+                         "two-step, stated not hidden)")
     ap.add_argument("--adopt-files", default=None, nargs=2,
                     metavar=("TABLE", "SRC_DIR"),
                     help="maintenance op (exits after): adopt an "
@@ -720,7 +728,7 @@ def main() -> None:
     # --list-versions; rollback_manager.py:96-132)
     if (args.list_versions or args.rollback or args.compact
             or args.backfill_blooms or args.adopt_files
-            or args.rename_column
+            or args.rename_column or args.drop_column
             or args.publish_branch or args.drop_branch
             or args.expire_snapshots or args.tag or args.untag
             or args.changelog or args.takedown or args.correct
@@ -821,6 +829,18 @@ def main() -> None:
                 f"renamed {table}.{old} -> {new} (metadata-only, "
                 f"snap_{sid}); run --compact {table} before COW "
                 "maintenance ops"
+            )
+        if args.drop_column:
+            table, _, col = args.drop_column.partition(":")
+            if not table or not col:
+                print("--drop-column expects TABLE:COL")
+                spark.stop()
+                raise SystemExit(2)
+            sid = store.drop_column(table, col)
+            print(
+                f"dropped {table}.{col} (metadata-only, snap_{sid}); "
+                f"physical erasure: --compact {table} then "
+                "--expire-snapshots"
             )
         if args.adopt_files:
             table, src = args.adopt_files

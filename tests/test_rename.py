@@ -1,4 +1,4 @@
-"""Schema evolution: metadata-only column rename in TableStore.
+"""Schema evolution: metadata-only column rename + drop in TableStore.
 
 Contract: rename rewrites NO data (old dirs keep their written names;
 reads map at scan time, retroactively like Iceberg), prune/bloom probes
@@ -95,9 +95,9 @@ class TestRename:
 
     def test_cow_refuses_then_compact_unblocks(self, spark, store):
         store.rename_column("t", "v", "value")
-        with pytest.raises(RuntimeError, match="rename is pending"):
+        with pytest.raises(RuntimeError, match="rename/drop\\) is pending"):
             store.delete_where("t", "clip_id", ["clip_0010"])
-        with pytest.raises(RuntimeError, match="rename is pending"):
+        with pytest.raises(RuntimeError, match="rename/drop\\) is pending"):
             store.upsert(
                 "t",
                 spark.createDataFrame(
@@ -105,7 +105,7 @@ class TestRename:
                 ),
                 "clip_id",
             )
-        with pytest.raises(RuntimeError, match="rename is pending"):
+        with pytest.raises(RuntimeError, match="rename/drop\\) is pending"):
             store.backfill_blooms("t", ["clip_id"])
         sid = store.compact("t", target_files=8)
         assert sid is not None
@@ -150,6 +150,87 @@ class TestRename:
         )
         with pytest.raises(RuntimeError, match="mainline-only"):
             staged.rename_column("t", "v", "x")
+
+    def test_drop_column_metadata_only(self, spark, store):
+        before = _mtime_inodes(store)
+        store.drop_column("t", "v")
+        assert _mtime_inodes(store) == before  # bytes stay (NOT erasure)
+        out = store.read("t")
+        assert out.columns == ["clip_id"]
+        assert out.count() == 800
+        snap = store.current_snapshot("t")
+        assert snap["mode"] == "drop_column"
+        assert snap["cluster_by"] == []  # spec drops the column too
+
+    def test_drop_then_readd_is_a_new_column(self, spark, store):
+        """Pre-drop dirs must contribute NULL for a re-added same-name
+        column — never their stored old bytes — and their old stats
+        must not answer prune probes for the new column."""
+        store.drop_column("t", "v")
+        store.write(
+            "t",
+            spark.createDataFrame(
+                [("clip_9000", 7)], ["clip_id", "v"]
+            ),
+            mode="append",
+        )
+        out = store.read("t")
+        assert out.count() == 801
+        assert out.filter(F.col("v").isNotNull()).count() == 1
+        assert (
+            out.filter(F.col("clip_id") == "clip_0013")
+            .collect()[0]["v"] is None
+        )
+        # prune on the NEW v: old dirs keep conservatively (their 'v'
+        # stats are the retired column's), the row still arrives
+        scan = {}
+        n = (
+            store.read("t", prune=[("v", "=", 7)], scan_stats=scan)
+            .filter(F.col("v") == 7)
+            .count()
+        )
+        assert n == 1
+
+    def test_drop_erasure_two_step(self, spark, store):
+        """drop_column + compact + expire = physical erasure of the
+        retired column's bytes (the takedown-hard contract shape)."""
+        import pyarrow.parquet as pq
+
+        store.drop_column("t", "v")
+        store.compact("t", target_files=4)
+        store.expire_snapshots("t", keep_last=1, orphan_grace_s=0)
+        files = glob.glob(
+            os.path.join(store.root, "t", "**", "*.parquet"),
+            recursive=True,
+        )
+        assert files
+        for f in files:
+            assert "v" not in pq.ParquetFile(f).schema_arrow.names
+        assert store.read("t").count() == 800
+
+    def test_drop_guards(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "tdg"))
+        store.write(
+            "t",
+            spark.createDataFrame(
+                [("a", 1, "en")], ["clip_id", "v", "lang"]
+            ),
+            partition_by=["lang"],
+        )
+        with pytest.raises(KeyError, match="no column"):
+            store.drop_column("t", "nope")
+        with pytest.raises(ValueError, match="partition column"):
+            store.drop_column("t", "lang")
+        store.drop_column("t", "v")
+        with pytest.raises(RuntimeError, match="rename/drop\\) is pending"):
+            store.delete_where("t", "clip_id", ["a"])
+
+    def test_rename_then_drop_chain(self, spark, store):
+        store.rename_column("t", "v", "value")
+        store.drop_column("t", "value")
+        out = store.read("t")
+        assert out.columns == ["clip_id"]
+        assert out.count() == 800
 
     def test_bloom_probe_translates(self, spark, tmp_path):
         store = TableStore(spark, str(tmp_path / "tb"))
