@@ -1928,6 +1928,113 @@ class TableStore:
             self._save_manifest(name, m)
         return sid
 
+    def read_meta(self, name: str, kind: str = "snapshots") -> DataFrame:
+        """Iceberg metadata tables analogue (``tbl.snapshots`` /
+        ``tbl.files`` / ``tbl.refs`` / ``tbl.history``): the table's own
+        bookkeeping as a DataFrame, so operational questions — how many
+        snapshots, which files a view reads, where the row counts sit,
+        what refs pin what — answer with SQL instead of spelunking
+        manifest JSON. Driver-side metadata only; never touches data.
+
+        kinds:
+        - ``snapshots``: one row per live manifest entry (id, ts, mode,
+          parent, branch, n_dirs, n_files, n_rows, properties as JSON).
+        - ``files``: one row per data file of the CURRENT view (or the
+          handle's branch view): snapshot dir, relative path, rows, and
+          the min/max stats as JSON — the data-skipping surface itself.
+        - ``refs``: tags and branches (name, type, snapshot_id).
+        - ``history``: the current view's ancestry walk (the Iceberg
+          history table): snapshot_id, ts, and whether the entry is
+          still live in the manifest."""
+        m = self._load_manifest(name)
+        if kind == "snapshots":
+            rows = []
+            for s in m["snapshots"]:
+                files = s.get("files") or []
+                rows.append(
+                    (
+                        s["id"],
+                        float(s["ts"]),
+                        s["mode"],
+                        s.get("parent"),
+                        s.get("branch"),
+                        len(s["read_set"]),
+                        len(files),
+                        sum(
+                            f.get("rows") or 0 for f in files
+                        ),
+                        json.dumps(
+                            s.get("properties", {}), sort_keys=True
+                        ),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "snapshot_id string, committed_ts double, mode string,"
+                " parent string, branch string, n_dirs int,"
+                " n_files int, n_rows long, properties string",
+            )
+        if kind == "files":
+            snap = self._resolve(m, None, None, None)
+            if snap is None:
+                raise FileNotFoundError(f"table {name} has no snapshots")
+            stats_by_dir = {
+                f"snap_{s['id']}": s.get("files")
+                for s in m["snapshots"]
+            }
+            rows = []
+            for d in snap["read_set"]:
+                for f in stats_by_dir.get(d) or []:
+                    rows.append(
+                        (
+                            d,
+                            f["path"],
+                            f.get("rows"),
+                            json.dumps(
+                                f.get("stats", {}), sort_keys=True
+                            ),
+                        )
+                    )
+            return self.spark.createDataFrame(
+                rows,
+                "snapshot_dir string, path string, rows long,"
+                " stats string",
+            )
+        if kind == "refs":
+            rows = [
+                (t, "tag", sid)
+                for t, sid in (m.get("tags") or {}).items()
+            ] + [
+                (b, "branch", sid)
+                for b, sid in (m.get("branches") or {}).items()
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, type string, snapshot_id string"
+            )
+        if kind == "history":
+            rows = []
+            s = self._resolve(m, None, None, None)
+            seen: set = set()
+            while s is not None:
+                rows.append((s["id"], float(s["ts"]), True))
+                p = s.get("parent")
+                if p is None or p in seen:
+                    break
+                seen.add(p)
+                try:
+                    s = self._snapshot(m, p)
+                except KeyError:
+                    rows.append((p, None, False))  # expired ancestor
+                    break
+            return self.spark.createDataFrame(
+                rows,
+                "snapshot_id string, committed_ts double, live boolean",
+            )
+        raise ValueError(
+            f"read_meta: unknown kind {kind!r} "
+            "(snapshots | files | refs | history)"
+        )
+
     def backfill_blooms(self, name: str, cols: list[str]) -> dict:
         """Add bloom sidecars to an EXISTING table without rewriting a
         byte of data — the 100-TB shape (``compact(bloom_cols=...)``
