@@ -129,6 +129,13 @@ def main() -> None:
                          "across time travel). Partition columns "
                          "refuse; file-level COW ops refuse until one "
                          "--compact normalizes the files")
+    ap.add_argument("--show-meta", default=None,
+                    metavar="TABLE[:KIND]",
+                    help="maintenance op (exits after): print a "
+                         "metadata table (snapshots | files | refs | "
+                         "history; default snapshots) — the Iceberg "
+                         "tbl.snapshots/files/refs analogue, "
+                         "driver-side metadata only")
     ap.add_argument("--drop-column", default=None,
                     metavar="TABLE:COL",
                     help="maintenance op (exits after): drop a column "
@@ -729,6 +736,7 @@ def main() -> None:
     if (args.list_versions or args.rollback or args.compact
             or args.backfill_blooms or args.adopt_files
             or args.rename_column or args.drop_column
+            or args.show_meta
             or args.publish_branch or args.drop_branch
             or args.expire_snapshots or args.tag or args.untag
             or args.changelog or args.takedown or args.correct
@@ -829,6 +837,11 @@ def main() -> None:
                 f"renamed {table}.{old} -> {new} (metadata-only, "
                 f"snap_{sid}); run --compact {table} before COW "
                 "maintenance ops"
+            )
+        if args.show_meta:
+            table, _, kind = args.show_meta.partition(":")
+            store.read_meta(table, kind or "snapshots").show(
+                100, truncate=False
             )
         if args.drop_column:
             table, _, col = args.drop_column.partition(":")
