@@ -1234,18 +1234,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return F.transform(F.col(c), lambda x: x.cast("double"))
 
     def embedding_topk(spark, sf):
+        """Exact cosine top-k PLUS hard-negative mining, folded into one
+        slot (50-slot budget): kind='topk' is the ANN ground-truth
+        baseline (self included at rank 1); kind='hard_neg' is
+        mine_hard_negatives over the same anchors — rank by cosine
+        INSIDE the band (< 0.9), self-pairs excluded — the contrastive-
+        training pair generator. Band + rank compare on the raw doubles
+        on both sides (Spark's sequential aggregate fold matches
+        DuckDB's list_dot_product step order, the _seq_dot contract)."""
         emb = _load(spark, sf, "embeddings").select(
             "vec_id", _dvec("embedding").alias("embedding")
         )
         from data_quality_check_pipeline_spark.operators.similarity import (
             brute_force_topk,
+            mine_hard_negatives,
         )
 
-        queries_df = emb.filter(F.col("vec_id") < 3).select(
+        anchors = emb.filter(F.col("vec_id") < 3)
+        queries_df = anchors.select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        out = brute_force_topk(emb, queries_df, k=5)
-        return out.select(
+        top = brute_force_topk(emb, queries_df, k=5).withColumn(
+            "kind", F.lit("topk")
+        )
+        hn = mine_hard_negatives(
+            emb, anchors, k=5, band_hi=0.9, anchor_id_col="query_id"
+        ).withColumn("kind", F.lit("hard_neg"))
+        return top.unionByName(hn).select(
+            "kind",
             "query_id",
             "vec_id",
             F.round("cosine", 5).alias("cosine"),
@@ -2283,9 +2299,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored
+      ), ranked_hn AS (
+        SELECT query_id, vec_id, c,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored
+        WHERE vec_id <> query_id AND c < 0.9
       )
-      SELECT query_id, vec_id, round(c, 5) AS cosine, rank
-      FROM ranked WHERE rank <= 5"""
+      SELECT 'topk' AS kind, query_id, vec_id,
+             round(c, 5) AS cosine, rank
+      FROM ranked WHERE rank <= 5
+      UNION ALL
+      SELECT 'hard_neg' AS kind, query_id, vec_id,
+             round(c, 5) AS cosine, rank
+      FROM ranked_hn WHERE rank <= 5"""
 
     sql["embedding_near_dup_pairs"] = f"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

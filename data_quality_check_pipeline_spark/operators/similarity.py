@@ -148,11 +148,17 @@ def lsh_candidates(
     n_tables: int = 1,
     multiprobe: int = 0,
     seed: int = 7,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Deduplicated LSH candidate set: one row per (query, corpus id) that
     shares a probed (table, bucket); carries ``vec_col`` and ``_qvec`` for
     re-ranking. Exposed separately from lsh_topk so callers can measure
-    the scanned fraction (see the ann_recall harness query)."""
+    the scanned fraction (see the ann_recall harness query).
+
+    ``broadcast_queries=False``: the query side meets the corpus through
+    a shuffle join on (table, bucket) instead of a broadcast — required
+    when the "query" side is itself corpus-scale (self-mining, e.g.
+    mine_hard_negatives over every clip as its own anchor)."""
     buckets = F.posexplode(
         F.array(
             *[
@@ -175,7 +181,9 @@ def lsh_candidates(
             F.col("_tbl"),
             F.col("_bkt").bitwiseXOR(F.col("_flip")).alias("_bkt"),
         )
-    return c.join(F.broadcast(qb), ["_tbl", "_bkt"]).dropDuplicates(
+    if broadcast_queries:
+        qb = F.broadcast(qb)
+    return c.join(qb, ["_tbl", "_bkt"]).dropDuplicates(
         [query_id_col, id_col]
     )
 
@@ -431,6 +439,7 @@ def ivf_candidates(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     assigned: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """One row per (query, corpus id) whose cell is among the query's
     ``n_probe`` best cells; carries ``vec_col`` and ``_qvec`` for
@@ -440,7 +449,11 @@ def ivf_candidates(
 
     ``assigned=True``: the corpus already carries its ``ivf_cell``
     column (the persisted-index path — assignment was paid once at
-    write time, not per query batch)."""
+    write time, not per query batch).
+
+    ``broadcast_queries=False``: candidates meet through a shuffle join
+    on ivf_cell instead of broadcasting the query side — required when
+    the query side is corpus-scale (self-mining)."""
     c = corpus if assigned else with_ivf_cell(corpus, cents, vec_col)
     sims = F.transform(
         _cents_lit(cents),
@@ -467,7 +480,9 @@ def ivf_candidates(
             "ivf_cell"
         ),
     )
-    return c.join(F.broadcast(q), "ivf_cell")
+    if broadcast_queries:
+        q = F.broadcast(q)
+    return c.join(q, "ivf_cell")
 
 
 def ivf_topk(
@@ -793,4 +808,119 @@ def ivf_index_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame | None = None,
+    k: int = 5,
+    band_hi: float = 0.95,
+    band_lo: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    method: str = "brute",
+    *,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    multiprobe: int = 0,
+    seed: int = 7,
+    cents: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    broadcast_anchors: bool = True,
+) -> DataFrame:
+    """Per-anchor hard negatives for contrastive (CLAP/CLIP-style)
+    training: the ``k`` corpus rows MOST similar to each anchor that are
+    still safely not-the-same-content — i.e. ranked by cosine desc
+    within the band ``[band_lo, band_hi)``. ``band_hi`` excludes
+    near-duplicates (an undetected dup used as a "negative" is a false
+    negative that actively damages a contrastive objective — it is the
+    same content wearing a different id); ``band_lo`` optionally skips
+    easy negatives a model separates for free. Self-pairs
+    (anchor id == corpus id) are always excluded, so ``anchors`` may be
+    a subset of — or exactly — the corpus.
+
+    Returns (anchor_id, id_col, cosine, rank) with rank 1..k per
+    anchor, ties broken ascending id (deterministic across retries and
+    partitionings, the repo invariant).
+
+    ``anchors=None`` mines the whole corpus against itself.
+
+    Methods (same dial as top-k search):
+
+    * ``'brute'`` — exact; the anchor side is broadcast. For bounded
+      anchor sets (a training batch, an eval probe) or oracle checks.
+    * ``'lsh'`` — hyperplane-LSH candidates (requires ``dim``); recall
+      knobs n_tables/multiprobe as lsh_topk.
+    * ``'ivf'`` — inverted-file candidates (codebook trained via
+      ivf_centroids unless ``cents`` is given); knobs
+      n_centroids/n_probe as ivf_topk.
+
+    Scale shape: with ``broadcast_anchors=False`` the lsh/ivf candidate
+    generators join anchors to the corpus through a SHUFFLE equi-join on
+    the bucket/cell key — corpus-scale self-mining never broadcasts and
+    never cross-joins; the per-anchor re-rank window runs over the
+    bounded candidate set only. 'brute' refuses broadcast_anchors=False
+    (a non-broadcast exact path would be an all-pairs cross join — use
+    'lsh' or 'ivf' at scale)."""
+    if anchors is None:
+        anchors = corpus
+    a = anchors.select(
+        F.col(id_col).alias(anchor_id_col), F.col(vec_col)
+    )
+    if method == "brute":
+        if not broadcast_anchors:
+            raise ValueError(
+                "mine_hard_negatives(method='brute') requires the "
+                "anchor side to be broadcastable; use method='lsh' or "
+                "'ivf' for corpus-scale anchors"
+            )
+        q = F.broadcast(
+            a.select(
+                F.col(anchor_id_col), F.col(vec_col).alias("_qvec")
+            )
+        )
+        cand = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    elif method == "lsh":
+        cand = lsh_candidates(
+            corpus, a, id_col, vec_col, anchor_id_col, n_planes,
+            dim=dim, n_tables=n_tables, multiprobe=multiprobe,
+            seed=seed, broadcast_queries=broadcast_anchors,
+        )
+    elif method == "ivf":
+        if cents is None:
+            cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        cand = ivf_candidates(
+            corpus, a, cents, n_probe, id_col, vec_col, anchor_id_col,
+            broadcast_queries=broadcast_anchors,
+        )
+    else:
+        raise ValueError(
+            f"mine_hard_negatives: unknown method {method!r} "
+            "(expected 'brute', 'lsh' or 'ivf')"
+        )
+    scored = cand.filter(
+        F.col(id_col) != F.col(anchor_id_col)
+    ).select(
+        F.col(anchor_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    ).filter(F.col("cosine") < F.lit(float(band_hi)))
+    if band_lo is not None:
+        scored = scored.filter(F.col("cosine") >= F.lit(float(band_lo)))
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_id_col, id_col, "cosine", "rank")
     )

@@ -1716,3 +1716,174 @@ class TestIvfIndex:
             store, "emb", late, source_fingerprint="b2"
         ) is None
         assert store.read("emb_vectors").count() == 62
+
+
+class TestHardNegatives:
+    """mine_hard_negatives: contrastive-training negatives = top-k by
+    cosine inside [band_lo, band_hi) — near-dups are false negatives and
+    must be excluded; self-pairs never appear."""
+
+    def _numpy_expected(self, embeddings, anchors, k, band_hi,
+                        band_lo=None):
+        pdf = embeddings.toPandas()
+        mat = np.array(pdf["embedding"].tolist())
+        ids = pdf["vec_id"].to_numpy()
+        want = {}
+        for aid, av in anchors:
+            av = np.array(av)
+            cos = (mat @ av) / (
+                np.linalg.norm(mat, axis=1) * np.linalg.norm(av)
+            )
+            mask = (ids != aid) & (cos < band_hi)
+            if band_lo is not None:
+                mask &= cos >= band_lo
+            cand = sorted(
+                zip(cos[mask], ids[mask]), key=lambda t: (-t[0], t[1])
+            )
+            want[aid] = [int(i) for _, i in cand[:k]]
+        return want
+
+    def test_brute_matches_numpy(self, spark, embeddings):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        anchors = embeddings.limit(3)
+        got = mine_hard_negatives(
+            embeddings, anchors, k=4, band_hi=0.99
+        ).collect()
+        apdf = anchors.toPandas()
+        want = self._numpy_expected(
+            embeddings,
+            list(zip(apdf["vec_id"], apdf["embedding"])),
+            k=4, band_hi=0.99,
+        )
+        for aid, ordered in want.items():
+            have = [
+                r["vec_id"]
+                for r in sorted(
+                    (r for r in got if r["anchor_id"] == aid),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert have == ordered
+
+    def test_near_dup_excluded_by_band(self, spark, embeddings):
+        # vec 100 and 101 are near-identical (cosine ~ 1.0): a valid
+        # hard-negative miner must NOT surface 101 as a "negative" for
+        # 100 — it is the same content. Without the band it would be
+        # the rank-1 hit.
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        anchors = embeddings.filter("vec_id = 100")
+        banded = mine_hard_negatives(
+            embeddings, anchors, k=5, band_hi=0.999
+        ).collect()
+        assert all(r["vec_id"] != 101 for r in banded)
+        unbanded = mine_hard_negatives(
+            embeddings, anchors, k=5, band_hi=1.01
+        ).collect()
+        top = min(unbanded, key=lambda r: r["rank"])
+        assert top["vec_id"] == 101
+
+    def test_band_lo_drops_easy_negatives(self, spark, embeddings):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        anchors = embeddings.limit(1)
+        # fixture geometry for anchor 0: same-cluster rows sit > 0.99,
+        # cross-cluster mostly < 0 — band_lo=0 drops the easy (negative-
+        # cosine) negatives, band_hi drops the near-dup cluster
+        banded = mine_hard_negatives(
+            embeddings, anchors, k=100, band_hi=0.99, band_lo=0.0
+        ).collect()
+        unbounded = mine_hard_negatives(
+            embeddings, anchors, k=100, band_hi=0.99
+        ).collect()
+        assert banded, "band [0.0, 0.99) should keep mid-band rows"
+        assert all(0.0 <= r["cosine"] < 0.99 for r in banded)
+        assert len(banded) < len(unbounded)
+
+    def test_self_mining_never_pairs_self(self, spark, embeddings):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        got = mine_hard_negatives(
+            embeddings, None, k=3, band_hi=0.999,
+            method="ivf", n_centroids=4, n_probe=2,
+            broadcast_anchors=False,
+        ).collect()
+        assert got
+        assert all(r["vec_id"] != r["anchor_id"] for r in got)
+        per_anchor = {}
+        for r in got:
+            per_anchor.setdefault(r["anchor_id"], []).append(r["rank"])
+        for ranks in per_anchor.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_self_mining_plan_never_broadcasts_corpus(
+        self, spark, embeddings
+    ):
+        # corpus-scale self-mining must meet through a shuffle equi-join:
+        # no broadcast of either side, no cartesian product
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+        from data_quality_check_pipeline_spark.plans.assertions import (
+            formatted_plan,
+        )
+
+        df = mine_hard_negatives(
+            embeddings, None, k=3, band_hi=0.999,
+            method="ivf", n_centroids=4, n_probe=2,
+            broadcast_anchors=False,
+        )
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" not in plan
+
+    def test_lsh_method_recall_vs_brute(self, spark, embeddings):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        anchors = embeddings.limit(3)
+        exact = mine_hard_negatives(
+            embeddings, anchors, k=5, band_hi=0.999
+        ).collect()
+        approx = mine_hard_negatives(
+            embeddings, anchors, k=5, band_hi=0.999,
+            method="lsh", dim=16, n_planes=4, n_tables=4, multiprobe=1,
+        ).collect()
+        e, a = {}, {}
+        for r in exact:
+            e.setdefault(r["anchor_id"], set()).add(r["vec_id"])
+        for r in approx:
+            a.setdefault(r["anchor_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(e[q] & a.get(q, set())) / len(e[q]) for q in e
+        ]
+        assert sum(recalls) / len(recalls) >= 0.6
+
+    def test_brute_refuses_nonbroadcast(self, spark, embeddings):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        with pytest.raises(ValueError, match="broadcast"):
+            mine_hard_negatives(
+                embeddings, None, method="brute",
+                broadcast_anchors=False,
+            )
+
+    def test_unknown_method(self, spark, embeddings):
+        from data_quality_check_pipeline_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        with pytest.raises(ValueError, match="unknown method"):
+            mine_hard_negatives(embeddings, None, method="annoy")
