@@ -50,6 +50,8 @@ _log = logging.getLogger("clip_quality.export")
 _SHARD_DOMAIN = "export_shard"
 _ORDER_DOMAIN = "export_order"
 _CKSUM_DOMAIN = "export_cksum"
+_EPOCH_DOMAIN = "export_epoch"
+_EPOCH_BUF_DOMAIN = "export_epoch_buffer"
 
 MANIFEST_NAME = "manifest.json"
 
@@ -693,6 +695,7 @@ def verify_webdataset(out_dir: str) -> dict:
 
 def read_webdataset(
     spark: SparkSession, out_dir: str, parallelism: int | None = None,
+    epoch: int | None = None,
 ) -> DataFrame:
     """Source connector for a WebDataset export: tar shards back into a
     typed DataFrame (the round-trip of ``export_webdataset_shards``).
@@ -709,7 +712,12 @@ def read_webdataset(
     recorded schema, so int64/timestamp/binary metadata round-trips
     exactly (pandas would coerce nullable ints to float64).
     ``out_dir`` must be readable from every executor, the same
-    contract the exporter states."""
+    contract the exporter states.
+
+    ``epoch``: order the tar partitions by ``epoch_shard_order`` —
+    a sequential consumer (``toLocalIterator`` preserves partition
+    order) sees each epoch's deterministic shard permutation instead
+    of shard 0..N-1 every epoch. Row content is unaffected."""
     with open(os.path.join(out_dir, WDS_MANIFEST_NAME)) as f:
         manifest = json.load(f)
     key_col = manifest["key_col"]
@@ -727,15 +735,24 @@ def read_webdataset(
         (n for n in field_names
          if n != key_col and n not in meta_cols), None
     )
+    entries = manifest["shards"]
+    if epoch is not None:
+        entries = epoch_shard_order(manifest, epoch)
     paths = [
-        os.path.join(out_dir, s["path"])
-        for s in manifest["shards"] if s["path"]
+        os.path.join(out_dir, s["path"]) for s in entries if s["path"]
     ]
     if not paths:  # empty export: zero-row frame with the real schema
         return spark.createDataFrame([], schema)
-    pdf = spark.createDataFrame(
-        [(p,) for p in paths], "tar_path string"
-    ).repartition(parallelism or len(paths))
+    if epoch is not None:
+        # one partition per tar IN EPOCH ORDER: plain repartition would
+        # hash-scatter the visit order away
+        pdf = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(paths)], "pos int, tar_path string"
+        ).repartitionByRange(len(paths), "pos").drop("pos")
+    else:
+        pdf = spark.createDataFrame(
+            [(p,) for p in paths], "tar_path string"
+        ).repartition(parallelism or len(paths))
 
     def _read(batches):
         import tarfile
@@ -779,3 +796,64 @@ def read_webdataset(
     if meta_ddl:
         raw = raw.withColumn("_m", F.from_json("xjson", meta_ddl))
     return raw.select(*out_cols)
+
+
+def epoch_shard_order(
+    out_dir_or_manifest, epoch: int,
+) -> list[dict]:
+    """Deterministic per-epoch shard visit plan for a finished export
+    (parquet or WebDataset — both manifests carry the same ``shards``
+    list). Multi-epoch training must not replay the identical sample
+    order every epoch (the optimizer sees correlated batches), and it
+    must not ``rand()`` either (a resumed epoch would diverge from the
+    crashed one). This derives the order the same way every other
+    decision in the repo is derived: a domain-separated deterministic
+    hash.
+
+    Returns the manifest's shard entries, reordered for ``epoch``, each
+    augmented with ``buffer_seed`` — a per-(epoch, shard) seed for the
+    trainer's in-memory shuffle buffer (the standard WebDataset
+    pattern: shard-level permutation + a bounded sample buffer
+    approximates a global per-epoch shuffle without rewriting a single
+    byte of the export). Properties, all tested:
+
+    * same (export seed, epoch) -> same order and seeds (resume-safe);
+    * different epochs -> different permutations and buffer seeds;
+    * the permutation hash rides its own domain literal, so it is
+      independent of shard MEMBERSHIP at equal seeds (DESIGN #23), and
+      ``buffer_seed`` rides a second domain so "which shard next" and
+      "how to shuffle inside it" never correlate;
+    * every shard appears exactly once — coverage per epoch is exact,
+      unlike sampling-with-replacement schemes.
+
+    Driver/trainer-side pure Python (oracle_hash's bit-for-bit Spark
+    xxhash64) — no Spark session needed where the trainer runs."""
+    from ..oracle_hash import Int32, spark_xxhash64
+
+    if isinstance(out_dir_or_manifest, dict):
+        manifest = out_dir_or_manifest
+    else:
+        path = os.path.join(out_dir_or_manifest, WDS_MANIFEST_NAME)
+        if not os.path.exists(path):
+            path = os.path.join(out_dir_or_manifest, MANIFEST_NAME)
+        with open(path) as f:
+            manifest = json.load(f)
+    seed = int(manifest.get("seed", 0))
+    epoch = int(epoch)
+
+    def _order_key(entry):
+        return (
+            spark_xxhash64(
+                Int32(entry["shard"]), _EPOCH_DOMAIN, seed, epoch
+            ),
+            entry["shard"],  # tie-break: deterministic even on collision
+        )
+
+    out = []
+    for entry in sorted(manifest["shards"], key=_order_key):
+        e = dict(entry)
+        e["buffer_seed"] = spark_xxhash64(
+            Int32(entry["shard"]), _EPOCH_BUF_DOMAIN, seed, epoch
+        )
+        out.append(e)
+    return out
