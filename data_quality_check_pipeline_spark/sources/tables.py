@@ -91,7 +91,13 @@ def _collect_file_stats(data_dir: str) -> list[dict]:
     of a file gets no entry for that file (conservative). Each entry
     also records the file's exact ``rows`` (footer num_rows) — the
     Iceberg-manifest row count that lets ``row_count`` answer COUNT(*)
-    without touching data."""
+    without touching data — and per-column null counts (``nulls``, for
+    stats-bearing columns whose every row group reports null_count):
+    parquet min/max ignore NULLs, so "max < cutoff" alone cannot prove
+    a file wholly dead for a predicate delete — the Iceberg-manifest
+    null_count is what makes whole-file drops sound
+    (``delete_below``). Columns missing a null_count anywhere are
+    simply absent from ``nulls`` (conservative, like stats)."""
     import pyarrow.parquet as pq
 
     out: list[dict] = []
@@ -102,7 +108,9 @@ def _collect_file_stats(data_dir: str) -> list[dict]:
             path = os.path.join(root, f)
             rel = os.path.relpath(path, data_dir)
             stats: dict = {}
+            nulls: dict = {}
             bad: set = set()
+            nbad: set = set()
             rows = None
             try:
                 md = pq.ParquetFile(path).metadata
@@ -115,6 +123,17 @@ def _collect_file_stats(data_dir: str) -> list[dict]:
                         if "." in cname or cname in bad:
                             continue  # nested / already disqualified
                         st = col.statistics
+                        if cname not in nbad:
+                            nc = (
+                                st.null_count
+                                if st is not None and st.has_null_count
+                                else None
+                            )
+                            if nc is None:
+                                nbad.add(cname)
+                                nulls.pop(cname, None)
+                            else:
+                                nulls[cname] = nulls.get(cname, 0) + nc
                         lo = hi = None
                         if st is not None and st.has_min_max:
                             lo = _norm_stat_value(st.min)
@@ -132,15 +151,22 @@ def _collect_file_stats(data_dir: str) -> list[dict]:
                             stats[cname] = [lo, hi]
             except Exception:  # noqa: BLE001 - stats are best-effort
                 stats = {}
+                nulls = {}
+            # nulls only for columns that kept min/max stats (they are
+            # consulted together; a stats-less column never prunes)
+            nulls = {k: v for k, v in nulls.items() if k in stats}
             for seg in rel.split(os.sep)[:-1]:
                 if "=" in seg:
                     k, _, raw = seg.partition("=")
                     if raw != "__HIVE_DEFAULT_PARTITION__":
                         v = _partition_value(raw)
                         stats[k] = [v, v]
+                        nulls[k] = 0  # a hive path value is never NULL
             entry = {"path": rel, "stats": stats}
             if rows is not None:
                 entry["rows"] = rows
+            if nulls:
+                entry["nulls"] = nulls
             out.append(entry)
     return out
 
@@ -2294,6 +2320,203 @@ class TableStore:
             stats_out.update(out)
         return out
 
+    def delete_below(
+        self,
+        name: str,
+        col: str,
+        cutoff,
+        properties: dict | None = None,
+        stats_out: dict | None = None,
+    ) -> dict:
+        """Predicate copy-on-write delete: remove every row with
+        ``col < cutoff`` (NULLs survive — a NULL never satisfies the
+        predicate, matching delete_where's key semantics). This is the
+        retention primitive: at 100 TB "expire everything ingested
+        before T" is the dominant delete pattern, and on a time- (or
+        any range-) clustered layout it is nearly free — per-file
+        footer stats classify each file three ways:
+
+        * ``max < cutoff`` AND the manifest's null_count for ``col``
+          is 0 AND the footer row count is known → the file is WHOLLY
+          dead: it is simply not referenced by the new snapshot —
+          zero bytes read, zero rewritten (``files_dropped``; the
+          Iceberg metadata-delete fast path). The null-count guard is
+          load-bearing: parquet min/max ignore NULLs, so a max<cutoff
+          file can still hold NULL rows that must survive.
+        * ``min >= cutoff`` → provably clean: carried forward by hard
+          link (or the whole dir stays untouched), zero bytes read.
+        * anything else (boundary files, missing stats/null_count/row
+          count, incomparable types) → read + rewritten with the
+          filter (conservative, never wrong).
+
+        Same commit protocol as delete_where: a NON-append
+        mode='delete' snapshot (incremental consumers honestly
+        refuse), absorbed_read_set for crash/replay closure, optimistic
+        concurrency (abort when 'current' moved), physical bytes
+        reclaimed only by expire_snapshots. Returns {snapshot,
+        n_deleted, dirs_rewritten, dirs_untouched, files_rewritten,
+        files_carried, files_dropped, aborted}."""
+        self._refuse_on_branch("delete_below")
+        ncut = _norm_stat_value(cutoff)
+        out = {
+            "snapshot": None, "n_deleted": 0, "dirs_rewritten": 0,
+            "dirs_untouched": 0, "files_rewritten": 0,
+            "files_carried": 0, "files_dropped": 0, "aborted": False,
+        }
+        m0 = self._load_manifest(name)
+        base = self._snapshot(m0, None)
+        if base is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        if self._renames_pending(m0, base["read_set"]):
+            raise RuntimeError(
+                f"delete_below({name}): a schema-evolution op "
+                "(rename/drop) is pending on dirs written before it — "
+                "file-level COW would mix old-name and new-name files "
+                "in one dir; run compact() first, then retry"
+            )
+        stats_by_dir = {
+            f"snap_{s['id']}": s.get("files") for s in m0["snapshots"]
+        }
+
+        def _classify(finfo_entry) -> str:
+            """'dead' | 'clean' | 'boundary' from footer stats."""
+            if ncut is None:
+                return "boundary"
+            s = (finfo_entry.get("stats") or {}).get(col)
+            if not s:
+                return "boundary"
+            flo, fhi = s
+            try:
+                if flo >= ncut:
+                    return "clean"
+                if (
+                    fhi < ncut
+                    and (finfo_entry.get("nulls") or {}).get(col) == 0
+                    and finfo_entry.get("rows") is not None
+                ):
+                    return "dead"
+            except TypeError:
+                return "boundary"  # incomparable types: conservative
+            return "boundary"
+
+        affected: list[str] = []
+        untouched: list[str] = []
+        only_files: dict[str, list[str]] = {}
+        carry: dict[str, list[str]] = {}
+        dead_rows = 0
+        dead_files = 0
+        for d in base["read_set"]:
+            finfo = stats_by_dir.get(d)
+            if finfo is None:
+                affected.append(d)  # legacy: no stats, rewrite whole
+                continue
+            kinds = {f["path"]: _classify(f) for f in finfo}
+            if all(k == "clean" for k in kinds.values()):
+                untouched.append(d)
+                continue
+            affected.append(d)
+            only_files[d] = [p for p, k in kinds.items() if k == "boundary"]
+            carry[d] = [p for p, k in kinds.items() if k == "clean"]
+            for f in finfo:
+                if kinds[f["path"]] == "dead":
+                    dead_rows += f["rows"]
+                    dead_files += 1
+        carry_safe = self._carry_is_safe(m0, base, affected)
+        if not carry_safe:
+            # whole-dir rewrite fallback: dead files are read+filtered
+            # like boundary ones (their rows are counted by the scan,
+            # not the manifest — never double-counted)
+            only_files, carry = {}, {}
+            dead_rows = dead_files = 0
+        out["dirs_rewritten"] = len(affected)
+        out["dirs_untouched"] = len(untouched)
+        out["files_rewritten"] = sum(len(v) for v in only_files.values())
+        out["files_carried"] = sum(len(v) for v in carry.values())
+        out["files_dropped"] = dead_files
+        if not affected:
+            if stats_out is not None:
+                stats_out.update(out)
+            return out  # nothing below cutoff anywhere: no commit
+        df = self._union_snapshot_dirs(
+            name, m0, affected, base.get("schema"),
+            only_files=only_files,
+        )
+        hit = F.col(col) < F.lit(cutoff)
+        n_boundary_deleted = df.filter(hit).count()
+        n_deleted = n_boundary_deleted + dead_rows
+        out["n_deleted"] = n_deleted
+        if n_deleted == 0:
+            if stats_out is not None:
+                stats_out.update(out)
+            return out  # stats overlapped but no real rows: no-op
+        survivors = df.filter(F.col(col).isNull() | ~hit)
+        partition_by = base.get("partition_by") or None
+        sid = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._dir(name), f"snap_{sid}")
+        w = survivors.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        self._carry_clean_files(name, carry, data_dir)
+        files = _collect_file_stats(data_dir)
+        bloom_cols = base.get("bloom_cols") or None
+        self._write_bloom_sidecar(name, data_dir, files, bloom_cols, carry)
+        props = {
+            "delete_predicate": f"{col} < {cutoff!r}",
+            "n_deleted": n_deleted,
+            "absorbed_read_set": list(affected),
+            **(properties or {}),
+        }
+        fp = base.get("properties", {}).get("source_fingerprint")
+        if fp is not None and "source_fingerprint" not in props:
+            props["source_fingerprint"] = fp
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if m["current"] != base["id"]:
+                _log.warning(
+                    "delete_below(%s): current moved %s -> %s during "
+                    "the rewrite (concurrent commit); aborting — "
+                    "orphan dir snap_%s left for expire_snapshots' "
+                    "grace sweep; re-run",
+                    name, base["id"], m["current"], sid,
+                )
+                out["aborted"] = True
+                out["n_deleted"] = 0
+                if stats_out is not None:
+                    stats_out.update(out)
+                return out
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": "delete",
+                    "parent": base["id"],
+                    "read_set": untouched + [f"snap_{sid}"],
+                    "partition_by": partition_by or [],
+                    "bloom_cols": bloom_cols or [],
+                    "properties": props,
+                    "schema": survivors.schema.json(),
+                    "has_data": bool(files),
+                    "files": files,
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+        out["snapshot"] = sid
+        if out["files_dropped"] == 0:
+            # whole-file drops mean the range layout IS working; only
+            # a drop-less everything-rewritten delete hints clustering
+            self._hint_unclustered(
+                name, col, out, carry_safe=carry_safe,
+                total_files=sum(
+                    len(stats_by_dir.get(d) or [])
+                    for d in base["read_set"]
+                ),
+            )
+        if stats_out is not None:
+            stats_out.update(out)
+        return out
+
     def upsert(
         self,
         name: str,
@@ -2963,6 +3186,19 @@ class IcebergStore:
         self.spark.sql(
             f"DELETE FROM {self.prefix}.{name} "
             f"WHERE {key_col} IN ({', '.join(q(k) for k in keys)})"
+        )
+
+    def delete_below(self, name, col, cutoff):
+        """Predicate retention delete — Iceberg's own metadata-delete
+        handles the whole-file drop when the predicate aligns with
+        file bounds (same fast path TableStore.delete_below implements
+        by hand); NULLs survive (SQL '<' is NULL-false)."""
+        v = (
+            "'" + cutoff.replace("'", "''") + "'"
+            if isinstance(cutoff, str) else str(cutoff)
+        )
+        self.spark.sql(
+            f"DELETE FROM {self.prefix}.{name} WHERE {col} < {v}"
         )
 
     def compact(self, name, target_files=None, cluster_by=None,

@@ -164,6 +164,19 @@ def main() -> None:
                          "dir, sidecars land in place, no new snapshot "
                          "— incremental anchors/changelogs untouched; "
                          "idempotent; exits after")
+    ap.add_argument("--delete-below", default=None,
+                    metavar="TABLE:COL:CUTOFF",
+                    help="maintenance op (exits after): predicate "
+                         "retention delete — copy-on-write remove every "
+                         "row with COL < CUTOFF (NULLs survive). "
+                         "Per-file footer stats + manifest null counts "
+                         "classify files: wholly-dead files DROP with "
+                         "zero bytes read (the metadata-delete fast "
+                         "path on age-clustered layouts), clean files "
+                         "hard-link forward, only boundary files "
+                         "rewrite. CUTOFF parses as int, float, ISO "
+                         "timestamp, then string. Physical erasure "
+                         "still needs --expire-snapshots")
     ap.add_argument("--expire-snapshots", default=None,
                     metavar="TABLE|all",
                     help="version GC as a scheduled maintenance op: drop "
@@ -739,6 +752,7 @@ def main() -> None:
             or args.show_meta
             or args.publish_branch or args.drop_branch
             or args.expire_snapshots or args.tag or args.untag
+            or args.delete_below
             or args.changelog or args.takedown or args.correct
             or args.repack_tokens or args.export_dir
             or args.verify_export or args.release_check
@@ -877,6 +891,31 @@ def main() -> None:
                 f"{res['dirs_built']} dirs, {res['dirs_skipped']} dirs "
                 "already covered/skipped"
             )
+        if args.delete_below:
+            import json as _json
+
+            parts = args.delete_below.split(":", 2)
+            if len(parts) != 3:
+                raise SystemExit(
+                    "--delete-below expects TABLE:COL:CUTOFF"
+                )
+            t, col, raw = parts
+            cutoff = None
+            for cast in (int, float):
+                try:
+                    cutoff = cast(raw)
+                    break
+                except ValueError:
+                    continue
+            if cutoff is None:
+                import datetime as _dt
+
+                try:
+                    cutoff = _dt.datetime.fromisoformat(raw)
+                except ValueError:
+                    cutoff = raw  # string-typed column
+            res = store.delete_below(t, col, cutoff)
+            print(_json.dumps({"delete_below": args.delete_below, **res}))
         if args.expire_snapshots:
             tables = (
                 store.list_tables()
