@@ -2061,6 +2061,164 @@ class TableStore:
             "(snapshots | files | refs | history)"
         )
 
+    def fsck(self, name: str, deep: bool = False) -> dict:
+        """Physical integrity audit of one table — manifest ↔
+        filesystem ↔ (``deep``) parquet footers ↔ bloom sidecars ↔
+        refs. The warehouse analogue of a filesystem fsck: at 100 TB
+        the failure mode is not "Spark computes the wrong answer" but
+        "an object-store lifecycle rule, a partial copy, or a manual
+        rm quietly changed the files under a manifest that still
+        claims them" — and because reads list DIRECTORIES (manifest
+        stats only prune), a lost file silently loses rows and an
+        alien parquet file silently adds them. Checks, per live
+        snapshot entry:
+
+        * every manifest-listed file exists and is non-empty
+          (``missing_file`` / ``empty_file`` — silent row loss);
+        * no unlisted ``*.parquet`` files sit in a stats-bearing dir
+          (``unlisted_file`` — silently read as table data);
+        * the snapshot's own dir exists when ``has_data``
+          (``missing_dir``);
+        * recorded ``bloom_cols`` have a readable sidecar covering
+          each column, and sidecar entries reference listed files
+          (``missing_sidecar`` warn / ``unreadable_sidecar`` /
+          ``stale_sidecar_entry`` warn — blooms degrade to
+          may-contain, so warnings, not errors);
+        * tags / branches / current resolve to live snapshots
+          (``dangling_tag`` / ``dangling_branch`` /
+          ``dangling_current`` — a read(tag=...) would raise);
+        * ``deep=True`` additionally re-opens every listed file's
+          FOOTER (metadata-only, no data read) and compares
+          num_rows to the manifest's recorded rows
+          (``row_count_mismatch`` — a replaced/truncated file; an
+          unreadable footer is ``corrupt_file``).
+
+        Returns ``{ok, table, findings: [{level, kind, snapshot, path,
+        detail}], files_checked, dirs_checked}``; ``ok`` is False when
+        any error-level finding exists (warnings — degraded blooms —
+        keep ok=True). Read-only: never mutates the table; run it
+        before --publish-branch / --export-dir the way release_check
+        covers the logical layer."""
+        findings: list[dict] = []
+
+        def _f(level, kind, snapshot=None, path=None, detail=None):
+            findings.append(
+                {
+                    "level": level, "kind": kind, "snapshot": snapshot,
+                    "path": path, "detail": detail,
+                }
+            )
+
+        m = self._load_manifest(name)
+        snaps_by_id = {s["id"]: s for s in m["snapshots"]}
+        if m.get("current") is not None and m["current"] not in snaps_by_id:
+            _f("error", "dangling_current", snapshot=m["current"])
+        for t, sid in (m.get("tags") or {}).items():
+            if sid not in snaps_by_id:
+                _f("error", "dangling_tag", snapshot=sid, detail=t)
+        for b, sid in (m.get("branches") or {}).items():
+            if sid not in snaps_by_id:
+                _f("error", "dangling_branch", snapshot=sid, detail=b)
+        files_checked = 0
+        dirs_checked = 0
+        for s in m["snapshots"]:
+            dbase = f"snap_{s['id']}"
+            dpath = os.path.join(self._dir(name), dbase)
+            finfo = s.get("files")
+            if s.get("has_data") and not os.path.isdir(dpath):
+                _f("error", "missing_dir", snapshot=s["id"], path=dbase)
+                continue
+            if finfo is None:
+                continue  # legacy entry without file stats: nothing to
+                # cross-check (reads fall back to whole-dir listing)
+            dirs_checked += 1
+            listed = {f["path"] for f in finfo}
+            for f in finfo:
+                files_checked += 1
+                p = os.path.join(dpath, f["path"])
+                if not os.path.exists(p):
+                    _f(
+                        "error", "missing_file", snapshot=s["id"],
+                        path=f["path"],
+                    )
+                    continue
+                if os.path.getsize(p) == 0:
+                    _f(
+                        "error", "empty_file", snapshot=s["id"],
+                        path=f["path"],
+                    )
+                    continue
+                if deep:
+                    import pyarrow.parquet as pq
+
+                    try:
+                        nrows = pq.ParquetFile(p).metadata.num_rows
+                    except Exception as e:  # noqa: BLE001
+                        _f(
+                            "error", "corrupt_file", snapshot=s["id"],
+                            path=f["path"], detail=str(e)[:200],
+                        )
+                        continue
+                    want = f.get("rows")
+                    if want is not None and nrows != want:
+                        _f(
+                            "error", "row_count_mismatch",
+                            snapshot=s["id"], path=f["path"],
+                            detail=f"manifest={want} footer={nrows}",
+                        )
+            on_disk = set()
+            if os.path.isdir(dpath):
+                for root, _d, fs in os.walk(dpath):
+                    for fn in fs:
+                        if fn.endswith(".parquet"):
+                            on_disk.add(
+                                os.path.relpath(
+                                    os.path.join(root, fn), dpath
+                                )
+                            )
+            for extra in sorted(on_disk - listed):
+                _f(
+                    "error", "unlisted_file", snapshot=s["id"],
+                    path=extra,
+                    detail="present on disk but not in the manifest — "
+                    "reads list directories, so this file IS read",
+                )
+            bcols = s.get("bloom_cols") or []
+            if bcols and os.path.isdir(dpath):
+                sc = _blooms.load_sidecar(dpath)
+                if sc is None:
+                    kind = (
+                        "unreadable_sidecar"
+                        if os.path.exists(
+                            os.path.join(dpath, _blooms.SIDECAR_NAME)
+                        )
+                        else "missing_sidecar"
+                    )
+                    _f("warn", kind, snapshot=s["id"], detail=str(bcols))
+                else:
+                    for c in bcols:
+                        ent = sc.get(c)
+                        if ent is None:
+                            _f(
+                                "warn", "missing_sidecar",
+                                snapshot=s["id"], detail=c,
+                            )
+                            continue
+                        for rel in ent:
+                            if rel not in listed:
+                                _f(
+                                    "warn", "stale_sidecar_entry",
+                                    snapshot=s["id"], path=rel,
+                                    detail=c,
+                                )
+        return {
+            "ok": not any(f["level"] == "error" for f in findings),
+            "table": name,
+            "findings": findings,
+            "files_checked": files_checked,
+            "dirs_checked": dirs_checked,
+        }
+
     def backfill_blooms(self, name: str, cols: list[str]) -> dict:
         """Add bloom sidecars to an EXISTING table without rewriting a
         byte of data — the 100-TB shape (``compact(bloom_cols=...)``

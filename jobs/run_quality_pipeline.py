@@ -164,6 +164,19 @@ def main() -> None:
                          "dir, sidecars land in place, no new snapshot "
                          "— incremental anchors/changelogs untouched; "
                          "idempotent; exits after")
+    ap.add_argument("--fsck", default=None,
+                    metavar="TABLE|all",
+                    help="maintenance op (exits after): physical "
+                         "integrity audit — manifest vs filesystem vs "
+                         "bloom sidecars vs tag/branch refs (missing/"
+                         "empty/unlisted data files, dangling refs); "
+                         "read-only, one JSON verdict per table, exit 3 "
+                         "on any error-level finding")
+    ap.add_argument("--fsck-deep", action="store_true",
+                    help="with --fsck: also re-open every listed "
+                         "file's parquet FOOTER (metadata-only) and "
+                         "compare num_rows to the manifest — catches "
+                         "replaced/truncated files")
     ap.add_argument("--delete-below", default=None,
                     metavar="TABLE:COL:CUTOFF",
                     help="maintenance op (exits after): predicate "
@@ -752,7 +765,7 @@ def main() -> None:
             or args.show_meta
             or args.publish_branch or args.drop_branch
             or args.expire_snapshots or args.tag or args.untag
-            or args.delete_below
+            or args.delete_below or args.fsck
             or args.changelog or args.takedown or args.correct
             or args.repack_tokens or args.export_dir
             or args.verify_export or args.release_check
@@ -891,6 +904,21 @@ def main() -> None:
                 f"{res['dirs_built']} dirs, {res['dirs_skipped']} dirs "
                 "already covered/skipped"
             )
+        if args.fsck:
+            import json as _json
+
+            tables = (
+                store.list_tables()
+                if args.fsck == "all" else [args.fsck]
+            )
+            bad = 0
+            for t in tables:
+                res = store.fsck(t, deep=args.fsck_deep)
+                print(_json.dumps(res))
+                if not res["ok"]:
+                    bad += 1
+            if bad:
+                raise SystemExit(3)
         if args.delete_below:
             import json as _json
 
