@@ -1401,6 +1401,154 @@ class TableStore:
             self._save_manifest(name, m)
         return sid
 
+    def binpack(
+        self,
+        name: str,
+        small_file_bytes: int = 64 * 1024 * 1024,
+        target_files: int | None = None,
+    ) -> dict:
+        """Incremental small-file compaction (Iceberg's binpack
+        rewrite): merge ONLY the data files smaller than
+        ``small_file_bytes``; every file at or above the threshold is
+        hard-linked forward untouched. ``compact`` rewrites the whole
+        view — correct for a re-layout (cluster/zorder/rename
+        normalization) but unaffordable as routine maintenance on a
+        100-TB table where streaming micro-batches and shard appends
+        keep dripping KB-scale files next to TB of already-right-sized
+        data. binpack is the routine op: cost proportional to the
+        SMALL-file bytes, not the table, while still collapsing the
+        read_set to one dir (the per-dir listing/discovery overhead N
+        appends accrete is the other half of the small-file tax).
+
+        Deliberately does NOT re-sort: merged files lose per-file
+        range disjointness (same as Iceberg binpack); the snapshot
+        records an empty cluster spec but the sticky-spec walk
+        (mode='binpack' is not a full rewrite) still finds the layout
+        for the next real ``compact``. Incremental consumers honestly
+        refuse across it (rows moved files). Same optimistic-commit
+        protocol as compact; absorbed_read_set keeps the crash/replay
+        closure. Row counts are preserved exactly (merged files are
+        read and rewritten verbatim; fsck-clean, tested).
+
+        Returns {snapshot, files_merged, files_carried, dirs_absorbed,
+        bytes_merged, aborted}; snapshot None when fewer than two
+        small files exist (nothing worth merging — dir consolidation
+        alone is compact's job). Schema drift across dirs or a pending
+        rename refuses with the compact-first hint (mixed-schema /
+        mixed-name files in one dir would corrupt inference)."""
+        self._refuse_on_branch("binpack")
+        out = {
+            "snapshot": None, "files_merged": 0, "files_carried": 0,
+            "dirs_absorbed": 0, "bytes_merged": 0, "aborted": False,
+        }
+        m0 = self._load_manifest(name)
+        base = self._snapshot(m0, None)
+        if base is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        if self._renames_pending(m0, base["read_set"]):
+            raise RuntimeError(
+                f"binpack({name}): a schema-evolution op (rename/drop) "
+                "is pending on dirs written before it; run compact() "
+                "first to normalize file schemas, then retry"
+            )
+        if not self._carry_is_safe(m0, base, list(base["read_set"])):
+            raise RuntimeError(
+                f"binpack({name}): snapshots disagree on schema — "
+                "carrying files forward would mix schemas in one dir; "
+                "run compact() (full rewrite onto one schema) instead"
+            )
+        # disk-based classification: file size is not in the manifest
+        # (and need not be — this is a driver-side listing, no data read)
+        only_files: dict[str, list[str]] = {}
+        carry: dict[str, list[str]] = {}
+        bytes_small = 0
+        for d in base["read_set"]:
+            dpath = os.path.join(self._dir(name), d)
+            smalls: list[str] = []
+            bigs: list[str] = []
+            for root, _dirs, fs in os.walk(dpath):
+                for fn in fs:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, fn)
+                    rel = os.path.relpath(p, dpath)
+                    sz = os.path.getsize(p)
+                    if sz < small_file_bytes:
+                        smalls.append(rel)
+                        bytes_small += sz
+                    else:
+                        bigs.append(rel)
+            only_files[d] = smalls
+            carry[d] = bigs
+        n_small = sum(len(v) for v in only_files.values())
+        if n_small < 2:
+            return out  # nothing worth merging
+        out["files_merged"] = n_small
+        out["files_carried"] = sum(len(v) for v in carry.values())
+        out["dirs_absorbed"] = len(base["read_set"])
+        out["bytes_merged"] = bytes_small
+        df = self._union_snapshot_dirs(
+            name, m0, list(base["read_set"]), base.get("schema"),
+            only_files=only_files,
+        )
+        # merge toward threshold-sized outputs; partition dirs split
+        # the coalesced tasks further, which only makes files smaller
+        # (never a giant file)
+        n_out = target_files or max(
+            1, -(-bytes_small // max(1, small_file_bytes))
+        )
+        df = df.repartition(n_out)
+        partition_by = base.get("partition_by") or None
+        sid = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._dir(name), f"snap_{sid}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        self._carry_clean_files(name, carry, data_dir)
+        files = _collect_file_stats(data_dir)
+        bloom_cols = base.get("bloom_cols") or None
+        self._write_bloom_sidecar(name, data_dir, files, bloom_cols, carry)
+        props = {
+            "binpack_of": base["id"],
+            "small_file_bytes": int(small_file_bytes),
+            "absorbed_read_set": list(base["read_set"]),
+        }
+        fp = base.get("properties", {}).get("source_fingerprint")
+        if fp is not None:
+            props["source_fingerprint"] = fp
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if m["current"] != base["id"]:
+                _log.warning(
+                    "binpack(%s): current moved %s -> %s during the "
+                    "rewrite (concurrent commit); aborting — orphan "
+                    "dir snap_%s left for expire_snapshots' grace "
+                    "sweep; re-run",
+                    name, base["id"], m["current"], sid,
+                )
+                out["aborted"] = True
+                return out
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": "binpack",
+                    "parent": base["id"],
+                    "read_set": [f"snap_{sid}"],
+                    "partition_by": partition_by or [],
+                    "bloom_cols": bloom_cols or [],
+                    "properties": props,
+                    "schema": df.schema.json(),
+                    "has_data": bool(files),
+                    "files": files,
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+        out["snapshot"] = sid
+        return out
+
     def _split_by_overlap(self, read_set, stats_by_dir, overlap_fn):
         """Classify a read_set at FILE granularity for a COW rewrite.
         Returns (affected_dirs, untouched_dirs, only_files, carry):
@@ -3402,6 +3550,20 @@ class IcebergStore:
         self.spark.sql(
             f"CALL {cat}.system.rewrite_data_files"
             f"(table => '{self.prefix}.{name}'{opts})"
+        )
+
+    def binpack(self, name, small_file_bytes=64 * 1024 * 1024,
+                target_files=None):
+        """Iceberg's native binpack rewrite scoped to small files —
+        the same incremental-maintenance contract as
+        TableStore.binpack: only files below the threshold rewrite
+        (min-input-files=2 mirrors the <2-smalls no-op)."""
+        cat = self.prefix.split(".")[0]
+        self.spark.sql(
+            f"CALL {cat}.system.rewrite_data_files"
+            f"(table => '{self.prefix}.{name}', strategy => 'binpack', "
+            f"options => map('max-file-size-bytes', "
+            f"'{int(small_file_bytes)}', 'min-input-files', '2'))"
         )
 
     def rename_column(self, name, old, new):

@@ -164,6 +164,19 @@ def main() -> None:
                          "dir, sidecars land in place, no new snapshot "
                          "— incremental anchors/changelogs untouched; "
                          "idempotent; exits after")
+    ap.add_argument("--binpack", default=None,
+                    metavar="TABLE",
+                    help="maintenance op (exits after): incremental "
+                         "small-file compaction — merge ONLY data "
+                         "files under --binpack-small-bytes; bigger "
+                         "files hard-link forward untouched (cost "
+                         "proportional to the small-file bytes, not "
+                         "the table — the routine maintenance op "
+                         "--compact is too expensive to be)")
+    ap.add_argument("--binpack-small-bytes", type=int,
+                    default=64 * 1024 * 1024,
+                    help="with --binpack: files below this size merge "
+                         "(default 64 MiB)")
     ap.add_argument("--fsck", default=None,
                     metavar="TABLE|all",
                     help="maintenance op (exits after): physical "
@@ -765,7 +778,7 @@ def main() -> None:
             or args.show_meta
             or args.publish_branch or args.drop_branch
             or args.expire_snapshots or args.tag or args.untag
-            or args.delete_below or args.fsck
+            or args.delete_below or args.fsck or args.binpack
             or args.changelog or args.takedown or args.correct
             or args.repack_tokens or args.export_dir
             or args.verify_export or args.release_check
@@ -904,6 +917,13 @@ def main() -> None:
                 f"{res['dirs_built']} dirs, {res['dirs_skipped']} dirs "
                 "already covered/skipped"
             )
+        if args.binpack:
+            import json as _json
+
+            res = store.binpack(
+                args.binpack, small_file_bytes=args.binpack_small_bytes
+            )
+            print(_json.dumps({"binpack": args.binpack, **res}))
         if args.fsck:
             import json as _json
 
