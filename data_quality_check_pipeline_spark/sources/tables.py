@@ -749,9 +749,15 @@ class TableStore:
             )
             if branch and head is None:
                 head = m["current"]
+            carried_deletes: list[dict] = []
             if mode == "append" and head is not None:
                 parent = self._snapshot(m, head)
                 read_set = parent["read_set"] + [f"snap_{sid}"]
+                # pending MOR delete files ride along: their applies_to
+                # scope still names the parent dirs only, so the new
+                # rows are untouched (append-after-delete resurrects
+                # nothing and hides nothing)
+                carried_deletes = self._pending_deletes(parent)
             else:
                 read_set = [f"snap_{sid}"]
             m["snapshots"].append(
@@ -762,6 +768,10 @@ class TableStore:
                     "parent": head,
                     "branch": branch,
                     "read_set": read_set,
+                    **(
+                        {"delete_files": carried_deletes}
+                        if carried_deletes else {}
+                    ),
                     "partition_by": partition_by or [],
                     "cluster_by": cluster_by or [],
                     "zorder_by": zorder_by or [],
@@ -820,7 +830,7 @@ class TableStore:
             raise FileNotFoundError(f"table {name} has no snapshots")
         return self._union_snapshot_dirs(
             name, m, snap["read_set"], snap.get("schema"), prune,
-            scan_stats,
+            scan_stats, deletes=self._pending_deletes(snap),
         )
 
     def _union_snapshot_dirs(
@@ -832,6 +842,7 @@ class TableStore:
         prune: list | None = None,
         scan_stats: dict | None = None,
         only_files: dict | None = None,
+        deletes: list | None = None,
     ) -> DataFrame:
         """Union the given snapshot dirs (shared by read /
         read_incremental): filesystem-verified data presence, per-file
@@ -841,7 +852,18 @@ class TableStore:
         ``only_files``: optional {dir_basename: [relative paths]}
         restricting the read to an explicit file subset per dir (the
         file-level COW and changelog paths); a dir absent from the map
-        is read whole, a dir mapped to [] contributes nothing."""
+        is read whole, a dir mapped to [] contributes nothing.
+
+        ``deletes``: merge-on-read equality-delete entries
+        (``delete_keys_mor``) to apply at scan time — each entry's
+        broadcast key frame is anti-joined against the dirs named in
+        its ``applies_to`` scope (rows appended AFTER the delete live
+        in dirs outside the scope and are untouched, the Iceberg
+        sequence-number rule expressed at dir granularity). NULL-key
+        rows always survive (equality anti-join never matches NULL),
+        and a dir written before the key column existed is skipped
+        entirely (all its rows have NULL for the key). The anti-join
+        is broadcast (keys are capped at 1M) — map-side, no shuffle."""
         # skip snapshot dirs that hold no data files (empty writes). The
         # check is against the FILESYSTEM, not surviving manifest entries:
         # expire_snapshots drops expired entries from the manifest while a
@@ -902,6 +924,8 @@ class TableStore:
                 )
             ]
 
+        _del_keys_cache: dict[str, DataFrame] = {}
+
         def _post(df: DataFrame, dbase: str) -> DataFrame:
             # schema-evolution ops recorded AFTER this dir was written:
             # files carry the old schema, the view the new one (renames
@@ -912,6 +936,24 @@ class TableStore:
                     df = df.withColumnRenamed(r["old"], r["new"])
                 else:
                     df = df.drop(r["col"])
+            # merge-on-read deletes: applied AFTER the schema ops, so
+            # the delete's key_col (the name at delete time == a
+            # current name — rename_column refuses while deletes are
+            # pending) matches what the view exposes
+            for e in deletes or []:
+                if dbase not in (e.get("applies_to") or ()):
+                    continue
+                kc = e["key_col"]
+                if kc not in df.columns:
+                    continue  # dir predates the column: all-NULL keys
+                kdf = _del_keys_cache.get(e["path"])
+                if kdf is None:
+                    kdf = self._load_delete_keys(name, e)
+                    _del_keys_cache[e["path"]] = kdf
+                kdf = kdf.select(
+                    F.col(kc).cast(df.schema[kc].dataType)
+                )
+                df = df.join(F.broadcast(kdf), on=kc, how="left_anti")
             return df
 
         parts: list[DataFrame] = []
@@ -1124,6 +1166,14 @@ class TableStore:
         semantics); a replaced row surfaces twice — its old image as
         'delete', its new image as 'insert'.
 
+        Merge-on-read deletes (``delete_keys_mor``) surface correctly
+        even though they move NO files: a delete file added since the
+        anchor emits its matching rows (as the anchor saw them) as
+        'delete' via a key-pruned scan of the dirs it applies to; a
+        removed one (rollback) emits them as 'insert'. A consumer
+        therefore replays takedowns without a resync — the CDC path
+        the MOR commit itself cannot offer read_incremental.
+
         No ancestry requirement (a rollback target works; the result
         is the honest delta between the two views), but every
         differing dir must still exist on disk: if ``expire_snapshots``
@@ -1147,8 +1197,40 @@ class TableStore:
         old_set = set(anchor["read_set"])
         added = sorted(cur_set - old_set)
         removed = sorted(old_set - cur_set)
+        # merge-on-read delete files that differ between the two views:
+        # the read_sets can be IDENTICAL across a delete_keys_mor (that
+        # is its point — no data file moved), so the dir diff alone
+        # would report "no changes" while rows logically vanished. An
+        # added delete file emits its matching rows (as visible at the
+        # anchor) as 'delete'; a removed one (rollback to pre-delete)
+        # emits them as 'insert'. Key-scoped: the extra pass prunes the
+        # scanned dirs by the delete keys before reading.
+        cur_dels = {e["path"]: e for e in self._pending_deletes(cur)}
+        old_dels = {e["path"]: e for e in self._pending_deletes(anchor)}
+        added_dels = [
+            e for p, e in sorted(cur_dels.items()) if p not in old_dels
+        ]
+        removed_dels = [
+            e for p, e in sorted(old_dels.items()) if p not in cur_dels
+        ]
+        used_del_paths = sorted(
+            {
+                e["path"]
+                for e in added_dels + removed_dels
+            }
+            | {
+                e["path"]
+                for e in cur_dels.values()
+                if set(e.get("applies_to") or ()) & set(added)
+            }
+            | {
+                e["path"]
+                for e in old_dels.values()
+                if set(e.get("applies_to") or ()) & set(removed)
+            }
+        )
         missing = [
-            d for d in added + removed
+            d for d in added + removed + used_del_paths
             if not os.path.isdir(os.path.join(self._dir(name), d))
         ]
         if missing:
@@ -1168,7 +1250,8 @@ class TableStore:
         out_schema = StructType(
             schema.fields + [StructField(change_col, StringType(), False)]
         )
-        if not added and not removed:
+        if not added and not removed and not added_dels \
+                and not removed_dels:
             if scan_stats is not None:
                 scan_stats.update(
                     {"files_diffed": 0, "files_cancelled": 0}
@@ -1230,7 +1313,8 @@ class TableStore:
             })
         new_rows = self._conform(
             self._union_snapshot_dirs(
-                name, m, added, cur.get("schema"), only_files=only_add
+                name, m, added, cur.get("schema"), only_files=only_add,
+                deletes=list(cur_dels.values()),
             ),
             schema,
         )
@@ -1238,10 +1322,11 @@ class TableStore:
             self._union_snapshot_dirs(
                 name, m, removed, cur.get("schema"),
                 only_files=only_rem,
+                deletes=list(old_dels.values()),
             ),
             schema,
         )
-        return (
+        out = (
             new_rows.exceptAll(old_rows)
             .withColumn(change_col, F.lit("insert"))
             .unionByName(
@@ -1249,6 +1334,66 @@ class TableStore:
                 .withColumn(change_col, F.lit("delete"))
             )
         )
+
+        def _mor_rows(entry: dict, apply_dels: list, label: str):
+            """Rows a delete-file diff adds to the changelog: rows of
+            the SHARED dirs (in both views — differing dirs are already
+            covered by the dir diff above) matching the entry's keys,
+            as visible on the side that still showed them (the other
+            side's deletes applied). Key-scoped: per-file min/max and
+            bloom pruning on the keys run before any data is read."""
+            dirs = [
+                d for d in entry.get("applies_to") or []
+                if d in cur_set and d in old_set
+            ]
+            if not dirs:
+                return None
+            kdf = self._load_delete_keys(name, entry)
+            kc = entry["key_col"]
+            import pyarrow.parquet as pq
+
+            kvals: list = []
+            dpath = os.path.join(self._dir(name), entry["path"])
+            for root, _d, fs in os.walk(dpath):
+                for fn in fs:
+                    if fn.endswith(".parquet"):
+                        kvals += pq.read_table(
+                            os.path.join(root, fn), columns=[kc]
+                        ).column(kc).to_pylist()
+            rows = self._union_snapshot_dirs(
+                name, m, dirs, cur.get("schema"),
+                prune=[(kc, "in", kvals)], deletes=apply_dels,
+            )
+            if kc not in rows.columns:
+                return None
+            rows = rows.join(
+                F.broadcast(
+                    kdf.select(
+                        F.col(kc).cast(rows.schema[kc].dataType)
+                    )
+                ),
+                on=kc, how="left_semi",
+            )
+            return self._conform(rows, schema).withColumn(
+                change_col, F.lit(label)
+            )
+
+        # each pass also applies the entries already processed: two
+        # added deletes with overlapping keys must emit the shared row
+        # ONCE (net-change semantics), not once per delete file
+        acc = list(old_dels.values())
+        for e in added_dels:
+            part = _mor_rows(e, acc, "delete")
+            acc = acc + [e]
+            if part is not None:
+                out = out.unionByName(part)
+        acc = list(cur_dels.values())
+        for e in removed_dels:
+            part = _mor_rows(e, acc, "insert")
+            acc = acc + [e]
+            if part is not None:
+                out = out.unionByName(part)
+        return out
 
     def compact(
         self,
@@ -1305,12 +1450,16 @@ class TableStore:
             and zorder_by is None
             and bloom_cols is None
             and not self._renames_pending(m0, base["read_set"])
+            and not self._pending_deletes(base)
         ):
             # single dir + no EXPLICIT re-layout request: nothing to do.
             # An explicit cluster_by/zorder_by (sort-order change),
-            # bloom_cols (add/drop bloom sidecars), or a pending column
+            # bloom_cols (add/drop bloom sidecars), a pending column
             # rename (files still carry old names; this rewrite is what
-            # re-enables file-level COW) still rewrites.
+            # re-enables file-level COW), or pending MOR delete files
+            # (this rewrite is what MATERIALIZES them — read() below
+            # applies the anti-joins, and the compacted entry carries
+            # no delete_files) still rewrites.
             return None
         df = self.read(name, base["id"])
         if cluster_by is None and zorder_by is None:
@@ -1366,6 +1515,14 @@ class TableStore:
             "compaction_of": base["id"],
             "absorbed_read_set": list(base["read_set"]),
         }
+        if self._pending_deletes(base):
+            # the read above went through read() => the MOR deletes are
+            # applied in the rewrite; record that this compact is the
+            # materialization point (their deletes_ dirs become
+            # expirable once the pre-compact snapshots age out)
+            props["materialized_delete_files"] = len(
+                self._pending_deletes(base)
+            )
         fp = base.get("properties", {}).get("source_fingerprint")
         if fp is not None:
             props["source_fingerprint"] = fp
@@ -1457,6 +1614,7 @@ class TableStore:
                 "carrying files forward would mix schemas in one dir; "
                 "run compact() (full rewrite onto one schema) instead"
             )
+        self._refuse_pending_deletes(f"binpack({name})", base)
         # disk-based classification: file size is not in the manifest
         # (and need not be — this is a driver-side listing, no data read)
         only_files: dict[str, list[str]] = {}
@@ -1812,6 +1970,17 @@ class TableStore:
                     "(data layout, not metadata); rewrite via "
                     "compact(partition_by=[...])"
                 )
+            if any(
+                e["key_col"] == old
+                for e in self._pending_deletes(base)
+            ):
+                raise RuntimeError(
+                    f"rename_column({name}): {old!r} is the key column "
+                    "of a pending merge-on-read delete file — renaming "
+                    "it would break the delete's scan-time anti-join; "
+                    "run compact() first (materializes the deletes), "
+                    "then rename"
+                )
             for f in schema["fields"]:
                 if f["name"] == old:
                     f["name"] = new
@@ -1837,6 +2006,12 @@ class TableStore:
                     "schema": json.dumps(schema),
                     "has_data": False,
                     "files": [],
+                    # pending MOR deletes (on OTHER columns — same-col
+                    # renames refuse above) ride along unchanged
+                    **(
+                        {"delete_files": self._pending_deletes(base)}
+                        if self._pending_deletes(base) else {}
+                    ),
                 }
             )
             # the mapping must outlive snapshot GC (an expired rename
@@ -1897,6 +2072,17 @@ class TableStore:
                     f"drop_column({name}): {col!r} is a partition "
                     "column — rewrite via compact(partition_by=[...])"
                 )
+            if any(
+                e["key_col"] == col
+                for e in self._pending_deletes(base)
+            ):
+                raise RuntimeError(
+                    f"drop_column({name}): {col!r} is the key column "
+                    "of a pending merge-on-read delete file — dropping "
+                    "it would break the delete's scan-time anti-join; "
+                    "run compact() first (materializes the deletes), "
+                    "then drop"
+                )
             schema["fields"] = [
                 f for f in schema["fields"] if f["name"] != col
             ]
@@ -1920,6 +2106,11 @@ class TableStore:
                     "schema": json.dumps(schema),
                     "has_data": False,
                     "files": [],
+                    # pending MOR deletes on OTHER columns ride along
+                    **(
+                        {"delete_files": self._pending_deletes(base)}
+                        if self._pending_deletes(base) else {}
+                    ),
                 }
             )
             m.setdefault("schema_ops", []).append(
@@ -2076,9 +2267,13 @@ class TableStore:
         }
         with self._table_lock(name):
             m = self._load_manifest(name)
+            carried_deletes: list[dict] = []
             if mode == "append" and m["current"] is not None:
                 parent = self._snapshot(m, None)
                 read_set = parent["read_set"] + [f"snap_{sid}"]
+                # same carry as write(): pending MOR deletes keep their
+                # parent-dir scope; adopted rows are outside it
+                carried_deletes = self._pending_deletes(parent)
             else:
                 read_set = [f"snap_{sid}"]
             m["snapshots"].append(
@@ -2088,6 +2283,10 @@ class TableStore:
                     "mode": mode,
                     "parent": m["current"],
                     "read_set": read_set,
+                    **(
+                        {"delete_files": carried_deletes}
+                        if carried_deletes else {}
+                    ),
                     "partition_by": partition_by,
                     "cluster_by": [],
                     "zorder_by": [],
@@ -2119,7 +2318,10 @@ class TableStore:
         - ``refs``: tags and branches (name, type, snapshot_id).
         - ``history``: the current view's ancestry walk (the Iceberg
           history table): snapshot_id, ts, and whether the entry is
-          still live in the manifest."""
+          still live in the manifest.
+        - ``deletes``: one row per pending merge-on-read delete file
+          of the current view (path, key_col, n_keys, dirs_in_scope)
+          — empty after the materializing compact."""
         m = self._load_manifest(name)
         if kind == "snapshots":
             rows = []
@@ -2185,6 +2387,24 @@ class TableStore:
             return self.spark.createDataFrame(
                 rows, "name string, type string, snapshot_id string"
             )
+        if kind == "deletes":
+            snap = self._resolve(m, None, None, None)
+            if snap is None:
+                raise FileNotFoundError(f"table {name} has no snapshots")
+            rows = [
+                (
+                    e["path"],
+                    e["key_col"],
+                    int(e["n_keys"]),
+                    len(e.get("applies_to") or []),
+                )
+                for e in self._pending_deletes(snap)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "path string, key_col string, n_keys long,"
+                " dirs_in_scope int",
+            )
         if kind == "history":
             rows = []
             s = self._resolve(m, None, None, None)
@@ -2206,7 +2426,7 @@ class TableStore:
             )
         raise ValueError(
             f"read_meta: unknown kind {kind!r} "
-            "(snapshots | files | refs | history)"
+            "(snapshots | files | refs | history | deletes)"
         )
 
     def fsck(self, name: str, deep: bool = False) -> dict:
@@ -2240,6 +2460,15 @@ class TableStore:
           num_rows to the manifest's recorded rows
           (``row_count_mismatch`` — a replaced/truncated file; an
           unreadable footer is ``corrupt_file``).
+
+        * merge-on-read delete files each live snapshot carries exist
+          and are non-empty (``missing_delete_file`` — a lost key file
+          silently RESURRECTS the deleted rows, the worst direction to
+          fail in); ``deep=True`` re-opens each key file's footer and
+          compares num_rows to the manifest's ``n_keys``
+          (``delete_key_count_mismatch`` / ``corrupt_delete_file``)
+          and checks the key column is present
+          (``delete_key_col_missing``).
 
         Returns ``{ok, table, findings: [{level, kind, snapshot, path,
         detail}], files_checked, dirs_checked}``; ``ok`` is False when
@@ -2359,6 +2588,68 @@ class TableStore:
                                     snapshot=s["id"], path=rel,
                                     detail=c,
                                 )
+        # merge-on-read delete files: each distinct path checked once,
+        # attributed to the newest snapshot carrying it
+        seen_del: set[str] = set()
+        for s in reversed(m["snapshots"]):
+            for e in self._pending_deletes(s):
+                if e["path"] in seen_del:
+                    continue
+                seen_del.add(e["path"])
+                dpath = os.path.join(self._dir(name), e["path"])
+                kfiles = []
+                if os.path.isdir(dpath):
+                    for root, _d, fs in os.walk(dpath):
+                        kfiles += [
+                            os.path.join(root, fn)
+                            for fn in fs
+                            if fn.endswith(".parquet")
+                        ]
+                if not kfiles or all(
+                    os.path.getsize(p) == 0 for p in kfiles
+                ):
+                    _f(
+                        "error", "missing_delete_file",
+                        snapshot=s["id"], path=e["path"],
+                        detail="lost key file silently resurrects "
+                        f"{e['n_keys']} deleted row key(s)",
+                    )
+                    continue
+                files_checked += len(kfiles)
+                if deep:
+                    import pyarrow.parquet as pq
+
+                    nrows = 0
+                    cols: set[str] = set()
+                    bad = False
+                    for p in kfiles:
+                        try:
+                            md = pq.ParquetFile(p)
+                        except Exception as exc:  # noqa: BLE001
+                            _f(
+                                "error", "corrupt_delete_file",
+                                snapshot=s["id"], path=e["path"],
+                                detail=str(exc)[:200],
+                            )
+                            bad = True
+                            break
+                        nrows += md.metadata.num_rows
+                        cols |= set(md.schema_arrow.names)
+                    if bad:
+                        continue
+                    if nrows != e["n_keys"]:
+                        _f(
+                            "error", "delete_key_count_mismatch",
+                            snapshot=s["id"], path=e["path"],
+                            detail=f"manifest={e['n_keys']} "
+                            f"footer={nrows}",
+                        )
+                    if e["key_col"] not in cols:
+                        _f(
+                            "error", "delete_key_col_missing",
+                            snapshot=s["id"], path=e["path"],
+                            detail=e["key_col"],
+                        )
         return {
             "ok": not any(f["level"] == "error" for f in findings),
             "table": name,
@@ -2447,6 +2738,170 @@ class TableStore:
             self._save_manifest(name, m)
         return out
 
+    # -- merge-on-read deletes (Iceberg v2 equality-delete analogue) ------
+
+    @staticmethod
+    def _pending_deletes(snap: dict | None) -> list[dict]:
+        """The merge-on-read delete entries a snapshot carries (empty
+        for COW-only history)."""
+        return list((snap or {}).get("delete_files") or [])
+
+    def _refuse_pending_deletes(self, op: str, snap: dict) -> None:
+        dels = self._pending_deletes(snap)
+        if dels:
+            raise RuntimeError(
+                f"{op}: {len(dels)} merge-on-read delete file(s) are "
+                "pending on the current snapshot — this op restructures "
+                "data files, which would move rows outside the deletes' "
+                "applies_to scope and resurrect deleted rows; run "
+                "compact() first (it applies and clears the delete "
+                "files), then retry"
+            )
+
+    def _load_delete_keys(self, name: str, entry: dict) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._dir(name), entry["path"])
+        )
+
+    def delete_keys_mor(
+        self,
+        name: str,
+        key_col: str,
+        keys,
+        properties: dict | None = None,
+        stats_out: dict | None = None,
+    ) -> dict:
+        """Merge-on-read row delete (the Iceberg v2 equality-delete
+        file): commit a snapshot that removes every row whose
+        ``key_col`` is in ``keys`` WITHOUT touching a single data file
+        — the keys land in a tiny ``deletes_<sid>/`` parquet, the
+        manifest records which data dirs it applies to (the dirs live
+        at commit time: later appends are outside the scope, Iceberg's
+        sequence-number rule at dir granularity), and every read
+        anti-joins the broadcast key frame at scan time.
+
+        This is the 100-TB takedown lever ``delete_where`` cannot be:
+        COW rewrites the overlapping files — bounded on a clustered or
+        bloom-sidecar'd layout, but still data I/O proportional to the
+        touched files, and on a raw hash-sharded layout honestly the
+        whole table (DESIGN #41). MOR commits in O(keys): a 5-row GDPR
+        order against 100 TB writes a KB and moves no data. The costs,
+        stated: every subsequent read pays a broadcast anti-join until
+        a ``compact()`` materializes the deletes (reads through
+        ``read()`` apply them automatically, so the compaction output
+        is delete-free and the entry drops the delete files), and the
+        deleted bytes stay on disk until that compact +
+        ``expire_snapshots`` — logical-now, physical-later, exactly
+        the two-phase contract ``takedown --hard`` already documents
+        for COW. Data-restructuring maintenance (binpack / upsert /
+        COW deletes / rename or drop of a pending key column) REFUSES
+        while delete files are pending — their file moves would escape
+        the applies_to scope; compact first.
+
+        Commits mode='mor_delete' — NON-append, so read_incremental
+        consumers honestly resync; read_changelog emits the net delete
+        row images without one (key-scoped scan of the applies_to
+        dirs). Never aborts on a concurrent commit: the entry is built
+        from 'current' AS SEEN INSIDE the lock (no data depends on a
+        pre-read base). Unknown keys are a no-op at read time — the
+        matched count is intentionally not computed (MOR's whole point
+        is no scan at delete time), so ``n_deleted`` is absent from
+        the result; ``row_count`` on a deletes-pending snapshot falls
+        back to a real count for the same reason.
+
+        Returns {snapshot, n_keys, key_col, dirs_in_scope, aborted
+        (always False — kept for delete_where-shaped callers)}."""
+        from pyspark.sql.types import StructField, StructType
+
+        self._refuse_on_branch("delete_keys_mor")
+        keys = set(keys)
+        if any(k is None for k in keys):
+            raise ValueError("delete_keys_mor: keys must be non-NULL")
+        keys = sorted(keys)
+        if len(keys) > 1_000_000:
+            raise ValueError(
+                f"delete_keys_mor: {len(keys)} keys — batch below 1M "
+                "(the key frame is broadcast at every read)"
+            )
+        out = {
+            "snapshot": None, "n_keys": len(keys), "key_col": key_col,
+            "dirs_in_scope": 0, "aborted": False,
+        }
+        if stats_out is not None:
+            stats_out.update(out)
+        if not keys:
+            return out
+        m0 = self._load_manifest(name)
+        base0 = self._snapshot(m0, None)
+        if base0 is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        schema = (
+            StructType.fromJson(json.loads(base0["schema"]))
+            if base0.get("schema")
+            else self.read(name, base0["id"]).schema
+        )
+        if key_col not in schema.fieldNames():
+            raise KeyError(
+                f"delete_keys_mor({name}): no column {key_col!r} "
+                f"(have: {schema.fieldNames()})"
+            )
+        ktype = schema[key_col].dataType
+        sid = uuid.uuid4().hex[:16]
+        del_dir = os.path.join(self._dir(name), f"deletes_{sid}")
+        # one tiny file: the frame is broadcast whole at read time
+        self.spark.createDataFrame(
+            [(k,) for k in keys],
+            StructType([StructField(key_col, ktype, False)]),
+        ).coalesce(1).write.parquet(del_dir)
+        entry = {
+            "path": f"deletes_{sid}",
+            "key_col": key_col,
+            "n_keys": len(keys),
+        }
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            base = self._snapshot(m, None)
+            if base is None:
+                raise FileNotFoundError(
+                    f"table {name} has no snapshots"
+                )
+            entry["applies_to"] = list(base["read_set"])
+            props = {
+                "delete_key": key_col,
+                "n_keys": len(keys),
+                "mor": True,
+                **(properties or {}),
+            }
+            fp = base.get("properties", {}).get("source_fingerprint")
+            if fp is not None and "source_fingerprint" not in props:
+                props["source_fingerprint"] = fp
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": "mor_delete",
+                    "parent": base["id"],
+                    "read_set": list(base["read_set"]),
+                    "partition_by": base.get("partition_by") or [],
+                    "cluster_by": base.get("cluster_by") or [],
+                    "zorder_by": base.get("zorder_by") or [],
+                    "bloom_cols": base.get("bloom_cols") or [],
+                    "properties": props,
+                    "schema": base.get("schema"),
+                    "has_data": False,
+                    "files": [],
+                    "delete_files": self._pending_deletes(base)
+                    + [entry],
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+        out["snapshot"] = sid
+        out["dirs_in_scope"] = len(entry["applies_to"])
+        if stats_out is not None:
+            stats_out.update(out)
+        return out
+
     def delete_where(
         self,
         name: str,
@@ -2522,6 +2977,7 @@ class TableStore:
                 "and new-name files in one dir; run compact() first to "
                 "normalize the files, then retry"
             )
+        self._refuse_pending_deletes(f"delete_where({name})", base)
         nkeys = [_norm_stat_value(k) for k in keys]
         prunable = all(v is not None for v in nkeys)
         nkeys = sorted(nkeys) if prunable else None
@@ -2680,6 +3136,7 @@ class TableStore:
                 "file-level COW would mix old-name and new-name files "
                 "in one dir; run compact() first, then retry"
             )
+        self._refuse_pending_deletes(f"delete_below({name})", base)
         stats_by_dir = {
             f"snap_{s['id']}": s.get("files") for s in m0["snapshots"]
         }
@@ -2933,6 +3390,7 @@ class TableStore:
                     "new-schema files in one dir; run compact() first "
                     "to normalize the files, then retry"
                 )
+            self._refuse_pending_deletes(f"upsert({name})", base)
             # precise key pruning below the cap, range pruning above
             key_rows = (
                 df.select(key_col).limit(key_collect_cap + 1).collect()
@@ -3116,6 +3574,15 @@ class TableStore:
         snap = self._resolve(m, snapshot_id, tag, as_of_ts)
         if snap is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
+        if self._pending_deletes(snap):
+            # manifest counts cannot subtract a MOR delete (how many of
+            # its keys actually match is unknown until scanned — the
+            # same honesty gap Iceberg has with equality deletes):
+            # fall back to a real count of the delete-applied view
+            return self._union_snapshot_dirs(
+                name, m, snap["read_set"], snap.get("schema"),
+                deletes=self._pending_deletes(snap),
+            ).count()
         stats_by_dir = {
             f"snap_{s['id']}": s.get("files") for s in m["snapshots"]
         }
@@ -3337,6 +3804,13 @@ class TableStore:
             key=lambda s: s["ts"],
         )  # chronological: later expires trust append order
         live_dirs = {d for s in keep for d in s["read_set"]}
+        # MOR delete-key dirs are live while ANY kept snapshot carries
+        # them (reads of that snapshot anti-join against the key file);
+        # once every carrier expires — e.g. after the materializing
+        # compact ages out of the window — they are swept like data dirs
+        live_dirs |= {
+            e["path"] for s in keep for e in self._pending_deletes(s)
+        }
         expired = [s["id"] for s in snaps if s not in keep]
         # retain pruned snapshots' {id, properties}: the crash/replay
         # guards (pipeline._find_committed_write, stream.batch_committed)
@@ -3360,9 +3834,15 @@ class TableStore:
         # commit yet (write() locks only the manifest step), so it is
         # deleted only past ``orphan_grace_s``.
         known = {d for s in snaps for d in s["read_set"]}
+        known |= {
+            e["path"] for s in snaps for e in self._pending_deletes(s)
+        }
         now = time.time()
         for entry in os.listdir(self._dir(name)):
-            if not entry.startswith("snap_") or entry in live_dirs:
+            if (
+                not entry.startswith(("snap_", "deletes_"))
+                or entry in live_dirs
+            ):
                 continue
             path = os.path.join(self._dir(name), entry)
             if entry not in known:
@@ -3491,6 +3971,28 @@ class IcebergStore:
 
         self.spark.sql(
             f"DELETE FROM {self.prefix}.{name} "
+            f"WHERE {key_col} IN ({', '.join(q(k) for k in keys)})"
+        )
+
+    def delete_keys_mor(self, name, key_col, keys):
+        """Merge-on-read delete — Iceberg v2 native: flip the table's
+        delete mode to merge-on-read and DELETE; the engine writes
+        delete files instead of rewriting data files, and
+        rewrite_data_files/rewrite_position_delete_files later
+        materializes them (TableStore.compact's role)."""
+        def q(k):
+            if isinstance(k, str):
+                return "'" + k.replace("'", "''") + "'"
+            return str(k)
+
+        full = f"{self.prefix}.{name}"
+        self.spark.sql(
+            f"ALTER TABLE {full} SET TBLPROPERTIES ("
+            "'write.delete.mode'='merge-on-read', "
+            "'format-version'='2')"
+        )
+        self.spark.sql(
+            f"DELETE FROM {full} "
             f"WHERE {key_col} IN ({', '.join(q(k) for k in keys)})"
         )
 
