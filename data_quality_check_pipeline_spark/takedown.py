@@ -36,6 +36,12 @@ re-running the same order is a no-op — the marker commit is checked
 first, and it is written LAST, so a crash mid-takedown re-runs the
 table rewrites, which are themselves no-ops on already-deleted rows).
 
+Both modes' table deletes default to COW rewrites (delete_where);
+``defer=True`` switches them to merge-on-read equality-delete files
+(delete_keys_mor) — O(keys) commit, zero data I/O, rows unreadable
+immediately, bytes erased at the next compact()+expire — the right
+lever for point-id orders against un-clustered 100-TB layouts.
+
 Streaming exact-dedup state (watermark state inside the stream's
 checkpoint) is NOT purgeable here — it ages out with the watermark; a
 checkpoint reset clears it. Reports/metrics artifacts hold aggregates,
@@ -97,6 +103,7 @@ def apply_takedown(
     mode: str = "purge",
     takedown_id: str | None = None,
     hard: bool = False,
+    defer: bool = False,
     orphan_grace_s: float = 3600.0,
     keep_last: int = 1,
     dsir_model_table: str | None = None,
@@ -125,6 +132,21 @@ def apply_takedown(
     built). ks/n_features must match the model's ingest spec (the spec
     stamp is verified).
 
+    ``defer``: commit every table delete as a merge-on-read
+    equality-delete file (TableStore.delete_keys_mor) instead of a COW
+    rewrite — O(keys) commit cost, zero data I/O, which is the right
+    shape for a point-id order against 100 TB on a layout without
+    clip_id clustering or bloom sidecars (where COW honestly rewrites
+    the table, DESIGN #41). The rows are unreadable IMMEDIATELY (every
+    read anti-joins the key file); the bytes leave disk at the next
+    ``compact()`` + ``expire_snapshots`` — the same logical-now /
+    physical-later contract as a soft COW purge, just with the data
+    I/O moved wholly into maintenance. Incompatible with ``hard``
+    (hard's point is immediate physical erasure; schedule the compact
+    + a later hard pass instead). Data-restructuring maintenance on
+    the touched tables refuses until that compact — the documented
+    MOR pending-deletes contract.
+
     Crash-ordering contract: signature-history commits happen BEFORE
     the clips_clean delete (the hashes that drive them are derived
     FROM clips_clean, so this order makes every crash re-run converge),
@@ -140,6 +162,13 @@ def apply_takedown(
             "keeps signatures AND snapshots so re-uploads stay "
             "quarantined) — got mode='block'"
         )
+    if hard and defer:
+        raise ValueError(
+            "takedown: hard=True needs immediate physical erasure "
+            "(COW delete + snapshot expiry); defer=True's point is "
+            "zero data I/O at order time — run the deferred takedown, "
+            "then compact() + a later hard/expire pass"
+        )
     ids = sorted({c for c in clip_ids if c is not None})
     if not ids:
         raise ValueError("takedown: empty clip_id set")
@@ -147,7 +176,8 @@ def apply_takedown(
     store = TableStore(spark, out_root)
     report: dict = {
         "takedown_id": tid, "mode": mode, "requested": len(ids),
-        "tables": {}, "skipped_already_applied": False,
+        "defer": defer, "tables": {},
+        "skipped_already_applied": False,
     }
 
     def _hard_expire() -> dict:
@@ -218,9 +248,58 @@ def apply_takedown(
     report["found_in_clean"] = len(found_ids)
     report["not_in_clean"] = len(ids) - len(found_ids)
 
+    def _mor_replayed(table: str) -> str | None:
+        """Snapshot id of a pending MOR delete file this order already
+        committed on ``table`` (crash between a table delete and the
+        quarantine marker): a delete entry's dir is deletes_<sid> of
+        the mor_delete snapshot that minted it, whose properties carry
+        the takedown_id. Re-running the same delete would be
+        semantically harmless (same anti-join twice) but would stack a
+        duplicate key file every read pays for until compact."""
+        snap = store.current_snapshot(table)
+        pending = (snap or {}).get("delete_files") or []
+        if not pending:
+            return None
+        props = {
+            r["id"]: r["properties"]
+            for r in store.property_records(table)
+        }
+        for e in pending:
+            sid = e["path"].split("_", 1)[1]
+            if props.get(sid, {}).get("takedown_id") == tid:
+                return sid
+        return None
+
     def _delete(table: str, key_col: str, keys) -> None:
-        if not keys or not store.exists(table):
+        if not store.exists(table):
             report["tables"][table] = {"n_deleted": 0, "snapshot": None}
+            return
+        if defer:
+            # replay guard FIRST, before the empty-keys return: on a
+            # crash-replay the derived key set (hashes, found_ids) is
+            # empty precisely BECAUSE this order's MOR delete already
+            # applied — the committed entry, not the keys, is the truth
+            prior = _mor_replayed(table)
+            if prior is not None:
+                report["tables"][table] = {
+                    "mor": True, "snapshot": prior,
+                    "n_keys": len(keys), "replayed": True,
+                }
+                return
+        if not keys:
+            report["tables"][table] = {"n_deleted": 0, "snapshot": None}
+            return
+        if defer:
+            res = store.delete_keys_mor(
+                table, key_col, keys,
+                properties={"takedown_id": tid, "takedown_mode": mode},
+            )
+            report["tables"][table] = {
+                "mor": True,
+                "snapshot": res["snapshot"],
+                "n_keys": res["n_keys"],
+                "dirs_in_scope": res["dirs_in_scope"],
+            }
             return
         res = store.delete_where(
             table, key_col, keys,
@@ -317,9 +396,12 @@ def apply_takedown(
 
     if hard:
         report["hard_expired"] = _hard_expire()
+    clean_rep = report["tables"][CLEAN_TABLE]
     _log.info(
-        "takedown %s (%s): %d requested, %d removed from %s",
-        tid, mode, len(ids),
-        report["tables"][CLEAN_TABLE]["n_deleted"], CLEAN_TABLE,
+        "takedown %s (%s%s): %d requested, %s removed from %s",
+        tid, mode, " deferred" if defer else "", len(ids),
+        clean_rep["n_deleted"] if "n_deleted" in clean_rep
+        else f"{clean_rep.get('n_keys', 0)} keys",
+        CLEAN_TABLE,
     )
     return report

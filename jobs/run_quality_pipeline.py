@@ -415,6 +415,14 @@ def main() -> None:
                          "removed rows physically leave disk (otherwise "
                          "time-travel reads can still see them until a "
                          "scheduled expire pass)")
+    ap.add_argument("--takedown-defer", action="store_true",
+                    help="commit the table deletes as merge-on-read "
+                         "equality-delete files instead of COW "
+                         "rewrites: O(keys) commit, zero data I/O, "
+                         "rows unreadable immediately; bytes leave "
+                         "disk at the next --compact + "
+                         "--expire-snapshots (incompatible with "
+                         "--takedown-hard)")
     ap.add_argument("--export-dir", default=None, metavar="PATH",
                     help="export clips_clean as deterministically "
                          "shuffled training shards (one file per "
@@ -679,6 +687,11 @@ def main() -> None:
         ap.error("--takedown-hard is purge-only (block mode keeps "
                  "signatures and snapshots so re-uploads stay "
                  "quarantined)")
+    if args.takedown_hard and args.takedown_defer:
+        ap.error("--takedown-hard needs immediate physical erasure; "
+                 "--takedown-defer's point is zero data I/O at order "
+                 "time — defer, then --compact + a later hard/expire "
+                 "pass")
 
     def _history_edges(spark) -> list[float]:
         """Derive pinned curriculum edges from the out-root's profile
@@ -999,7 +1012,7 @@ def main() -> None:
                 ]
             rep = apply_takedown(
                 spark, args.out, ids, mode=args.takedown_mode,
-                hard=args.takedown_hard,
+                hard=args.takedown_hard, defer=args.takedown_defer,
             )
             print(_json.dumps(rep, indent=2, default=str))
         if args.correct:

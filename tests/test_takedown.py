@@ -450,3 +450,168 @@ class TestTakedownCrashOrdering:
             ).collect()
         }
         assert merged == expect
+
+
+class TestTakedownDefer:
+    """defer=True: table deletes commit as merge-on-read equality-
+    delete files (delete_keys_mor) — O(keys), no data file touched —
+    with the same purge/block semantics, idempotency anchor, and a
+    per-table replay guard for the crash window before the marker."""
+
+    @pytest.fixture()
+    def rooted(self, spark, small_corpus, tmp_path):
+        _, path = small_corpus
+        root = str(tmp_path / "tables")
+        cfg = RunConfig(
+            out_root=root, run_id="p1", dedup_content=True,
+            dedup_audio=True, dedup_audio_max_hamming=0,
+        )
+        run_pipeline(spark, path, cfg)
+        return root
+
+    def test_hard_with_defer_raises(self):
+        with pytest.raises(ValueError, match="defer"):
+            apply_takedown(
+                None, "/nonexistent", ["x"], mode="purge",
+                hard=True, defer=True,
+            )
+
+    def test_deferred_purge_moves_no_data_files(self, spark, rooted):
+        store = TableStore(spark, rooted)
+        rows = (
+            store.read(CLEAN_TABLE)
+            .select("clip_id", content_hash_expr("transcript").alias("h"))
+            .orderBy("clip_id").limit(2).collect()
+        )
+        ids = [r["clip_id"] for r in rows]
+        hashes = [r["h"] for r in rows]
+        n_before = store.row_count(CLEAN_TABLE)
+        pre_files = sorted(
+            glob.glob(
+                os.path.join(rooted, CLEAN_TABLE, "snap_*", "**",
+                             "*.parquet"),
+                recursive=True,
+            )
+        )
+        rep = apply_takedown(spark, rooted, ids, mode="purge",
+                             defer=True)
+        assert rep["defer"] is True
+        for t in (CLEAN_TABLE, CONTENT_HASH_TABLE, AUDIO_FP_TABLE):
+            assert rep["tables"][t]["mor"] is True, t
+            assert rep["tables"][t]["snapshot"]
+        # logically gone NOW, across the clean table AND the dedup
+        # memory (purge semantics)
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id").isin(ids)
+        ).count() == 0
+        assert store.row_count(CLEAN_TABLE) == n_before - 2
+        assert store.read(CONTENT_HASH_TABLE).filter(
+            F.col("text_hash").isin(hashes)
+        ).count() == 0
+        assert store.read(AUDIO_FP_TABLE).filter(
+            F.col("clip_id").isin(ids)
+        ).count() == 0
+        # ... yet not one data file moved: that is MOR's whole point
+        post_files = sorted(
+            glob.glob(
+                os.path.join(rooted, CLEAN_TABLE, "snap_*", "**",
+                             "*.parquet"),
+                recursive=True,
+            )
+        )
+        assert post_files == pre_files
+        cur = store.current_snapshot(CLEAN_TABLE)
+        assert cur["mode"] == "mor_delete"
+        assert cur.get("delete_files")
+        # terminal marker + idempotency, same as the COW path
+        q = store.read(QUARANTINE_TABLE)
+        assert q.filter(
+            F.col("clip_id").isin(ids)
+            & F.array_contains("reasons", TAKEDOWN_REASON)
+        ).count() == 2
+        rep2 = apply_takedown(spark, rooted, ids, mode="purge",
+                              defer=True)
+        assert rep2["skipped_already_applied"]
+
+    def test_crash_before_marker_does_not_stack_delete_files(
+        self, spark, rooted, monkeypatch
+    ):
+        store = TableStore(spark, rooted)
+        cid = store.read(CLEAN_TABLE).orderBy("clip_id").first()[
+            "clip_id"
+        ]
+        real = TableStore.write
+
+        def crash_on_marker(self, name, df, **kw):
+            if name == QUARANTINE_TABLE:
+                raise RuntimeError("injected crash before marker")
+            return real(self, name, df, **kw)
+
+        monkeypatch.setattr(TableStore, "write", crash_on_marker)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            apply_takedown(spark, rooted, [cid], mode="purge",
+                           defer=True)
+        monkeypatch.undo()
+        rep = apply_takedown(spark, rooted, [cid], mode="purge",
+                             defer=True)
+        assert not rep["skipped_already_applied"]
+        # the replay detected the already-committed MOR delete and did
+        # NOT mint a second key file for the same order
+        assert rep["tables"][CLEAN_TABLE].get("replayed") is True
+        cur = store.current_snapshot(CLEAN_TABLE)
+        assert len(cur.get("delete_files") or []) == 1
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id") == cid
+        ).count() == 0
+
+    def test_maintenance_refuses_until_compact_materializes(
+        self, spark, rooted
+    ):
+        store = TableStore(spark, rooted)
+        rows = store.read(CLEAN_TABLE).orderBy("clip_id").limit(
+            2
+        ).collect()
+        cid = rows[0]["clip_id"]
+        apply_takedown(spark, rooted, [cid], mode="purge", defer=True)
+        n_after = store.row_count(CLEAN_TABLE)
+        # data-restructuring maintenance refuses while deletes pend
+        with pytest.raises(RuntimeError, match="pending"):
+            store.delete_where(CLEAN_TABLE, "clip_id",
+                               [rows[1]["clip_id"]])
+        # compact() is the materialization point: pending deletes are
+        # applied into the rewrite and cleared; the view is unchanged
+        store.compact(CLEAN_TABLE, cluster_by=["clip_id"])
+        cur = store.current_snapshot(CLEAN_TABLE)
+        assert not cur.get("delete_files")
+        assert store.row_count(CLEAN_TABLE) == n_after
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id") == cid
+        ).count() == 0
+        # ... and COW maintenance works again
+        res = store.delete_where(CLEAN_TABLE, "clip_id",
+                                 [rows[1]["clip_id"]])
+        assert res["n_deleted"] == 1
+
+    def test_deferred_block_registers_hashes(
+        self, spark, small_corpus, tmp_path
+    ):
+        pdf, path = small_corpus
+        root = str(tmp_path / "tables")
+        run_pipeline(spark, path, RunConfig(out_root=root, run_id="b1"))
+        store = TableStore(spark, root)
+        row = (
+            store.read(CLEAN_TABLE)
+            .select("clip_id", content_hash_expr("transcript").alias("h"))
+            .orderBy("clip_id").first()
+        )
+        rep = apply_takedown(spark, root, [row["clip_id"]],
+                             mode="block", defer=True)
+        assert rep["tables"][CLEAN_TABLE]["mor"] is True
+        assert rep["blocked_hashes_registered"] == 1
+        # block semantics survive the defer: the signature STAYS
+        assert store.read(CONTENT_HASH_TABLE).filter(
+            F.col("text_hash") == row["h"]
+        ).count() == 1
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id") == row["clip_id"]
+        ).count() == 0
