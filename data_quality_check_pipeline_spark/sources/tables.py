@@ -946,6 +946,20 @@ class TableStore:
                 kc = e["key_col"]
                 if kc not in df.columns:
                     continue  # dir predates the column: all-NULL keys
+                if e.get("path") is None:
+                    # predicate entry (delete_below_mor): removed rows
+                    # are `kc < cutoff AND kc IS NOT NULL` — survivors
+                    # keep NULLs (a NULL never satisfies the
+                    # predicate, delete_below's rule). The cutoff was
+                    # commit-time-verified castable to the column
+                    # type, so the literal below is never NULL.
+                    cut = F.lit(e["cutoff"]).cast(
+                        df.schema[kc].dataType
+                    )
+                    df = df.filter(
+                        F.col(kc).isNull() | (F.col(kc) >= cut)
+                    )
+                    continue
                 kdf = _del_keys_cache.get(e["path"])
                 if kdf is None:
                     kdf = self._load_delete_keys(name, e)
@@ -1205,28 +1219,37 @@ class TableStore:
         # anchor) as 'delete'; a removed one (rollback to pre-delete)
         # emits them as 'insert'. Key-scoped: the extra pass prunes the
         # scanned dirs by the delete keys before reading.
-        cur_dels = {e["path"]: e for e in self._pending_deletes(cur)}
-        old_dels = {e["path"]: e for e in self._pending_deletes(anchor)}
+        cur_dels = {
+            self._del_id(e): e for e in self._pending_deletes(cur)
+        }
+        old_dels = {
+            self._del_id(e): e for e in self._pending_deletes(anchor)
+        }
         added_dels = [
             e for p, e in sorted(cur_dels.items()) if p not in old_dels
         ]
         removed_dels = [
             e for p, e in sorted(old_dels.items()) if p not in cur_dels
         ]
+        # key-FILE dirs the diff must read (predicate entries live
+        # wholly in the manifest — nothing on disk to verify)
         used_del_paths = sorted(
             {
                 e["path"]
                 for e in added_dels + removed_dels
+                if e.get("path")
             }
             | {
                 e["path"]
                 for e in cur_dels.values()
-                if set(e.get("applies_to") or ()) & set(added)
+                if e.get("path")
+                and set(e.get("applies_to") or ()) & set(added)
             }
             | {
                 e["path"]
                 for e in old_dels.values()
-                if set(e.get("applies_to") or ()) & set(removed)
+                if e.get("path")
+                and set(e.get("applies_to") or ()) & set(removed)
             }
         )
         missing = [
@@ -1338,18 +1361,37 @@ class TableStore:
         def _mor_rows(entry: dict, apply_dels: list, label: str):
             """Rows a delete-file diff adds to the changelog: rows of
             the SHARED dirs (in both views — differing dirs are already
-            covered by the dir diff above) matching the entry's keys,
-            as visible on the side that still showed them (the other
-            side's deletes applied). Key-scoped: per-file min/max and
-            bloom pruning on the keys run before any data is read."""
+            covered by the dir diff above) matching the entry's keys
+            or predicate, as visible on the side that still showed
+            them (the other side's deletes applied). Scoped: per-file
+            min/max and bloom pruning on the keys/range run before any
+            data is read."""
             dirs = [
                 d for d in entry.get("applies_to") or []
                 if d in cur_set and d in old_set
             ]
             if not dirs:
                 return None
-            kdf = self._load_delete_keys(name, entry)
             kc = entry["key_col"]
+            if entry.get("path") is None:
+                # predicate entry: its removed rows are a range scan
+                rows = self._union_snapshot_dirs(
+                    name, m, dirs, cur.get("schema"),
+                    prune=[(kc, "<", entry["cutoff"])],
+                    deletes=apply_dels,
+                )
+                if kc not in rows.columns:
+                    return None
+                cut = F.lit(entry["cutoff"]).cast(
+                    rows.schema[kc].dataType
+                )
+                rows = rows.filter(
+                    F.col(kc).isNotNull() & (F.col(kc) < cut)
+                )
+                return self._conform(rows, schema).withColumn(
+                    change_col, F.lit(label)
+                )
+            kdf = self._load_delete_keys(name, entry)
             import pyarrow.parquet as pq
 
             kvals: list = []
@@ -2393,9 +2435,10 @@ class TableStore:
                 raise FileNotFoundError(f"table {name} has no snapshots")
             rows = [
                 (
-                    e["path"],
+                    e["path"] if e.get("path")
+                    else f"<pred {e['key_col']} < {e['cutoff']}>",
                     e["key_col"],
-                    int(e["n_keys"]),
+                    int(e.get("n_keys") or 0),
                     len(e.get("applies_to") or []),
                 )
                 for e in self._pending_deletes(snap)
@@ -2593,6 +2636,8 @@ class TableStore:
         seen_del: set[str] = set()
         for s in reversed(m["snapshots"]):
             for e in self._pending_deletes(s):
+                if e.get("path") is None:
+                    continue  # predicate entry: manifest-only, no file
                 if e["path"] in seen_del:
                     continue
                 seen_del.add(e["path"])
@@ -2746,6 +2791,13 @@ class TableStore:
         for COW-only history)."""
         return list((snap or {}).get("delete_files") or [])
 
+    @staticmethod
+    def _del_id(entry: dict) -> str:
+        """Stable identity of a MOR delete entry: equality entries are
+        their key-file dir, predicate entries their manifest-minted
+        pred_id (no file exists for them)."""
+        return entry.get("path") or entry["pred_id"]
+
     def _refuse_pending_deletes(self, op: str, snap: dict) -> None:
         dels = self._pending_deletes(snap)
         if dels:
@@ -2869,6 +2921,145 @@ class TableStore:
             props = {
                 "delete_key": key_col,
                 "n_keys": len(keys),
+                "mor": True,
+                **(properties or {}),
+            }
+            fp = base.get("properties", {}).get("source_fingerprint")
+            if fp is not None and "source_fingerprint" not in props:
+                props["source_fingerprint"] = fp
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "ts": time.time(),
+                    "mode": "mor_delete",
+                    "parent": base["id"],
+                    "read_set": list(base["read_set"]),
+                    "partition_by": base.get("partition_by") or [],
+                    "cluster_by": base.get("cluster_by") or [],
+                    "zorder_by": base.get("zorder_by") or [],
+                    "bloom_cols": base.get("bloom_cols") or [],
+                    "properties": props,
+                    "schema": base.get("schema"),
+                    "has_data": False,
+                    "files": [],
+                    "delete_files": self._pending_deletes(base)
+                    + [entry],
+                }
+            )
+            m["current"] = sid
+            self._save_manifest(name, m)
+        out["snapshot"] = sid
+        out["dirs_in_scope"] = len(entry["applies_to"])
+        if stats_out is not None:
+            stats_out.update(out)
+        return out
+
+    def delete_below_mor(
+        self,
+        name: str,
+        col: str,
+        cutoff,
+        properties: dict | None = None,
+        stats_out: dict | None = None,
+    ) -> dict:
+        """Merge-on-read PREDICATE delete: commit a snapshot that
+        removes every row with ``col < cutoff`` (NULLs survive, the
+        delete_below rule) without touching a single file — not even
+        a key file: the predicate lives wholly in the manifest and
+        every read applies the filter at scan time, scoped to the
+        dirs live at commit (later appends are untouched).
+
+        This is retention TTL at O(1) commit cost: ``delete_below``
+        (COW) drops wholly-dead files for free ONLY on a range-
+        clustered layout and honestly rewrites the boundary/unsorted
+        rest; at 100 TB on the raw ingest layout a monthly age-out
+        becomes a full-table rewrite at order time. The MOR variant
+        commits instantly on ANY layout; the rewrite happens once, in
+        the next ``compact()`` (which also restores the clustered
+        layout that makes the NEXT COW retention pass cheap). Same
+        pending-deletes contract as delete_keys_mor: per-read filter
+        tax until the materializing compact, restructuring maintenance
+        refuses meanwhile, ``read_changelog`` emits the removed rows
+        as net 'delete' images via a range-pruned scan, ``row_count``
+        falls back to a real count.
+
+        ``cutoff`` must be a number, string, or datetime/date
+        (stored ISO for JSON; re-cast to the column type at scan) and
+        is verified CASTABLE to the column's type at commit time — a
+        silently-NULL cast literal would otherwise drop every non-NULL
+        row at read time, the worst failure direction.
+
+        Returns {snapshot, key_col, cutoff, dirs_in_scope, aborted
+        (always False)}."""
+        import datetime as _dt
+
+        from pyspark.sql.types import StructType
+
+        self._refuse_on_branch("delete_below_mor")
+        if cutoff is None or isinstance(cutoff, bool):
+            raise ValueError(
+                f"delete_below_mor: unsupported cutoff {cutoff!r}"
+            )
+        if isinstance(cutoff, (_dt.datetime, _dt.date)):
+            stored = cutoff.isoformat(sep=" ") if isinstance(
+                cutoff, _dt.datetime
+            ) else cutoff.isoformat()
+        elif isinstance(cutoff, (int, float, str)):
+            stored = cutoff
+        else:
+            raise TypeError(
+                f"delete_below_mor: cutoff type {type(cutoff).__name__}"
+                " is not JSON-storable (number, string, datetime, or "
+                "date)"
+            )
+        m0 = self._load_manifest(name)
+        base0 = self._snapshot(m0, None)
+        if base0 is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        schema = (
+            StructType.fromJson(json.loads(base0["schema"]))
+            if base0.get("schema")
+            else self.read(name, base0["id"]).schema
+        )
+        if col not in schema.fieldNames():
+            raise KeyError(
+                f"delete_below_mor({name}): no column {col!r} "
+                f"(have: {schema.fieldNames()})"
+            )
+        dt = schema[col].dataType
+        probe = (
+            self.spark.range(1)
+            .select(F.lit(stored).try_cast(dt).alias("c"))
+            .first()["c"]
+        )
+        if probe is None:
+            raise ValueError(
+                f"delete_below_mor({name}): cutoff {cutoff!r} does "
+                f"not cast to {col!r}'s type {dt.simpleString()} — "
+                "the scan-time filter literal would be NULL and drop "
+                "every non-NULL row"
+            )
+        sid = uuid.uuid4().hex[:16]
+        entry = {
+            "pred_id": f"pred_{sid}",
+            "key_col": col,
+            "op": "lt",
+            "cutoff": stored,
+        }
+        out = {
+            "snapshot": None, "key_col": col, "cutoff": stored,
+            "dirs_in_scope": 0, "aborted": False,
+        }
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            base = self._snapshot(m, None)
+            if base is None:
+                raise FileNotFoundError(
+                    f"table {name} has no snapshots"
+                )
+            entry["applies_to"] = list(base["read_set"])
+            props = {
+                "delete_pred": f"{col} < {stored}",
                 "mor": True,
                 **(properties or {}),
             }
@@ -3810,6 +4001,7 @@ class TableStore:
         # compact ages out of the window — they are swept like data dirs
         live_dirs |= {
             e["path"] for s in keep for e in self._pending_deletes(s)
+            if e.get("path")
         }
         expired = [s["id"] for s in snaps if s not in keep]
         # retain pruned snapshots' {id, properties}: the crash/replay
@@ -3836,6 +4028,7 @@ class TableStore:
         known = {d for s in snaps for d in s["read_set"]}
         known |= {
             e["path"] for s in snaps for e in self._pending_deletes(s)
+            if e.get("path")
         }
         now = time.time()
         for entry in os.listdir(self._dir(name)):
@@ -4008,6 +4201,24 @@ class IcebergStore:
         self.spark.sql(
             f"DELETE FROM {self.prefix}.{name} WHERE {col} < {v}"
         )
+
+    def delete_below_mor(self, name, col, cutoff):
+        """Merge-on-read predicate delete — Iceberg v2 native: flip
+        the delete mode to merge-on-read and DELETE; the engine writes
+        delete files instead of rewriting data files
+        (rewrite_data_files / rewrite_position_delete_files later
+        materializes them — TableStore.compact's role)."""
+        v = (
+            "'" + cutoff.replace("'", "''") + "'"
+            if isinstance(cutoff, str) else str(cutoff)
+        )
+        full = f"{self.prefix}.{name}"
+        self.spark.sql(
+            f"ALTER TABLE {full} SET TBLPROPERTIES ("
+            "'write.delete.mode'='merge-on-read', "
+            "'format-version'='2')"
+        )
+        self.spark.sql(f"DELETE FROM {full} WHERE {col} < {v}")
 
     def compact(self, name, target_files=None, cluster_by=None,
                 bloom_cols=None, zorder_by=None):

@@ -203,6 +203,14 @@ def main() -> None:
                          "rewrite. CUTOFF parses as int, float, ISO "
                          "timestamp, then string. Physical erasure "
                          "still needs --expire-snapshots")
+    ap.add_argument("--delete-below-defer", action="store_true",
+                    help="with --delete-below: commit as a merge-on-"
+                         "read PREDICATE delete (manifest-only, O(1) "
+                         "commit, zero file I/O on ANY layout); reads "
+                         "filter at scan time until --compact "
+                         "materializes it. The retention lever when "
+                         "the layout is not age-clustered and COW "
+                         "would rewrite the table")
     ap.add_argument("--expire-snapshots", default=None,
                     metavar="TABLE|all",
                     help="version GC as a scheduled maintenance op: drop "
@@ -687,6 +695,8 @@ def main() -> None:
         ap.error("--takedown-hard is purge-only (block mode keeps "
                  "signatures and snapshots so re-uploads stay "
                  "quarantined)")
+    if args.delete_below_defer and not args.delete_below:
+        ap.error("--delete-below-defer without --delete-below")
     if args.takedown_hard and args.takedown_defer:
         ap.error("--takedown-hard needs immediate physical erasure; "
                  "--takedown-defer's point is zero data I/O at order "
@@ -975,7 +985,10 @@ def main() -> None:
                     cutoff = _dt.datetime.fromisoformat(raw)
                 except ValueError:
                     cutoff = raw  # string-typed column
-            res = store.delete_below(t, col, cutoff)
+            if args.delete_below_defer:
+                res = store.delete_below_mor(t, col, cutoff)
+            else:
+                res = store.delete_below(t, col, cutoff)
             print(_json.dumps({"delete_below": args.delete_below, **res}))
         if args.expire_snapshots:
             tables = (

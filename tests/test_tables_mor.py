@@ -323,3 +323,131 @@ class TestMorLifecycle:
         got = s.read("t")
         assert got.count() == 3
         assert got.filter(F.col("clip_id") == "a").count() == 0
+
+
+class TestMorPredicateDelete:
+    """delete_below_mor: the predicate (retention-TTL) MOR variant —
+    manifest-only, not even a key file; reads filter at scan time."""
+
+    def test_commit_writes_nothing_and_read_filters(self, store):
+        tdir = os.path.join(store.root, "t")
+        before = _inodes(tdir)
+        res = store.delete_below_mor("t", "v", 3)
+        assert res["snapshot"] and res["dirs_in_scope"] == 2
+        assert _inodes(tdir) == before  # no data files touched
+        assert not glob.glob(os.path.join(tdir, "deletes_*"))
+        got = store.read("t")
+        assert got.filter(F.col("v") < 3).count() == 0
+        assert got.count() == sum(1 for i in range(200) if i % 7 >= 3)
+        assert store.row_count("t") == got.count()
+
+    def test_nulls_survive(self, store, spark):
+        store.write(
+            "t",
+            spark.createDataFrame([(None, None)],
+                                  "clip_id string, v long"),
+            mode="append",
+        )
+        store.delete_below_mor("t", "v", 100)  # would kill every row
+        got = store.read("t")
+        assert got.count() == 1
+        assert got.first()["v"] is None
+
+    def test_append_after_is_out_of_scope(self, store, spark):
+        store.delete_below_mor("t", "v", 100)
+        store.write(
+            "t",
+            spark.createDataFrame([("late", 1)],
+                                  "clip_id string, v long"),
+            mode="append",
+        )
+        rows = store.read("t").collect()
+        assert [(r["clip_id"], r["v"]) for r in rows] == [("late", 1)]
+
+    def test_castability_checked_at_commit(self, store):
+        with pytest.raises(ValueError, match="cast"):
+            store.delete_below_mor("t", "v", "not-a-number")
+        with pytest.raises(KeyError, match="nope"):
+            store.delete_below_mor("t", "nope", 3)
+        with pytest.raises(ValueError, match="unsupported"):
+            store.delete_below_mor("t", "v", None)
+        with pytest.raises(ValueError, match="unsupported"):
+            store.delete_below_mor("t", "v", True)
+
+    def test_timestamp_cutoff(self, spark, tmp_path):
+        import datetime as dt
+
+        s = TableStore(spark, str(tmp_path / "tst"))
+        rows = [
+            ("a", dt.datetime(2026, 1, 1)),
+            ("b", dt.datetime(2026, 6, 1)),
+            ("c", None),
+        ]
+        s.write(
+            "t",
+            spark.createDataFrame(rows, "clip_id string, ts timestamp"),
+        )
+        s.delete_below_mor("t", "ts", dt.datetime(2026, 3, 1))
+        got = sorted(r["clip_id"] for r in s.read("t").collect())
+        assert got == ["b", "c"]  # a expired; NULL ts survives
+
+    def test_stacks_with_equality_delete(self, store):
+        store.delete_keys_mor("t", "clip_id", ["clip_0006"])  # v == 6
+        store.delete_below_mor("t", "v", 3)
+        got = store.read("t")
+        assert got.filter(F.col("v") < 3).count() == 0
+        assert "clip_0006" not in _ids(got)
+        assert got.count() == sum(
+            1 for i in range(200) if i % 7 >= 3 and i != 6
+        )
+
+    def test_cdc_emits_pred_deletes_then_rollback_inserts(self, store):
+        anchor = store.current_snapshot("t")["id"]
+        store.delete_below_mor("t", "v", 1)  # v == 0 rows
+        deleted = store.current_snapshot("t")["id"]
+        log = store.read_changelog("t", anchor).collect()
+        expect = sorted(
+            f"clip_{i:04d}" for i in range(200) if i % 7 == 0
+        )
+        assert sorted(r["clip_id"] for r in log) == expect
+        assert {r["_change_type"] for r in log} == {"delete"}
+        store.rollback("t", anchor)
+        log2 = store.read_changelog("t", deleted).collect()
+        assert sorted(r["clip_id"] for r in log2) == expect
+        assert {r["_change_type"] for r in log2} == {"insert"}
+
+    def test_cdc_pred_and_equality_overlap_net_once(self, store):
+        anchor = store.current_snapshot("t")["id"]
+        store.delete_keys_mor("t", "clip_id", ["clip_0000"])  # v == 0
+        store.delete_below_mor("t", "v", 1)  # also covers clip_0000
+        log = store.read_changelog("t", anchor).collect()
+        expect = sorted(
+            f"clip_{i:04d}" for i in range(200) if i % 7 == 0
+        )
+        assert sorted(r["clip_id"] for r in log) == expect
+        assert {r["_change_type"] for r in log} == {"delete"}
+
+    def test_compact_materializes_and_maintenance_gate(self, store):
+        store.delete_below_mor("t", "v", 3)
+        with pytest.raises(RuntimeError, match="pending"):
+            store.delete_where("t", "clip_id", ["clip_0005"])
+        with pytest.raises(RuntimeError, match="key column"):
+            store.rename_column("t", "v", "val")
+        meta = store.read_meta("t", "deletes").collect()
+        assert len(meta) == 1 and meta[0]["path"].startswith("<pred")
+        n = store.row_count("t")
+        store.compact("t")
+        snap = store.current_snapshot("t")
+        assert not snap.get("delete_files")
+        assert store.row_count("t") == n
+        assert store.read("t").filter(F.col("v") < 3).count() == 0
+        store.rename_column("t", "v", "val")  # unblocked
+        assert "val" in store.read("t").columns
+
+    def test_expire_with_pending_pred_is_safe(self, store):
+        store.delete_below_mor("t", "v", 3)
+        n = store.row_count("t")
+        store.expire_snapshots("t", keep_last=1, orphan_grace_s=0)
+        assert store.row_count("t") == n
+        rep = store.fsck("t", deep=True)
+        assert rep["ok"], rep["findings"]
