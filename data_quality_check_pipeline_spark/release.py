@@ -112,6 +112,21 @@ def release_check(
     row = clean.agg(*agg_cols).first()
     n_clean = row["n"]
     checks["clean_table"] = {"ok": n_clean > 0, "rows": n_clean}
+    # advisory (never fails — reads are delete-applied and correct):
+    # shipping with pending merge-on-read deletes means every consumer
+    # of the release pays the scan-time anti-join/filter tax and the
+    # deleted bytes are still on disk; the materializing compact
+    # belongs BEFORE the artifact ships
+    pending = store._pending_deletes(
+        store.current_snapshot(CLEAN_TABLE)
+    )
+    if pending:
+        checks["pending_mor_deletes"] = {
+            "ok": True,
+            "pending": len(pending),
+            "hint": "run --compact on the table to materialize the "
+                    "merge-on-read deletes before shipping",
+        }
     if has_pack:
         unpacked = int(row["unpacked"] or 0)
         checks["pack_completeness"] = {

@@ -157,3 +157,30 @@ class TestReleaseCheck:
         failed_exp = set(c["expectations"]["failed"])
         assert any(n.startswith("be_unique") for n in failed_exp)
         assert c["quarantine_consistency"]["clean_and_quarantined"] == 1
+
+
+class TestPendingMorAdvisory:
+    def test_pending_mor_deletes_advisory(self, spark, corpus, out_root):
+        """Pending merge-on-read deletes never FAIL the gate (reads
+        are delete-applied) but surface as an advisory with the
+        compact hint; the materializing compact clears it."""
+        _, _, path = corpus
+        run_pipeline(
+            spark, path,
+            RunConfig(out_root=out_root, run_id="rmor",
+                      n_shards=1, source_fingerprint="fmor"),
+        )
+        store = TableStore(spark, out_root)
+        cid = store.read(CLEAN_TABLE).orderBy("clip_id").first()[
+            "clip_id"
+        ]
+        store.delete_keys_mor(CLEAN_TABLE, "clip_id", [cid])
+        v = release_check(spark, out_root)
+        assert v["ok"], v
+        adv = v["checks"]["pending_mor_deletes"]
+        assert adv["ok"] and adv["pending"] == 1
+        assert "compact" in adv["hint"]
+        store.compact(CLEAN_TABLE)
+        v2 = release_check(spark, out_root)
+        assert v2["ok"]
+        assert "pending_mor_deletes" not in v2["checks"]
