@@ -2635,9 +2635,36 @@ class TableStore:
         # attributed to the newest snapshot carrying it
         seen_del: set[str] = set()
         for s in reversed(m["snapshots"]):
+            snap_schema_cols: set[str] | None = None
+            if s.get("schema"):
+                try:
+                    snap_schema_cols = {
+                        f["name"]
+                        for f in json.loads(s["schema"])["fields"]
+                    }
+                except (ValueError, KeyError, TypeError):
+                    snap_schema_cols = None
             for e in self._pending_deletes(s):
                 if e.get("path") is None:
-                    continue  # predicate entry: manifest-only, no file
+                    # predicate entry: manifest-only, no file to
+                    # verify — but a hand-edited/corrupted manifest
+                    # whose pred column left the snapshot schema would
+                    # silently delete NOTHING (the _post filter skips
+                    # absent columns), resurrecting the expired rows
+                    if (
+                        e["pred_id"] not in seen_del
+                        and snap_schema_cols is not None
+                        and e["key_col"] not in snap_schema_cols
+                    ):
+                        _f(
+                            "error", "delete_pred_col_missing",
+                            snapshot=s["id"], path=e["pred_id"],
+                            detail=f"{e['key_col']} not in snapshot "
+                            "schema: the predicate delete matches "
+                            "nothing and its rows resurrect",
+                        )
+                    seen_del.add(e["pred_id"])
+                    continue
                 if e["path"] in seen_del:
                     continue
                 seen_del.add(e["path"])

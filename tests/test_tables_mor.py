@@ -451,3 +451,24 @@ class TestMorPredicateDelete:
         assert store.row_count("t") == n
         rep = store.fsck("t", deep=True)
         assert rep["ok"], rep["findings"]
+
+    def test_fsck_flags_pred_col_gone_from_schema(self, store):
+        store.delete_below_mor("t", "v", 3)
+        assert store.fsck("t", deep=True)["ok"]
+        # simulate manifest corruption: the pred column vanishes from
+        # the carrying snapshot's recorded schema — the scan-time
+        # filter would silently match nothing (rows resurrect)
+        m = store._load_manifest("t")
+        snap = m["snapshots"][-1]
+        sch = __import__("json").loads(snap["schema"])
+        sch["fields"] = [
+            f for f in sch["fields"] if f["name"] != "v"
+        ]
+        snap["schema"] = __import__("json").dumps(sch)
+        store._save_manifest("t", m)
+        rep = store.fsck("t")
+        assert not rep["ok"]
+        assert any(
+            f["kind"] == "delete_pred_col_missing"
+            for f in rep["findings"]
+        )
