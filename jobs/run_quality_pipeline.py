@@ -133,9 +133,10 @@ def main() -> None:
                     metavar="TABLE[:KIND]",
                     help="maintenance op (exits after): print a "
                          "metadata table (snapshots | files | refs | "
-                         "history; default snapshots) — the Iceberg "
-                         "tbl.snapshots/files/refs analogue, "
-                         "driver-side metadata only")
+                         "history | deletes; default snapshots) — the "
+                         "Iceberg tbl.snapshots/files/refs analogue, "
+                         "driver-side metadata only (deletes = pending "
+                         "merge-on-read delete entries)")
     ap.add_argument("--drop-column", default=None,
                     metavar="TABLE:COL",
                     help="maintenance op (exits after): drop a column "
