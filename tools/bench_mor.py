@@ -22,7 +22,15 @@ Sequence (same table, commits stack like a real maintenance history):
 
 Prints one JSON line; paste findings into DESIGN.md.
 
+``--stacked K`` appends a second experiment on the post-compact
+table: K consecutive MOR orders of ``--n-ids`` ids each (the GDPR
+inbox between two maintenance windows), then ONE materializing
+compact — evidencing the amortization claim (DESIGN #51): commit
+cost stays O(keys) per order while the rewrite is paid once for all
+K, vs COW's per-order rewrite floor.
+
 Usage: python tools/bench_mor.py [--n-clips 160000] [--fresh]
+       [--stacked 8]
 """
 
 from __future__ import annotations
@@ -47,6 +55,10 @@ def main() -> None:
     ap.add_argument("--n-ids", type=int, default=8)
     ap.add_argument("--fresh", action="store_true",
                     help="rebuild the table even if one exists")
+    ap.add_argument("--stacked", type=int, default=0,
+                    help="after the base comparison: K consecutive "
+                         "MOR orders then ONE materializing compact "
+                         "(the amortization experiment)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -136,6 +148,33 @@ def main() -> None:
     t0 = time.time()
     assert store.read(CLEAN_TABLE).count() == n_pending
     out["read_after_compact_s"] = round(time.time() - t0, 2)
+
+    if args.stacked:
+        rest = [
+            r["clip_id"]
+            for r in store.read(CLEAN_TABLE).select("clip_id")
+            .orderBy("clip_id")
+            .limit(args.stacked * args.n_ids).collect()
+        ]
+        walls = []
+        for k in range(args.stacked):
+            batch = rest[k * args.n_ids:(k + 1) * args.n_ids]
+            t0 = time.time()
+            store.delete_keys_mor(CLEAN_TABLE, "clip_id", batch)
+            walls.append(round(time.time() - t0, 2))
+        out["stacked_orders"] = args.stacked
+        out["stacked_commit_walls_s"] = walls
+        t0 = time.time()
+        n = store.read(CLEAN_TABLE).count()
+        out["stacked_read_with_pending_s"] = round(
+            time.time() - t0, 2
+        )
+        assert n == n_pending - len(rest), (n, n_pending)
+        t0 = time.time()
+        store.compact(CLEAN_TABLE, cluster_by=["clip_id"],
+                      target_files=32)
+        out["stacked_compact_s"] = round(time.time() - t0, 2)
+        assert store.read(CLEAN_TABLE).count() == n
 
     print(json.dumps(out))
     spark.stop()
