@@ -163,3 +163,31 @@ class TestIcebergDeleteTags:
         s.untag("t", "v1.0")
         assert "CREATE TAG `v1.0` AS OF VERSION 42" in spark.sqls[-2]
         assert "DROP TAG `v1.0`" in spark.sqls[-1]
+
+
+class TestIcebergMorDeletes:
+    def test_delete_keys_mor_flips_mode_then_deletes(self, store):
+        s, spark = store
+        s.delete_keys_mor("t", "clip_id", ["a'b", "c"])
+        alter = [q for q in spark.sqls if q.startswith("ALTER")][-1]
+        assert "'write.delete.mode'='merge-on-read'" in alter
+        assert "'format-version'='2'" in alter
+        delete = [q for q in spark.sqls if q.startswith("DELETE")][-1]
+        assert "IN ('a''b', 'c')" in delete
+        # ordering: mode flip BEFORE the delete, else it rewrites COW
+        assert spark.sqls.index(alter) < spark.sqls.index(delete)
+
+    def test_delete_below_mor_flips_mode_then_deletes(self, store):
+        s, spark = store
+        s.delete_below_mor("t", "snr_db", 36.0)
+        alter = [q for q in spark.sqls if q.startswith("ALTER")][-1]
+        assert "'write.delete.mode'='merge-on-read'" in alter
+        delete = [q for q in spark.sqls if q.startswith("DELETE")][-1]
+        assert "WHERE snr_db < 36.0" in delete
+        assert spark.sqls.index(alter) < spark.sqls.index(delete)
+
+    def test_delete_below_mor_quotes_string_cutoff(self, store):
+        s, spark = store
+        s.delete_below_mor("t", "day", "2026-01-01")
+        delete = [q for q in spark.sqls if q.startswith("DELETE")][-1]
+        assert "WHERE day < '2026-01-01'" in delete
