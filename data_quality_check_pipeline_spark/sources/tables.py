@@ -2944,6 +2944,24 @@ class TableStore:
                 raise FileNotFoundError(
                     f"table {name} has no snapshots"
                 )
+            # the key file and type were built from the PRE-lock
+            # snapshot; a rename/drop of key_col committed in the
+            # window (renames only refuse once deletes are pending)
+            # would mint an entry matching no column — a delete that
+            # silently removes zero rows. Re-verify against the
+            # in-lock base, matching the applies_to contract.
+            if base.get("schema"):
+                in_lock = StructType.fromJson(
+                    json.loads(base["schema"])
+                ).fieldNames()
+                if key_col not in in_lock:
+                    shutil.rmtree(del_dir, ignore_errors=True)
+                    raise KeyError(
+                        f"delete_keys_mor({name}): column {key_col!r}"
+                        " vanished between validation and commit "
+                        f"(current schema: {in_lock}) — re-run "
+                        "against the current schema"
+                    )
             entry["applies_to"] = list(base["read_set"])
             props = {
                 "delete_key": key_col,
@@ -4189,6 +4207,13 @@ class IcebergStore:
                 return "'" + k.replace("'", "''") + "'"
             return str(k)
 
+        # table properties are sticky: a prior delete_keys_mor left
+        # write.delete.mode=merge-on-read, which would silently turn
+        # this documented COW delete into a MOR one — pin COW first
+        self.spark.sql(
+            f"ALTER TABLE {self.prefix}.{name} SET TBLPROPERTIES ("
+            "'write.delete.mode'='copy-on-write')"
+        )
         self.spark.sql(
             f"DELETE FROM {self.prefix}.{name} "
             f"WHERE {key_col} IN ({', '.join(q(k) for k in keys)})"
@@ -4224,6 +4249,12 @@ class IcebergStore:
         v = (
             "'" + cutoff.replace("'", "''") + "'"
             if isinstance(cutoff, str) else str(cutoff)
+        )
+        # pin COW: a prior *_mor call's sticky merge-on-read property
+        # must not hijack this documented COW delete
+        self.spark.sql(
+            f"ALTER TABLE {self.prefix}.{name} SET TBLPROPERTIES ("
+            "'write.delete.mode'='copy-on-write')"
         )
         self.spark.sql(
             f"DELETE FROM {self.prefix}.{name} WHERE {col} < {v}"

@@ -265,7 +265,12 @@ def apply_takedown(
             for r in store.property_records(table)
         }
         for e in pending:
-            sid = e["path"].split("_", 1)[1]
+            # predicate deletes (delete_below_mor) carry pred_id, not
+            # path, and are never takedown-minted — skip, don't crash
+            p = e.get("path")
+            if not p:
+                continue
+            sid = p.split("_", 1)[1]
             if props.get(sid, {}).get("takedown_id") == tid:
                 return sid
         return None

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -63,7 +64,96 @@ AUDIO_STATS_SCHEMA = StructType(
 )
 
 
-def decode_payload(payload: bytes | None, codec: str | None) -> np.ndarray:
+# -- real-codec decode adapter (dependency-gated) ---------------------------
+#
+# The sandbox ships no audio libraries, so flac/opus/mp3 payloads WITHOUT
+# the fake-container magic are undecodable here and route to quarantine
+# (n_samples=0 -> truncated_audio). A production corpus is mostly real
+# compressed audio; this adapter slots a real decoder into every decode
+# path — the injected-dependency pattern of expectations.py's
+# evaluate_suite_via_ge — with autodetection: soundfile (libsndfile:
+# flac/ogg/wav...) first, then an ffmpeg CLI fallback. A decoder is a
+# callable ``(payload: bytes, codec: str) -> int16 ndarray`` (mono;
+# multi-channel inputs are downmixed by the soundfile backend) that
+# RAISES on undecodable input — failures mark the row undecodable,
+# never kill the Arrow batch.
+
+_DECODER_UNSET = object()
+_AUTO_DECODER = _DECODER_UNSET  # cached autodetect (per python worker)
+
+
+def _soundfile_decoder():
+    try:
+        import soundfile  # type: ignore
+    except Exception:
+        return None
+    import io
+
+    def decode(payload: bytes, codec: str) -> np.ndarray:
+        data, _sr = soundfile.read(
+            io.BytesIO(payload), dtype="int16", always_2d=True
+        )
+        if data.shape[1] > 1:
+            # integer mean downmix: int32 accumulate avoids overflow
+            data = (
+                data.astype(np.int32).mean(axis=1).astype(np.int16)
+            )
+        else:
+            data = data[:, 0]
+        return np.ascontiguousarray(data)
+
+    return decode
+
+
+def _ffmpeg_decoder():
+    import shutil as _sh
+
+    exe = _sh.which("ffmpeg")
+    if exe is None:
+        return None
+    import subprocess
+
+    def decode(payload: bytes, codec: str) -> np.ndarray:
+        # one short-lived process per payload: the slow-but-universal
+        # fallback (soundfile is the fast path). s16le mono out.
+        p = subprocess.run(
+            [exe, "-v", "error", "-i", "pipe:0",
+             "-f", "s16le", "-ac", "1", "pipe:1"],
+            input=bytes(payload),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            check=True,
+        )
+        return np.frombuffer(p.stdout, dtype="<i2")
+
+    return decode
+
+
+def compressed_decoder():
+    """Best real-codec decoder this environment offers, or None.
+    Cached per process; workers autodetect independently (module state
+    set on the driver does not cross to python workers — which is why
+    the UDF factory CAPTURES the decoder instead of looking it up)."""
+    global _AUTO_DECODER
+    if _AUTO_DECODER is _DECODER_UNSET:
+        _AUTO_DECODER = _soundfile_decoder() or _ffmpeg_decoder()
+    return _AUTO_DECODER
+
+
+def _resolve_decoder(decoder):
+    """'auto' -> autodetected decoder (None in this sandbox); None ->
+    explicitly no decoder; a callable passes through (test injection /
+    custom deployment decoders)."""
+    if isinstance(decoder, str):
+        if decoder != "auto":
+            raise ValueError(f"decoder: {decoder!r} (want 'auto')")
+        return compressed_decoder()
+    return decoder
+
+
+def decode_payload(
+    payload: bytes | None, codec: str | None, decoder="auto"
+) -> np.ndarray:
     """Decode one payload to int16 samples. Used by the oracle and tests;
     the UDF uses the batched path below with identical semantics."""
     if payload is None:
@@ -74,17 +164,24 @@ def decode_payload(payload: bytes | None, codec: str | None) -> np.ndarray:
         if payload[: len(magic)] == magic:
             payload = payload[len(magic):]
         else:
-            # Real compressed audio: requires an external decoder.
-            raise NotImplementedError(
-                f"real {codec} decode needs soundfile/ffmpeg (not in sandbox)"
-            )
+            # Real compressed audio: needs the external-decoder adapter.
+            d = _resolve_decoder(decoder)
+            if d is None:
+                raise NotImplementedError(
+                    f"real {codec} decode needs soundfile/ffmpeg "
+                    "(not in sandbox)"
+                )
+            return np.asarray(d(bytes(payload), codec), dtype=np.int16)
     usable = len(payload) - (len(payload) % 2)
     return np.frombuffer(payload[:usable], dtype="<i2")
 
 
-def _decode_batch(payloads, codecs) -> tuple[np.ndarray, np.ndarray]:
+def _decode_batch(
+    payloads, codecs, decoder="auto"
+) -> tuple[np.ndarray, np.ndarray]:
     """Strip fake-container headers and concatenate all payloads into one
     int16 array. Returns (samples, per-row sample counts)."""
+    d = _resolve_decoder(decoder)
     chunks: list[bytes] = []
     lengths = np.zeros(len(payloads), dtype=np.int64)
     for i, (p, c) in enumerate(zip(payloads, codecs)):
@@ -97,13 +194,24 @@ def _decode_batch(payloads, codecs) -> tuple[np.ndarray, np.ndarray]:
             if bytes(p[: len(magic)]) == magic:
                 p = p[len(magic):]
             else:
-                # Real compressed audio (no sandbox decoder — see
-                # decode_payload's NotImplementedError hook). Treating the
-                # frames as raw PCM would yield garbage stats; mark the row
-                # undecodable instead: n_samples=0 routes it to quarantine
-                # via the truncated_audio rule (validate.py) rather than
+                # Real compressed audio. With a decoder: decode for
+                # real. Without: treating the frames as raw PCM would
+                # yield garbage stats; mark the row undecodable instead
+                # — n_samples=0 routes it to quarantine via the
+                # truncated_audio rule (validate.py) rather than
                 # killing the whole Arrow batch with an exception.
-                chunks.append(b"")
+                if d is not None:
+                    try:
+                        s = np.asarray(
+                            d(bytes(p), c), dtype=np.int16
+                        )
+                    except Exception:
+                        chunks.append(b"")
+                        continue
+                    chunks.append(s.tobytes())
+                    lengths[i] = s.size
+                else:
+                    chunks.append(b"")
                 continue
         usable = len(p) - (len(p) % 2)
         chunks.append(bytes(p[:usable]))
@@ -196,13 +304,13 @@ def _reduce_windows(
     return rms, clip_frac, snr_db, silence_frac, dyn_range_db
 
 
-def stats_batch(payloads, codecs) -> pd.DataFrame:
+def stats_batch(payloads, codecs, decoder="auto") -> pd.DataFrame:
     """Batched audio stats from FULL payloads (oracle/test path): decode,
     gather the same Welch windows the JVM extractor ships, reduce. The
     Spark UDF path (audio_stats_windows_udf) receives pre-gathered window
     bytes and runs the identical `_reduce_windows` — equal by construction.
     """
-    samples, lengths = _decode_batch(payloads, codecs)
+    samples, lengths = _decode_batch(payloads, codecs, decoder)
     n_rows = len(lengths)
     starts = np.zeros(n_rows, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
@@ -366,12 +474,12 @@ def audio_fingerprint_udf(
     return pd.Series(out)
 
 
-def fingerprint_batch(payloads, codecs) -> np.ndarray:
+def fingerprint_batch(payloads, codecs, decoder="auto") -> np.ndarray:
     """Fingerprints from FULL payloads (oracle/test path): decode, gather
     the same Welch windows the JVM extractor ships, run the shared
     spectral code. Mirrors stats_batch's relationship to
     audio_stats_windows_udf — equal to the Spark path by construction."""
-    samples, lengths = _decode_batch(payloads, codecs)
+    samples, lengths = _decode_batch(payloads, codecs, decoder)
     n_rows = len(lengths)
     starts = np.zeros(n_rows, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
@@ -396,17 +504,124 @@ def fingerprint_batch(payloads, codecs) -> np.ndarray:
     return out
 
 
+DECODE_WINDOWS_SCHEMA = StructType(
+    [
+        StructField("win", BinaryType()),
+        StructField("n_samples", IntegerType()),
+    ]
+)
+
+
+def make_decode_windows_udf(decoder):
+    """Pandas UDF for REAL compressed payloads: decode via the captured
+    adapter, then extract the SAME Welch windows sample-domain
+    (_window_take_starts — integer-exact twin of the JVM extractor) and
+    return them in the JVM blob layout (_N_WINDOWS equal 2*take-byte
+    chunks), so every downstream reduction is shared with the fake/pcm
+    path. The decoder callable is CAPTURED (cloudpickled to workers):
+    module-level registry state on the driver never reaches python
+    workers. Input discipline: callers pass the payload column as
+    F.when(needs_real_decode, bytes) — NULL for every JVM-decodable row
+    — so only real-compressed bytes cross to Python, and only once.
+    Decode failures -> (None, 0): n_samples=0 routes the row to
+    quarantine via truncated_audio, never killing the Arrow batch."""
+
+    @pandas_udf(DECODE_WINDOWS_SCHEMA)
+    def decode_windows(
+        payload: pd.Series, codec: pd.Series
+    ) -> pd.DataFrame:
+        n = len(payload)
+        wins: list[bytes | None] = [None] * n
+        ns = np.zeros(n, dtype=np.int32)
+        for i in range(n):
+            p = payload.iloc[i]
+            if p is None:
+                continue
+            try:
+                s = np.asarray(
+                    decoder(
+                        bytes(p),
+                        (codec.iloc[i] or "").lower().strip(),
+                    ),
+                    dtype=np.int16,
+                )
+            except Exception:
+                continue
+            if s.size == 0:
+                continue
+            take, w_start = _window_take_starts(
+                np.array([s.size], dtype=np.int64)
+            )
+            t = int(take[0])
+            wins[i] = b"".join(
+                s[int(st): int(st) + t].tobytes()
+                for st in w_start[0]
+            )
+            ns[i] = s.size
+        return pd.DataFrame({"win": wins, "n_samples": ns})
+
+    return decode_windows
+
+
+def needs_real_decode_expr(
+    bytes_col: str = "bytes", codec: str = "codec",
+):
+    """Column: row carries a compressed codec whose payload lacks the
+    fake-container magic — i.e. real compressed audio the JVM window
+    extractor cannot handle."""
+    b = F.col(bytes_col)
+    c = F.lower(F.trim(F.col(codec)))
+    needs = F.lit(False)
+    for name, magic in FAKE_MAGIC.items():
+        needs = needs | (
+            (c == name)
+            & (F.substring(b, 1, len(magic)) != F.lit(magic))
+        )
+    return needs & b.isNotNull()
+
+
+def _with_decoder_windows(
+    df, bytes_col, codec, win_bytes, n_samples, decoder
+):
+    """Merge the real-codec decode path into (win_bytes, n_samples).
+    decoder None (this sandbox's autodetect result) -> plan unchanged,
+    bit-identical to the decoder-less build. Otherwise one extra
+    pandas-UDF column materializes the struct ONCE (field refs on the
+    raw expression would evaluate the UDF twice) and the JVM exprs win
+    for every fake/pcm row. Returns (df, win, ns, cols_to_drop)."""
+    d = _resolve_decoder(decoder)
+    if d is None:
+        return df, win_bytes, n_samples, []
+    needs = needs_real_decode_expr(bytes_col, codec)
+    df = df.withColumn(
+        "_real_dec",
+        make_decode_windows_udf(d)(
+            F.when(needs, F.col(bytes_col)),
+            F.lower(F.trim(F.col(codec))),
+        ),
+    )
+    win = F.when(needs, F.col("_real_dec.win")).otherwise(win_bytes)
+    ns = F.when(needs, F.col("_real_dec.n_samples")).otherwise(
+        n_samples
+    )
+    return df, win, ns, ["_real_dec"]
+
+
 def with_audio_fingerprint(
     df, bytes_col: str = "bytes", codec: str = "codec",
-    out: str = "audio_fp",
+    out: str = "audio_fp", decoder="auto",
 ):
     """Attach the 64-bit spectral fingerprint; windows extracted JVM-side
     (same discipline as with_audio_stats: payload never crosses to
-    Python)."""
+    Python — except real compressed rows when a decoder is present,
+    whose smallest faithful representation IS the compressed bytes)."""
     win_bytes, n_samples = audio_window_exprs(bytes_col, codec)
+    df, win_bytes, n_samples, tmp = _with_decoder_windows(
+        df, bytes_col, codec, win_bytes, n_samples, decoder
+    )
     return df.withColumn(
         out, audio_fingerprint_udf(win_bytes, n_samples)
-    )
+    ).drop(*tmp)
 
 
 def audio_window_exprs(bytes_col: str = "bytes", codec: str = "codec"):
@@ -460,7 +675,9 @@ def audio_window_exprs(bytes_col: str = "bytes", codec: str = "codec"):
     return win_bytes, n_samples
 
 
-def with_audio_stats(df, bytes_col: str = "bytes", codec: str = "codec"):
+def with_audio_stats(
+    df, bytes_col: str = "bytes", codec: str = "codec", decoder="auto",
+):
     """Attach n_samples/rms/clip_frac/snr_db plus the ADVISORY activity
     signals silence_frac/dyn_range_db (window-estimate share of
     near-silent windows and loudest/quietest window ratio — curriculum
@@ -470,8 +687,17 @@ def with_audio_stats(df, bytes_col: str = "bytes", codec: str = "codec"):
     and the new signals ride the SAME windows — no extra transfer, still
     exactly three pandas UDFs in the hot path. The ``bytes`` column is
     only read here — column pruning keeps it out of every other stage's
-    scan."""
+    scan.
+
+    ``decoder`` gates the real-codec adapter: 'auto' (default) uses
+    whatever soundfile/ffmpeg the environment offers — None in this
+    sandbox, leaving the plan bit-identical — and a callable routes
+    real compressed rows through make_decode_windows_udf so flac/opus/
+    mp3 clips SCORE instead of quarantining."""
     win_bytes, n_samples = audio_window_exprs(bytes_col, codec)
+    df, win_bytes, n_samples, tmp = _with_decoder_windows(
+        df, bytes_col, codec, win_bytes, n_samples, decoder
+    )
     return (
         df.withColumns(
             {"_win": win_bytes, "n_samples": n_samples}
@@ -488,5 +714,5 @@ def with_audio_stats(df, bytes_col: str = "bytes", codec: str = "codec"):
                 "dyn_range_db": F.col("_ast.dyn_range_db"),
             }
         )
-        .drop("_ast", "_win")
+        .drop("_ast", "_win", *tmp)
     )

@@ -157,6 +157,28 @@ class TestIcebergDeleteTags:
         call = [q for q in spark.sqls if q.startswith("DELETE")][-1]
         assert "IN ('a''b', 'c')" in call
 
+    def test_delete_where_pins_cow_after_prior_mor(self, store):
+        """write.delete.mode is a sticky table property: a prior
+        delete_keys_mor left merge-on-read set, which would silently
+        turn the documented COW delete into a MOR one."""
+        s, spark = store
+        s.delete_keys_mor("t", "clip_id", ["a"])
+        s.delete_where("t", "clip_id", ["b"])
+        alter = [q for q in spark.sqls if q.startswith("ALTER")][-1]
+        assert "'write.delete.mode'='copy-on-write'" in alter
+        delete = [q for q in spark.sqls if q.startswith("DELETE")][-1]
+        assert spark.sqls.index(alter) < spark.sqls.index(delete)
+
+    def test_delete_below_pins_cow_after_prior_mor(self, store):
+        s, spark = store
+        s.delete_below_mor("t", "snr_db", 10.0)
+        s.delete_below("t", "snr_db", 20.0)
+        alter = [q for q in spark.sqls if q.startswith("ALTER")][-1]
+        assert "'write.delete.mode'='copy-on-write'" in alter
+        delete = [q for q in spark.sqls if q.startswith("DELETE")][-1]
+        assert "WHERE snr_db < 20.0" in delete
+        assert spark.sqls.index(alter) < spark.sqls.index(delete)
+
     def test_tag_untag_roundtrip_sql(self, store):
         s, spark = store
         s.tag("t", "v1.0", snapshot_id=42)

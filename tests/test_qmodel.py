@@ -245,6 +245,37 @@ class TestDistill:
         assert v2["train_auc"] > 0.8
 
 
+    def test_fit_auc_bucketed_matches_exact(self, spark, corpus):
+        """The fit path reports AUC through buckets=10_000 (the
+        continuous sigmoid score would otherwise feed the cumulative
+        window one row per distinct score — ~the fit row count in ONE
+        task at corpus scale). Pin that the bucketed report is within
+        1e-3 of the exact AUC of the same scorer on the same labels."""
+        from data_quality_check_pipeline_spark.operators.qmodel import (
+            distill_quality_model,
+        )
+        from data_quality_check_pipeline_spark.operators.validate import (
+            active_rules,
+            with_flags,
+        )
+        from pyspark.sql import functions as F
+
+        from data_quality_check_pipeline_spark.pipeline import score_clips
+
+        _, _, path = corpus
+        raw = spark.read.parquet(path)
+        model, verdict = distill_quality_model(raw)
+        labeled = with_flags(
+            score_clips(raw), active_rules(True)
+        ).withColumn("label", F.col("keep").cast("int"))
+        exact = binary_auc(
+            with_quality_score(labeled, model),
+            "model_quality_score",
+            "label",
+        )
+        assert verdict["train_auc"] == pytest.approx(exact, abs=1e-3)
+
+
 class TestDeploy:
     def test_pipeline_stamps_model_score(self, spark, corpus, tmp_path):
         """Deployment half of the distilled classifier: a batch run

@@ -62,6 +62,34 @@ class TestMorDelete:
         assert "clip_0003" not in got and "clip_0150" not in got
         assert len(got) == 198  # clip_9999 never existed: no-op key
 
+    def test_key_col_renamed_in_race_window_refuses(
+        self, spark, store, monkeypatch
+    ):
+        """Pre-lock validation saw clip_id; a rename commits before
+        the lock lands (renames only refuse once deletes are PENDING,
+        so this window is real). Committing the stale entry would mint
+        a delete matching no column — silently removing zero rows."""
+        orig = TableStore._table_lock
+        fired = {"done": False}
+
+        def hijack(self, name, *a, **k):
+            if not fired["done"]:
+                fired["done"] = True
+                # independent handle: its own locking nests cleanly
+                TableStore(spark, self.root).rename_column(
+                    "t", "clip_id", "cid"
+                )
+            return orig(self, name, *a, **k)
+
+        monkeypatch.setattr(TableStore, "_table_lock", hijack)
+        with pytest.raises(KeyError, match="vanished"):
+            store.delete_keys_mor("t", "clip_id", ["clip_0003"])
+        # no stale entry committed, no orphan key file left behind
+        assert not store.current_snapshot("t").get("delete_files")
+        assert not glob.glob(
+            os.path.join(store.root, "t", "deletes_*")
+        )
+
     def test_time_travel_and_row_count(self, store):
         pre = store.current_snapshot("t")["id"]
         store.delete_keys_mor("t", "clip_id", ["clip_0000", "clip_0001"])

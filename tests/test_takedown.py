@@ -533,6 +533,37 @@ class TestTakedownDefer:
                               defer=True)
         assert rep2["skipped_already_applied"]
 
+    def test_defer_composes_with_pending_predicate_delete(
+        self, spark, rooted
+    ):
+        """A pending --delete-below-defer predicate entry (pred_id,
+        no "path" key) must not crash the deferred takedown's replay
+        guard — the two deferred-delete kinds are advertised as
+        stackable until the next compact."""
+        store = TableStore(spark, rooted)
+        store.delete_below_mor(CLEAN_TABLE, "dur_ms", -1)
+        cid = store.read(CLEAN_TABLE).orderBy("clip_id").first()[
+            "clip_id"
+        ]
+        rep = apply_takedown(spark, rooted, [cid], mode="purge",
+                             defer=True)
+        assert rep["tables"][CLEAN_TABLE]["mor"] is True
+        assert store.read(CLEAN_TABLE).filter(
+            F.col("clip_id") == cid
+        ).count() == 0
+        # both entry kinds pending on the same snapshot
+        kinds = {
+            ("pred" if "pred_id" in e else "keys")
+            for e in store.current_snapshot(CLEAN_TABLE)[
+                "delete_files"
+            ]
+        }
+        assert kinds == {"pred", "keys"}
+        # and the replay guard still recognizes its own entry
+        rep2 = apply_takedown(spark, rooted, [cid], mode="purge",
+                              defer=True)
+        assert rep2["skipped_already_applied"]
+
     def test_crash_before_marker_does_not_stack_delete_files(
         self, spark, rooted, monkeypatch
     ):

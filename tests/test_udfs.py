@@ -557,3 +557,180 @@ class TestAudioActivity:
         row = score_clips(df).collect()[0]
         assert 0.0 <= row["silence_frac"] <= 1.0
         assert row["dyn_range_db"] >= 0.0
+
+
+# -- real-codec decode adapter ----------------------------------------------
+
+REAL_MAGIC = b"REAL"
+
+
+def _make_injected_decoder():
+    """Stand-in for soundfile/ffmpeg: 'real' compressed payloads are
+    REAL + codec[:4] + PCM16; anything else is undecodable (raises, as
+    the adapter contract says). Built as a CLOSURE on purpose: the test
+    module is not importable on python workers, so a module-level
+    function would cloudpickle by reference and fail to deserialize —
+    exactly the constraint real deployments face, which is why
+    make_decode_windows_udf captures the decoder by value."""
+
+    def injected_decoder(payload: bytes, codec: str):
+        import numpy as _np
+
+        magic = b"REAL" + codec[:4].encode().ljust(4, b"_")
+        if payload[: len(magic)] != magic:
+            raise ValueError(f"not a {codec} stream")
+        return _np.frombuffer(payload[len(magic):], dtype="<i2")
+
+    return injected_decoder
+
+
+injected_decoder = _make_injected_decoder()
+
+
+def real_payload(samples: np.ndarray, codec: str) -> bytes:
+    return REAL_MAGIC + codec[:4].encode().ljust(4, b"_") + samples.tobytes()
+
+
+class TestRealCodecAdapter:
+    """The dependency-gated real-codec decode hook (udfs/audio.py
+    compressed_decoder / make_decode_windows_udf): with a decoder
+    present, flac/opus/mp3 clips SCORE instead of quarantining, on
+    every path (decode_payload, stats_batch, with_audio_stats,
+    with_audio_fingerprint) — and the decoder-less build is untouched."""
+
+    def test_autodetect_is_none_in_sandbox(self):
+        from data_quality_check_pipeline_spark.udfs import audio
+
+        assert audio.compressed_decoder() is None
+
+    def test_decode_payload_uses_injected_decoder(self):
+        x = sine_pcm(n=1000)
+        got = decode_payload(
+            real_payload(x, "flac"), "flac", decoder=injected_decoder
+        )
+        np.testing.assert_array_equal(got, x)
+        # explicit None: the sandbox behavior, still honest
+        with pytest.raises(NotImplementedError):
+            decode_payload(
+                real_payload(x, "flac"), "flac", decoder=None
+            )
+
+    def test_stats_batch_real_equals_fake_container(self):
+        """Same PCM through the real-decode path and the fake-container
+        path must yield bit-identical stats — the adapter only changes
+        WHO strips the container, never the window math."""
+        x = sine_pcm(amp=9000.0, noise=90.0)
+        via_real = stats_batch(
+            [real_payload(x, "opus")], ["opus"],
+            decoder=injected_decoder,
+        )
+        via_fake = stats_batch(
+            [FAKE_MAGIC["opus"] + x.tobytes()], ["opus"]
+        )
+        pd.testing.assert_frame_equal(via_real, via_fake)
+        assert via_real["snr_db"][0] > 30.0
+
+    def test_spark_real_rows_score_and_match_local(self, spark):
+        """End-to-end Spark plan with the adapter: real flac/opus rows
+        decode and score; pcm + fake rows are untouched (bit-identical
+        to the decoder-less plan); corrupt real payloads mark
+        n_samples=0 (quarantine routing), never kill the batch."""
+        rows = [
+            ("pcm", sine_pcm(seed=1).tobytes(), "pcm_s16le"),
+            ("fake", FAKE_MAGIC["flac"] + sine_pcm(seed=2).tobytes(),
+             "flac"),
+            ("real_flac", real_payload(sine_pcm(seed=3), "flac"),
+             "flac"),
+            ("real_opus", real_payload(
+                sine_pcm(seed=4, amp=9000.0, noise=90.0), "opus"
+            ), "opus"),
+            ("corrupt", b"\x00\x01\x02\x03" * 100, "mp3"),
+            ("nullrow", None, "mp3"),
+        ]
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, codec string"
+        )
+        got = {
+            r["clip_id"]: r
+            for r in with_audio_stats(
+                df, decoder=injected_decoder
+            ).collect()
+        }
+        assert got["real_flac"]["n_samples"] == 8000
+        assert got["real_opus"]["snr_db"] > 30.0
+        assert got["corrupt"]["n_samples"] == 0
+        assert got["nullrow"]["n_samples"] == 0
+        # full-payload local path with the same decoder: parity
+        local = stats_batch(
+            [r[1] for r in rows], [r[2] for r in rows],
+            decoder=injected_decoder,
+        )
+        for i, (cid, _, _) in enumerate(rows):
+            assert got[cid]["n_samples"] == int(local["n_samples"][i])
+            assert got[cid]["rms"] == pytest.approx(
+                float(local["rms"][i]), abs=0
+            ), cid
+            assert got[cid]["snr_db"] == pytest.approx(
+                float(local["snr_db"][i]), abs=0
+            ), cid
+        # decoder-less plan unchanged for the non-real rows
+        base = {
+            r["clip_id"]: r
+            for r in with_audio_stats(df, decoder=None).collect()
+        }
+        for cid in ("pcm", "fake", "nullrow"):
+            assert base[cid]["rms"] == got[cid]["rms"]
+        assert base["real_flac"]["n_samples"] == 0  # sandbox behavior
+
+    def test_fingerprint_real_equals_fake_container(self, spark):
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            with_audio_fingerprint,
+        )
+
+        x = sine_pcm(seed=7, amp=9000.0, noise=30.0)
+        df = spark.createDataFrame(
+            [
+                ("real", real_payload(x, "flac"), "flac"),
+                ("fake", FAKE_MAGIC["flac"] + x.tobytes(), "flac"),
+            ],
+            "clip_id string, bytes binary, codec string",
+        )
+        fp = {
+            r["clip_id"]: r["audio_fp"]
+            for r in with_audio_fingerprint(
+                df, decoder=injected_decoder
+            ).collect()
+        }
+        assert fp["real"] == fp["fake"] != 0
+
+    def test_score_clips_picks_up_autodetected_decoder(
+        self, spark, monkeypatch
+    ):
+        """Pipeline integration without pipeline changes: score_clips'
+        default decoder='auto' resolves through compressed_decoder(),
+        so a deployment where soundfile imports just works. Simulate by
+        planting the injected decoder in the autodetect cache."""
+        from data_quality_check_pipeline_spark.pipeline import score_clips
+        from data_quality_check_pipeline_spark.udfs import audio
+
+        monkeypatch.setattr(audio, "_AUTO_DECODER", injected_decoder)
+        df = spark.createDataFrame(
+            [
+                (
+                    "r1",
+                    real_payload(
+                        sine_pcm(n=16000, sr=16000, amp=9000.0,
+                                 noise=90.0), "flac"
+                    ),
+                    16000,
+                    1000,
+                    "flac",
+                    "a perfectly normal sentence here",
+                )
+            ],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+            " codec string, transcript string",
+        )
+        row = score_clips(df).collect()[0]
+        assert row["n_samples"] == 16000  # scored, not quarantined
+        assert row["snr_db"] > 30.0
