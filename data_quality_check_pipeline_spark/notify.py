@@ -1,16 +1,24 @@
-"""Notification routing with a stdlib webhook transport.
+"""Notification routing with stdlib transports.
 
 The reference routes alerts to Slack/Email/PagerDuty by severity
 (/root/reference/src/notifier.py:24-100+). This module preserves the
-severity-routing contract; unregistered transports log. One REAL
-transport ships: ``webhook_sink`` — a dependency-free JSON POST
-(Slack-compatible ``{"text": ...}`` body) — wired from environment
-variables by ``configure_from_env`` (CLIP_QUALITY_SLACK_WEBHOOK /
-CLIP_QUALITY_EMAIL_WEBHOOK / CLIP_QUALITY_PAGERDUTY_WEBHOOK), so a
-deployment gets live alerts with zero extra dependencies; richer
-transports (SMTP, PagerDuty Events API) plug into SINKS the same way.
-A transport failure is logged, never raised — alerting must not take
-the pipeline down with it.
+severity-routing contract with THREE real dependency-free transports,
+all wired from environment variables by ``configure_from_env``:
+
+* ``webhook_sink`` — JSON POST (Slack-compatible ``{"text": ...}``
+  body); CLIP_QUALITY_SLACK_WEBHOOK / CLIP_QUALITY_EMAIL_WEBHOOK /
+  CLIP_QUALITY_PAGERDUTY_WEBHOOK.
+* ``smtp_sink`` — real email over stdlib smtplib;
+  CLIP_QUALITY_SMTP_HOST (host[:port]) + CLIP_QUALITY_SMTP_FROM +
+  CLIP_QUALITY_SMTP_TO (comma list), optional CLIP_QUALITY_SMTP_USER /
+  CLIP_QUALITY_SMTP_PASSWORD / CLIP_QUALITY_SMTP_STARTTLS=1. Takes
+  the ``email`` slot (overrides an email webhook if both are set).
+* ``pagerduty_events_sink`` — PagerDuty Events API v2 enqueue
+  (trigger); CLIP_QUALITY_PAGERDUTY_ROUTING_KEY. Takes the
+  ``pagerduty`` slot (overrides a pagerduty webhook).
+
+Unregistered transports log. A transport failure is logged, never
+raised — alerting must not take the pipeline down with it.
 """
 
 from __future__ import annotations
@@ -71,11 +79,85 @@ def webhook_sink(
     return send
 
 
+def smtp_sink(
+    host: str,
+    from_addr: str,
+    to_addrs: list[str],
+    port: int = 25,
+    user: str | None = None,
+    password: str | None = None,
+    starttls: bool = False,
+    timeout: float = 10.0,
+) -> Callable[[str, str], None]:
+    """Real email transport over stdlib smtplib (parity: the reference's
+    EmailNotifier, src/notifier.py SMTP branch). One short-lived
+    connection per alert — alerts are rare by construction (tiered
+    routing sends email only at HIGH/CRITICAL), so connection reuse
+    would only add a stale-socket failure mode. Subject carries the
+    severity; the body is the message verbatim."""
+    import smtplib
+    from email.message import EmailMessage
+
+    def send(severity: str, message: str) -> None:
+        msg = EmailMessage()
+        msg["Subject"] = f"[clip-quality {severity}] alert"
+        msg["From"] = from_addr
+        msg["To"] = ", ".join(to_addrs)
+        msg.set_content(f"[{severity}] {message}")
+        with smtplib.SMTP(host, port, timeout=timeout) as s:
+            if starttls:
+                s.starttls()
+            if user:
+                s.login(user, password or "")
+            s.send_message(msg)
+
+    return send
+
+
+def pagerduty_events_sink(
+    routing_key: str,
+    url: str = "https://events.pagerduty.com/v2/enqueue",
+    source: str = "clip-quality-pipeline",
+    timeout: float = 5.0,
+) -> Callable[[str, str], None]:
+    """PagerDuty Events API v2 transport (parity: the reference's
+    PagerDutyNotifier): one trigger event per alert, severity mapped
+    onto the API's enum (CRITICAL->critical, HIGH->error,
+    MEDIUM->warning, else info). Stdlib urllib, same
+    failure-is-logged contract as every transport."""
+    import json
+    import urllib.request
+
+    sev_map = {"CRITICAL": "critical", "HIGH": "error",
+               "MEDIUM": "warning"}
+
+    def send(severity: str, message: str) -> None:
+        body = {
+            "routing_key": routing_key,
+            "event_action": "trigger",
+            "payload": {
+                "summary": message,
+                "severity": sev_map.get(severity.upper(), "info"),
+                "source": source,
+            },
+        }
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            resp.read()
+
+    return send
+
+
 def configure_from_env(env=None) -> int:
-    """Register webhook transports declared in the environment
-    (CLIP_QUALITY_<TRANSPORT>_WEBHOOK for slack/email/pagerduty);
-    returns how many were wired. Idempotent; unset vars leave the
-    log-only behavior."""
+    """Register the transports declared in the environment (module
+    docstring lists the variables); returns how many were wired.
+    Idempotent; unset vars leave the log-only behavior. The dedicated
+    SMTP / PagerDuty-Events transports win their slots over the
+    generic webhook when both are configured."""
     env = os.environ if env is None else env
     n = 0
     for name in ("slack", "email", "pagerduty"):
@@ -83,4 +165,23 @@ def configure_from_env(env=None) -> int:
         if url:
             SINKS[name] = webhook_sink(url)
             n += 1
+    smtp_host = env.get("CLIP_QUALITY_SMTP_HOST")
+    smtp_from = env.get("CLIP_QUALITY_SMTP_FROM")
+    smtp_to = env.get("CLIP_QUALITY_SMTP_TO")
+    if smtp_host and smtp_from and smtp_to:
+        host, _, port = smtp_host.partition(":")
+        SINKS["email"] = smtp_sink(
+            host,
+            smtp_from,
+            [a.strip() for a in smtp_to.split(",") if a.strip()],
+            port=int(port) if port else 25,
+            user=env.get("CLIP_QUALITY_SMTP_USER"),
+            password=env.get("CLIP_QUALITY_SMTP_PASSWORD"),
+            starttls=env.get("CLIP_QUALITY_SMTP_STARTTLS") == "1",
+        )
+        n += 1
+    pd_key = env.get("CLIP_QUALITY_PAGERDUTY_ROUTING_KEY")
+    if pd_key:
+        SINKS["pagerduty"] = pagerduty_events_sink(pd_key)
+        n += 1
     return n

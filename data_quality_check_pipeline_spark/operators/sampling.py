@@ -172,6 +172,42 @@ def corpus_mix(
     )
 
 
+def temperature_rates(
+    counts: dict, alpha: float, total_rows: float | None = None,
+) -> tuple[dict, dict, float]:
+    """(rates, unmet, t) from per-stratum mass — the driver-side core
+    of :func:`temperature_mix`, factored out so a STREAM can derive
+    the same rates once from a reference corpus's counts (the landed
+    clean table at stream start — a micro-batch is not a corpus) and
+    apply them as a pinned pure row filter for the stream's lifetime,
+    the curriculum pinned-edges pattern. Same math, same stratum for
+    stratum: stratified_sample(df, col, rates, key, default_rate=0.0)
+    over the SAME corpus equals temperature_mix's output exactly."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if total_rows is not None and total_rows <= 0:
+        raise ValueError(f"total_rows must be > 0, got {total_rows}")
+    counts = {s: float(n) for s, n in counts.items() if n and n > 0}
+    if not counts:
+        return {}, {}, 0.0
+    shares = {s: float(n) ** alpha for s, n in counts.items()}
+    ssum = sum(shares.values())
+    shares = {s: w / ssum for s, w in shares.items()}
+    # largest achievable-without-upsampling corpus: the binding stratum
+    # is the one whose natural count falls shortest of its target share
+    t_max = min(counts[s] / p for s, p in shares.items())
+    t = t_max if total_rows is None else float(total_rows)
+    rates: dict[str, float] = {}
+    unmet: dict[str, int] = {}
+    for s, p in shares.items():
+        target = t * p
+        have = counts[s]
+        if target > have:
+            unmet[s] = int(round(target - have))
+        rates[s] = min(1.0, target / have)
+    return rates, unmet, t
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str,
@@ -245,21 +281,7 @@ def temperature_mix(
                  "null_stratum_rows": null_rows}
             )
         return df.filter(F.lit(False))
-    shares = {s: float(n) ** alpha for s, n in counts.items()}
-    ssum = sum(shares.values())
-    shares = {s: w / ssum for s, w in shares.items()}
-    # largest achievable-without-upsampling corpus: the binding stratum
-    # is the one whose natural count falls shortest of its target share
-    t_max = min(counts[s] / p for s, p in shares.items())
-    t = t_max if total_rows is None else float(total_rows)
-    rates: dict[str, float] = {}
-    unmet: dict[str, int] = {}
-    for s, p in shares.items():
-        target = t * p
-        have = counts[s]
-        if target > have:
-            unmet[s] = int(round(target - have))
-        rates[s] = min(1.0, target / have)
+    rates, unmet, t = temperature_rates(counts, alpha, total_rows)
     if stats_out is not None:
         stats_out["rates"] = dict(rates)
         stats_out["unmet"] = unmet

@@ -502,3 +502,107 @@ def importance_resample(
         else:
             stats_out["keep_frac_requested"] = float(keep_frac)
     return selected
+
+
+def doc_keys(
+    df: DataFrame,
+    log_ratio: DataFrame,
+    id_col: str,
+    text_col: str,
+    temperature: float = 1.0,
+    seed: int = 0,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+) -> DataFrame:
+    """(id, _key) — each doc's Gumbel-perturbed importance key under a
+    FIXED log-ratio model: the pure-row-function core both selection
+    modes rank on. Deterministic given (model, seed): the same doc gets
+    the same key on any partitioning, shard, or arrival path — which is
+    what makes a pinned-threshold STREAM verdict equal the batch one."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    weights = importance_weights(
+        df, None, id_col, text_col, ks=ks, n_features=n_features,
+        log_ratio=log_ratio,
+    )
+    return weights.select(
+        id_col, _gumbel_key(id_col, seed, temperature).alias("_key")
+    )
+
+
+def importance_filter(
+    df: DataFrame,
+    log_ratio: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_key: float,
+    temperature: float = 1.0,
+    seed: int = 0,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+) -> DataFrame:
+    """Keep rows whose importance key clears a PINNED threshold — the
+    streaming/sharded face of ``importance_resample(mode='threshold')``:
+    given the same (log_ratio, threshold_key, temperature, seed), a doc
+    reaches the same keep verdict whether it arrives in one batch, many
+    micro-batches, or any shard split, because the key is a pure row
+    function (no quantile pass, no corpus state). Derive the pin once
+    from a reference corpus via :func:`pinned_dsir_model`."""
+    keep = doc_keys(
+        df, log_ratio, id_col, text_col, temperature, seed, ks,
+        n_features,
+    ).filter(F.col("_key") >= F.lit(float(threshold_key)))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def pinned_dsir_model(
+    reference: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_frac: float,
+    target_text_col: str | None = None,
+    ks: tuple[int, ...] = (1, 2),
+    n_features: int = 8192,
+    smoothing: float = 1.0,
+    temperature: float = 1.0,
+    seed: int = 0,
+    stats_out: dict | None = None,
+) -> tuple[DataFrame, float]:
+    """(log_ratio, threshold_key) pinned from a REFERENCE corpus — the
+    stream-start derivation (curriculum pinned-edges pattern: a
+    micro-batch is not a corpus to fit an importance model on, so the
+    model and the selection cutoff come from the corpus that already
+    landed). log_ratio is the usual <= n_features-row broadcastable
+    table; threshold_key is the (1-keep_frac) quantile of the
+    reference's own keys, so the stream keeps ~keep_frac of arrivals
+    to the extent arrivals are distributed like the reference. Both
+    derivations are one bounded-output pass each; the returned
+    log_ratio should be cached by the caller (it is re-joined every
+    micro-batch).
+
+    Raises ValueError when the reference yields no scored docs — a pin
+    derived from nothing would silently keep or drop everything."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    log_ratio = ngram_log_ratio(
+        reference, target, text_col, target_text_col, ks, n_features,
+        smoothing, stats_out,
+    )
+    keyed = doc_keys(
+        reference, log_ratio, id_col, text_col, temperature, seed, ks,
+        n_features,
+    )
+    tau = keyed.agg(
+        F.percentile_approx("_key", F.lit(1.0 - float(keep_frac)))
+    ).collect()[0][0]
+    if tau is None:
+        raise ValueError(
+            "pinned_dsir_model: reference corpus yields no scored "
+            "docs (empty / all-null text) — nothing to pin a "
+            "threshold on"
+        )
+    if stats_out is not None:
+        stats_out["threshold_key"] = float(tau)
+        stats_out["keep_frac_requested"] = float(keep_frac)
+    return log_ratio, float(tau)

@@ -331,6 +331,12 @@ def start_quality_stream(
     sample_rates: dict | None = None,
     sample_default_rate: float = 1.0,
     sample_seed: int = 0,
+    sample_temperature: float | None = None,
+    dsir_target: str | None = None,
+    dsir_frac: float | None = None,
+    dsir_text_col: str = "text",
+    dsir_temperature: float = 1.0,
+    dsir_threshold_key: float | None = None,
     curriculum_col: str | None = None,
     curriculum_rates: list | None = None,
     curriculum_edges: list | None = None,
@@ -379,6 +385,20 @@ def start_quality_stream(
     verdict a pure row function, so stream and batch arrivals of the
     same clip reach the same curriculum verdict.
 
+    ``sample_temperature`` / ``dsir_target``+``dsir_frac`` bring the
+    two remaining corpus-level batch policies to the stream via the
+    pinned-state pattern: temperature mixture rates derive ONCE at
+    stream start from the landed clean table's per-lang counts
+    (operators/sampling.py temperature_rates — the exact math
+    temperature_mix runs on its own corpus), and the DSIR importance
+    model + selection cutoff pin from the landed transcripts vs the
+    target parquet (operators/selection.py pinned_dsir_model; an
+    explicit ``dsir_threshold_key`` overrides the derived cutoff, e.g.
+    a prior batch run's recorded threshold). Both REFUSE on an empty
+    out_root: a micro-batch is not a corpus to fit either policy on.
+    Given the pins, both decisions are pure row functions — stream and
+    batch arrivals of the same clip agree, replays are deterministic.
+
     ``decontam_heldout`` mirrors the batch pipeline's eval-set
     decontamination inside the sink: each micro-batch's kept clips are
     n-gram-overlap-checked against the heldout parquet
@@ -423,7 +443,82 @@ def start_quality_stream(
             "streaming curriculum requires pinned curriculum_edges — "
             "a micro-batch is not a corpus to derive quantiles from"
         )
+    if sample_temperature is not None and sample_rates is not None:
+        raise ValueError(
+            "sample_temperature and sample_rates are mutually "
+            "exclusive mixture policies"
+        )
+    if (dsir_target is None) != (dsir_frac is None):
+        raise ValueError("dsir_target and dsir_frac go together")
     store = TableStore(spark, out_root)
+    # -- pinned-from-landed derivations (curriculum pinned-edges
+    # pattern): a micro-batch is not a corpus, so corpus-level policies
+    # (temperature mixture rates, DSIR model + selection cutoff) pin
+    # ONCE at stream start from the clips that already LANDED in this
+    # out_root, then apply as pure row functions for the stream's
+    # lifetime — the same clip reaches the same verdict on any arrival
+    # path or replay. Both refuse on an empty landed corpus: a pin
+    # derived from nothing would silently keep or drop everything.
+    if sample_temperature is not None:
+        from ..operators.sampling import temperature_rates
+
+        if not store.exists(CLEAN_TABLE):
+            raise ValueError(
+                "streaming sample_temperature requires a landed "
+                f"corpus ({CLEAN_TABLE}) to derive mixture rates "
+                "from — run a batch (or prior stream) into this "
+                "out_root first, or pass explicit sample_rates"
+            )
+        counts = {
+            r["lang"]: r["n"]
+            for r in store.read(CLEAN_TABLE)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if r["lang"] is not None
+        }
+        sample_rates, _unmet, _t = temperature_rates(
+            counts, sample_temperature
+        )
+        if not sample_rates:
+            raise ValueError(
+                "streaming sample_temperature: landed corpus has no "
+                "lang strata to derive rates from"
+            )
+        sample_default_rate = 0.0  # unseen strata: no derived share
+        _log.info(
+            "stream temperature mixture (alpha=%s) pinned from landed "
+            "corpus: %s", sample_temperature,
+            {k: round(v, 4) for k, v in sample_rates.items()},
+        )
+    dsir_log_ratio = None
+    if dsir_target is not None:
+        from ..operators.selection import pinned_dsir_model
+
+        target_df = spark.read.parquet(dsir_target)
+        if not store.exists(CLEAN_TABLE):
+            raise ValueError(
+                "streaming dsir selection requires a landed corpus "
+                f"({CLEAN_TABLE}) to pin the importance model on — "
+                "run a batch (or prior stream) into this out_root "
+                "first"
+            )
+        dsir_stats: dict = {}
+        dsir_log_ratio, tau = pinned_dsir_model(
+            store.read(CLEAN_TABLE), target_df, "clip_id",
+            "transcript", dsir_frac, target_text_col=dsir_text_col,
+            temperature=dsir_temperature, seed=sample_seed,
+            stats_out=dsir_stats,
+        )
+        # re-joined every micro-batch: keep the <=8192-row model hot
+        dsir_log_ratio = dsir_log_ratio.cache()
+        dsir_log_ratio.count()
+        if dsir_threshold_key is None:
+            dsir_threshold_key = tau
+        _log.info(
+            "stream dsir selection pinned: threshold_key=%.6f "
+            "(derived=%.6f, keep_frac=%s)", dsir_threshold_key, tau,
+            dsir_frac,
+        )
     sid = stream_identity(checkpoint_dir, spark)
     heldout_df = (
         spark.read.parquet(decontam_heldout).cache()
@@ -489,6 +584,18 @@ def start_quality_stream(
                 kept_src = stratified_sample(
                     kept_src, "lang", sample_rates, "clip_id",
                     default_rate=sample_default_rate, seed=sample_seed,
+                )
+            if dsir_log_ratio is not None:
+                from ..operators.selection import importance_filter
+
+                # batch-stage order parity (sample -> dsir ->
+                # curriculum); pinned (model, threshold) makes the
+                # verdict a pure row function, so replays and batch
+                # arrivals of the same clip agree
+                kept_src = importance_filter(
+                    kept_src, dsir_log_ratio, "clip_id", "transcript",
+                    dsir_threshold_key, temperature=dsir_temperature,
+                    seed=sample_seed,
                 )
             if curriculum_col is not None:
                 from ..operators.sampling import curriculum_filter

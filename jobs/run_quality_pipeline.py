@@ -306,9 +306,10 @@ def main() -> None:
                          "rates: per-lang keep rates derived from "
                          "count(lang)**ALPHA over the kept branch "
                          "(0=uniform, 1=natural; 0.3-0.7 up-weights "
-                         "tail languages). Batch only — streaming "
-                         "micro-batches have no corpus to derive a "
-                         "mixture from; mutually exclusive with "
+                         "tail languages). With --stream the rates pin "
+                         "at stream start from the LANDED clean "
+                         "table's lang counts (refused on an empty "
+                         "out_root); mutually exclusive with "
                          "--sample-lang")
     ap.add_argument("--sample-dsir-target", default=None, metavar="PARQUET",
                     help="DSIR domain-targeted selection: keep the "
@@ -317,8 +318,10 @@ def main() -> None:
                          "target-domain parquet (importance resampling, "
                          "Gumbel-threshold mode). Runs before dedup; "
                          "composes with the mixture/curriculum filters "
-                         "(own hash domains). Batch only — a micro-batch "
-                         "is not a corpus to fit a model on")
+                         "(own hash domains). With --stream the model "
+                         "and cutoff pin at stream start from the "
+                         "LANDED clean table (refused on an empty "
+                         "out_root)")
     ap.add_argument("--sample-dsir-frac", type=float, default=None,
                     metavar="F",
                     help="with --sample-dsir-target: fraction of scored "
@@ -736,16 +739,12 @@ def main() -> None:
         if args.sample_lang:
             ap.error("--sample-temperature and --sample-lang are "
                      "mutually exclusive mixture policies")
-        if args.stream:
-            ap.error("--sample-temperature is batch-only (a streaming "
-                     "micro-batch is not a corpus to derive a mixture "
-                     "from); use explicit --sample-lang rates")
+        # with --stream the mixture rates pin at stream start from the
+        # landed clean table (stream.py refuses on an empty out_root)
     if (args.sample_dsir_target is None) != (args.sample_dsir_frac is None):
         ap.error("--sample-dsir-target and --sample-dsir-frac go together")
-    if args.sample_dsir_target is not None and args.stream:
-        ap.error("--sample-dsir-target is batch-only (a streaming "
-                 "micro-batch is not a corpus to fit an importance "
-                 "model on)")
+    # --sample-dsir-* with --stream pins the importance model + cutoff
+    # from the landed corpus at stream start (refused on empty out_root)
 
     def _kv_floats(s: str, what: str) -> dict[str, float]:
         # strip around names/values: a quoted 'en=0.4, de=1.0' must not
@@ -1421,6 +1420,11 @@ def main() -> None:
             ),
             sample_default_rate=args.sample_default_rate,
             sample_seed=args.sample_seed,
+            sample_temperature=args.sample_temperature,
+            dsir_target=args.sample_dsir_target,
+            dsir_frac=args.sample_dsir_frac,
+            dsir_text_col=args.sample_dsir_text_col,
+            dsir_temperature=args.sample_dsir_temperature,
             curriculum_col=curriculum_col,
             curriculum_rates=curriculum_rates,
             curriculum_edges=curriculum_edges,

@@ -122,6 +122,152 @@ class TestNotify:
             srv.shutdown()
             srv.server_close()
 
+    def test_smtp_transport_real_server(self):
+        """smtp_sink speaks real SMTP: a minimal threaded server
+        (socket-level, the TestInteractiveReview realness discipline)
+        accepts one delivery and the captured DATA carries the
+        severity-stamped subject + body; configure_from_env wires it
+        into the email slot, overriding a webhook; a dead SMTP host
+        logs and never raises."""
+        import socket
+        import threading
+
+        from data_quality_check_pipeline_spark.notify import (
+            configure_from_env,
+            smtp_sink,
+        )
+
+        captured: dict = {}
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def serve_one():
+            conn, _ = srv.accept()
+            f = conn.makefile("rb")
+            conn.sendall(b"220 test ESMTP\r\n")
+            data_lines = []
+            in_data = False
+            while True:
+                line = f.readline()
+                if not line:
+                    break
+                if in_data:
+                    if line.rstrip(b"\r\n") == b".":
+                        in_data = False
+                        captured["data"] = b"".join(data_lines)
+                        conn.sendall(b"250 ok\r\n")
+                    else:
+                        data_lines.append(line)
+                    continue
+                cmd = line.rstrip(b"\r\n").upper()
+                if cmd.startswith((b"EHLO", b"HELO")):
+                    conn.sendall(b"250 test\r\n")
+                elif cmd.startswith(b"MAIL FROM"):
+                    captured["from"] = line.decode().strip()
+                    conn.sendall(b"250 ok\r\n")
+                elif cmd.startswith(b"RCPT TO"):
+                    captured.setdefault("rcpt", []).append(
+                        line.decode().strip()
+                    )
+                    conn.sendall(b"250 ok\r\n")
+                elif cmd.startswith(b"DATA"):
+                    in_data = True
+                    conn.sendall(b"354 go\r\n")
+                elif cmd.startswith(b"QUIT"):
+                    conn.sendall(b"221 bye\r\n")
+                    break
+                else:
+                    conn.sendall(b"250 ok\r\n")
+            conn.close()
+
+        t = threading.Thread(target=serve_one, daemon=True)
+        t.start()
+        try:
+            n = configure_from_env(
+                {
+                    "CLIP_QUALITY_EMAIL_WEBHOOK": "http://x/ignored",
+                    "CLIP_QUALITY_SMTP_HOST": f"127.0.0.1:{port}",
+                    "CLIP_QUALITY_SMTP_FROM": "qa@example.com",
+                    "CLIP_QUALITY_SMTP_TO":
+                        "a@example.com, b@example.com",
+                }
+            )
+            assert n == 2  # webhook + smtp (smtp won the email slot)
+            assert notify("HIGH", "keep rate degraded") == [
+                "slack", "email",
+            ]
+            t.join(timeout=10)
+            assert "qa@example.com" in captured["from"]
+            assert len(captured["rcpt"]) == 2
+            data = captured["data"].decode()
+            assert "[clip-quality HIGH] alert" in data
+            assert "[HIGH] keep rate degraded" in data
+            # dead host: logged, not raised
+            SINKS["email"] = smtp_sink(
+                "127.0.0.1", "x@example.com", ["y@example.com"],
+                port=9, timeout=0.2,
+            )
+            assert notify("HIGH", "x") == ["slack", "email"]
+        finally:
+            SINKS.pop("email", None)
+            SINKS.pop("slack", None)
+            srv.close()
+
+    def test_pagerduty_events_transport(self):
+        """pagerduty_events_sink POSTs a well-formed Events API v2
+        trigger (routing_key + mapped severity) — verified against a
+        local HTTP capture; configure_from_env wires the routing key
+        into the pagerduty slot."""
+        import http.server
+        import json
+        import threading
+
+        from data_quality_check_pipeline_spark.notify import (
+            configure_from_env,
+            pagerduty_events_sink,
+        )
+
+        received = []
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                received.append(json.loads(self.rfile.read(n)))
+                self.send_response(202)
+                self.end_headers()
+                self.wfile.write(b"{}")
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/v2/enqueue"
+            n = configure_from_env(
+                {"CLIP_QUALITY_PAGERDUTY_ROUTING_KEY": "rk123"}
+            )
+            assert n == 1
+            # point the registered sink at the local capture server
+            SINKS["pagerduty"] = pagerduty_events_sink("rk123", url=url)
+            assert notify("CRITICAL", "pipeline gate quarantined") == [
+                "pagerduty", "slack", "email",
+            ]
+            (body,) = received
+            assert body["routing_key"] == "rk123"
+            assert body["event_action"] == "trigger"
+            assert body["payload"]["severity"] == "critical"
+            assert body["payload"]["summary"] == (
+                "pipeline gate quarantined"
+            )
+        finally:
+            SINKS.pop("pagerduty", None)
+            srv.shutdown()
+            srv.server_close()
+
 
 class TestMetrics:
     def test_prometheus_flatten(self):

@@ -1109,3 +1109,234 @@ class TestStreamPacking:
                 assert r["start_offset"] == off, key
                 assert r["chunk_id"] == off // 500
                 off += r["n_tokens"]
+
+
+class TestStreamTemperatureDsir:
+    """Stream parity for the two remaining corpus-level batch policies
+    (temperature mixture, DSIR selection) via the pinned-from-landed
+    pattern: rates/model/cutoff derive ONCE at stream start from the
+    landed clean table, then apply as pure row functions — so the
+    verdict belongs to the clip, not the ingestion path."""
+
+    def test_temperature_rates_equals_temperature_mix(self, spark):
+        """The factored driver-side rate math (temperature_rates) must
+        reproduce temperature_mix exactly: same rates, and applying
+        them as a pinned stratified_sample selects the same rows."""
+        from data_quality_check_pipeline_spark.operators.sampling import (
+            stratified_sample,
+            temperature_mix,
+            temperature_rates,
+        )
+
+        rows = [
+            (f"c{i:04d}", "en" if i < 60 else ("fr" if i < 90 else "de"))
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "clip_id string, lang string")
+        stats: dict = {}
+        mixed = temperature_mix(
+            df, "lang", 0.5, "clip_id", seed=3, stats_out=stats
+        )
+        rates, unmet, t = temperature_rates(
+            {"en": 60, "fr": 30, "de": 10}, 0.5
+        )
+        assert set(rates) == set(stats["rates"])
+        for s in rates:
+            assert rates[s] == pytest.approx(stats["rates"][s])
+        assert unmet == stats["unmet"]
+        pinned = stratified_sample(
+            df, "lang", rates, "clip_id", default_rate=0.0, seed=3
+        )
+        assert (
+            {r["clip_id"] for r in pinned.collect()}
+            == {r["clip_id"] for r in mixed.collect()}
+        )
+
+    def test_importance_filter_slice_parity(self, spark, corpus):
+        """Pinned-threshold selection is batching-invariant: the union
+        of importance_filter over arbitrary corpus slices equals the
+        batch importance_resample(threshold) selection, and
+        pinned_dsir_model derives the identical cutoff."""
+        from data_quality_check_pipeline_spark.operators.selection import (
+            importance_filter,
+            importance_resample,
+            pinned_dsir_model,
+        )
+
+        _, _, path = corpus
+        raw = (
+            spark.read.parquet(path)
+            .select("clip_id", "transcript")
+            .filter(F.length("transcript") > 20)
+            .limit(600)
+            .cache()
+        )
+        target = raw.orderBy("clip_id").limit(40).select(
+            F.col("transcript").alias("text")
+        )
+        stats: dict = {}
+        selected = {
+            r["clip_id"]
+            for r in importance_resample(
+                raw, target, "clip_id", "transcript", mode="threshold",
+                keep_frac=0.5, seed=2, target_text_col="text",
+                stats_out=stats,
+            ).collect()
+        }
+        lr, tau = pinned_dsir_model(
+            raw, target, "clip_id", "transcript", 0.5,
+            target_text_col="text", seed=2,
+        )
+        assert tau == pytest.approx(stats["threshold_key"])
+        lr = lr.cache()
+        got: set = set()
+        for i in range(3):
+            sl = raw.filter(
+                F.pmod(F.xxhash64("clip_id"), F.lit(3)) == i
+            )
+            got |= {
+                r["clip_id"]
+                for r in importance_filter(
+                    sl, lr, "clip_id", "transcript", tau, seed=2
+                ).collect()
+            }
+        assert got == selected and len(selected) > 0
+        raw.unpersist()
+        lr.unpersist()
+
+    def test_stream_pins_refuse_empty_root(self, spark, corpus, tmp_path):
+        _, _, path = corpus
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        os.symlink(path, os.path.join(src, "clips.parquet"))
+        with pytest.raises(ValueError, match="landed"):
+            start_quality_stream(
+                spark, src, str(tmp_path / "out_a"),
+                str(tmp_path / "ck_a"), sample_temperature=0.5,
+            )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tpath = str(tmp_path / "target.parquet")
+        pq.write_table(
+            pa.table({"text": ["some target domain text here"]}), tpath
+        )
+        with pytest.raises(ValueError, match="landed"):
+            start_quality_stream(
+                spark, src, str(tmp_path / "out_b"),
+                str(tmp_path / "ck_b"), dsir_target=tpath,
+                dsir_frac=0.5,
+            )
+
+    def test_stream_temperature_dsir_e2e(self, spark, corpus, tmp_path):
+        """End-to-end: batch-land a base corpus, then drain a DISJOINT
+        clip set with alpha=0 temperature + DSIR against an en-like
+        target. Checks: (a) two drains from identical pre-landed roots
+        land IDENTICAL sets (the pins are deterministic state, not
+        per-batch derivations); (b) every newly landed clip clears the
+        driver-recomputed pinned DSIR threshold AND the pinned
+        temperature sample filter — the stream applied exactly the
+        pins the landed corpus implies."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_quality_check_pipeline_spark.operators.sampling import (
+            stratified_sample,
+            temperature_rates,
+        )
+        from data_quality_check_pipeline_spark.operators.selection import (
+            doc_keys,
+            pinned_dsir_model,
+        )
+        from data_quality_check_pipeline_spark.pipeline import (
+            RunConfig,
+            run_pipeline,
+        )
+        from data_quality_check_pipeline_spark.synth import generate_clips
+        from data_quality_check_pipeline_spark.udfs.langid import (
+            with_langid,
+        )
+        from tests.conftest import CORPUS_N
+
+        _, _, path = corpus
+        base = str(tmp_path / "base")
+        run_pipeline(
+            spark, path,
+            RunConfig(out_root=base, run_id="b1",
+                      source_fingerprint="fb1"),
+        )
+        store0 = TableStore(spark, base)
+        landed0 = store0.read(CLEAN_TABLE).cache()
+        pre_ids = {r["clip_id"] for r in landed0.select("clip_id").collect()}
+        # en-like target from the landed corpus's en clips
+        tpath = str(tmp_path / "target.parquet")
+        en_texts = [
+            r["transcript"]
+            for r in landed0.filter(F.col("lang") == "en")
+            .select("transcript").limit(30).collect()
+        ]
+        pq.write_table(pa.table({"text": en_texts}), tpath)
+        # disjoint streamed corpus: the tail 500 clips of a longer synth
+        tail_df, _ = generate_clips(CORPUS_N + 500)
+        tail_df = tail_df.iloc[CORPUS_N:]
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        pq.write_table(
+            pa.Table.from_pandas(tail_df, preserve_index=False),
+            os.path.join(src, "tail.parquet"),
+        )
+        outs = []
+        for tag in ("a", "b"):
+            out = str(tmp_path / f"out_{tag}")
+            shutil.copytree(base, out)
+            q = start_quality_stream(
+                spark, src, out, str(tmp_path / f"ck_{tag}"),
+                available_now=True, sample_temperature=0.0,
+                dsir_target=tpath, dsir_frac=0.5, sample_seed=5,
+            )
+            q.awaitTermination(timeout=600)
+            outs.append(
+                {
+                    r["clip_id"]
+                    for r in TableStore(spark, out).read(CLEAN_TABLE)
+                    .select("clip_id").collect()
+                }
+                - pre_ids
+            )
+        assert outs[0] == outs[1]  # (a) pinned determinism
+        new_ids = outs[0]
+        assert len(new_ids) > 0
+        # (b) recompute the pins the landed corpus implies and check
+        # every landed clip passes BOTH pinned filters
+        counts = {
+            r["lang"]: r["n"]
+            for r in landed0.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        rates, _, _ = temperature_rates(counts, 0.0)
+        lr, tau = pinned_dsir_model(
+            landed0, spark.read.parquet(tpath), "clip_id",
+            "transcript", 0.5, target_text_col="text", seed=5,
+        )
+        raw_stream = with_langid(
+            spark.read.parquet(os.path.join(src, "tail.parquet"))
+            .select("clip_id", "transcript")
+        )
+        sample_pass = {
+            r["clip_id"]
+            for r in stratified_sample(
+                raw_stream, "lang", rates, "clip_id",
+                default_rate=0.0, seed=5,
+            ).select("clip_id").collect()
+        }
+        key_pass = {
+            r["clip_id"]
+            for r in doc_keys(
+                raw_stream, lr, "clip_id", "transcript", seed=5
+            ).filter(F.col("_key") >= F.lit(tau)).collect()
+        }
+        assert new_ids <= sample_pass
+        assert new_ids <= key_pass
+        landed0.unpersist()
