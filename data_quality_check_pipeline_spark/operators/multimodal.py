@@ -1,13 +1,15 @@
-"""Generic multimodal binary-column plumbing (image / video stubs).
+"""Generic multimodal binary-column plumbing (image / video).
 
 Audio is the REAL modality in this engine (udfs/audio.py decodes PCM and
 computes features). This module provides the same Spark-side plumbing —
-schema, batching, mapInPandas signatures — for image/video payloads. The
-image decode step is FEATURE-GATED on Pillow: when PIL is importable
-(production clusters) real payloads decode through it; otherwise decoding
-raises a clearly-marked NotImplementedError unless the payload uses the
-deterministic fake header produced by ``fake_image_payload`` (which lets
-the plumbing be tested end-to-end in this Pillow-less sandbox). Video
+schema, batching, mapInPandas signatures — for image/video payloads.
+Image decode is REAL for PNG with zero dependencies (the in-repo
+stdlib-zlib codec, functions/png.py: 8-bit grey/RGB/palette/alpha, all
+five scanline filters, spec-vector-tested); other formats (JPEG, WebP,
+...) are FEATURE-GATED on Pillow: when PIL is importable (production
+clusters) they decode through it, otherwise decoding raises a
+clearly-marked NotImplementedError. The deterministic fake header from
+``fake_image_payload`` remains the cheap-plumbing test container. Video
 decode remains an ffmpeg hook.
 """
 
@@ -53,10 +55,24 @@ def _pil_image():
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
+    from ..functions import png as _png
+
     if payload[: len(_FAKE_IMG_MAGIC)] == _FAKE_IMG_MAGIC:
         w, h = np.frombuffer(payload[8:16], dtype="<i4")
         plane = np.frombuffer(payload[16 : 16 + w * h], dtype=np.uint8)
         return int(w), int(h), 1, float(plane.mean()) if plane.size else 0.0
+    if _png.is_png(bytes(payload)):
+        # REAL decode, no dependency: the in-repo stdlib-zlib PNG codec
+        # (functions/png.py) — luma arithmetic pinned to Pillow's
+        # convert('L') so the gated-PIL path below agrees bit-for-bit
+        img = _png.decode_png(bytes(payload))
+        lum = _png.luma(img).astype(np.float64)
+        return (
+            int(img.shape[1]),
+            int(img.shape[0]),
+            int(img.shape[2]),
+            float(lum.mean()) if lum.size else 0.0,
+        )
     Image = _pil_image()
     if Image is not None:
         import io
@@ -70,7 +86,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
             float(luma.mean()) if luma.size else 0.0,
         )
     raise NotImplementedError(
-        "real image decode requires Pillow (not installed in this sandbox)"
+        "real non-PNG image decode requires Pillow "
+        "(not installed in this sandbox; PNG decodes natively)"
     )
 
 
@@ -152,11 +169,25 @@ def resize_image(
                     ).tobytes()
                     out.append(head + resized.tobytes())
                     continue
+                from ..functions import png as _png
+
+                if _png.is_png(p):
+                    # native path: decode -> nearest-neighbor gather on
+                    # every channel -> re-encode (same codec)
+                    img = _png.decode_png(p)
+                    h, w = img.shape[:2]
+                    ys = np.arange(target_h) * h // target_h
+                    xs = np.arange(target_w) * w // target_w
+                    out.append(
+                        _png.encode_png(img[ys[:, None], xs[None, :]])
+                    )
+                    continue
                 Image = _pil_image()
                 if Image is None:
                     raise NotImplementedError(
-                        "real image resize requires Pillow "
-                        "(not installed in this sandbox)"
+                        "real non-PNG image resize requires Pillow "
+                        "(not installed in this sandbox; PNG resizes "
+                        "natively)"
                     )
                 import io
 
