@@ -734,3 +734,110 @@ class TestRealCodecAdapter:
         row = score_clips(df).collect()[0]
         assert row["n_samples"] == 16000  # scored, not quarantined
         assert row["snr_db"] > 30.0
+
+
+class TestDecoderBackends:
+    """The two autodetected decoder backends, exercised for REAL
+    in-sandbox: _ffmpeg_decoder against an executable planted on PATH
+    speaking the pipe contract, _soundfile_decoder against an injected
+    soundfile module — so the branch that runs in production is tested,
+    not just the injection seam around it."""
+
+    def test_ffmpeg_backend_pipe_contract(self, tmp_path, monkeypatch):
+        import os
+        import stat
+
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            _ffmpeg_decoder,
+        )
+
+        # a stand-in ffmpeg honoring `-i pipe:0 ... pipe:1`: emits
+        # stdin unchanged (payload already s16le), exits 0
+        exe = tmp_path / "ffmpeg"
+        exe.write_text("#!/bin/sh\ncat\n")
+        exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv(
+            "PATH", f"{tmp_path}{os.pathsep}" + os.environ["PATH"]
+        )
+        dec = _ffmpeg_decoder()
+        assert dec is not None
+        x = sine_pcm(n=500)
+        np.testing.assert_array_equal(dec(x.tobytes(), "opus"), x)
+
+    def test_ffmpeg_backend_failure_raises(self, tmp_path, monkeypatch):
+        import os
+        import stat
+
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            _ffmpeg_decoder,
+        )
+
+        exe = tmp_path / "ffmpeg"
+        exe.write_text("#!/bin/sh\nexit 1\n")
+        exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv(
+            "PATH", f"{tmp_path}{os.pathsep}" + os.environ["PATH"]
+        )
+        dec = _ffmpeg_decoder()
+        with pytest.raises(Exception):
+            dec(b"\x00\x01", "mp3")  # -> row marked undecodable upstream
+
+    def test_ffmpeg_backend_absent_is_none(self, tmp_path, monkeypatch):
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            _ffmpeg_decoder,
+        )
+
+        monkeypatch.setenv("PATH", str(tmp_path))  # nothing on PATH
+        assert _ffmpeg_decoder() is None
+
+    def test_soundfile_backend_reads_and_downmixes(self, monkeypatch):
+        import sys
+        import types
+
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            _soundfile_decoder,
+        )
+
+        calls = {}
+
+        def fake_read(fobj, dtype, always_2d):
+            calls["dtype"], calls["always_2d"] = dtype, always_2d
+            # stereo: [L, R] per frame -> integer-mean downmix expected
+            data = np.array(
+                [[100, 300], [-100, -301], [32000, 32000]],
+                dtype=np.int16,
+            )
+            return data, 16000
+
+        monkeypatch.setitem(
+            sys.modules, "soundfile",
+            types.SimpleNamespace(read=fake_read),
+        )
+        dec = _soundfile_decoder()
+        assert dec is not None
+        got = dec(b"payload-bytes", "flac")
+        assert calls == {"dtype": "int16", "always_2d": True}
+        np.testing.assert_array_equal(
+            got, np.array([200, -200, 32000], dtype=np.int16)
+        )
+        assert got.dtype == np.int16
+
+    def test_soundfile_backend_mono_passthrough(self, monkeypatch):
+        import sys
+        import types
+
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            _soundfile_decoder,
+        )
+
+        mono = np.array([[1], [2], [3]], dtype=np.int16)
+        monkeypatch.setitem(
+            sys.modules, "soundfile",
+            types.SimpleNamespace(
+                read=lambda f, dtype, always_2d: (mono, 8000)
+            ),
+        )
+        dec = _soundfile_decoder()
+        np.testing.assert_array_equal(
+            dec(b"x", "flac"), np.array([1, 2, 3], dtype=np.int16)
+        )
