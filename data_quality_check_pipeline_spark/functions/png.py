@@ -9,14 +9,21 @@ interlacing, truncated streams, CRC mismatches.
 
 Scope note (parity with the reference's "cloud image" columns —
 /root/reference has no image decode at all; this is round-brief
-multimodal surface): Pillow still wins the decode slot when installed
-(operators/multimodal._decode_image tries fake-magic, then PNG, then
-PIL) because its C filter reconstruction is faster on the Paeth/Average
-rows this pure-python decoder walks pixel-by-pixel. The point of this
-module is that a Pillow-less environment decodes REAL payloads instead
-of raising — and that the behavior is pinned by spec-vector tests
-(hand-filtered scanlines per the RFC 2083 algorithms), not by trusting
-a library.
+multimodal surface): Pillow wins the decode slot when installed
+(operators/multimodal._decode_image tries fake-magic, then PIL, then
+this codec) because its C filter reconstruction is faster on the
+Paeth/Average rows this pure-python decoder walks pixel-by-pixel, and
+it covers what this codec refuses (16-bit, interlaced, JPEG/WebP).
+The point of this module is that a Pillow-less environment decodes
+REAL payloads instead of raising — and that the behavior is pinned by
+spec-vector tests (hand-filtered scanlines per the RFC 2083
+algorithms), not by trusting a library.
+
+Untrusted-input hardening: every refusal is a ValueError (including
+corrupt deflate streams — zlib.error is wrapped), dimensions are
+capped at ``_MAX_PIXELS`` BEFORE any allocation, and IDAT inflation is
+bounded to the exact expected scanline volume via a decompressobj — a
+deflate bomb cannot allocate past the declared image size.
 
 ``encode_png`` writes filter-0 non-interlaced images — enough for the
 resize re-encode path and for building test vectors; it is NOT an
@@ -34,6 +41,10 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel (before palette expansion)
 _SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# decompression-bomb guard: refuse before allocating anything sized by
+# an attacker-controlled IHDR (Pillow's MAX_IMAGE_PIXELS analogue)
+_MAX_PIXELS = 100_000_000
 
 
 def is_png(data: bytes) -> bool:
@@ -142,13 +153,26 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("png: no IDAT data")
     if w == 0 or h == 0:
         raise ValueError("png: zero dimension")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(
+            f"png: {w}x{h} exceeds the {_MAX_PIXELS}-pixel cap "
+            "(decompression-bomb guard; raise _MAX_PIXELS to accept)"
+        )
     samples = _SAMPLES[ctype_i]
     stride = w * samples
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: a deflate bomb cannot allocate past the declared
+    # image size (+1 so an over-long stream is detectable, not clipped
+    # into a silently-valid buffer)
+    d = zlib.decompressobj()
+    try:
+        raw_b = d.decompress(b"".join(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"png: corrupt IDAT deflate stream ({e})")
+    raw = np.frombuffer(raw_b, dtype=np.uint8)
+    if raw.size != expected:
         raise ValueError(
-            f"png: decompressed size {raw.size} != expected "
-            f"{h * (stride + 1)}"
+            f"png: decompressed size {raw.size} != expected {expected}"
         )
     mat = _unfilter(raw, h, stride, samples)
     img = mat.reshape(h, w, samples)

@@ -159,17 +159,22 @@ def configure_from_env(env=None) -> int:
     SMTP / PagerDuty-Events transports win their slots over the
     generic webhook when both are configured."""
     env = os.environ if env is None else env
-    n = 0
+    wired: set[str] = set()
     for name in ("slack", "email", "pagerduty"):
         url = env.get(f"CLIP_QUALITY_{name.upper()}_WEBHOOK")
         if url:
             SINKS[name] = webhook_sink(url)
-            n += 1
+            wired.add(name)
     smtp_host = env.get("CLIP_QUALITY_SMTP_HOST")
     smtp_from = env.get("CLIP_QUALITY_SMTP_FROM")
     smtp_to = env.get("CLIP_QUALITY_SMTP_TO")
     if smtp_host and smtp_from and smtp_to:
-        host, _, port = smtp_host.partition(":")
+        # host[:port]; only a trailing :digits is a port, so bare IPv6
+        # literals ('::1') pass through intact
+        host, port = smtp_host, ""
+        h, sep, p = smtp_host.rpartition(":")
+        if sep and p.isdigit():
+            host, port = h, p
         SINKS["email"] = smtp_sink(
             host,
             smtp_from,
@@ -179,9 +184,10 @@ def configure_from_env(env=None) -> int:
             password=env.get("CLIP_QUALITY_SMTP_PASSWORD"),
             starttls=env.get("CLIP_QUALITY_SMTP_STARTTLS") == "1",
         )
-        n += 1
+        wired.add("email")  # a slot, not a count: overriding a webhook
+        # in the same slot must not report two live transports
     pd_key = env.get("CLIP_QUALITY_PAGERDUTY_ROUTING_KEY")
     if pd_key:
         SINKS["pagerduty"] = pagerduty_events_sink(pd_key)
-        n += 1
-    return n
+        wired.add("pagerduty")
+    return len(wired)

@@ -55,26 +55,16 @@ def _pil_image():
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
-    from ..functions import png as _png
-
     if payload[: len(_FAKE_IMG_MAGIC)] == _FAKE_IMG_MAGIC:
         w, h = np.frombuffer(payload[8:16], dtype="<i4")
         plane = np.frombuffer(payload[16 : 16 + w * h], dtype=np.uint8)
         return int(w), int(h), 1, float(plane.mean()) if plane.size else 0.0
-    if _png.is_png(bytes(payload)):
-        # REAL decode, no dependency: the in-repo stdlib-zlib PNG codec
-        # (functions/png.py) — luma arithmetic pinned to Pillow's
-        # convert('L') so the gated-PIL path below agrees bit-for-bit
-        img = _png.decode_png(bytes(payload))
-        lum = _png.luma(img).astype(np.float64)
-        return (
-            int(img.shape[1]),
-            int(img.shape[0]),
-            int(img.shape[2]),
-            float(lum.mean()) if lum.size else 0.0,
-        )
     Image = _pil_image()
     if Image is not None:
+        # Pillow WINS when installed: its C filter reconstruction is
+        # orders of magnitude faster than the pure-python codec on
+        # Paeth/Average rows, and it covers the corners the native
+        # codec refuses (16-bit depth, Adam7 interlace, JPEG/WebP/...)
         import io
 
         img = Image.open(io.BytesIO(bytes(payload)))
@@ -84,6 +74,20 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
             int(img.height),
             len(img.getbands()),
             float(luma.mean()) if luma.size else 0.0,
+        )
+    from ..functions import png as _png
+
+    if _png.is_png(bytes(payload)):
+        # Pillow-less fallback: REAL decode via the in-repo stdlib-zlib
+        # PNG codec (functions/png.py) — luma arithmetic pinned to
+        # Pillow's convert('L') so the two paths agree bit-for-bit
+        img = _png.decode_png(bytes(payload))
+        lum = _png.luma(img).astype(np.float64)
+        return (
+            int(img.shape[1]),
+            int(img.shape[0]),
+            int(img.shape[2]),
+            float(lum.mean()) if lum.size else 0.0,
         )
     raise NotImplementedError(
         "real non-PNG image decode requires Pillow "
@@ -169,11 +173,24 @@ def resize_image(
                     ).tobytes()
                     out.append(head + resized.tobytes())
                     continue
+                Image = _pil_image()
+                if Image is not None:
+                    # Pillow wins when installed (same ordering + reason
+                    # as _decode_image)
+                    import io
+
+                    img = Image.open(io.BytesIO(p)).resize(
+                        (target_w, target_h), Image.NEAREST
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                    continue
                 from ..functions import png as _png
 
                 if _png.is_png(p):
-                    # native path: decode -> nearest-neighbor gather on
-                    # every channel -> re-encode (same codec)
+                    # Pillow-less fallback: decode -> nearest-neighbor
+                    # gather on every channel -> re-encode (same codec)
                     img = _png.decode_png(p)
                     h, w = img.shape[:2]
                     ys = np.arange(target_h) * h // target_h
@@ -182,21 +199,11 @@ def resize_image(
                         _png.encode_png(img[ys[:, None], xs[None, :]])
                     )
                     continue
-                Image = _pil_image()
-                if Image is None:
-                    raise NotImplementedError(
-                        "real non-PNG image resize requires Pillow "
-                        "(not installed in this sandbox; PNG resizes "
-                        "natively)"
-                    )
-                import io
-
-                img = Image.open(io.BytesIO(p)).resize(
-                    (target_w, target_h), Image.NEAREST
+                raise NotImplementedError(
+                    "real non-PNG image resize requires Pillow "
+                    "(not installed in this sandbox; PNG resizes "
+                    "natively)"
                 )
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                out.append(buf.getvalue())
             pdf = pdf.copy()
             pdf[out_col] = out
             yield pdf

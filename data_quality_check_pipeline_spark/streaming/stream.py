@@ -399,6 +399,19 @@ def start_quality_stream(
     Given the pins, both decisions are pure row functions — stream and
     batch arrivals of the same clip agree, replays are deterministic.
 
+    Pin-source contract: the derivations treat the landed corpus as a
+    sample of the ARRIVAL distribution, so the reference run should
+    have landed NATURALLY (no --sample-temperature / --sample-dsir of
+    its own). Deriving from a corpus that was itself
+    temperature-sampled yields ~1.0 rates for every stratum (the
+    landed mixture already matches the target, so nothing is
+    filtered and the streamed portion reverts toward the arrival
+    distribution) — detected and WARNED at stream start; similarly a
+    DSIR-selected reference corpus collapses the log-ratios toward 0.
+    To continue a sampled pipeline instead, pass the ORIGINAL run's
+    explicit rates (sample_rates) / recorded threshold
+    (dsir_threshold_key) rather than re-deriving.
+
     ``decontam_heldout`` mirrors the batch pipeline's eval-set
     decontamination inside the sink: each micro-batch's kept clips are
     n-gram-overlap-checked against the heldout parquet
@@ -490,6 +503,21 @@ def start_quality_stream(
             "corpus: %s", sample_temperature,
             {k: round(v, 4) for k, v in sample_rates.items()},
         )
+        if sample_temperature < 1.0 and all(
+            r > 0.95 for r in sample_rates.values()
+        ):
+            # the landed mixture already matches the alpha-target —
+            # either arrivals really are near-uniform, or the landed
+            # corpus was itself temperature-sampled and re-deriving
+            # from it degenerates the policy (docstring contract)
+            _log.warning(
+                "stream temperature mixture: derived rates are ~1.0 "
+                "for every stratum — the landed corpus already matches "
+                "the target mixture. If it was itself sampled, pass "
+                "the original run's explicit sample_rates instead of "
+                "re-deriving, or arrivals will stream through nearly "
+                "unfiltered."
+            )
     dsir_log_ratio = None
     if dsir_target is not None:
         from ..operators.selection import pinned_dsir_model

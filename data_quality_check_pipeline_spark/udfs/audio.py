@@ -522,7 +522,13 @@ def make_decode_windows_udf(decoder):
     module-level registry state on the driver never reaches python
     workers. Input discipline: callers pass the payload column as
     F.when(needs_real_decode, bytes) — NULL for every JVM-decodable row
-    — so only real-compressed bytes cross to Python, and only once.
+    — so only real-compressed bytes cross to Python, and only once PER
+    OPERATOR PASS (with_audio_stats and with_audio_fingerprint are
+    separate scans in separate jobs, each decoding its own pass — the
+    same per-pass shape the JVM window extraction already has; a
+    deployment running both over real compressed corpora should prefer
+    the soundfile backend, where a per-pass decode is cheap, over the
+    subprocess-per-payload ffmpeg fallback).
     Decode failures -> (None, 0): n_samples=0 routes the row to
     quarantine via truncated_audio, never killing the Arrow batch."""
 

@@ -195,7 +195,9 @@ class TestNotify:
                         "a@example.com, b@example.com",
                 }
             )
-            assert n == 2  # webhook + smtp (smtp won the email slot)
+            # ONE live slot: smtp overrode the email webhook — the
+            # count reports slots wired, never double-counts a slot
+            assert n == 1
             assert notify("HIGH", "keep rate degraded") == [
                 "slack", "email",
             ]

@@ -157,6 +157,35 @@ class TestDecode:
         with pytest.raises(ValueError, match="truncated"):
             decode_png(ok[:-14])  # cut into the IEND chunk body/CRC
 
+    def test_bomb_guards(self):
+        # declared dims over the pixel cap refuse BEFORE any allocation
+        with pytest.raises(ValueError, match="pixel cap"):
+            decode_png(_build_png(100_000, 100_000, 0, b"\x00"))
+        # deflate stream inflating past the declared size is caught by
+        # the bounded decompressobj, not by a giant allocation: 2x2
+        # grey declares 6 scanline bytes, stream carries 10x that
+        bomb = zlib.compress(b"\x00" * 60)
+        data = (
+            SIG
+            + _chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", bomb)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="size"):
+            decode_png(data)
+        # garbage deflate bytes surface as the contract ValueError,
+        # never a bare zlib.error
+        data = (
+            SIG
+            + _chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", b"\x13\x37notdeflate")
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="deflate"):
+            decode_png(data)
+
 
 class TestMultimodalPng:
     def test_with_image_meta_decodes_real_png(self, spark):
