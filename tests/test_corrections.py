@@ -143,6 +143,21 @@ def _compatible_pair(rows, headroom=6):
     raise AssertionError("no cps-compatible victim/donor pair")
 
 
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(spark):
+    """Each correction re-runs the full score+dedup+upsert chain over
+    the shared module root, close to the shared test JVM's heap
+    ceiling; cached relations accumulated by earlier tests (this
+    module caches minhash frames, the pipeline caches scoring
+    subtrees, nothing unpersists across tests) are the measured OOM
+    driver — java.lang.OutOfMemoryError inside upsert's persist,
+    nondeterministic with GC timing (observed standalone AND in-suite,
+    rounds 4-5). Dropping the cache before each test costs a
+    recompute and buys heap headroom."""
+    spark.catalog.clearCache()
+    yield
+
+
 class TestApplyCorrections:
     def test_replace_sticky_split_reset_pack(self, spark, rooted):
         store, rows = _pick_clean(spark, rooted)
