@@ -79,6 +79,26 @@ def _sql_count(col: str, pat: str) -> str:
     return f"len(regexp_extract_all({col}, '{pat}'))"
 
 
+# natural high-cardinality key per test table: hash-repartitioning on it
+# spreads rows evenly WITHOUT the per-partition sort every keyless
+# (round-robin) repartition pays (spark.sql.execution.sortBeforeRepartition,
+# on by default so retried tasks reproduce their row->partition map —
+# hash partitioning is deterministic by construction and needs no sort).
+# Measured r06: lineitem_pricing_summary 1.08 s round-robin-free ->
+# 0.67 s hash(l_orderkey); flagship 1.69 s -> 1.01 s.
+_SCAN_PARTS: dict[str, int] = {}
+
+_REBALANCE_KEY = {
+    "documents": "doc_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "events": "event_id",
+    "supplier": "s_suppkey",
+    "embeddings": "vec_id",
+}
+
+
 def _load(
     spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
 ) -> DataFrame:
@@ -88,10 +108,32 @@ def _load(
     ONE task no matter how many cores exist (Spark splits scans at
     row-group boundaries). A real Iceberg/parquet layout at scale has many
     splits and would not need this; here the one small shuffle buys full
-    parallelism for the CPU-bound stage above it (measured 3x on minhash)."""
+    parallelism for the CPU-bound stage above it (measured 3x on minhash).
+
+    Scale-adaptive (r06): the shuffle is SKIPPED when the scan already
+    has at least as many splits as cores — on a real multi-row-group
+    layout the repartition would only burn a full pass over the data.
+    The spread uses HASH partitioning on the table's natural key (see
+    _REBALANCE_KEY), not round-robin: deterministic without the
+    sortBeforeRepartition pre-sort, which otherwise runs inside the
+    single scan task this rebalance exists to relieve."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if rebalance:
-        return df.repartition(spark.sparkContext.defaultParallelism)
+        n = spark.sparkContext.defaultParallelism
+        memo_key = f"{sf_dir}/{name}"
+        parts = _SCAN_PARTS.get(memo_key)
+        if parts is None:
+            # plan-metadata memo (scan split count for a fixed path), NOT
+            # result caching: re-deriving it per call would re-plan the
+            # scan on every query invocation
+            parts = df.rdd.getNumPartitions()
+            _SCAN_PARTS[memo_key] = parts
+        if parts >= n:
+            return df  # real multi-split layout: no shuffle needed
+        key = _REBALANCE_KEY.get(name)
+        if key is not None:
+            return df.repartition(n, F.col(key))
+        return df.repartition(n)
     return df
 
 
@@ -101,7 +143,10 @@ def _load(
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _load(spark, sf_dir, "documents")
+    # rebalance: the scrub/lang-guess/quality regex stack is the
+    # compute-heavy leg — single-task on the one-row-group test parquet
+    # (measured r06: 1.69 s -> 1.01 s with the hash spread)
+    df = _load(spark, sf_dir, "documents", rebalance=True)
     t = F.col("text")
     norm = F.regexp_replace(F.trim(t), r"\s+", " ")
     toks = F.split(norm, " ")
@@ -503,7 +548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- scrub / masking (M2-M6) -------------------------------------------
     def doc_scrub(spark, sf):
-        df = _load(spark, sf, "documents")
+        # rebalance: 4-regex scrub chain, single-task otherwise
+        # (measured r06: 0.43 s -> 0.29 s)
+        df = _load(spark, sf, "documents", rebalance=True)
         return df.select(
             "doc_id", scrub_expr(F.col("text")).alias("text_scrubbed")
         )
@@ -517,7 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pii_type_counts_exprs,
         )
 
-        df = _load(spark, sf, "documents")
+        # rebalance: 4 regexp_count passes, single-task otherwise
+        # (measured r06: 0.67 s -> 0.31 s)
+        df = _load(spark, sf, "documents", rebalance=True)
         counts = pii_type_counts_exprs(F.col("text"))
         return df.select(
             "doc_id",
@@ -782,7 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             clean_phone,
         )
 
-        df = _load(spark, sf, "customer")
+        # rebalance: the derive+clean expression stack (regex phone/name/
+        # email cleaning) is single-task otherwise (r06: 0.78 s -> 0.67 s)
+        df = _load(spark, sf, "customer", rebalance=True)
         k = F.col("c_custkey")
         a = F.lpad(((k % 900) + 100).cast("string"), 3, "0")
         b = F.lpad((((k * 7) % 900) + 100).cast("string"), 3, "0")
@@ -822,7 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             clean_date,
         )
 
-        df = _load(spark, sf, "orders")
+        # rebalance: the try_to_timestamp parse cascade is single-task
+        # otherwise (measured r06: 0.62 s -> 0.46 s)
+        df = _load(spark, sf, "orders", rebalance=True)
         k = F.col("o_orderkey")
         d = F.col("o_orderdate")
         raw = (
@@ -1001,7 +1054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- aggregation / pricing summary (TPC-H Q1 shape) ----------------------
     def lineitem_pricing_summary(spark, sf):
-        df = _load(spark, sf, "lineitem")
+        # rebalance: the decimal partial aggregation is the heavy leg and
+        # runs inside the single scan task otherwise (measured r06:
+        # 1.08 s -> 0.67 s with the hash spread; the shuffle carries only
+        # the 5 projected columns plus the hash key)
+        df = _load(spark, sf, "lineitem", rebalance=True)
         dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
         return (
             df.groupBy("l_returnflag", "l_linestatus")

@@ -270,6 +270,33 @@ def _shingle_expr(text_col: str, k: int):
     )
 
 
+def _shingle_hash_expr(text_col: str, k: int):
+    """Distinct word k-shingles as an array of 64-bit hashes (JVM-side):
+    xxhash64 over the token-array slice directly — no concat_ws string
+    build, and everything downstream (explode, groupBy, join keys)
+    carries 8-byte longs instead of shingle strings (guide §2.3:
+    shuffle fewer bytes; measured ~20% faster on the minhash path).
+    Same structure as :func:`_shingle_expr` — short docs contribute
+    their whole token sequence as one shingle, null text -> null array
+    (explode drops the doc: xxhash64(NULL) is a constant, which would
+    otherwise alias every null-text doc)."""
+    toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
+    n = F.array_size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        toks.isNotNull(),
+        F.array_distinct(
+            F.when(
+                n >= k,
+                F.transform(
+                    idx,
+                    lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+                ),
+            ).otherwise(F.array(F.xxhash64(toks)))
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str,
     n_hashes: int = 32, shingle_k: int = 3,
@@ -279,29 +306,10 @@ def minhash_signatures(
     One explode + one groupBy with n_hashes min-aggregates: partial (map-
     side) mins shrink the shuffle to n_hashes longs per doc.
 
-    Each distinct shingle is hashed ONCE — xxhash64 over the token-array
-    slice directly (no concat_ws string build) — and the n_hashes family is
-    derived from that 64-bit base via xxhash64(base, i): the explode then
-    carries 8-byte longs instead of shingle strings (measured ~20% faster
-    and a much smaller exploded footprint on long documents).
+    Each distinct shingle is hashed ONCE (``_shingle_hash_expr``) and the
+    n_hashes family is derived from that 64-bit base via xxhash64(base, i).
     """
-    toks = F.split(norm_text(F.lower(F.col(text_col))), " ")
-    n = F.array_size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
-    sh_hashes = F.when(
-        toks.isNotNull(),
-        F.array_distinct(
-            F.when(
-                n >= shingle_k,
-                F.transform(
-                    idx,
-                    lambda i: F.xxhash64(F.slice(toks, i + 1, shingle_k)),
-                ),
-            ).otherwise(F.array(F.xxhash64(toks)))
-        ),
-    )  # null text -> null array -> explode drops the doc: no signature,
-    #    no candidate pairs (xxhash64(NULL) is a constant, which would
-    #    otherwise give every null-text doc an identical signature)
+    sh_hashes = _shingle_hash_expr(text_col, shingle_k)
     exploded = df.select(F.col(id_col), F.explode(sh_hashes).alias("_sh"))
     mins = [
         F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"h{i}")
@@ -1182,6 +1190,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = 10_000,
     stats_out: dict | None = None,
     max_doc_frac: float | None = None,
+    persist_posting: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles for pairs sharing >= 1 shingle.
 
@@ -1192,15 +1201,24 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` documents (boilerplate, templates) is removed from the
     inverted index before the self-join (drop count logged + reported via
     ``stats_out`` key 'stop_shingles'; see _drop_hot_groups), since one such
-    shingle alone contributes df² candidate pairs. NOTE: the input
-    subtree is evaluated up to 3x (stop-shingle pre-pass + both
-    self-join sides) — cache or materialize the input when the upstream
-    is expensive (the harness queries do; measured 150 s -> 2 s on a
-    one-task scan). |A| and |B| are counted
+    shingle alone contributes df² candidate pairs. Shingles travel as
+    64-bit hashes (``_shingle_hash_expr``), never strings: the posting
+    shuffle, the stop-shingle groupBy and the self-join keys all carry 8
+    bytes per shingle (guide §2.3). |A| and |B| are counted
     BEFORE the cutoff, so the reported jaccard of a surviving pair is exact
     when none of its shared shingles were dropped and a lower bound
     otherwise — the filter only MISSES pairs whose overlap is purely
     boilerplate, it never inflates a score. max_doc_freq=None disables.
+
+    ``persist_posting`` (default on) caches the exploded posting frame
+    (MEMORY_AND_DISK, (id, n, 8-byte shingle hash) rows): it is
+    referenced ~3x (stop-shingle pre-pass + both self-join sides), and
+    without the cache the tokenize+shingle+explode pipeline reruns each
+    time (r06: the dominant cost of doc_dup_components). Pass False for
+    a pure plan, or materialize the posting to a table at extreme scale.
+    Callers whose upstream is expensive should STILL cache their input
+    (the harness queries do): the posting cache only absorbs
+    re-evaluations downstream of the scan.
 
     ``max_doc_frac`` makes the cutoff CORPUS-RELATIVE: the effective
     cutoff becomes min(max_doc_freq, ceil(frac * corpus_rows)) (one
@@ -1223,11 +1241,15 @@ def ngram_jaccard_pairs(
         )
     sh = df.select(
         F.col(id_col),
-        _shingle_expr(text_col, shingle_k).alias("_shs"),
+        _shingle_hash_expr(text_col, shingle_k).alias("_shs"),
     ).withColumn("_n", F.array_size("_shs"))
     posting = sh.select(
         F.col(id_col), F.col("_n"), F.explode("_shs").alias("_sh")
     )
+    if persist_posting:
+        from pyspark import StorageLevel
+
+        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
     posting = _drop_hot_groups(
         posting, ["_sh"], max_doc_freq, "stop_shingles", stats_out
     )
@@ -1281,7 +1303,7 @@ def decontaminate(
     Set ``broadcast_heldout=False`` for an unusually large heldout side
     and the join falls back to a shuffle join (AQE may still broadcast).
 
-    Shingling is ``_shingle_expr`` — the SAME normalization and
+    Shingling is ``_shingle_hash_expr`` — the SAME normalization and
     short-doc fallback as the n-gram/minhash dedup family, so a
     contamination threshold and a dedup threshold refer to the same
     token universe. Null text on either side contributes no shingles
@@ -1293,10 +1315,16 @@ def decontaminate(
     """
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1 (got {min_hits})")
+    # shingles travel as 64-bit hashes on BOTH sides (same
+    # _shingle_hash_expr, so matches are preserved): the broadcast holds
+    # 8 bytes per heldout shingle instead of a k-word string, and the
+    # corpus side never builds shingle strings at all (guide §2.3;
+    # r06: doc_decontam_hits measured 1.48 s -> the string concat_ws
+    # build per corpus shingle was a visible fraction)
     held_sh = (
         heldout.select(
             F.explode(
-                _shingle_expr(heldout_text_col or text_col, shingle_k)
+                _shingle_hash_expr(heldout_text_col or text_col, shingle_k)
             ).alias("_sh")
         ).distinct()
     )
@@ -1304,7 +1332,7 @@ def decontaminate(
         held_sh = F.broadcast(held_sh)
     corp_sh = corpus.select(
         F.col(id_col),
-        F.explode(_shingle_expr(text_col, shingle_k)).alias("_sh"),
+        F.explode(_shingle_hash_expr(text_col, shingle_k)).alias("_sh"),
     )
     return (
         corp_sh.join(held_sh, "_sh")
@@ -1355,7 +1383,15 @@ def dup_spans(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
-    pos = _pos_shingles(df, id_col, text_col, k)
+    from pyspark import StorageLevel
+
+    # the positional-shingle explode feeds BOTH the ownership groupBy
+    # and the probe side of the join — persist it so the tokenize+
+    # shingle+explode pipeline runs once (r06; the persist_sigs /
+    # persist_posting precedent; (id, pos, 8-byte hash) rows only)
+    pos = _pos_shingles(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     first = pos.groupBy("_sh").agg(F.min("_id").alias("_first"))
     dup_pos = (
         pos.join(first, "_sh")
@@ -1453,7 +1489,13 @@ def dup_spans_incremental(
     batch."""
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
-    pos = _pos_shingles(new_df, id_col, text_col, k)
+    from pyspark import StorageLevel
+
+    # same two-reference shape as dup_spans: persist so the explode
+    # pipeline over the new batch runs once (r06)
+    pos = _pos_shingles(new_df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     first = pos.groupBy("_sh").agg(F.min("_id").alias("_first"))
     if history is not None:
         hist_sh = history.select(F.col("shingle_hash").alias("_sh"))

@@ -180,8 +180,25 @@ def connected_components(
                     f"{run_dir}/round_{done[-1]}"
                 )
     und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        # symmetrize in ONE pass: a union of two selects over `edges`
+        # evaluates the (often expensive — a candidate-pair self-join)
+        # edge subtree TWICE; exploding a 2-element struct array emits
+        # both orientations from a single evaluation (r06, guide §2.4:
+        # doc_dup_components measured 5.2 s -> the edge pipeline was its
+        # dominant cost and ran 2x here plus once per downstream read)
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .distinct()
         # every iteration joins against und: without this cache the
         # upstream edge computation (often an expensive candidate-pair
