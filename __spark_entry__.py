@@ -1020,18 +1020,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         percentile(col, p) aggregates each buffer the full value set
         independently — measured 3.1 s vs 1.2 s for the array form at
         sf0.1/local[32]."""
+        from data_quality_check_pipeline_spark.operators.stats import (
+            exact_percentiles,
+        )
+
         df = _load(spark, sf, "lineitem", rebalance=True).select(
             "l_extendedprice"
         ).cache()
-        b = df.agg(
-            F.expr(
-                "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
-            ).alias("q"),
+        # moments + non-null count in ONE agg; the quantiles go through
+        # the distributed rank-pick (operators/stats.exact_percentiles),
+        # bit-identical to the former percentile(col, array(...)) call
+        # but without its single-reducer value-map merge — measured r06:
+        # 1.95 s -> 1.20 s for the stats pass at sf0.1 (583k distinct
+        # values; the builtin's merge cost scales with cardinality).
+        b0 = df.agg(
+            F.count("l_extendedprice").alias("n"),
             F.avg("l_extendedprice").alias("m"),
             F.stddev("l_extendedprice").alias("s"),
         ).collect()[0]
-        q1, med, q3 = (float(x) for x in b["q"])
-        b = {"q1": q1, "med": med, "q3": q3, "m": b["m"], "s": b["s"]}
+        q1, med, q3 = exact_percentiles(
+            df, "l_extendedprice", (0.25, 0.5, 0.75), n_rows=b0["n"]
+        )
+        b = {"q1": q1, "med": med, "q3": q3, "m": b0["m"], "s": b0["s"]}
         iqr = b["q3"] - b["q1"]
         lo, hi = b["q1"] - 1.5 * iqr, b["q3"] + 1.5 * iqr
         z = (F.col("l_extendedprice") - F.lit(b["m"])) / F.lit(b["s"])

@@ -1056,6 +1056,7 @@ def audio_near_dup_pairs_incremental(
     stats_out: dict | None = None,
     allow_partial_recall: bool = False,
     keep_flags: bool = False,
+    fp_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental cross-run AUDIO near-dup mining: clip pairs with
     >= 1 NEW side against a persisted (id_col, audio_fp) history —
@@ -1063,6 +1064,14 @@ def audio_near_dup_pairs_incremental(
     history clips cost 16 bytes each. Returns ``(pairs, new_fps)``;
     append new_fps (fp=0 silent/undecodable rows already excluded) to
     the history table after the run commits (see incremental_audio_run).
+
+    ``fp_col``: name of an ALREADY-COMPUTED fingerprint column on
+    ``new_df`` (the decode-once path: score_clips stamped it from the
+    same window materialization as the audio stats —
+    udfs/audio.with_audio_stats_and_fingerprint). When given, no
+    fingerprint UDF runs here and compressed payloads are not decoded
+    a second time; when None, fingerprints are computed from the raw
+    bytes as before.
 
     Keeps the full operator's duplicate-heavy-corpus shape: banding
     runs over DISTINCT fingerprints of the union, then pairs re-expand
@@ -1079,12 +1088,19 @@ def audio_near_dup_pairs_incremental(
     ``keep_flags=True`` appends boolean new_a/new_b columns (which side
     of the pair is a new arrival) so a sink can quarantine the new side
     of a new-vs-history pair deterministically."""
-    from ..udfs.audio import with_audio_fingerprint
+    if fp_col is not None:
+        fp_src = new_df.select(
+            F.col(id_col), F.col(fp_col).alias("audio_fp")
+        )
+    else:
+        from ..udfs.audio import with_audio_fingerprint
 
+        fp_src = with_audio_fingerprint(new_df).select(
+            id_col, "audio_fp"
+        )
     new_fps = (
-        with_audio_fingerprint(new_df)
+        fp_src
         .filter(F.col("audio_fp") != 0)
-        .select(id_col, "audio_fp")
         # referenced several times below; without the cache the
         # fingerprint UDF scan reruns. 16 B/clip, NEW batch only —
         # unlike the full operator this never pins history-sized

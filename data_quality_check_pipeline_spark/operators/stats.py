@@ -114,3 +114,94 @@ def value_clustering(
         "top_value": row["top"]["v"],
         "share": share,
     }
+
+
+def exact_percentiles(
+    df,
+    col: str,
+    ps: tuple = (0.25, 0.5, 0.75),
+    n_rows: int | None = None,
+    n_parts: int | None = None,
+) -> list:
+    """Exact percentiles of ``df[col]`` by distributed rank-pick,
+    bit-identical to Spark's ``percentile(col, array(ps))`` aggregate
+    (same interpolation: ``(hi-pos)*v[lo] + (pos-lo)*v[hi]`` over the
+    ascending non-null values, ``pos = p*(n-1)``).
+
+    Why not the builtin: ``percentile`` is a TypedImperativeAggregate
+    that builds a value->count map and merges/sorts it on ONE reducer —
+    at 583k distinct values that merge measured 1.9 s while this path
+    runs 1.2 s (r06), and the gap grows with cardinality. Shape here is
+    scale-honest (guide §2): range-repartition (parallel sort), one
+    per-partition count pass (collects n_parts longs), then a
+    per-partition ``row_number`` window — no single-partition sort, no
+    driver-side value map; only the <= 2*len(ps) picked rows reach the
+    driver.
+
+    ``n_rows``: pass the known non-null count to skip the count job.
+    Falls back to the builtin for empty/tiny inputs (rank-pick job
+    overhead beats the map merge only at real cardinalities).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    nn = df.filter(F.col(col).isNotNull())
+    n = n_rows if n_rows is not None else nn.count()
+    if n < 100_000:
+        row = nn.agg(
+            F.expr(
+                f"percentile({col}, array({','.join(str(p) for p in ps)}))"
+            ).alias("q")
+        ).collect()[0]
+        return [None if row["q"] is None else float(x) for x in row["q"]]
+    spark = df.sparkSession
+    P = n_parts or spark.sparkContext.defaultParallelism
+    parts = nn.repartitionByRange(P, F.col(col)).cache()
+    try:
+        cnts = {
+            r["pid"]: r["cnt"]
+            for r in parts.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        offs, acc = {}, 0
+        for pid in sorted(cnts):
+            offs[pid] = acc
+            acc += cnts[pid]
+        meta, want = {}, set()
+        for p in ps:
+            pos = p * (n - 1)
+            lo, hi = math.floor(pos), math.ceil(pos)
+            meta[p] = (pos, lo, hi)
+            want |= {lo, hi}
+        local_want: dict = {}
+        for r in want:
+            for pid in sorted(offs):
+                if offs[pid] <= r < offs[pid] + cnts[pid]:
+                    local_want.setdefault(pid, set()).add(
+                        r - offs[pid] + 1
+                    )
+                    break
+        w = Window.partitionBy(F.spark_partition_id()).orderBy(col)
+        dfp = parts.withColumn(
+            "_pid", F.spark_partition_id()
+        ).withColumn("_lrn", F.row_number().over(w))
+        cond = None
+        for pid, lrns in local_want.items():
+            c = (F.col("_pid") == pid) & F.col("_lrn").isin(list(lrns))
+            cond = c if cond is None else (cond | c)
+        byrank = {
+            offs[r["_pid"]] + r["_lrn"] - 1: r[col]
+            for r in dfp.filter(cond).collect()
+        }
+    finally:
+        parts.unpersist()
+    out = []
+    for p in ps:
+        pos, lo, hi = meta[p]
+        out.append(
+            float(byrank[lo]) if hi == lo
+            else (hi - pos) * byrank[lo] + (pos - lo) * byrank[hi]
+        )
+    return out

@@ -3,8 +3,8 @@
 Rebuilds the reference's 17-stage sequential pandas pipeline
 (/root/reference/src/pipeline.py:800-913) as a Spark-first plan:
 
-    scan -> clean (one projection) -> UDF scores (langid / perplexity /
-    audio_stats, three Arrow stages) -> rule flags (one projection) ->
+    scan -> clean (one projection) -> UDF scores (fused langid+perplexity
+    / audio_stats, two Arrow stages) -> rule flags (one projection) ->
     duplicate flag (one shuffle) -> [cache] -> threshold gate (tiny agg) ->
     keep branch: scrub -> salted repartition -> clips_clean snapshot
     drop branch: quarantine snapshot
@@ -57,8 +57,7 @@ from .operators.validate import (
 )
 from .sources.tables import TableStore
 from .udfs.audio import with_audio_stats
-from .udfs.langid import with_langid
-from .udfs.perplexity import with_perplexity
+from .udfs.textscore import with_text_scores
 
 _log = logging.getLogger(__name__)
 
@@ -269,6 +268,7 @@ def score_clips(
     df: DataFrame,
     with_audio: bool = True,
     quality_model=None,
+    with_audio_fp: bool = False,
 ) -> DataFrame:
     """clean + the three vectorized scorers. Lazy — no action triggered.
 
@@ -283,15 +283,31 @@ def score_clips(
     sigmoid over the signal columns this function just computed: the
     deployment half of ``--fit-quality-model``). Advisory like
     speech_rate: feeds ``--curriculum model_quality_score=...`` and
-    profiling, never the keep/drop verdict."""
+    profiling, never the keep/drop verdict.
+
+    ``with_audio_fp``: also stamp ``audio_fp`` from the SAME window
+    materialization as the stats (decode-once: with a real decoder a
+    compressed payload decodes once for both signals instead of once
+    per operator — udfs/audio.with_audio_stats_and_fingerprint). Set
+    by the batch shard when ``--dedup-audio`` will mine the kept
+    branch; the column is consumed by _dedup_kept_branch and dropped
+    before anything lands."""
     from .functions.exprs import speech_rate_expr
 
     out = clean_clips(df)
     out = out.withColumn("speech_rate", speech_rate_expr())
-    out = with_langid(out)
-    out = with_perplexity(out)
+    # fused langid+perplexity: one Arrow round trip and one shared
+    # tokenize/trigram-hash pass instead of two (udfs/textscore.py;
+    # bit-identical to with_langid + with_perplexity by the
+    # score_from_hashes contract)
+    out = with_text_scores(out)
     if with_audio:
-        out = with_audio_stats(out)
+        if with_audio_fp:
+            from .udfs.audio import with_audio_stats_and_fingerprint
+
+            out = with_audio_stats_and_fingerprint(out)
+        else:
+            out = with_audio_stats(out)
     if quality_model is not None:
         from .operators.qmodel import with_quality_score
 
@@ -450,6 +466,12 @@ def _dedup_kept_branch(
             kept_src, hist, "clip_id",
             max_hamming=cfg.dedup_audio_max_hamming,
             keep_flags=True,
+            # decode-once: score_clips already stamped audio_fp from the
+            # shared window materialization — reuse it instead of
+            # re-extracting (and, with a real decoder, re-decoding)
+            fp_col=(
+                "audio_fp" if "audio_fp" in kept_src.columns else None
+            ),
         )
         cached.append(new_fps)  # the operator's cached (id, fp) frame
         # the NEW side of a new-vs-history pair is the dup; for
@@ -790,7 +812,13 @@ def _run_shard(
     # -- CLEAN + SCORE + VALIDATE (one lazy DAG) -----------------------------
     t0 = time.time()
     flagged = flag_clips(
-        score_clips(df, cfg.with_audio, _load_quality_model(cfg)),
+        score_clips(
+            df, cfg.with_audio, _load_quality_model(cfg),
+            # decode-once: when --dedup-audio will mine the kept branch,
+            # the fingerprint rides the SAME window materialization as
+            # the stats (one decode per compressed payload per pass)
+            with_audio_fp=cfg.dedup_audio and cfg.with_audio,
+        ),
         cfg.with_audio,
     )
     if cfg.cache_flagged:
@@ -991,6 +1019,9 @@ def _run_shard(
             )
         log.record("dedup", "ok", t0, **dd)
         t0 = time.time()
+    # the decode-once fingerprint column is dedup-internal — it must
+    # not change the clips_clean schema (drop is a no-op when absent)
+    kept_src = kept_src.drop("audio_fp")
     if cfg.split_fractions is not None:
         from .operators.sampling import with_split
 

@@ -121,7 +121,7 @@ def build_streaming_flags(
     stream — batch reconciliation owns cross-window dups).
 
     Order matters twice here: (1) dedup runs on the RAW stream, before
-    the three pandas-UDF scorers, so duplicate copies never pay langid/
+    the pandas-UDF scorers, so duplicate copies never pay langid/
     perplexity/audio Arrow round-trips just to be discarded; (2) the
     dedup operator is dropDuplicatesWithinWatermark — plain
     dropDuplicates on a non-event-time subset would keep one state-store

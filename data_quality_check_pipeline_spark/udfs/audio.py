@@ -233,6 +233,11 @@ def _window_take_starts(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return take, w_start
 
 
+# per-process Hann window (deterministic; building it per batch cost a
+# fresh allocation + cos pass on every Arrow batch — r06)
+_HANN_F32 = np.hanning(_FFT_N)[None, None, :].astype(np.float32)
+
+
 def _reduce_windows(
     raw: np.ndarray, take: np.ndarray, rows: np.ndarray, n_rows: int
 ) -> tuple[np.ndarray, ...]:
@@ -256,11 +261,11 @@ def _reduce_windows(
     if raw.size == 0:
         return rms, clip_frac, snr_db, silence_frac, dyn_range_db
 
-    offs = np.arange(_FFT_N, dtype=np.int64)
-    mask = offs[None, None, :] < take[:, None, None]
     valid = (take * _N_WINDOWS).astype(np.float64)
 
-    clip_mask = (raw >= _CLIP_THRESHOLD) | (raw <= -_CLIP_THRESHOLD)
+    # |x| >= t <=> (x >= t) | (x <= -t) exactly for these int16-valued
+    # floats — one temp array instead of two compares + an or (r06)
+    clip_mask = np.abs(raw) >= _CLIP_THRESHOLD
     clip_frac[rows] = clip_mask.sum(axis=(1, 2)) / np.maximum(valid, 1.0)
     # per-window sum of squares once; clip RMS is its window sum (same
     # arithmetic as the former axis=(1,2) reduction, bit-for-bit)
@@ -280,10 +285,12 @@ def _reduce_windows(
         # concentrates in a few bins around the peak. float32 throughout:
         # pocketfft runs single-precision natively and the SNR is a ratio
         # of band powers; float64 doubles allocation churn per worker.
-        m = raw[fft_ok] * np.hanning(_FFT_N)[None, None, :].astype(
-            np.float32
-        )
-        m *= mask[fft_ok]
+        # No masking needed: positions >= take are exactly 0.0 in `raw`
+        # by construction (zeros-init + [:take] fill / np.where gather),
+        # so the former `m *= mask` multiplied by 1.0 everywhere it
+        # mattered — removed with the mask build itself (r06,
+        # bit-identical: 0 * hann == 0).
+        m = raw[fft_ok] * _HANN_F32
         spec = (
             (np.abs(np.fft.rfft(m, axis=2)) ** 2)
             .mean(axis=1)
@@ -406,7 +413,8 @@ def _parse_window_blobs(win_bytes: pd.Series, n_samples) -> tuple:
     take = np.zeros(rows.size, dtype=np.int64)
     if rows.size == 0:
         return raw, take, rows
-    blobs = [bytes(win_bytes.iloc[r]) for r in rows]
+    vals = win_bytes.to_numpy()  # one vector fetch, not per-row .iloc
+    blobs = [bytes(vals[r]) for r in rows]
     lens = np.array([len(b) for b in blobs], dtype=np.int64)
     for blob_len in np.unique(lens):
         idx = np.flatnonzero(lens == blob_len)
@@ -436,7 +444,7 @@ def _fingerprint_from_windows(raw: np.ndarray) -> np.ndarray:
     the single spectral-code implementation both the Spark UDF (JVM
     windows) and the full-payload oracle path run, so their parity
     reduces to the window extraction (integer-exact by construction)."""
-    m = raw * np.hanning(_FFT_N)[None, None, :].astype(np.float32)
+    m = raw * _HANN_F32
     spec = (
         (np.abs(np.fft.rfft(m, axis=2)) ** 2)
         .mean(axis=1)
@@ -621,13 +629,82 @@ def with_audio_fingerprint(
     (same discipline as with_audio_stats: payload never crosses to
     Python — except real compressed rows when a decoder is present,
     whose smallest faithful representation IS the compressed bytes)."""
-    win_bytes, n_samples = audio_window_exprs(bytes_col, codec)
+    df, win_bytes, n_samples, aw_tmp = with_audio_windows(
+        df, bytes_col, codec
+    )
     df, win_bytes, n_samples, tmp = _with_decoder_windows(
         df, bytes_col, codec, win_bytes, n_samples, decoder
     )
     return df.withColumn(
         out, audio_fingerprint_udf(win_bytes, n_samples)
-    ).drop(*tmp)
+    ).drop(*tmp, *aw_tmp)
+
+
+# Hidden prelude columns for the window extraction (see
+# with_audio_windows): materializing (hdr, usable) once keeps the
+# _win/n_samples projection from re-deriving the magic-check CASE
+# chains inside every one of the 4 substring starts — CollapseProject
+# leaves the split alone (non-cheap expressions, multiply referenced),
+# and codegen's conditional branches defeat subexpression elimination
+# otherwise. Measured r06: clean+window-extract noop 2.12 s -> 1.36 s
+# at 60k clips, byte-identical _win/n_samples.
+_AW_HDR = "__aw_hdr"
+_AW_USABLE = "__aw_usable"
+
+
+def _audio_prelude_exprs(bytes_col: str = "bytes", codec: str = "codec"):
+    """(hdr, usable) Columns — the shared magic-check + usable-length
+    derivation both window expressions reference."""
+    b = F.col(bytes_col)
+    c = F.lower(F.trim(F.col(codec)))
+    blen = F.length(b).cast("long")
+    hdr = F.lit(0).cast("long")
+    undecodable = F.lit(False)
+    for name, magic in FAKE_MAGIC.items():
+        is_c = c == name
+        match = F.substring(b, 1, len(magic)) == F.lit(magic)
+        hdr = F.when(
+            is_c & match, F.lit(len(magic)).cast("long")
+        ).otherwise(hdr)
+        undecodable = undecodable | (is_c & ~match)
+    data_len = F.greatest(blen - hdr, F.lit(0).cast("long"))
+    usable = data_len - data_len % 2
+    usable = F.when(
+        b.isNull() | undecodable, F.lit(0).cast("long")
+    ).otherwise(usable)
+    return hdr, usable
+
+
+def _windows_from_prelude(bytes_col: str, hdr, usable):
+    """(win_bytes, n_samples) from materialized (hdr, usable) —
+    identical arithmetic to audio_window_exprs, which inlines the same
+    subexpressions instead."""
+    b = F.col(bytes_col)
+    n_samples = (usable / 2).cast("int")
+    win_b = _FFT_N * 2
+    take = F.least(usable, F.lit(win_b).cast("long"))
+    span = usable - take
+    wins = []
+    for i in range(_N_WINDOWS):
+        start = F.floor(span * i / (_N_WINDOWS - 1)).cast("long")
+        start = start - start % 2
+        wins.append(
+            F.substring(b, (hdr + start + 1).cast("int"), win_b)
+        )
+    win_bytes = F.when(usable > 0, F.concat(*wins))
+    return win_bytes, n_samples
+
+
+def with_audio_windows(df, bytes_col: str = "bytes", codec: str = "codec"):
+    """Two-projection window extraction: project (hdr, usable) once,
+    derive (win_bytes, n_samples) from the materialized attributes.
+    Returns ``(df_with_prelude, win_bytes, n_samples, cols_to_drop)``."""
+    hdr, usable = _audio_prelude_exprs(bytes_col, codec)
+    df = df.withColumns({_AW_HDR: hdr, _AW_USABLE: usable})
+    win_bytes, n_samples = _windows_from_prelude(
+        bytes_col, F.col(_AW_HDR), F.col(_AW_USABLE)
+    )
+    return df, win_bytes, n_samples, [_AW_HDR, _AW_USABLE]
 
 
 def audio_window_exprs(bytes_col: str = "bytes", codec: str = "codec"):
@@ -645,6 +722,10 @@ def audio_window_exprs(bytes_col: str = "bytes", codec: str = "codec"):
     span_samples*i/(W-1)) — bit-identical to the oracle's sample-domain
     gather (_window_take_starts). All four substrings return equal length
     (min(usable, _FFT_N*2)), so the Python side can split the blob evenly.
+
+    Single-projection form (expression-only callers); the pipeline paths
+    use with_audio_windows, which materializes the shared (hdr, usable)
+    prelude once instead of re-deriving it per substring (r06).
     """
     b = F.col(bytes_col)
     c = F.lower(F.trim(F.col(codec)))
@@ -691,7 +772,8 @@ def with_audio_stats(
     stays reference-pinned). n_samples is computed JVM-side; only the
     Welch windows cross to Python (one Arrow round-trip of ~16 KB/clip),
     and the new signals ride the SAME windows — no extra transfer, still
-    exactly three pandas UDFs in the hot path. The ``bytes`` column is
+    exactly two pandas UDFs in the hot path (textscore + this). The
+    ``bytes`` column is
     only read here — column pruning keeps it out of every other stage's
     scan.
 
@@ -700,7 +782,9 @@ def with_audio_stats(
     sandbox, leaving the plan bit-identical — and a callable routes
     real compressed rows through make_decode_windows_udf so flac/opus/
     mp3 clips SCORE instead of quarantining."""
-    win_bytes, n_samples = audio_window_exprs(bytes_col, codec)
+    df, win_bytes, n_samples, aw_tmp = with_audio_windows(
+        df, bytes_col, codec
+    )
     df, win_bytes, n_samples, tmp = _with_decoder_windows(
         df, bytes_col, codec, win_bytes, n_samples, decoder
     )
@@ -720,5 +804,56 @@ def with_audio_stats(
                 "dyn_range_db": F.col("_ast.dyn_range_db"),
             }
         )
-        .drop("_ast", "_win", *tmp)
+        .drop("_ast", "_win", *tmp, *aw_tmp)
+    )
+
+
+def with_audio_stats_and_fingerprint(
+    df, bytes_col: str = "bytes", codec: str = "codec",
+    fp_out: str = "audio_fp", decoder="auto",
+):
+    """Stats AND the 64-bit spectral fingerprint from ONE window
+    materialization (the r05 decode-twice fix): the JVM window
+    extraction — and, when a real decoder is present, the decode UDF —
+    runs once, and both consuming UDFs read the SAME shared
+    ``(_win, n_samples)`` columns. A pipeline scoring clips and audio-
+    near-dup-mining them (``--dedup-audio``) previously attached
+    independent window/decode columns per operator, so every real-
+    compressed payload decoded twice per pass; decode is the dominant
+    cost center for compressed corpora, making that an honest 2x on
+    exactly the expensive path.
+
+    Plan contract (tested): exactly ONE decode-UDF node when a decoder
+    is present, and the decoder callable is invoked once per
+    real-compressed row per pass. Output columns = with_audio_stats's
+    plus ``fp_out``; each column is bit-identical to running the two
+    operators separately (shared extraction + shared reductions)."""
+    df, win_bytes, n_samples, aw_tmp = with_audio_windows(
+        df, bytes_col, codec
+    )
+    df, win_bytes, n_samples, tmp = _with_decoder_windows(
+        df, bytes_col, codec, win_bytes, n_samples, decoder
+    )
+    return (
+        df.withColumns(
+            {"_win": win_bytes, "n_samples": n_samples}
+        )
+        .withColumn(
+            "_ast",
+            audio_stats_windows_udf(F.col("_win"), F.col("n_samples")),
+        )
+        .withColumn(
+            fp_out,
+            audio_fingerprint_udf(F.col("_win"), F.col("n_samples")),
+        )
+        .withColumns(
+            {
+                "rms": F.col("_ast.rms"),
+                "clip_frac": F.col("_ast.clip_frac"),
+                "snr_db": F.col("_ast.snr_db"),
+                "silence_frac": F.col("_ast.silence_frac"),
+                "dyn_range_db": F.col("_ast.dyn_range_db"),
+            }
+        )
+        .drop("_ast", "_win", *tmp, *aw_tmp)
     )

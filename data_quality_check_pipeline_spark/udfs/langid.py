@@ -101,8 +101,18 @@ class LangIdModel:
     def score(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """Return (lang index int64, confidence float32) per row."""
         big, lengths = encode_batch(texts)
-        n_rows = int(lengths.size)
         hashes, row_ids = trigram_hashes(big, lengths)
+        return self.score_from_hashes(
+            texts, hashes, row_ids, int(lengths.size)
+        )
+
+    def score_from_hashes(
+        self, texts, hashes, row_ids, n_rows: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Score from precomputed trigram hashes — the shared-tokenization
+        entry the fused langid+perplexity UDF uses so one encode_batch +
+        trigram_hashes pass feeds both models (udfs/textscore.py).
+        Identical arithmetic to score(); score() is just encode + this."""
         scores = np.zeros((n_rows, len(LANGS)), dtype=np.float64)
         if hashes.size:
             vals = self.log_probs[hashes].astype(np.float64)  # (T, L)

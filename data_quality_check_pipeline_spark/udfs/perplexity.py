@@ -55,8 +55,13 @@ class PerplexityModel:
 
     def score(self, texts) -> np.ndarray:
         big, lengths = encode_batch(texts)
-        n_rows = int(lengths.size)
         hashes, row_ids = trigram_hashes(big, lengths)
+        return self.score_from_hashes(hashes, row_ids, int(lengths.size))
+
+    def score_from_hashes(self, hashes, row_ids, n_rows: int) -> np.ndarray:
+        """Score from precomputed trigram hashes (see
+        LangIdModel.score_from_hashes — the fused-UDF tokenization-sharing
+        contract). Identical arithmetic to score()."""
         if hashes.size == 0:
             return np.full(n_rows, _EMPTY_SCORE, dtype=np.float32)
         vals = self.neg_log_probs[hashes]

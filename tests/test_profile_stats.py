@@ -911,3 +911,44 @@ class TestQuantileEdgesFromHistory:
         )
         with pytest.raises(ValueError, match="no non-null"):
             quantile_edges_from_history(nulls, "score", 4)
+
+
+class TestExactPercentiles:
+    """exact_percentiles must be bit-identical to Spark's builtin
+    percentile aggregate on both code paths (builtin fallback under
+    100k rows, distributed rank-pick above)."""
+
+    def _builtin(self, df, col, ps):
+        row = df.filter(F.col(col).isNotNull()).agg(
+            F.expr(
+                f"percentile({col}, array({','.join(map(str, ps))}))"
+            ).alias("q")
+        ).collect()[0]
+        return [float(x) for x in row["q"]]
+
+    def test_rank_pick_matches_builtin_with_ties_and_nulls(self, spark):
+        from data_quality_check_pipeline_spark.operators.stats import (
+            exact_percentiles,
+        )
+
+        rng = np.random.RandomState(7)
+        # 120k rows forces the rank-pick path; quantized values force
+        # ties across partition boundaries; some nulls
+        vals = np.round(rng.normal(100.0, 25.0, 120_000), 1).tolist()
+        rows = [(float(v),) for v in vals] + [(None,)] * 500
+        df = spark.createDataFrame(rows, "x double").repartition(16)
+        ps = (0.25, 0.5, 0.75)
+        got = exact_percentiles(df, "x", ps)
+        ref = self._builtin(df, "x", ps)
+        assert got == ref  # bit-exact, not approx
+
+    def test_small_input_falls_back_to_builtin(self, spark):
+        from data_quality_check_pipeline_spark.operators.stats import (
+            exact_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(101)], "x double"
+        )
+        got = exact_percentiles(df, "x", (0.25, 0.5, 0.75))
+        assert got == [25.0, 50.0, 75.0]

@@ -99,6 +99,70 @@ class TestPerplexity:
             assert got[t] == pytest.approx(float(p), abs=0)
 
 
+class TestFusedTextScore:
+    """textscore.py: the fused langid+perplexity UDF must be
+    bit-identical to running the two standalone scorers (the
+    score_from_hashes contract score_clips now relies on)."""
+
+    def test_local_parity_bitexact(self):
+        from data_quality_check_pipeline_spark.udfs.textscore import (
+            classify_and_score,
+        )
+
+        texts = (
+            list(SENTENCES.values())
+            + [None, "", "ab", "qxzjv kwfbg hyqxz jvkwf"]
+        ) * 2
+        fused = classify_and_score(texts)
+        lid = classify(texts)
+        ppl = score_texts(texts)
+        assert list(fused["lang"]) == list(lid["lang"])
+        np.testing.assert_array_equal(
+            fused["lang_conf"].to_numpy(), lid["lang_conf"].to_numpy()
+        )
+        np.testing.assert_array_equal(fused["ppl"].to_numpy(), ppl)
+
+    def test_spark_matches_local(self, spark):
+        from data_quality_check_pipeline_spark.udfs.textscore import (
+            classify_and_score,
+            with_text_scores,
+        )
+
+        texts = list(SENTENCES.values())
+        df = spark.createDataFrame(
+            [(t,) for t in texts], "transcript string"
+        ).repartition(3)
+        got = {
+            r["transcript"]: (r["lang"], r["lang_conf"], r["ppl"])
+            for r in with_text_scores(df).collect()
+        }
+        local = classify_and_score(texts)
+        for t, lang, conf, p in zip(
+            texts, local["lang"], local["lang_conf"], local["ppl"]
+        ):
+            assert got[t][0] == lang
+            assert got[t][1] == pytest.approx(float(conf), abs=0)
+            assert got[t][2] == pytest.approx(float(p), abs=0)
+
+    def test_single_arrow_stage_in_plan(self, spark):
+        """The fused scorer must appear as ONE ArrowEvalPython node
+        evaluating one UDF — the round-trip-halving is the point."""
+        from data_quality_check_pipeline_spark.udfs.textscore import (
+            with_text_scores,
+        )
+
+        df = spark.createDataFrame([("hello world",)], "transcript string")
+        plan = (
+            with_text_scores(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1
+        assert plan.count("langid_ppl_udf") >= 1
+        assert "perplexity_udf" not in plan
+
+
 def sine_pcm(n=8000, sr=8000, freq=440.0, amp=9000.0, noise=0.0, seed=0):
     rng = np.random.RandomState(seed)
     t = np.arange(n) / sr
@@ -734,6 +798,117 @@ class TestRealCodecAdapter:
         row = score_clips(df).collect()[0]
         assert row["n_samples"] == 16000  # scored, not quarantined
         assert row["snr_db"] > 30.0
+
+
+class TestDecodeOnceCombined:
+    """with_audio_stats_and_fingerprint (the r05 decode-twice fix):
+    stats + fingerprint from ONE shared window materialization —
+    bit-identical columns, exactly one decode-UDF node in the plan,
+    and the decoder invoked once per real-compressed row per pass."""
+
+    def _rows(self):
+        return [
+            ("pcm", sine_pcm(seed=1).tobytes(), "pcm_s16le"),
+            ("fake", FAKE_MAGIC["flac"] + sine_pcm(seed=2).tobytes(),
+             "flac"),
+            ("real_flac", real_payload(
+                sine_pcm(seed=3, amp=9000.0, noise=90.0), "flac"
+            ), "flac"),
+            ("real_opus", real_payload(
+                sine_pcm(seed=4, amp=9000.0, noise=90.0), "opus"
+            ), "opus"),
+            ("corrupt", b"\x00\x01\x02\x03" * 100, "mp3"),
+            ("nullrow", None, "mp3"),
+        ]
+
+    def test_matches_separate_operators_bitexact(self, spark):
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            with_audio_fingerprint,
+            with_audio_stats,
+            with_audio_stats_and_fingerprint,
+        )
+
+        df = spark.createDataFrame(
+            self._rows(), "clip_id string, bytes binary, codec string"
+        )
+        combined = {
+            r["clip_id"]: r
+            for r in with_audio_stats_and_fingerprint(
+                df, decoder=injected_decoder
+            ).collect()
+        }
+        stats = {
+            r["clip_id"]: r
+            for r in with_audio_stats(
+                df, decoder=injected_decoder
+            ).collect()
+        }
+        fps = {
+            r["clip_id"]: r["audio_fp"]
+            for r in with_audio_fingerprint(
+                df, decoder=injected_decoder
+            ).collect()
+        }
+        for cid in combined:
+            for c in ("n_samples", "rms", "clip_frac", "snr_db",
+                      "silence_frac", "dyn_range_db"):
+                assert combined[cid][c] == stats[cid][c], (cid, c)
+            assert combined[cid]["audio_fp"] == fps[cid], cid
+
+    def test_single_decode_udf_node_in_plan(self, spark):
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            with_audio_stats_and_fingerprint,
+        )
+
+        df = spark.createDataFrame(
+            self._rows(), "clip_id string, bytes binary, codec string"
+        )
+        plan = (
+            with_audio_stats_and_fingerprint(df, decoder=injected_decoder)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("decode_windows(") == 1, plan
+
+    def test_decoder_invoked_once_per_real_row(self, spark, tmp_path):
+        """Count actual decoder calls (each call appends one line to a
+        shared file — the python workers run on this host): the
+        combined operator decodes each real-compressed row ONCE, where
+        the two separate operators decode it twice."""
+        from data_quality_check_pipeline_spark.udfs.audio import (
+            with_audio_fingerprint,
+            with_audio_stats,
+            with_audio_stats_and_fingerprint,
+        )
+
+        marker = str(tmp_path / "decode_calls.log")
+
+        def counting_decoder(payload: bytes, codec: str):
+            import numpy as _np
+
+            with open(marker, "a") as f:
+                f.write("x\n")
+            magic = b"REAL" + codec[:4].encode().ljust(4, b"_")
+            if payload[: len(magic)] != magic:
+                raise ValueError(f"not a {codec} stream")
+            return _np.frombuffer(payload[len(magic):], dtype="<i2")
+
+        rows = [r for r in self._rows() if r[0].startswith("real")]
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, codec string"
+        )
+        with_audio_stats_and_fingerprint(
+            df, decoder=counting_decoder
+        ).collect()
+        once = sum(1 for _ in open(marker))
+        assert once == len(rows), "combined pass must decode each row once"
+        # the old two-operator composition decodes twice
+        open(marker, "w").close()
+        with_audio_stats(df, decoder=counting_decoder).collect()
+        with_audio_fingerprint(df, decoder=counting_decoder).collect()
+        twice = sum(1 for _ in open(marker))
+        assert twice == 2 * len(rows)
 
 
 class TestDecoderBackends:
