@@ -457,10 +457,36 @@ def importance_resample(
         raise ValueError(f"mode must be top_k|threshold, got {mode!r}")
     if keep_frac is not None and mode != "threshold":
         raise ValueError("keep_frac requires mode='threshold'")
-    weights = importance_weights(
-        corpus, target, id_col, text_col, target_text_col, ks, n_features,
-        smoothing, log_ratio, stats_out,
-    )
+    if log_ratio is None:
+        # share ONE corpus explode between the model histogram and the
+        # per-doc scoring (r06): without this the corpus-sized
+        # tokenize+gram+explode pipeline ran twice — once under
+        # feature_hist(corpus) and once under importance_weights. The
+        # persisted frame is (id, feat) — two narrow columns.
+        from pyspark import StorageLevel
+
+        exploded = _exploded_feats(
+            corpus, text_col, ks, n_features,
+            extra_cols=(F.col(id_col),),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        corpus_hist = exploded.groupBy("feat").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        log_ratio = log_ratio_from_hists(
+            feature_hist(target, target_text_col or text_col, ks,
+                         n_features),
+            corpus_hist, n_features, smoothing, stats_out,
+        )
+        weights = (
+            exploded.join(F.broadcast(log_ratio), "feat")
+            .groupBy(id_col)
+            .agg(F.sum("log_ratio").alias("logw"))
+        )
+    else:
+        weights = importance_weights(
+            corpus, target, id_col, text_col, target_text_col, ks,
+            n_features, smoothing, log_ratio, stats_out,
+        )
     keyed = weights.select(
         id_col, _gumbel_key(id_col, seed, temperature).alias("_key")
     )

@@ -113,7 +113,14 @@ def _bucket_expr(
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        # one F.expr per plane instead of `dim` py4j F.lit calls — same
+        # shortest-round-trip doubles, ~1/dim the driver-side plan-build
+        # cost (the _cents_lit rationale, r06)
+        plane = F.expr(
+            "array("
+            + ",".join(f"{float(v)!r}d" for v in planes[i])
+            + ")"
+        )
         bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
@@ -408,9 +415,18 @@ def ivf_centroids(
 
 
 def _cents_lit(cents: list[list[float]]) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    """Literal array<array<double>> codebook in ONE expression call.
+
+    Building it as nested F.array(F.lit(...)) costs one py4j round trip
+    per element — ~0.5 s of driver time per query for an 8x64 codebook
+    referenced twice (r06 measurement); a single F.expr with 'd'-suffixed
+    double literals is one call. repr() is shortest-round-trip, so the
+    parsed doubles are bit-identical to the F.lit path."""
+    body = ",".join(
+        "array(" + ",".join(f"{float(x)!r}d" for x in c) + ")"
+        for c in cents
     )
+    return F.expr(f"array({body})")
 
 
 def with_ivf_cell(

@@ -78,12 +78,28 @@ SAMPLES_DUR_TOL = 0.20  # |n_samples/sr - dur/1000| / (dur/1000) tolerance
 # the output. Measured r06: the flags projection over 60k clips fell
 # from ~2.3 s to ~0.6 s. Only built for the default 'transcript' column;
 # non-default callers keep the self-contained inline expressions.
+# null_bytes gets its own PRE-UDF helper (stamped by score_clips before
+# the Arrow scorer stage, backfilled by with_flags when absent): the
+# rule was the ONLY post-UDF consumer of the wide `bytes` payload, and
+# one boolean column computed early lets Catalyst prune the blobs out of
+# the Python-eval row queue — the queue otherwise buffers every input
+# row (payload included) while awaiting UDF results (r06; the payload is
+# ~50 KB/clip vs 1 byte).
+_H_NULL_BYTES = "__vr_null_bytes"
+
 _H_MISSING = "__vr_missing"
 _H_NCHARS = "__vr_n_chars"
 _H_NTOKS = "__vr_n_toks"
 _H_NDISTINCT = "__vr_n_distinct"
 _H_NSYM = "__vr_n_sym"
 _HELPER_COLS = (_H_MISSING, _H_NCHARS, _H_NTOKS, _H_NDISTINCT, _H_NSYM)
+
+
+def null_bytes_expr(bytes_col: str = "bytes"):
+    """The null_bytes rule's payload test — stamped as _H_NULL_BYTES
+    before the UDF stage (score_clips) so the payload prunes out of the
+    Python-eval passthrough."""
+    return F.col(bytes_col).isNull() | (F.length(bytes_col) == 0)
 
 
 def rule_prelude_cols(transcript: str = "transcript") -> dict:
@@ -145,8 +161,12 @@ def heuristic_rules(
 
     return [
         Rule("null_clip_id", "CRITICAL", null_or_empty(clip_id)),
-        Rule("null_bytes", "CRITICAL",
-             F.col(bytes_col).isNull() | (F.length(bytes_col) == 0)),
+        Rule(
+            "null_bytes", "CRITICAL",
+            F.col(_H_NULL_BYTES) if bytes_col == "bytes"
+            else F.col(bytes_col).isNull()
+            | (F.length(bytes_col) == 0),
+        ),
         Rule("empty_transcript", "HIGH", missing),
         Rule(
             "bad_sr_hz",
@@ -283,13 +303,18 @@ def with_flags(df: DataFrame, rules: list[Rule]) -> DataFrame:
     has_transcript = "transcript" in df.columns
     if has_transcript:
         df = df.withColumns(rule_prelude_cols())
+    if _H_NULL_BYTES not in df.columns and "bytes" in df.columns:
+        # backfill for callers that did not stamp it pre-UDF
+        # (score_clips does — see null_bytes_helper_col)
+        df = df.withColumn(_H_NULL_BYTES, null_bytes_expr())
     out = df.withColumns(
         {
             "reasons": reasons_expr(rules),
             "severity": severity_expr(rules),
         }
     ).withColumn("keep", F.array_size(F.col("reasons")) == 0)
-    return out.drop(*_HELPER_COLS) if has_transcript else out
+    drops = list(_HELPER_COLS) + [_H_NULL_BYTES]
+    return out.drop(*drops) if has_transcript else out.drop(_H_NULL_BYTES)
 
 
 def with_duplicate_flag(

@@ -296,6 +296,15 @@ def score_clips(
 
     out = clean_clips(df)
     out = out.withColumn("speech_rate", speech_rate_expr())
+    if "bytes" in out.columns:
+        from .operators.validate import _H_NULL_BYTES, null_bytes_expr
+
+        # stamp the null_bytes rule's boolean BEFORE the Arrow scorer
+        # stage: the rule was the only post-UDF reader of the wide
+        # payload, and this one byte per row lets Catalyst prune `bytes`
+        # out of the Python-eval row queue for analytic consumers that
+        # never land the audio (with_flags drops the helper) — r06
+        out = out.withColumn(_H_NULL_BYTES, null_bytes_expr())
     # fused langid+perplexity: one Arrow round trip and one shared
     # tokenize/trigram-hash pass instead of two (udfs/textscore.py;
     # bit-identical to with_langid + with_perplexity by the
