@@ -65,8 +65,8 @@ def clips() -> None:
         score_clips,
     )
     from data_quality_check_pipeline_spark.udfs.audio import (
-        audio_window_exprs,
         with_audio_stats,
+        with_audio_windows,
     )
     from data_quality_check_pipeline_spark.udfs.langid import with_langid
     from data_quality_check_pipeline_spark.udfs.perplexity import (
@@ -81,17 +81,17 @@ def clips() -> None:
     def scan():
         return spark.read.parquet(path)
 
-    win_b, ns = audio_window_exprs()
+    def win_extract():
+        df, win_b, ns, tmp = with_audio_windows(clean_clips(scan()))
+        return df.withColumns({"_win": win_b, "n_samples": ns}).drop(
+            "bytes", *tmp
+        )
 
     ladder = {
         "scan_all_cols": lambda: noop(scan()),
         "scan_no_bytes": lambda: noop(scan().drop("bytes")),
         "clean_only": lambda: noop(clean_clips(scan())),
-        "win_extract_only": lambda: noop(
-            clean_clips(scan()).withColumns(
-                {"_win": win_b, "n_samples": ns}
-            ).drop("bytes")
-        ),
+        "win_extract_only": lambda: noop(win_extract()),
         "langid_only": lambda: noop(
             with_langid(clean_clips(scan()).drop("bytes"))
         ),
