@@ -44,6 +44,14 @@ _SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # decompression-bomb guard: refuse before allocating anything sized by
 # an attacker-controlled IHDR (Pillow's MAX_IMAGE_PIXELS analogue)
+# NOTE (r05 ADVICE): this cap bounds MEMORY, not decode TIME. The
+# Average/Paeth filter reconstructions below are per-byte pure-Python
+# loops, so a legal-size adversarial Paeth-heavy PNG near the cap costs
+# ~3e8 interpreted iterations in the Pillow-less fallback — a CPU-DoS
+# vector. Deployments decoding untrusted images without Pillow should
+# lower this (the Pillow path can keep 100M) and/or enforce a per-clip
+# decode timeout upstream; the number is a module constant precisely so
+# operators can pin it down.
 _MAX_PIXELS = 100_000_000
 
 

@@ -169,12 +169,22 @@ def configure_from_env(env=None) -> int:
     smtp_from = env.get("CLIP_QUALITY_SMTP_FROM")
     smtp_to = env.get("CLIP_QUALITY_SMTP_TO")
     if smtp_host and smtp_from and smtp_to:
-        # host[:port]; only a trailing :digits is a port, so bare IPv6
-        # literals ('::1') pass through intact
+        # host[:port]. A trailing :digits only counts as a port when the
+        # host part contains no OTHER colon — a bare IPv6 literal whose
+        # last group is decimal ('::1', '2001:db8::5') would otherwise
+        # be split into host '::' + port 1 (r05 ADVICE). Bracketed
+        # '[addr]:port' passes the address through unbracketed.
         host, port = smtp_host, ""
-        h, sep, p = smtp_host.rpartition(":")
-        if sep and p.isdigit():
-            host, port = h, p
+        if smtp_host.startswith("["):
+            addr, sep, rest = smtp_host[1:].partition("]")
+            if sep:
+                host = addr
+                if rest.startswith(":") and rest[1:].isdigit():
+                    port = rest[1:]
+        else:
+            h, sep, p = smtp_host.rpartition(":")
+            if sep and p.isdigit() and ":" not in h:
+                host, port = h, p
         SINKS["email"] = smtp_sink(
             host,
             smtp_from,

@@ -270,6 +270,40 @@ class TestNotify:
             srv.shutdown()
             srv.server_close()
 
+    def test_smtp_host_parse_ipv6_and_brackets(self, monkeypatch):
+        """host[:port] parsing (r05 ADVICE): a bare IPv6 literal whose
+        last group is decimal must NOT be split into host+port; only a
+        single-colon host:digits or a bracketed [addr]:port is."""
+        from data_quality_check_pipeline_spark import notify as notify_mod
+
+        seen = {}
+
+        def fake_smtp_sink(host, from_addr, to_addrs, port=25, **kw):
+            seen["host"], seen["port"] = host, port
+            return lambda *a, **k: None
+
+        monkeypatch.setattr(notify_mod, "smtp_sink", fake_smtp_sink)
+        base = {
+            "CLIP_QUALITY_SMTP_FROM": "a@example.com",
+            "CLIP_QUALITY_SMTP_TO": "b@example.com",
+        }
+        for host_env, want_host, want_port in [
+            ("::1", "::1", 25),
+            ("2001:db8::5", "2001:db8::5", 25),
+            ("mail.example.com:2525", "mail.example.com", 2525),
+            ("127.0.0.1:587", "127.0.0.1", 587),
+            ("[2001:db8::5]:2525", "2001:db8::5", 2525),
+            ("[::1]", "::1", 25),
+            ("mail.example.com", "mail.example.com", 25),
+        ]:
+            notify_mod.configure_from_env(
+                {**base, "CLIP_QUALITY_SMTP_HOST": host_env}
+            )
+            assert (seen["host"], seen["port"]) == (
+                want_host, want_port,
+            ), host_env
+        SINKS.pop("email", None)
+
 
 class TestMetrics:
     def test_prometheus_flatten(self):
