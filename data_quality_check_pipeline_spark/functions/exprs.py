@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .colmemo import memo_cols
+
 # ---------------------------------------------------------------------------
 # Domain constants (graft: audio clip + transcript pairs)
 # ---------------------------------------------------------------------------
@@ -66,6 +68,7 @@ def norm_text(c: Column | str) -> Column:
     return F.regexp_replace(F.trim(col), r"\s+", " ")
 
 
+@memo_cols
 def speech_rate_expr(
     transcript: Column | str = "transcript",
     dur_ms: Column | str = "dur_ms",
@@ -99,6 +102,7 @@ def speech_rate_expr(
 # ---------------------------------------------------------------------------
 
 
+@memo_cols
 def scrub_expr(c: Column | str) -> Column:
     """Fixed-order scrub: email -> phone -> ssn -> toxicity lexicon.
 
@@ -114,6 +118,7 @@ def scrub_expr(c: Column | str) -> Column:
     return out
 
 
+@memo_cols
 def pii_type_counts_exprs(c: Column | str) -> dict[str, Column]:
     """Per-PII-type match counts prior to scrubbing, as one Column per type
     (parity: reference pii_detector.py:168-176 reports emails / phones /
@@ -135,6 +140,7 @@ def pii_type_counts_exprs(c: Column | str) -> dict[str, Column]:
     }
 
 
+@memo_cols
 def pii_hits_expr(c: Column | str) -> Column:
     """Total PII/toxicity match count prior to scrubbing (cell-level counter,
     mirroring the reference's per-cell masking stats, src/masker.py:115-146).
@@ -165,12 +171,14 @@ def _guard(col: Column, masked: Column) -> Column:
     return F.when(null_or_empty(col), col).otherwise(masked)
 
 
+@memo_cols
 def mask_name(c: Column | str) -> Column:
     """'John' -> 'J***' (src/masker.py:49-57)."""
     col = F.col(c) if isinstance(c, str) else c
     return _guard(col, F.concat(F.substring(col, 1, 1), F.lit("***")))
 
 
+@memo_cols
 def mask_email(c: Column | str) -> Column:
     """'john@gmail.com' -> 'j***@gmail.com'; no-@ passthrough
     (src/masker.py:59-72)."""
@@ -181,6 +189,7 @@ def mask_email(c: Column | str) -> Column:
     return _guard(col, F.when(col.contains("@"), masked).otherwise(col))
 
 
+@memo_cols
 def mask_phone(c: Column | str) -> Column:
     """Keep last 4 digits: '555-123-4567' -> '***-***-4567'
     (src/masker.py:74-83)."""
@@ -188,12 +197,14 @@ def mask_phone(c: Column | str) -> Column:
     return _guard(col, F.concat(F.lit("***-***-"), F.substring(col, -4, 4)))
 
 
+@memo_cols
 def mask_address(c: Column | str) -> Column:
     """Whole value -> '[MASKED ADDRESS]' (src/masker.py:85-93)."""
     col = F.col(c) if isinstance(c, str) else c
     return _guard(col, F.lit("[MASKED ADDRESS]"))
 
 
+@memo_cols
 def mask_dob(c: Column | str) -> Column:
     """Keep year: '1985-03-15' -> '1985-**-**' (src/masker.py:95-103)."""
     col = F.col(c) if isinstance(c, str) else c

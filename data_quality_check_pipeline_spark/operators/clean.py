@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.colmemo import memo_cols
 from ..functions.exprs import norm_text, null_or_empty
 
 # ---------------------------------------------------------------------------
@@ -19,6 +20,7 @@ from ..functions.exprs import norm_text, null_or_empty
 # ---------------------------------------------------------------------------
 
 
+@memo_cols
 def clips_cleaning_exprs() -> dict[str, Column]:
     """column -> cleaned expression for the clips table; shared by the
     cleaning projection and the cleaning-log counters so the log always
@@ -49,6 +51,7 @@ def clean_clips(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@memo_cols
 def clean_phone(c: Column | str) -> Column:
     """Strip non-digits; 10 digits -> XXX-XXX-XXXX; 11 digits starting with
     1 -> drop country code; else passthrough (cleaner.py:50-78)."""
@@ -69,6 +72,7 @@ def clean_phone(c: Column | str) -> Column:
     )
 
 
+@memo_cols
 def clean_date(c: Column | str, fmts: list[str] | None = None) -> Column:
     """Literal 'invalid_date' -> NULL; parse alternate formats -> ISO string;
     a value matching NO format passes through UNCHANGED (cleaner.py:92-127
@@ -86,12 +90,14 @@ def clean_date(c: Column | str, fmts: list[str] | None = None) -> Column:
     )
 
 
+@memo_cols
 def clean_name(c: Column | str) -> Column:
     """Title-case (cleaner.py:132-157)."""
     col = F.col(c) if isinstance(c, str) else c
     return F.when(null_or_empty(col), col).otherwise(F.initcap(F.trim(col)))
 
 
+@memo_cols
 def clean_email(c: Column | str) -> Column:
     """Lowercase (cleaner.py:162-186)."""
     col = F.col(c) if isinstance(c, str) else c

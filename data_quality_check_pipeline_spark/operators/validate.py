@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.colmemo import memo_cols, memoized_cols
 from ..functions.exprs import (
     ALLOWED_CODECS,
     ALLOWED_SR_HZ,
@@ -95,6 +96,7 @@ _H_NSYM = "__vr_n_sym"
 _HELPER_COLS = (_H_MISSING, _H_NCHARS, _H_NTOKS, _H_NDISTINCT, _H_NSYM)
 
 
+@memo_cols
 def null_bytes_expr(bytes_col: str = "bytes"):
     """The null_bytes rule's payload test — stamped as _H_NULL_BYTES
     before the UDF stage (score_clips) so the payload prunes out of the
@@ -102,6 +104,7 @@ def null_bytes_expr(bytes_col: str = "bytes"):
     return F.col(bytes_col).isNull() | (F.length(bytes_col) == 0)
 
 
+@memo_cols
 def rule_prelude_cols(transcript: str = "transcript") -> dict:
     """The shared transcript-derived helper columns (see _HELPER_COLS):
     one trim, one split, one regexp_replace per row, shared by every
@@ -117,6 +120,7 @@ def rule_prelude_cols(transcript: str = "transcript") -> dict:
     }
 
 
+@memo_cols
 def heuristic_rules(
     transcript: str = "transcript",
     sr_hz: str = "sr_hz",
@@ -209,6 +213,7 @@ def heuristic_rules(
     ]
 
 
+@memo_cols
 def model_rules(
     lang: str = "lang",
     lang_conf: str = "lang_conf",
@@ -253,10 +258,15 @@ def model_rules(
 AUDIO_RULE_NAMES = ("clipped_audio", "truncated_audio")
 
 
+@memo_cols
 def active_rules(with_audio: bool = True) -> list[Rule]:
     """The full heuristic+model rule set, minus the audio-column rules
     when the audio scorer is off. Single source of truth for
-    pipeline.flag_clips and streaming.build_streaming_flags."""
+    pipeline.flag_clips and streaming.build_streaming_flags.
+
+    Memoized per session (colmemo): the SAME list object returns on
+    every call — treat it as immutable. Stable identity is what lets
+    with_flags memoize the compiled reasons/severity trees by id()."""
     return heuristic_rules() + [
         r
         for r in model_rules()
@@ -307,10 +317,18 @@ def with_flags(df: DataFrame, rules: list[Rule]) -> DataFrame:
         # backfill for callers that did not stamp it pre-UDF
         # (score_clips does — see null_bytes_helper_col)
         df = df.withColumn(_H_NULL_BYTES, null_bytes_expr())
+    # compiled-tree memo keyed by the rule list's id(): sound because
+    # the memo value pins the list (its id cannot be recycled while the
+    # entry lives), and the hot callers pass the session-stable
+    # active_rules() object so the key set stays bounded
+    reasons, severity = memoized_cols(
+        ("compiled_flag_exprs", id(rules)),
+        lambda: (rules, reasons_expr(rules), severity_expr(rules)),
+    )[1:]
     out = df.withColumns(
         {
-            "reasons": reasons_expr(rules),
-            "severity": severity_expr(rules),
+            "reasons": reasons,
+            "severity": severity,
         }
     ).withColumn("keep", F.array_size(F.col("reasons")) == 0)
     drops = list(_HELPER_COLS) + [_H_NULL_BYTES]
@@ -349,13 +367,9 @@ def with_duplicate_flag(
     )
 
 
-def merge_duplicate_reason(
-    df: DataFrame,
-    dup_col: str = "is_dup",
-    name: str = "duplicate_clip_id",
-    severity: str = "HIGH",
-) -> DataFrame:
-    """Fold the duplicate flag into reasons/keep/severity."""
+@memo_cols
+def _merge_duplicate_exprs(dup_col: str, name: str, severity: str):
+    """(new_reasons, new_sev) trees for merge_duplicate_reason."""
     new_reasons = F.when(
         F.col(dup_col),
         F.array_append(F.col("reasons"), F.lit(name)),
@@ -368,6 +382,17 @@ def merge_duplicate_reason(
         ),
         F.lit(severity),
     ).otherwise(F.col("severity"))
+    return new_reasons, new_sev
+
+
+def merge_duplicate_reason(
+    df: DataFrame,
+    dup_col: str = "is_dup",
+    name: str = "duplicate_clip_id",
+    severity: str = "HIGH",
+) -> DataFrame:
+    """Fold the duplicate flag into reasons/keep/severity."""
+    new_reasons, new_sev = _merge_duplicate_exprs(dup_col, name, severity)
     return (
         df.withColumn("reasons", new_reasons)
         .withColumn("severity", new_sev)

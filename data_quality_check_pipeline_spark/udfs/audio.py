@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+
+from ..functions.colmemo import memo_cols
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
@@ -695,15 +697,26 @@ def _windows_from_prelude(bytes_col: str, hdr, usable):
     return win_bytes, n_samples
 
 
+@memo_cols
+def _audio_window_tree(bytes_col: str, codec: str):
+    """(hdr, usable, win_bytes, n_samples) Columns, memoized per
+    session: the magic-check CASE chains plus 4 substring windows cost
+    ~0.15 s of driver-side py4j construction per build (r06)."""
+    hdr, usable = _audio_prelude_exprs(bytes_col, codec)
+    win_bytes, n_samples = _windows_from_prelude(
+        bytes_col, F.col(_AW_HDR), F.col(_AW_USABLE)
+    )
+    return hdr, usable, win_bytes, n_samples
+
+
 def with_audio_windows(df, bytes_col: str = "bytes", codec: str = "codec"):
     """Two-projection window extraction: project (hdr, usable) once,
     derive (win_bytes, n_samples) from the materialized attributes.
     Returns ``(df_with_prelude, win_bytes, n_samples, cols_to_drop)``."""
-    hdr, usable = _audio_prelude_exprs(bytes_col, codec)
-    df = df.withColumns({_AW_HDR: hdr, _AW_USABLE: usable})
-    win_bytes, n_samples = _windows_from_prelude(
-        bytes_col, F.col(_AW_HDR), F.col(_AW_USABLE)
+    hdr, usable, win_bytes, n_samples = _audio_window_tree(
+        bytes_col, codec
     )
+    df = df.withColumns({_AW_HDR: hdr, _AW_USABLE: usable})
     return df, win_bytes, n_samples, [_AW_HDR, _AW_USABLE]
 
 

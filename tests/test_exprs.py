@@ -2,6 +2,8 @@
 scrub chain — exact-value asserts mirroring the reference's unit style
 (/root/reference/tests/test_pipeline.py:305-334 masking golden values)."""
 
+import weakref
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -259,3 +261,60 @@ class TestSpeechRate:
             )
             assert r["speech_rate"] == pytest.approx(expected)
             assert r["speech_rate"] > 2.5  # curriculum dropped bin 0
+
+
+class TestColumnMemo:
+    """Session-scoped Column-tree memo (functions/colmemo.py, r06):
+    string-keyed builders return the SAME tree within one SparkContext,
+    Column-argument calls bypass the memo, and a context change drops
+    every cached tree (stale-gateway guard)."""
+
+    def test_string_args_hit_memo(self, spark):
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            scrub_expr,
+        )
+        from data_quality_check_pipeline_spark.operators.validate import (
+            active_rules,
+        )
+
+        assert scrub_expr("t") is scrub_expr("t")
+        assert active_rules(True) is active_rules(True)
+        assert active_rules(True) is not active_rules(False)
+
+    def test_column_args_bypass_memo(self, spark):
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            scrub_expr,
+        )
+
+        assert scrub_expr(F.col("t")) is not scrub_expr(F.col("t"))
+
+    def test_context_change_resets(self, spark):
+        from data_quality_check_pipeline_spark.functions import colmemo
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            scrub_expr,
+        )
+
+        before = scrub_expr("t")
+        # simulate "a different SparkContext became active": the guard
+        # only compares identity via the stored weakref, so pointing it
+        # at a different object forces the reset path
+        class _FakeCtx:
+            pass
+
+        colmemo._ctx_ref = weakref.ref(_FakeCtx())
+        after = scrub_expr("t")
+        assert after is not before
+        assert scrub_expr("t") is after  # re-memoized under the new ctx
+
+    def test_memoized_trees_resolve_per_dataframe(self, spark):
+        # one shared tree, two different input DataFrames: unresolved
+        # attributes bind per-plan, so values track each frame
+        from data_quality_check_pipeline_spark.functions.exprs import (
+            scrub_expr,
+        )
+
+        e = scrub_expr("c")
+        a = one(spark, "mail me: bob@x.com", e)
+        b = one(spark, "no pii here", e)
+        assert a == "mail me: [EMAIL]"
+        assert b == "no pii here"
