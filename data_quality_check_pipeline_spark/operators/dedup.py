@@ -21,6 +21,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.colmemo import memo_cols
 from ..functions.exprs import norm_text
 
 _log = logging.getLogger("clip_quality.dedup")
@@ -270,6 +271,7 @@ def _shingle_expr(text_col: str, k: int):
     )
 
 
+@memo_cols
 def _shingle_hash_expr(text_col: str, k: int):
     """Distinct word k-shingles as an array of 64-bit hashes (JVM-side):
     xxhash64 over the token-array slice directly — no concat_ws string
@@ -311,15 +313,24 @@ def minhash_signatures(
     """
     sh_hashes = _shingle_hash_expr(text_col, shingle_k)
     exploded = df.select(F.col(id_col), F.explode(sh_hashes).alias("_sh"))
+    mins, sig = _minhash_agg_exprs(n_hashes)
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), sig)
+
+
+@memo_cols
+def _minhash_agg_exprs(n_hashes: int):
+    """(min-aggregates, sig-array reconstruct) for minhash_signatures —
+    static per n_hashes, session-memoized (the 32-agg family costs ~130
+    py4j round trips per build, r06)."""
     mins = [
         F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    agg = exploded.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
-    )
+    sig = F.array(
+        *[F.col(f"h{i}") for i in range(n_hashes)]
+    ).alias("sig")
+    return mins, sig
 
 
 def minhash_lsh_pairs(
@@ -687,19 +698,29 @@ def simhash_signatures(
             F.array_distinct(F.split(norm_text(F.lower(F.col(text_col))), " "))
         ).alias("_t"),
     ).withColumn("_h", F.xxhash64("_t"))
+    sums, sig = _simhash_agg_exprs(bits)
+    agg = toks.groupBy(id_col).agg(*sums)
+    return agg.select(F.col(id_col), sig)
+
+
+@memo_cols
+def _simhash_agg_exprs(bits: int):
+    """(sign-sum aggregates, signature reconstruct) for
+    simhash_signatures — static per bits, session-memoized (the 64-agg
+    family plus the 64-term reconstruct cost ~0.2 s of py4j build per
+    call, r06)."""
     sums = [
         F.sum(
             (F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"b{b}")
         for b in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*sums)
     sig = None
     for b in range(bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0))
         term = F.shiftleft(bit.cast("long"), b)
         sig = term if sig is None else sig.bitwiseOR(term)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    return sums, sig.alias("simhash")
 
 
 def _check_hamming_params(
@@ -726,20 +747,22 @@ def _hamming_chunked(sigs: DataFrame, sig_col: str, chunks: int) -> DataFrame:
     band identically — the incremental-equals-full equivalence depends
     on it (same argument as _minhash_banded). Extra columns on ``sigs``
     are carried through untouched."""
+    return sigs.select("*", _chunk_explode_expr(sig_col, chunks))
+
+
+@memo_cols
+def _chunk_explode_expr(sig_col: str, chunks: int):
     width = 64 // chunks
     mask = (1 << width) - 1
-    return sigs.select(
-        "*",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col(sig_col), i * width)
-                    .bitwiseAND(F.lit(mask))
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
-    )
+    return F.posexplode(
+        F.array(
+            *[
+                F.shiftright(F.col(sig_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                for i in range(chunks)
+            ]
+        )
+    ).alias("chunk_idx", "chunk_val")
 
 
 def hamming_band_pairs(
