@@ -569,8 +569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rebalance: 4-regex scrub chain, single-task otherwise
         # (measured r06: 0.43 s -> 0.29 s)
         df = _load(spark, sf, "documents", rebalance=True)
+        # string arg -> session-memoized tree (colmemo)
         return df.select(
-            "doc_id", scrub_expr(F.col("text")).alias("text_scrubbed")
+            "doc_id", scrub_expr("text").alias("text_scrubbed")
         )
 
     q["doc_scrub"] = doc_scrub
@@ -585,7 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rebalance: 4 regexp_count passes, single-task otherwise
         # (measured r06: 0.67 s -> 0.31 s)
         df = _load(spark, sf, "documents", rebalance=True)
-        counts = pii_type_counts_exprs(F.col("text"))
+        # string arg -> session-memoized tree (colmemo)
+        counts = pii_type_counts_exprs("text")
         return df.select(
             "doc_id",
             counts["emails"].alias("n_emails"),
@@ -1103,10 +1105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1.08 s -> 0.67 s with the hash spread; the shuffle carries only
         # the 5 projected columns plus the hash key)
         df = _load(spark, sf, "lineitem", rebalance=True)
-        dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-        return (
-            df.groupBy("l_returnflag", "l_linestatus")
-            .agg(
+
+        def _build():
+            dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+            return [
                 F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias(
                     "sum_qty"
                 ),
@@ -1126,7 +1128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     2,
                 ).alias("sum_disc_price"),
                 F.count(F.lit(1)).alias("count_order"),
-            )
+            ]
+
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            *_q_cols("lineitem_pricing_summary", _build)
         )
 
     q["lineitem_pricing_summary"] = lineitem_pricing_summary
